@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytical headline queries over the TPC-H-ish corpus — the scale
+  * workout for the engine (joins, grouped aggregates, window functions,
+  * semi/anti joins, event-time buckets). These exercise the capabilities a
+  * user of the reference would reach for next, and they are the queries the
+  * per-round BENCH times at sf0.1.
+  *
+  * Scale design notes:
+  *   - Dimension joins (`nation`, `region`, `part`, `customer`) are
+  *     explicitly `broadcast()` — at 100 TB the fact table never shuffles
+  *     for a dimension lookup.
+  *   - Aggregates are partial (map-side combine) by construction; the single
+  *     shuffle per query is on the grouping key.
+  *   - Filters sit directly on scan columns so they push into parquet
+  *     (`PushedFilters` in explain).
+  *   - Rounding follows the data's decimal granularity (price×(1−disc) is a
+  *     4-decimal rational, ×(1+tax) a 6-decimal rational) so round() yields
+  *     the exact rational on both engines regardless of accumulation order.
+  */
+object TpchQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 — pricing summary report (scan-heavy grouped aggregate).
+    "q20_pricing_summary" -> ((s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 6)
+            .as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q3 — shipping priority: 3-way join + top-10 by revenue.
+    "q21_top_orders" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord  = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li   = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style — revenue per nation through the region→nation→customer
+    // dimension chain; all dims broadcast, fact shuffles once on n_name.
+    "q22_nation_revenue" -> ((s, dir) => {
+      val nat  = Tables.nation(s, dir)
+      val cust = Tables.customer(s, dir)
+      val ord  = Tables.orders(s, dir)
+      val li   = Tables.lineitem(s, dir)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Window function — top-3 parts by revenue within each brand. The rank
+    // is computed over the ROUNDED revenue with the part key as tiebreak, so
+    // ordering is deterministic across engines.
+    "q23_top_parts_per_brand" -> ((s, dir) => {
+      val li   = Tables.lineitem(s, dir)
+      val part = Tables.part(s, dir)
+      val rev = li
+        .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey"))
+      rev.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("revenue"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("p_brand"), col("rnk"))
+    }),
+
+    // Semi-join — order-priority counts for orders having a high-quantity
+    // line item (left_semi: no duplication, no distinct needed).
+    "q24_priority_semi" -> ((s, dir) => {
+      val bigLines = Tables.lineitem(s, dir).filter(col("l_quantity") > 30).select(col("l_orderkey"))
+      Tables
+        .orders(s, dir)
+        .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Anti-join — customers with no high-value order (>450k).
+    "q25_customers_no_orders" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir).filter(col("o_totalprice") > 450000).select(col("o_custkey"))
+      Tables
+        .customer(s, dir)
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Distinct aggregation — distinct customers per order status.
+    "q26_distinct_customers" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))),
+
+    // Event-time tumbling window — the batch twin of the streaming windowed
+    // aggregate (window().start == DuckDB time_bucket on UTC timestamps).
+    "q27_event_time_windows" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(
+          col("window.start").as("window_start"),
+          col("event_type"),
+          col("n"),
+          col("total")
+        )
+        .orderBy(col("window_start"), col("event_type")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q21_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q22_nation_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q23_top_parts_per_brand" ->
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey)
+        |SELECT p_brand, p_partkey, revenue, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+        |  FROM rev) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q24_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 30)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q25_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q26_distinct_customers" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q27_event_time_windows" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session factory — one lazy SparkSession per suite. */
+trait SparkSpec { self: AnyFunSuite =>
+  lazy val spark: SparkSession = SparkSpec.session
+}
+
+object SparkSpec {
+  // One session for the whole test JVM (suites run in a single forked JVM).
+  lazy val session: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
