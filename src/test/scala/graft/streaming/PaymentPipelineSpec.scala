@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.{PaymentEvent, PaymentSerde}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Tier-2 streaming parity — the reference's integration scenario
+  * (`KafkaStreamsPaymentIntegrationTest.java:150-204`) run through
+  * Structured Streaming with a MemoryStream standing in for the broker:
+  * same five golden payments, asserts outbound routing totals and the
+  * queryable balance store's 200/404 contract, then a SECOND batch to prove
+  * update-mode accumulation (the KTable changelog semantics).
+  */
+class PaymentPipelineSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def golden = Seq(
+    PaymentEvent("p1", 100L, "GBP", "DEF", "ABC", "BANK_RAILS_FOO"),
+    PaymentEvent("p2", 50L, "GBP", "DEF", "ABC", "BANK_RAILS_FOO"),
+    PaymentEvent("p3", 60L, "GBP", "DEF", "ABC", "BANK_RAILS_FOO"),
+    PaymentEvent("p4", 1200L, "GBP", "DEF", "ABC", "BANK_RAILS_XXX"),
+    PaymentEvent("p5", 1000L, "USD", "DEF", "XYZ", "BANK_RAILS_BAR")
+  )
+
+  test("streaming topology: routing + balances + 404 contract, two batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input   = MemoryStream[PaymentEvent]
+    val tmp     = Files.createTempDirectory("graft-stream").toString
+    val topo    = PaymentPipeline.start(input.toDF(), s"$tmp/ckpt", s"$tmp/sink")
+
+    input.addData(golden: _*)
+    topo.processAllAvailable()
+
+    // Balance store: ABC=210, XYZ=800, DEF never sends -> None (HTTP 404).
+    assert(topo.store.get("ABC").contains(210L))
+    assert(topo.store.get("XYZ").contains(800L))
+    assert(topo.store.get("DEF").isEmpty)
+
+    // Outbound "topics": FOO got p1-p3, BAR got the FX-converted p5 (800 GBP).
+    val sunk = spark.read.parquet(s"$tmp/sink")
+    val foo  = sunk.filter($"topic" === "rails-foo-topic")
+    val bar  = sunk.filter($"topic" === "rails-bar-topic")
+    assert(foo.select("paymentId").as[String].collect().toSet == Set("p1", "p2", "p3"))
+    assert(bar.select("paymentId", "amount", "currency").as[(String, Long, String)].collect().toSeq
+      == Seq(("p5", 800L, "GBP")))
+
+    // Second batch: update-mode accumulation — ABC grows, XYZ untouched.
+    input.addData(PaymentEvent("p6", 40L, "GBP", "DEF", "ABC", "BANK_RAILS_FOO"))
+    topo.processAllAvailable()
+    assert(topo.store.get("ABC").contains(250L))
+    assert(topo.store.get("XYZ").contains(800L))
+
+    topo.stop()
+  }
+
+  test("kafka codec round-trip: encode -> decode preserves the record (O1/O11/O14/O15)") {
+    val df      = golden.toDF()
+    val encoded = PaymentSerde.encodeKafka(df) // (key, value) wire shape
+    assert(encoded.columns.toSeq == Seq("key", "value"))
+    val decoded = PaymentSerde.decodeKafka(encoded)
+    val back    = decoded.drop("kafkaKey").as[PaymentEvent].collect().toSet
+    assert(back == golden.toSet)
+    // key = paymentId (the reference's record-key contract)
+    assert(decoded.select("kafkaKey").as[String].collect().toSet == golden.map(_.paymentId).toSet)
+  }
+
+  test("serde leniency: unknown fields ignored, missing -> null, corrupt -> null row") {
+    val raw = Seq(
+      """{"paymentId":"x1","amount":7,"currency":"GBP","toAccount":"t","fromAccount":"f","rails":"BANK_RAILS_FOO","extra":"IGNORED"}""",
+      """{"paymentId":"x2"}""",
+      """not-json"""
+    ).toDF("value")
+    val parsed = raw.select(PaymentSerde.fromJson($"value").as("p")).select("p.*")
+    val rows   = parsed.collect()
+    assert(rows(0).getString(0) == "x1" && rows(0).getLong(1) == 7L)
+    assert(rows(1).getString(0) == "x2" && rows(1).isNullAt(1), "missing fields -> null")
+    assert(rows(2).isNullAt(0), "corrupt json -> null row (PERMISSIVE)")
+  }
+
+  test("describe returns a non-empty plan mentioning the aggregation (O13)") {
+    val plan = PaymentPipeline.describe(
+      graft.operators.PaymentOps.topology(golden.toDF()).balances)
+    assert(plan.nonEmpty && plan.contains("Aggregate"))
+  }
+}
