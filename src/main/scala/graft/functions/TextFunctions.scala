@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, stopword/quality stats, language ID, shingling, rolling-hash
+  * fingerprints and MinHash — the operations a user of the reference engine
+  * would need next when the "payments" become documents.
+  *
+  * Design rules:
+  *   - Everything is a Catalyst `Column` expression (built-in functions +
+  *     higher-order functions) — no Scala UDFs, so Catalyst can prune/push
+  *     and the driver's DuckDB oracle can mirror the exact formula.
+  *   - Hash-sensitive operators (MinHash) use **md5**, which is identical
+  *     across engines, rather than engine-private hashes (Spark's murmur3
+  *     `hash()` vs DuckDB's `hash()` differ). A lexicographic min over md5
+  *     hex digests is a valid MinHash: all that is required is a uniform
+  *     hash with a total order. At 100 TB scale, swap in `xxhash64` (also
+  *     codegen'd, cheaper) once cross-engine parity is not needed.
+  */
+object TextFunctions {
+
+  /** Tiny English stopword list used by the language-ID heuristic and the
+    * quality score. Deliberately short — it is a *feature extractor*, not a
+    * linguistic resource; the formula is mirrored in the DuckDB oracles.
+    */
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  /** Whitespace tokenization (the BPE-ish regex split). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(StopwordsEn)))
+
+  /** Fraction of tokens that are stopwords — 0.0 when the doc is empty. */
+  def stopwordRatio(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(stopwordCount(text).cast("double") / tokenCount(text).cast("double"))
+
+  /** n-gram-heuristic language ID: English iff the stopword hit-ratio
+    * clears a threshold. Multi-language support = more stopword columns and
+    * a `greatest()` argmax — same shape, kept minimal here.
+    */
+  def langId(text: Column, threshold: Double = 0.02): Column =
+    when(stopwordRatio(text) >= threshold, lit("en")).otherwise(lit("und"))
+
+  /** Average token length in characters (0.0 for empty docs). */
+  def avgTokenLen(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(
+        aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / tokenCount(text).cast("double")
+      )
+
+  /** Composite quality score in [0,1]: long-enough docs with natural
+    * stopword density and mid-range token lengths score high. The exact
+    * weights are arbitrary but deterministic and oracle-mirrored.
+    */
+  def qualityScore(text: Column): Column = {
+    val lengthTerm = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+    val stopTerm   = least(stopwordRatio(text) / lit(0.05), lit(1.0))
+    val lenPenalty = when(avgTokenLen(text) > 12.0, lit(0.5)).otherwise(lit(1.0))
+    round(lengthTerm * lit(0.5) * lenPenalty + stopTerm * lit(0.5), 4)
+  }
+
+  /** Polynomial rolling hash over the characters of `text`:
+    * `h = (h*31 + ascii(c)) mod (2^31-1)` — the classic Karp–Rabin document
+    * fingerprint, expressed as a higher-order `aggregate` so both engines
+    * fold left-to-right over the same values.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      sequence(lit(1), length(text)),
+      lit(0L),
+      (acc, i) => (acc * 31 + ascii(text.substr(i, lit(1)))) % 2147483647L
+    )
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]` from the token array.
+    * Empty when the doc has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int = 3): Column = shinglesOf(tokens(text), n)
+
+  /** Shingles from an ALREADY-MATERIALIZED token-array column. Performance
+    * contract: pass a projected column reference, not an expression —
+    * Catalyst does no common-subexpression elimination inside higher-order
+    * lambdas, so an inline `split(...)` here would re-tokenize the document
+    * for every element access (measured 10× slower).
+    */
+  def shinglesOf(ws: Column, n: Int = 3): Column =
+    // NB: Spark's sequence(1, 0) counts DOWN — guard short docs explicitly.
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)
+        )
+      )
+
+  /** One MinHash value: the lexicographic min of `md5(seed || ":" || s)`
+    * over a shingle column (use after `explode(shingles(...))` + groupBy).
+    */
+  def minhashAgg(seed: Int, shingle: Column): Column =
+    min(md5(concat(lit(s"$seed:"), shingle)))
+}

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `ArrayType` columns, built from higher-order
+  * functions (`zip_with` + `aggregate`) so the fold order is the array order
+  * — deterministic and exactly mirrored by DuckDB's `list_reduce` in the
+  * driver's oracles. Floats are widened to double BEFORE any arithmetic, so
+  * both engines accumulate identical IEEE values.
+  *
+  * Scale notes: for 100 TB brute-force scoring you would drop to a BLAS gemm
+  * over `mapPartitions` batches (or a codegen'd `Expression`); these column
+  * forms keep the logical plan declarative and are the correctness baseline
+  * the fast path must reproduce.
+  */
+object VectorFunctions {
+
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Left-to-right dot product — deterministic accumulation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Element-wise sum of an array-of-arrays column (fold over rows collected
+    * in a deterministic order) — used for centroid computation.
+    */
+  def sumVectors(arrays: Column, dim: Int): Column =
+    aggregate(arrays, array_repeat(lit(0.0), dim), (acc, e) => zip_with(acc, asDouble(e), _ + _))
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exact baseline, within-cluster near-dup
+  * mining, and an IVF-style two-stage ANN (coarse quantizer → probe → exact
+  * re-rank) — all expressed as DataFrame plans with DuckDB oracles running
+  * the identical algorithm.
+  *
+  * Scale design (100 TB):
+  *   - q50 broadcast-joins the (tiny) query set against the corpus — the
+  *     corpus never shuffles; scoring is a narrow map. At 1000 executors
+  *     this is the canonical "score every row, keep top-k per query" plan
+  *     (partial top-k per partition via the window rank would become a
+  *     `mapPartitions` heap at the physical layer; Catalyst's WindowExec
+  *     already does partial filtering through the rank predicate).
+  *   - q45 blocks the quadratic near-dup join by cluster (`label` stands in
+  *     for the IVF/k-means assignment a production pipeline maintains) —
+  *     Σ cluster² pairs instead of n².
+  *   - q51 is the real ANN path: centroids (here: per-label means, the
+  *     k-means E-step output) are broadcast-sized; each query probes its
+  *     `nprobe` nearest centroids and scores only those clusters.
+  *   - Vector folds are order-deterministic (see
+  *     [[graft.functions.VectorFunctions]]); centroids fold rows sorted by
+  *     vec_id so both engines accumulate identically.
+  */
+object SimilarityQueries {
+
+  private val Dim          = 64
+  private val TopK         = 5
+  private val NProbe       = 2
+  private val NearDupCos   = 0.3
+  private val QuerySetSize = 5 // vec_id < 5 plays the "incoming queries"
+
+  private def scored(queries: DataFrame, corpus: DataFrame): DataFrame =
+    corpus
+      .repartition(col("vec_id")) // single-split input: parallelize scoring
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("embedding")), 6))
+
+  private def topkRank: org.apache.spark.sql.Column =
+    row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Embedding near-dup pairs: exact cosine within cluster blocks.
+    "q45_embedding_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("label"), col("vec_id").as("ia"), col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("ib"), col("embedding").as("eb"))
+      a.join(b, Seq("label"))
+        .filter(col("ia") < col("ib"))
+        // the label join leaves ≤ n_clusters partitions busy; spread the
+        // pair-scoring (the expensive part) across all cores
+        .repartition(col("ia"), col("ib"))
+        .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+        .filter(col("cos") >= NearDupCos)
+        .select(col("ia"), col("ib"), col("cos"))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
+    // Brute-force cosine top-k: exact kNN baseline for the ANN path.
+    "q50_cosine_topk" -> ((s, dir) => {
+      val e  = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      scored(qs, e)
+        .withColumn("rnk", topkRank)
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // IVF-style ANN: per-label centroids (coarse quantizer), probe the
+    // nprobe nearest centroids per query, exact re-rank within probed cells.
+    "q51_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+
+      // Coarse quantizer: centroid = mean vector per label, folded over rows
+      // sorted by vec_id (deterministic accumulation).
+      val centroids = e
+        .groupBy(col("label"))
+        .agg(
+          sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("es")
+        )
+        .select(
+          col("label"),
+          transform(
+            sumVectors(transform(col("es"), _.getField("embedding")), Dim),
+            x => x / size(col("es"))
+          ).as("centroid")
+        )
+
+      val qs = e.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+      // Probe: nprobe nearest centroids per query (tiny cross join).
+      val probes = qs
+        .crossJoin(broadcast(centroids))
+        .withColumn("ccos", round(cosine(col("q_emb"), col("centroid")), 6))
+        .withColumn(
+          "crnk",
+          row_number().over(Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("label")))
+        )
+        .filter(col("crnk") <= NProbe)
+        .select(col("query_id"), col("q_emb"), col("label"))
+
+      // Exact re-rank within the probed cells only.
+      e.join(broadcast(probes), Seq("label"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", round(cosine(col("q_emb"), col("embedding")), 6))
+        .withColumn("rnk", topkRank)
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    })
+  )
+
+  // Oracle twins — identical algorithm in DuckDB SQL. `list_reduce` with a
+  // prepended accumulator reproduces the fold order of Spark's `aggregate`.
+  private val dotSql =
+    (a: String, b: String) =>
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${Dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+
+  private val vecCte =
+    s"""WITH v AS (SELECT vec_id, label, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+       |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q45_embedding_neardup" ->
+      (vecCte +
+        s"""SELECT a.vec_id AS ia, b.vec_id AS ib,
+           |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+           |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $NearDupCos
+           |ORDER BY ia, ib""".stripMargin),
+    "q50_cosine_topk" ->
+      (vecCte +
+        s""", scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos
+           |  FROM v q JOIN v c ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id)
+           |SELECT query_id, neighbor_id, cos, rnk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM scored) WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin),
+    "q51_ann_ivf" ->
+      (vecCte +
+        s""", folded AS (
+           |  SELECT label, array_agg(embedding ORDER BY vec_id) AS es FROM v GROUP BY label),
+           | cent AS (
+           |  SELECT label,
+           |    list_transform(
+           |      list_reduce(
+           |        list_prepend(list_transform(range($Dim), x -> 0.0::DOUBLE), es),
+           |        (acc, e) -> list_transform(range(1, ${Dim + 1}), i -> acc[i] + e[i]::DOUBLE)),
+           |      x -> x / len(es)) AS centroid
+           |  FROM folded),
+           | cn AS (SELECT label, centroid, sqrt(${dotSql("centroid", "centroid")}) AS cnrm FROM cent),
+           | probes AS (
+           |  SELECT query_id, label FROM (
+           |    SELECT q.vec_id AS query_id, cn.label,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        round(${dotSql("q.embedding", "cn.centroid")} / (q.nrm * cn.cnrm), 6) DESC, cn.label) AS crnk
+           |    FROM v q CROSS JOIN cn WHERE q.vec_id < $QuerySetSize)
+           |  WHERE crnk <= $NProbe),
+           | scored AS (
+           |  SELECT p.query_id, c.vec_id AS neighbor_id,
+           |    round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos
+           |  FROM probes p JOIN v c ON c.label = p.label AND c.vec_id <> p.query_id
+           |  JOIN v q ON q.vec_id = p.query_id)
+           |SELECT query_id, neighbor_id, cos, rnk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM scored) WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin)
+  )
+}

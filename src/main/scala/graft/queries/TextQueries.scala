@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the `documents` table — language ID, quality
+  * scoring, token stats, document fingerprinting, term frequencies. Every
+  * query is a single-pass column expression with a DuckDB oracle mirroring
+  * the exact formula (see [[graft.functions.TextFunctions]] for the
+  * determinism rules).
+  *
+  * Scale notes: all per-document work is embarrassingly parallel (no shuffle
+  * except where grouped output is the point), reads only the columns it
+  * needs, and uses no UDFs.
+  */
+object TextQueries {
+
+  /** The oracle twin of [[graft.functions.TextFunctions.StopwordsEn]]. */
+  private val stopListSql = StopwordsEn.map(s => s"'$s'").mkString("(", ",", ")")
+
+  /** Shared oracle CTE: tokens per document. */
+  private val tokensCte =
+    raw"""WITH toks AS (
+         |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS ws, text
+         |  FROM documents),
+         | stats AS (
+         |  SELECT doc_id, lang, text, len(ws) AS n_tokens,
+         |         len(list_filter(ws, t -> t IN $stopListSql)) AS n_stop,
+         |         CASE WHEN len(ws) = 0 THEN 0.0
+         |              ELSE len(list_filter(ws, t -> t IN $stopListSql)) * 1.0 / len(ws) END AS stop_ratio,
+         |         CASE WHEN len(ws) = 0 THEN 0.0
+         |              ELSE list_reduce(list_prepend(0::BIGINT, list_transform(ws, t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(ws) END AS avg_len
+         |  FROM toks)
+         |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokenizer + stopword stats per document.
+    "q30_token_stats" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          stopwordCount(col("text")).cast("long").as("n_stop"),
+          round(stopwordRatio(col("text")), 4).as("stop_ratio")
+        )
+        .orderBy(col("doc_id"))),
+
+    // Quality scoring: length/stopword/token-length composite in [0,1].
+    "q31_quality_score" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          qualityScore(col("text")).as("quality"),
+          round(avgTokenLen(col("text")), 4).as("avg_token_len")
+        )
+        .orderBy(col("doc_id"))),
+
+    // Language ID (n-gram/stopword heuristic) + agreement with the labeled
+    // lang column, aggregated.
+    "q32_lang_id" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("lang"), langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
+    // Document fingerprinting: Karp–Rabin rolling hash over characters.
+    "q33_fingerprint" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // Term frequency: top-20 corpus terms (explode + count + top-k).
+    "q34_term_freq" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(20))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_token_stats" ->
+      (tokensCte +
+        "SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_stop::BIGINT AS n_stop, round(stop_ratio, 4) AS stop_ratio " +
+        "FROM stats ORDER BY doc_id"),
+    "q31_quality_score" ->
+      (tokensCte +
+        """SELECT doc_id,
+          |  round(least(n_tokens / 50.0, 1.0) * 0.5 * (CASE WHEN avg_len > 12.0 THEN 0.5 ELSE 1.0 END)
+          |        + least(stop_ratio / 0.05, 1.0) * 0.5, 4) AS quality,
+          |  round(avg_len, 4) AS avg_token_len
+          |FROM stats ORDER BY doc_id""".stripMargin),
+    "q32_lang_id" ->
+      (tokensCte +
+        "SELECT lang, CASE WHEN stop_ratio >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred, count(*) AS n " +
+        "FROM stats GROUP BY 1, 2 ORDER BY lang, lang_pred"),
+    "q33_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text)+1), i -> ord(substr(text, i::INT, 1))::BIGINT)),
+        |              (a, c) -> (a * 31 + c) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_term_freq" ->
+      (tokensCte +
+        "SELECT term, count(*) AS n FROM (SELECT unnest(ws) AS term FROM toks) GROUP BY 1 ORDER BY n DESC, term LIMIT 20")
+  )
+}
