@@ -41,7 +41,7 @@ object SimilarityQueries {
     corpus
       .repartition(col("vec_id")) // single-split input: parallelize scoring
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("cos", round(cosineFast(col("q_emb"), col("embedding")), 6))
 
   private def topkRank: org.apache.spark.sql.Column =
     row_number().over(
@@ -59,7 +59,7 @@ object SimilarityQueries {
         // the label join leaves ≤ n_clusters partitions busy; spread the
         // pair-scoring (the expensive part) across all cores
         .repartition(col("ia"), col("ib"))
-        .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+        .withColumn("cos", round(cosineFast(col("ea"), col("eb")), 6))
         .filter(col("cos") >= NearDupCos)
         .select(col("ia"), col("ib"), col("cos"))
         .orderBy(col("ia"), col("ib"))
@@ -103,7 +103,7 @@ object SimilarityQueries {
       // Probe: nprobe nearest centroids per query (tiny cross join).
       val probes = qs
         .crossJoin(broadcast(centroids))
-        .withColumn("ccos", round(cosine(col("q_emb"), col("centroid")), 6))
+        .withColumn("ccos", round(cosineFast(col("q_emb"), col("centroid")), 6))
         .withColumn(
           "crnk",
           row_number().over(Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("label")))
@@ -114,7 +114,7 @@ object SimilarityQueries {
       // Exact re-rank within the probed cells only.
       e.join(broadcast(probes), Seq("label"))
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cos", round(cosine(col("q_emb"), col("embedding")), 6))
+        .withColumn("cos", round(cosineFast(col("q_emb"), col("embedding")), 6))
         .withColumn("rnk", topkRank)
         .filter(col("rnk") <= TopK)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rnk").cast("long").as("rnk"))
