@@ -22,12 +22,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ TpchQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries ++ MediaQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++ MediaQueries.queries ++
+      EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     ParityQueries.oracles ++ TpchQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ SimilarityQueries.oracles ++ MediaQueries.oracles
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++ MediaQueries.oracles ++
+      EventQueries.oracles
 }

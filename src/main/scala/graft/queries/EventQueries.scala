@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream batch queries beyond the reference's surface: JSON property
+  * extraction, set operations, grouping-set rollups, and gap-based
+  * sessionization (the batch twin of `session_window`). Each has an exact
+  * DuckDB oracle.
+  */
+object EventQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Scalar JSON property extraction from the props payload (the
+    // get_json_object path — no schema needed, unlike q02's from_json).
+    "q13_json_props" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
+    // INTERSECT — users who both clicked and purchased.
+    "q14_intersect" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"))
+        .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // EXCEPT — users who clicked but never purchased.
+    "q15_except" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"))
+        .except(e.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // Gap-based sessionization (30-minute inactivity gap) — session count
+    // and size distribution per user. Batch twin of session_window.
+    "q28_sessions" -> ((s, dir) =>
+      EventStreams
+        .sessionize(Tables.events(s, dir), gapMinutes = 30)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    // ROLLUP over (event_type, hour-of-day): subtotal + grand-total rows.
+    "q29_rollup" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .withColumn("hod", hour(col("ts")).cast("long"))
+        .rollup(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("event_type").asc_nulls_first, col("hod").asc_nulls_first))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q13_json_props" ->
+      """SELECT event_type, round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q14_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "q15_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "q28_sessions" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        | flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged),
+        | sess AS (
+        |  SELECT user_id, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "q29_rollup" ->
+      """SELECT event_type, hod, count(*) AS n, round(sum(value), 2) AS total
+        |FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, value FROM events)
+        |GROUP BY ROLLUP (event_type, hod)
+        |ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -36,6 +36,7 @@ object SimilarityQueries {
   private val NProbe       = 2
   private val NearDupCos   = 0.3
   private val QuerySetSize = 5 // vec_id < 5 plays the "incoming queries"
+  private val NumPlanes    = 8 // SRP-LSH signature bits
 
   private def scored(queries: DataFrame, corpus: DataFrame): DataFrame =
     corpus
@@ -119,6 +120,56 @@ object SimilarityQueries {
         .filter(col("rnk") <= TopK)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rnk").cast("long").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Sign-random-projection LSH near-dup: 8 deterministic ±1 hyperplanes
+    // (md5-derived, engine-portable), bucket by the 8-bit sign signature,
+    // verify candidates with exact cosine. This is the O(n) blocking that
+    // replaces q45's label blocking when no cluster assignment exists —
+    // the cross join is n × 8 planes, never n².
+    "q52_srp_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).repartition(col("vec_id"))
+      val planes = s
+        .range(NumPlanes)
+        .select(
+          col("id").cast("int").as("p"),
+          transform(
+            sequence(lit(0), lit(Dim - 1)),
+            i =>
+              (((instr(
+                lit("0123456789abcdef"),
+                substring(md5(concat(col("id").cast("string"), lit(":"), i.cast("string"))), 1, 1)
+              ) - 1) % 2) * 2 - 1).cast("double")
+          ).as("warr")
+        )
+      val buckets = e
+        .crossJoin(broadcast(planes))
+        .withColumn("pr", dotFast(col("embedding"), col("warr")))
+        .withColumn("bit", when(col("pr") >= 0, lit("1")).otherwise(lit("0")))
+        .groupBy(col("vec_id"))
+        .agg(
+          array_join(
+            transform(array_sort(collect_list(struct(col("p"), col("bit")))), x => x.getField("bit")),
+            ""
+          ).as("bucket")
+        )
+      val cand = buckets
+        .groupBy(col("bucket"))
+        .agg(collect_list(col("vec_id")).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(
+          explode(
+            expr("flatten(transform(ds, a -> transform(filter(ds, b -> b > a), b -> struct(a AS ia, b AS ib))))")
+          ).as("pr")
+        )
+        .select(col("pr.ia").as("ia"), col("pr.ib").as("ib"))
+      cand
+        .join(e.select(col("vec_id").as("ia"), col("embedding").as("ea")), Seq("ia"))
+        .join(e.select(col("vec_id").as("ib"), col("embedding").as("eb")), Seq("ib"))
+        .withColumn("cos", round(cosineFast(col("ea"), col("eb")), 6))
+        .filter(col("cos") >= NearDupCos)
+        .select(col("ia"), col("ib"), col("cos"))
+        .orderBy(col("ia"), col("ib"))
     })
   )
 
@@ -177,6 +228,27 @@ object SimilarityQueries {
            |  JOIN v q ON q.vec_id = p.query_id)
            |SELECT query_id, neighbor_id, cos, rnk FROM (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-           |  FROM scored) WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin)
+           |  FROM scored) WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin),
+    "q52_srp_lsh" ->
+      (vecCte +
+        s""", planes AS (
+           |  SELECT p, list_transform(range(0, $Dim),
+           |    i -> (((strpos('0123456789abcdef', substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 1)) - 1) % 2) * 2 - 1)::DOUBLE) AS warr
+           |  FROM (SELECT unnest(range(0, $NumPlanes)) AS p)),
+           | proj AS (
+           |  SELECT vec_id, p,
+           |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${Dim + 1}), i -> embedding[i]::DOUBLE * warr[i])), (x, y) -> x + y) AS pr
+           |  FROM embeddings CROSS JOIN planes),
+           | buckets AS (
+           |  SELECT vec_id, string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+           |  FROM proj GROUP BY vec_id),
+           | cand AS (
+           |  SELECT a.vec_id AS ia, b.vec_id AS ib
+           |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT c.ia, c.ib,
+           |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+           |FROM cand c JOIN v a ON a.vec_id = c.ia JOIN v b ON b.vec_id = c.ib
+           |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $NearDupCos
+           |ORDER BY ia, ib""".stripMargin)
   )
 }

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time stream processing — the windowed/watermarked capability layer
+  * the reference lacks (SURVEY.md §2: "no windows, no watermarks") but any
+  * user scaling it up needs next. All transforms are `DataFrame =>
+  * DataFrame` and run identically in batch (the driver-verified twin,
+  * q27) and Structured Streaming.
+  *
+  * Scale notes: tumbling-window aggregation shuffles once on (window, key);
+  * watermarks bound state size — without one, per-window state never
+  * expires. Late rows beyond the watermark are dropped (appendix contract
+  * tested in EventStreamsSpec).
+  */
+object EventStreams {
+
+  /** Tumbling event-time windows: per (window, event_type) counts + sums.
+    * Batch twin of the streaming aggregate — same call works on a streaming
+    * frame when `watermark` is set.
+    */
+  def windowedStats(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: Option[String] = None
+  ): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
+  }
+
+  /** Sliding windows (length, slide) — each event lands in length/slide
+    * windows; otherwise identical contract to [[windowedStats]].
+    */
+  def slidingStats(
+      events: DataFrame,
+      windowLength: String,
+      slide: String,
+      watermark: Option[String] = None
+  ): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+  }
+
+  /** Batch sessionization: gap-based sessions per user (a new session starts
+    * when the gap to the previous event exceeds `gapMinutes`). Expressed
+    * with window functions — lag → boundary flag → running session index —
+    * so it is exactly mirrorable in the DuckDB oracle. The streaming twin is
+    * `session_window(col("ts"), gap)` (state-store backed).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int, keyCol: Column = col("user_id")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(keyCol).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L),
+          1L
+        ).otherwise(0L)
+      )
+      .withColumn(
+        "session_idx",
+        // explicit ROWS frame: identical tie semantics to the oracle's
+        // ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.PaymentEvent
+import graft.operators.{BalanceAggregator, PaymentOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  /** Start of the 10-minute window containing ts(minute) — Spark windows
+    * align to epoch boundaries, not to the first event.
+    */
+  private def winStart(minute: Int) =
+    new Timestamp((1700000000000L + minute * 60000L) / 600000L * 600000L)
+
+  test("windowedStats: streaming watermark drops data later than the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val query = EventStreams
+      .windowedStats(
+        input.toDF().toDF("ts", "event_type", "value"),
+        windowLength = "10 minutes",
+        watermark = Some("5 minutes")
+      )
+      .writeStream
+      .format("memory")
+      .queryName("win_stats")
+      .outputMode("update")
+      .start()
+
+    input.addData((ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(30), "click", 4.0))
+    query.processAllAvailable()
+    // Watermark is now ts(30) - 5min = ts(25); an event at ts(2) is late
+    // beyond the bound and must be DROPPED from the aggregate.
+    input.addData((ts(2), "click", 100.0))
+    query.processAllAvailable()
+    input.addData((ts(31), "click", 8.0)) // on-time row still lands
+    query.processAllAvailable()
+    val byWindow = spark.table("win_stats")
+      .select($"window_start", $"n", $"total")
+      .as[(Timestamp, Long, Double)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (w, rows) => w -> rows.maxBy(_._2) } // latest update per window
+    assert(byWindow(winStart(0))._2 == 2L, "late row beyond watermark must not count")
+    assert(byWindow(winStart(0))._3 == 3.0)
+    assert(byWindow(winStart(30))._2 == 2L)
+    query.stop()
+  }
+
+  test("sessionize: gap rule splits sessions per user (batch twin)") {
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(40)), // user 1: gap 35min -> 2 sessions
+      (2L, ts(0)), (2L, ts(90)), (2L, ts(95)) // user 2: gap 90min -> 2 sessions
+    ).toDF("user_id", "ts")
+    val out = EventStreams
+      .sessionize(events, gapMinutes = 30)
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n"))
+    val m = out.as[(Long, Long, Long)].collect().map { case (u, s, n) => (u, s) -> n }.toMap
+    assert(m == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L, (2L, 2L) -> 2L))
+  }
+
+  test("typed BalanceAggregator reproduces the untyped sum (Initializer/Aggregator shape)") {
+    val payments = Seq(
+      PaymentEvent("p1", 100L, "GBP", "t", "ABC", "BANK_RAILS_FOO"),
+      PaymentEvent("p2", 50L, "GBP", "t", "ABC", "BANK_RAILS_FOO"),
+      PaymentEvent("p3", 800L, "GBP", "t", "XYZ", "BANK_RAILS_BAR")
+    )
+    val typed = payments
+      .toDS()
+      .groupByKey(_.fromAccount)
+      .mapValues(_.amount)
+      .agg(BalanceAggregator.toColumn.name("balance"))
+      .collect()
+      .toMap
+    assert(typed == Map("ABC" -> 150L, "XYZ" -> 800L))
+    val untyped = PaymentOps
+      .balances(payments.toDF())
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(typed == untyped)
+  }
+}
