@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.PaymentEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class StatefulBalancesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def p(id: String, amount: Long, from: String) =
+    PaymentEvent(id, amount, "GBP", "SINK", from, "BANK_RAILS_FOO")
+
+  test("runningBalances: per-key state accumulates across micro-batches, emits only changed keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PaymentEvent]
+    val tmp   = Files.createTempDirectory("graft-state").toString
+    val query = StatefulBalances.startToMemory(spark, input.toDS(), "state_bal", s"$tmp/ckpt")
+
+    input.addData(p("p1", 100, "ABC"), p("p2", 50, "ABC"), p("p3", 800, "XYZ"))
+    query.processAllAvailable()
+    val batch1 = spark.table("state_bal").as[StatefulBalances.BalanceUpdate].collect()
+    assert(batch1.map(u => u.fromAccount -> u.balance).toMap == Map("ABC" -> 150L, "XYZ" -> 800L))
+
+    // Second batch touches only ABC — XYZ must NOT re-emit (changelog contract).
+    input.addData(p("p4", 60, "ABC"))
+    query.processAllAvailable()
+    val all = spark.table("state_bal").as[StatefulBalances.BalanceUpdate].collect()
+    assert(all.count(_.fromAccount == "XYZ") == 1, "unchanged key must not re-emit")
+    assert(all.filter(_.fromAccount == "ABC").map(_.balance).max == 210L)
+    query.stop()
+  }
+
+  test("streamingDedup: replayed keys are dropped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PaymentEvent]
+    val tmp   = Files.createTempDirectory("graft-dedup").toString
+    val query = StatefulBalances
+      .streamingDedup(input.toDS())
+      .writeStream
+      .queryName("state_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory")
+      .start()
+
+    input.addData(p("a", 1, "U"), p("a", 1, "U"), p("b", 2, "U"))
+    query.processAllAvailable()
+    input.addData(p("a", 1, "U"), p("c", 3, "U")) // replay of a + new c
+    query.processAllAvailable()
+    val ids = spark.table("state_dedup").as[PaymentEvent].collect().map(_.paymentId).sorted
+    assert(ids.toSeq == Seq("a", "b", "c"))
+    query.stop()
+  }
+}
