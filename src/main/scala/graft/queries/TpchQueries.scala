@@ -120,6 +120,60 @@ object TpchQueries {
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderstatus"))),
 
+    // TPC-H Q17-style — correlated scalar subquery (small-quantity orders
+    // below 20% of the per-part average). Expressed as a join against the
+    // pre-aggregated per-part averages: the decorrelated form Catalyst
+    // would rewrite to anyway, and the only form that scales (the
+    // correlated subquery is a re-scan per row in a naive engine).
+    "q70_small_qty_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val brandParts = Tables.part(s, dir).filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+      val avgQty = li
+        .groupBy(col("l_partkey"))
+        .agg(avg(col("l_quantity")).as("aq"))
+      li.join(broadcast(brandParts), li("l_partkey") === brandParts("p_partkey"))
+        .join(avgQty.withColumnRenamed("l_partkey", "a_partkey"), col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("aq"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+    }),
+
+    // TPC-H Q18-style — large orders (HAVING over a grouped sum), joined
+    // back to customer for the report.
+    "q71_large_orders" -> ((s, dir) => {
+      val big = Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 120)
+      Tables
+        .orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // Scalar-function coverage: date parts, string ops, conditional logic —
+    // one pass over orders, every function mirrored in the oracle.
+    "q72_scalar_functions" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mth"),
+          upper(substring(col("o_orderpriority"), 1, 8)).as("prio_u"),
+          length(col("o_orderstatus")).cast("long").as("st_len"),
+          when(col("o_totalprice") > 300000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low")
+            .as("bucket"),
+          round(col("o_totalprice") % 1000, 2).as("price_mod"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag")
+        )
+        .orderBy(col("o_orderkey"))),
+
     // Event-time tumbling window — the batch twin of the streaming windowed
     // aggregate (window().start == DuckDB time_bucket on UTC timestamps).
     "q27_event_time_windows" -> ((s, dir) =>
@@ -188,6 +242,30 @@ object TpchQueries {
     "q27_event_time_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q70_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+    "q71_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty FROM (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 120) big
+        |JOIN orders ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q72_scalar_functions" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mth,
+        |  upper(substr(o_orderpriority, 1, 8)) AS prio_u,
+        |  CAST(length(o_orderstatus) AS BIGINT) AS st_len,
+        |  CASE WHEN o_totalprice > 300000 THEN 'high'
+        |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+        |  round(o_totalprice % 1000, 2) AS price_mod,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
