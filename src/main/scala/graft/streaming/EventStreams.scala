@@ -54,6 +54,29 @@ object EventStreams {
     * so it is exactly mirrorable in the DuckDB oracle. The streaming twin is
     * `session_window(col("ts"), gap)` (state-store backed).
     */
+  /** Session-window aggregation via Spark's native `session_window` — the
+    * streaming-capable twin of [[sessionize]] (state-store backed when run
+    * on a streaming frame with a watermark). Returns per (key, session)
+    * bounds and event counts.
+    */
+  def sessionStats(
+      events: DataFrame,
+      gapMinutes: Int,
+      keyCol: Column = col("user_id"),
+      watermark: Option[String] = None
+  ): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), keyCol)
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        keyCol,
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")
+      )
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int, keyCol: Column = col("user_id")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(keyCol).orderBy(col("ts"))

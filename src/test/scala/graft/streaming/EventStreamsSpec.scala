@@ -68,6 +68,24 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(m == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L, (2L, 2L) -> 2L))
   }
 
+  test("session_window agrees with the window-function sessionizer on real data") {
+    // Two independent implementations of the same semantics must produce the
+    // same (user, session-size) multiset: the lag/cumsum batch form (q28's
+    // oracle-checked path) and Spark's native session_window.
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val viaWindowFns = EventStreams
+      .sessionize(events, gapMinutes = 30)
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"n_events")
+    val viaSessionWindow = EventStreams
+      .sessionStats(events, gapMinutes = 30)
+      .select($"user_id", $"n_events")
+    val a = viaWindowFns.as[(Long, Long)].collect().sorted.toSeq
+    val b = viaSessionWindow.as[(Long, Long)].collect().sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("typed BalanceAggregator reproduces the untyped sum (Initializer/Aggregator shape)") {
     val payments = Seq(
       PaymentEvent("p1", 100L, "GBP", "t", "ABC", "BANK_RAILS_FOO"),
