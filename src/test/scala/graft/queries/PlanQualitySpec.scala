@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regressions: the scale properties (predicate pushdown,
+  * column pruning, broadcast dimension joins) are asserted on the optimized
+  * plans, so a refactor that silently de-optimizes a query fails CI — the
+  * 100 TB design is enforced, not just documented.
+  */
+class PlanQualitySpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q20 pushes the shipdate filter into the parquet scan and prunes columns") {
+    val df   = SparkEntry.queries("q20_pricing_summary")(spark, dir)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters") && scan.contains("l_shipdate"), scan.take(500))
+    // Column pruning: the scan schema must NOT include unused l_partkey.
+    assert(!scan.contains("l_partkey"), "scan reads columns the query never uses")
+  }
+
+  test("q22 joins every dimension via broadcast (fact table never shuffles for dims)") {
+    val plan = executedPlan("q22_nation_revenue")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"), "dimension join fell back to SMJ:\n" + plan.take(800))
+  }
+
+  test("q24 semi-join stays a semi-join (no duplicating inner join + distinct)") {
+    val plan = executedPlan("q24_priority_semi")
+    assert(plan.contains("LeftSemi"), plan.take(500))
+  }
+
+  test("flagship balance query is a two-phase aggregate (map-side partial combine)") {
+    val plan = executedPlan("q09_balance")
+    // partial_sum before the exchange, final sum after — one shuffle total.
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"), plan.take(500))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, "unexpected extra shuffles")
+  }
+
+  test("q50 top-k is pushed below the shuffle (partial WindowGroupLimit) and scores with vector_cosine") {
+    val plan = executedPlan("q50_cosine_topk")
+    assert(plan.contains("vector_cosine"), plan.take(500))
+    // rank<=k prunes per-partition BEFORE the exchange — each partition
+    // ships at most k rows per query instead of the full scored corpus.
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan.take(800))
+    // and the query set side is broadcast, never shuffling the corpus
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

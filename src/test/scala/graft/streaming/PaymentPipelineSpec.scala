@@ -81,6 +81,14 @@ class PaymentPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(rows(2).isNullAt(0), "corrupt json -> null row (PERMISSIVE)")
   }
 
+  test("strict serde throws on malformed JSON (reference fail-fast, JsonDeserializer.java:27-31)") {
+    val raw = Seq("""not-json""").toDF("value")
+    val ex = intercept[Exception] {
+      raw.select(PaymentSerde.fromJsonStrict($"value").as("p")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("malformed") || ex.getCause != null)
+  }
+
   test("describe returns a non-empty plan mentioning the aggregation (O13)") {
     val plan = PaymentPipeline.describe(
       graft.operators.PaymentOps.topology(golden.toDF()).balances)
