@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-curation queries combining modalities — the selection/statistics
+  * layer of a training-data pipeline: cross-modal joins (text quality ×
+  * embedding cluster), exact distribution statistics, stratified sampling.
+  */
+object CurationQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cross-modal: join documents to their embedding rows (doc_id = vec_id)
+    // and profile text quality per embedding cluster — the "which clusters
+    // hold low-quality text" curation question.
+    "q62_crossmodal_quality" -> ((s, dir) => {
+      val docs = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+      Tables
+        .embeddings(s, dir)
+        .select(col("vec_id"), col("label"))
+        .join(docs, col("vec_id") === col("doc_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), round(avg(col("q")), 4).as("avg_quality"))
+        .orderBy(col("label"))
+    }),
+
+    // Stratified sample: 20% of embeddings per label, seeded — the
+    // class-balanced downsampling step of a curation pipeline. Sampling is
+    // engine-specific randomness, so this entry has NO oracle (driver
+    // records a rows-only check); determinism and per-stratum rates are
+    // asserted in CurationSpec.
+    "q63_stratified_sample" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val fractions = (0 to 9).map(l => (l: Any) -> 0.2).toMap
+      e.stat
+        .sampleBy(col("label"), fractions, seed = 42L)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Exact interpolated percentiles per event type (Spark `percentile` ==
+    // DuckDB `quantile_cont`, both linear interpolation over sorted values).
+    "q36_percentiles" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99")
+        )
+        .orderBy(col("event_type")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q62_crossmodal_quality" ->
+      raw"""WITH q AS (
+           |  SELECT doc_id,
+           |    round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
+           |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+           |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
+           |            THEN 0.5 ELSE 1.0 END)
+           |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+           |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4) AS q
+           |  FROM documents)
+           |SELECT label, count(*) AS n, round(avg(q.q), 4) AS avg_quality
+           |FROM embeddings JOIN q ON vec_id = doc_id
+           |GROUP BY label ORDER BY label""".stripMargin,
+    "q36_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
