@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming joins — the enrichment layer for unbounded payment/event
+  * streams:
+  *
+  *   - [[enrich]]: stream–static join against a (broadcastable) dimension
+  *     table. No state: each micro-batch hash-joins against the static side;
+  *     at 100 TB/day the dimension is broadcast once per batch and the
+  *     stream never shuffles.
+  *   - [[intervalJoin]]: stream–stream inner join bounded by event-time
+  *     watermarks + an interval condition — Spark buffers both sides in the
+  *     state store and expires rows past the watermark, which is what makes
+  *     an unbounded join finite. Without the time bound the state grows
+  *     forever (Spark rejects it in append mode).
+  */
+object StreamJoins {
+
+  /** Stream–static enrichment on an equi-key (e.g. payments × account dim). */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream–stream inner join: rows match when keys are equal and the right
+    * event lands within [0, withinSeconds] after the left event. Both sides
+    * must carry `ts` event-time columns; watermarks bound the buffered
+    * state.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      withinSeconds: Long,
+      watermark: String = "1 minute"
+  ): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right
+      .withColumnRenamed("ts", "r_ts")
+      .withWatermark("r_ts", watermark)
+    l.join(
+      r,
+      l(key) === r(key) &&
+        col("r_ts") >= col("ts") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $withinSeconds SECONDS")
+    ).drop(r(key))
+  }
+}

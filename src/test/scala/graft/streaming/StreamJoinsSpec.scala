@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class StreamJoinsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("stream-static enrich: dimension values attach per micro-batch, unmatched keys keep null") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim   = Seq(("ABC", "uk"), ("XYZ", "us")).toDF("account", "region")
+    val input = MemoryStream[(String, Long)]
+    val query = StreamJoins
+      .enrich(input.toDF().toDF("account", "amount"), dim, "account")
+      .writeStream
+      .format("memory")
+      .queryName("enriched")
+      .outputMode("append")
+      .start()
+    input.addData(("ABC", 100L), ("NOPE", 5L))
+    query.processAllAvailable()
+    val rows = spark.table("enriched").as[(String, Long, Option[String])].collect().toSet
+    assert(rows == Set(("ABC", 100L, Some("uk")), ("NOPE", 5L, None)))
+    query.stop()
+  }
+
+  test("stream-stream interval join matches only within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp)]
+    val buys   = MemoryStream[(String, Timestamp)]
+    val joined = StreamJoins.intervalJoin(
+      clicks.toDF().toDF("user", "ts"),
+      buys.toDF().toDF("user", "ts"),
+      key = "user",
+      withinSeconds = 30
+    )
+    val query = joined.writeStream
+      .format("memory")
+      .queryName("attributed")
+      .outputMode("append")
+      .start()
+
+    clicks.addData(("u1", ts(0)), ("u2", ts(0)))
+    buys.addData(("u1", ts(10)))  // within 30s -> match
+    buys.addData(("u2", ts(100))) // 100s later -> no match
+    query.processAllAvailable()
+    val users = spark.table("attributed").select("user").as[String].collect().toSeq
+    assert(users == Seq("u1"), "only the within-bound purchase attributes")
+    query.stop()
+  }
+}
