@@ -27,11 +27,16 @@ object Bench {
     }
     spark.catalog.clearCache() // drop warm-up persists; keep JIT/codegen
 
+    // min of two timed runs per query: damps first-run residual JIT and
+    // scheduler noise so round-over-round numbers are comparable.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      val sec = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val s = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        s
+      }.min
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

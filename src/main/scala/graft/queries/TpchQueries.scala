@@ -174,6 +174,44 @@ object TpchQueries {
         )
         .orderBy(col("o_orderkey"))),
 
+    // Analytic window-function sweep: ranking, offsets, and distribution
+    // functions over each customer's order history in one pass.
+    "q73_analytic_functions" -> ((s, dir) => {
+      val w  = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wp = Window.partitionBy(col("o_custkey"))
+      Tables
+        .orders(s, dir)
+        // exact integer cents: "price - partition avg" computed as
+        // (cents*n - Σcents) / (100n) — integer numerator, so the value is
+        // engine-order-independent (a double Σ would differ in the last ulp
+        // and flip the rounded digit).
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          row_number().over(w).cast("long").as("seq"),
+          rank().over(Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey")))
+            .cast("long").as("price_rank"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          // no rounding: exact-integer numerator / small denominator is one
+          // IEEE division — bit-identical on every engine (rounding would
+          // hit .xxx25 half-way boundaries where engines disagree)
+          ((col("cents") * count(lit(1)).over(wp) - sum(col("cents")).over(wp)).cast("double")
+            / (count(lit(1)).over(wp) * 100).cast("double")).as("diff_from_avg")
+        )
+        .orderBy(col("o_custkey"), col("seq"))
+    }),
+
+    // CUBE over (status, priority): all grouping-set combinations.
+    "q74_cube" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
     // Event-time tumbling window — the batch twin of the streaming windowed
     // aggregate (window().start == DuckDB time_bucket on UTC timestamps).
     "q27_event_time_windows" -> ((s, dir) =>
@@ -266,6 +304,25 @@ object TpchQueries {
         |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
         |  round(o_totalprice % 1000, 2) AS price_mod,
         |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q73_analytic_functions" ->
+      """WITH o AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq,
+        |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(cents * (count(*) OVER p) - (sum(cents) OVER p) AS DOUBLE)
+        |        / CAST((count(*) OVER p) * 100 AS DOUBLE) AS diff_from_avg
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       p AS (PARTITION BY o_custkey)
+        |ORDER BY o_custkey, seq""".stripMargin,
+    "q74_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
   )
 }
