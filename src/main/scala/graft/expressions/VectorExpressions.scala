@@ -165,12 +165,22 @@ object GraftFunctions {
     registrations.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+
+  /** Install the HOF→native acceleration rule on a live session (the
+    * runtime-injection twin of [[GraftExtensions]]).
+    */
+  def installOptimizations(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(AccelerateVectorOps))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AccelerateVectorOps
 }
 
 /** Session-extension entry point: `--conf
   * spark.sql.extensions=graft.expressions.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.registrations.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => AccelerateVectorOps)
+  }
 }

