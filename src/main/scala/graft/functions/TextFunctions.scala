@@ -28,10 +28,22 @@ object TextFunctions {
   val StopwordsEn: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
-  /** Whitespace tokenization (the BPE-ish regex split). */
+  /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-style pre-tokenization pattern: letter runs, digit runs, and
+    * punctuation runs as separate tokens (the split a byte-pair tokenizer
+    * applies before merging). Kept to a dialect-portable character-class
+    * form so the DuckDB oracle (RE2) matches Java regex exactly.
+    */
+  val BpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  /** BPE-ish token array (use [[bpeTokenCount]] for the count). */
+  def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), t => t.isInCollection(StopwordsEn)))

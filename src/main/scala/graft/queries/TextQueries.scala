@@ -76,6 +76,18 @@ object TextQueries {
         .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // BPE-ish token counting alongside whitespace counting — the two
+    // tokenizers of an LLM-data pipeline's length accounting.
+    "q37_bpe_tokens" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+          tokenCount(col("text")).cast("long").as("n_ws")
+        )
+        .orderBy(col("doc_id"))),
+
     // Term frequency: top-20 corpus terms (explode + count + top-k).
     "q34_term_freq" -> ((s, dir) =>
       Tables
@@ -108,6 +120,11 @@ object TextQueries {
         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text)+1), i -> ord(substr(text, i::INT, 1))::BIGINT)),
         |              (a, c) -> (a * 31 + c) % 2147483647) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q37_bpe_tokens" ->
+      raw"""SELECT doc_id,
+           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT AS n_bpe,
+           |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_ws
+           |FROM documents ORDER BY doc_id""".stripMargin,
     "q34_term_freq" ->
       (tokensCte +
         "SELECT term, count(*) AS n FROM (SELECT unnest(ws) AS term FROM toks) GROUP BY 1 ORDER BY n DESC, term LIMIT 20")
