@@ -116,6 +116,24 @@ object PaymentOps {
       .groupBy(col("fromAccount"))
       .agg(sum(col("amount")).as("balance"))
 
+  /** Skew-resistant variant of [[balances]]: two-level salted aggregation.
+    * A hot `fromAccount` (one key receiving a large fraction of the stream)
+    * would funnel into a single reduce task; salting spreads it across
+    * `saltBuckets` partial sums, and the second (tiny) aggregation folds
+    * the partials. Sum is associative+commutative, so the result is
+    * IDENTICAL to [[balances]] — asserted in PaymentOpsSpec.
+    *
+    * At 100 TB prefer AQE's skew-join/agg handling first; explicit salting
+    * is for known-pathological keys. The salt is `pmod(hash(paymentId), n)`
+    * — deterministic per record, uniform across buckets.
+    */
+  def balancesSalted(df: DataFrame, saltBuckets: Int = 16): DataFrame =
+    df.select(col("fromAccount"), col("amount"), pmod(hash(col("paymentId")), lit(saltBuckets)).as("salt"))
+      .groupBy(col("fromAccount"), col("salt"))
+      .agg(sum(col("amount")).as("partial"))
+      .groupBy(col("fromAccount"))
+      .agg(sum(col("partial")).as("balance"))
+
   /** O10 — branch by rails on the merged stream: FOO / BAR (nothing can miss
     * both, O3 guaranteed the whitelist). Reference `PaymentTopology.java:90-93`.
     */
