@@ -52,6 +52,10 @@ object PaymentPipeline {
 
     private[streaming] def upsert(rows: Array[Row]): Unit =
       rows.foreach(r => state.put(r.getString(0), r.getLong(1)))
+
+    /** Add per-batch deltas (the single-pass variant's merge step). */
+    private[streaming] def merge(rows: Array[Row]): Unit =
+      rows.foreach(r => state.merge(r.getString(0), r.getLong(1), (a, b) => a + b))
   }
 
   /** Handles to the running topology: the two branch queries' shared writer,
@@ -121,6 +125,52 @@ object PaymentPipeline {
       .start()
 
     RunningTopology(routing, balance, store)
+  }
+
+  /** Single-pass alternative to [[start]]: ONE streaming query reads the
+    * source once per micro-batch, writes both sink branches (partitioned
+    * write) AND folds the batch's per-account deltas into the store — the
+    * reference's actual execution shape (one topology, one consumer).
+    *
+    * Trade-off vs [[start]]: half the source reads and one set of
+    * checkpoints, but balance state lives in the store (delta-merged), so a
+    * replayed batch after a crash would double-count — [[start]]'s
+    * update-mode aggregation keeps state in Spark's checkpointed store and
+    * re-emits idempotent totals. Use this form when the sink is idempotent
+    * per batchId or the source is effectively-once.
+    */
+  def startSinglePass(payments: DataFrame, checkpointDir: String, sinkDir: String): (StreamingQuery, BalanceStore) = {
+    val store = new BalanceStore
+
+    val supported     = PaymentOps.railsFilter(payments)
+    val Seq(gbp, usd) = PaymentOps.branchByCurrency(supported)
+    val merged        = PaymentOps.merge(gbp, PaymentOps.fxConvert(usd))
+    val routed = PaymentOps.branchFirstMatch(
+      merged,
+      "topic",
+      Seq(
+        "rails-foo-topic" -> (col("rails") === "BANK_RAILS_FOO"),
+        "rails-bar-topic" -> (col("rails") === "BANK_RAILS_BAR")
+      )
+    )
+
+    val query = routed.writeStream
+      .queryName("graft-single-pass")
+      .option("checkpointLocation", s"$checkpointDir/single")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.persist()
+        batch.write.mode("append").partitionBy("topic").parquet(sinkDir)
+        store.merge(
+          batch
+            .groupBy(col("fromAccount"))
+            .agg(sum(col("amount")).as("delta"))
+            .collect()
+        )
+        batch.unpersist()
+        ()
+      }
+      .start()
+    (query, store)
   }
 
   /** O1 — the Kafka source decoded to payment columns (requires the

@@ -57,6 +57,23 @@ class PaymentPipelineSpec extends AnyFunSuite with SparkSpec {
     topo.stop()
   }
 
+  test("single-pass pipeline: one query feeds both sinks and the balance store") {
+    implicit val sqlCtx = spark.sqlContext
+    val input          = MemoryStream[PaymentEvent]
+    val tmp            = Files.createTempDirectory("graft-single").toString
+    val (query, store) = PaymentPipeline.startSinglePass(input.toDF(), s"$tmp/ckpt", s"$tmp/sink")
+
+    input.addData(golden: _*)
+    query.processAllAvailable()
+    input.addData(PaymentEvent("p6", 40L, "GBP", "DEF", "ABC", "BANK_RAILS_FOO"))
+    query.processAllAvailable()
+
+    assert(store.get("ABC").contains(250L) && store.get("XYZ").contains(800L) && store.get("DEF").isEmpty)
+    val sunk = spark.read.parquet(s"$tmp/sink")
+    assert(sunk.count() == 5) // p1-p3, p5 FX'd, p6; p4 dropped
+    query.stop()
+  }
+
   test("kafka codec round-trip: encode -> decode preserves the record (O1/O11/O14/O15)") {
     val df      = golden.toDF()
     val encoded = PaymentSerde.encodeKafka(df) // (key, value) wire shape
