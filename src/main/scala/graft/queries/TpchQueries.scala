@@ -27,20 +27,34 @@ object TpchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 — pricing summary report (scan-heavy grouped aggregate).
+    // Exact-integer arithmetic: every input is a 2-decimal rational, so all
+    // sums are computed on scaled BIGINTs (order-independent, overflow-safe
+    // in int64) and converted to double by ONE division at the end —
+    // bit-identical across engines and partitionings. Rounding a raw double
+    // sum instead is wrong at scale: at sf0.1 the accumulated fp error of a
+    // 4.5e9-magnitude sum exceeds the 1e-6 rounding step.
     "q20_pricing_summary" -> ((s, dir) =>
       Tables
         .lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .select(
+          col("l_returnflag"),
+          col("l_linestatus"),
+          round(col("l_quantity") * 100).cast("long").as("q2"),
+          round(col("l_extendedprice") * 100).cast("long").as("p2"),
+          round(col("l_discount") * 100).cast("long").as("d2"),
+          round(col("l_tax") * 100).cast("long").as("t2")
+        )
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 6)
+          (sum(col("q2")).cast("double") / 100.0).as("sum_qty"),
+          (sum(col("p2")).cast("double") / 100.0).as("sum_base_price"),
+          (sum(col("p2") * (lit(100L) - col("d2"))).cast("double") / 1e4).as("sum_disc_price"),
+          (sum(col("p2") * (lit(100L) - col("d2")) * (lit(100L) + col("t2"))).cast("double") / 1e6)
             .as("sum_charge"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 6).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          (sum(col("q2")).cast("double") / (count(lit(1)) * 100L).cast("double")).as("avg_qty"),
+          (sum(col("p2")).cast("double") / (count(lit(1)) * 100L).cast("double")).as("avg_price"),
+          (sum(col("d2")).cast("double") / (count(lit(1)) * 100L).cast("double")).as("avg_disc"),
           count(lit(1)).as("count_order")
         )
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
@@ -68,8 +82,14 @@ object TpchQueries {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        // exact integer cents: nation-level sums reach 1e8+ where rounding
+        // a double accumulation is within fp error of the 1e-4 boundary
+        .select(
+          col("n_name"),
+          (round(col("l_extendedprice") * 100).cast("long") * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4")
+        )
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .agg((sum(col("rev4")).cast("double") / 1e4).as("revenue"))
         .orderBy(col("n_name"))
     }),
 
@@ -209,7 +229,11 @@ object TpchQueries {
       Tables
         .orders(s, dir)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        // grand total ~1e10: sum exact cents, divide once (see q20 note)
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).as("total")
+        )
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
     // Event-time tumbling window — the batch twin of the streaming windowed
@@ -230,17 +254,23 @@ object TpchQueries {
 
   val oracles: Map[String, String] = Map(
     "q20_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_extendedprice), 6) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+      """WITH li AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS q2,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p2,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS d2,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS t2
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01')
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(q2) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(sum(p2) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(sum(p2 * (100 - d2)) AS DOUBLE) / 1e4 AS sum_disc_price,
+        |  CAST(sum(p2 * (100 - d2) * (100 + t2)) AS DOUBLE) / 1e6 AS sum_charge,
+        |  CAST(sum(q2) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE) AS avg_qty,
+        |  CAST(sum(p2) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE) AS avg_price,
+        |  CAST(sum(d2) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE) AS avg_disc,
         |  count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
-        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+        |FROM li GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q21_top_orders" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
@@ -252,7 +282,8 @@ object TpchQueries {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q22_nation_revenue" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
@@ -321,7 +352,7 @@ object TpchQueries {
         |ORDER BY o_custkey, seq""".stripMargin,
     "q74_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS total
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
   )
