@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Approximate analytics — sketches are engine-private (no DuckDB oracle
+  * possible), so the contract is error-bounded agreement with the exact
+  * answer, asserted here on real data. At 100 TB these replace their exact
+  * twins: HLL for distinct counts (no giant hash set), KLL/GK quantiles
+  * (no full sort).
+  */
+class ApproxSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct within 5% of exact, deterministic across runs") {
+    val e = Tables.orders(spark, dir)
+    def run() = e
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx"),
+        countDistinct(col("o_custkey")).as("exact")
+      )
+      .as[(Long, Long)]
+      .head()
+    val (approx, exact) = run()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+    assert(run() == ((approx, exact)), "HLL merge is commutative -> deterministic result")
+  }
+
+  test("approx_percentile brackets the exact interpolated percentile") {
+    val exact = Tables
+      .events(spark, dir)
+      .agg(expr("percentile(value, 0.5)").as("p"))
+      .as[Double]
+      .head()
+    val approx = Tables
+      .events(spark, dir)
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("p"))
+      .as[Double]
+      .head()
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+}

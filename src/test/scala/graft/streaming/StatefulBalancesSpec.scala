@@ -33,6 +33,32 @@ class StatefulBalancesSpec extends AnyFunSuite with SparkSpec {
     query.stop()
   }
 
+  test("built-in dropDuplicatesWithinWatermark agrees with custom dedup inside the window") {
+    // Spark's built-in streaming dedup keeps state only within the
+    // watermark (bounded state — the 100 TB default); the custom
+    // flatMapGroupsWithState dedup keeps state forever (the reference's
+    // no-TTL semantics). Within one in-window batch they must agree.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val tmp   = Files.createTempDirectory("graft-wmdedup").toString
+    val query = input
+      .toDF()
+      .toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream
+      .queryName("wm_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory")
+      .start()
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    input.addData(("a", t0), ("a", t0), ("b", t0))
+    query.processAllAvailable()
+    assert(spark.table("wm_dedup").select("k").as[String].collect().sorted.toSeq == Seq("a", "b"))
+    query.stop()
+  }
+
   test("streamingDedup: replayed keys are dropped across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[PaymentEvent]
