@@ -194,6 +194,23 @@ object TpchQueries {
         )
         .orderBy(col("o_orderkey"))),
 
+    // Region → nation → supplier dimension chain (covers the two remaining
+    // tables): supplier counts and account balances per region.
+    "q75_region_suppliers" -> ((s, dir) => {
+      val reg = Tables.region(s, dir)
+      val nat = Tables.nation(s, dir)
+      val sup = Tables.supplier(s, dir)
+      sup
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          (sum(round(col("s_acctbal") * 100).cast("long")).cast("double") / 100.0).as("total_acctbal")
+        )
+        .orderBy(col("r_name"))
+    }),
+
     // Analytic window-function sweep: ranking, offsets, and distribution
     // functions over each customer's order history in one pass.
     "q73_analytic_functions" -> ((s, dir) => {
@@ -336,6 +353,12 @@ object TpchQueries {
         |  round(o_totalprice % 1000, 2) AS price_mod,
         |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q75_region_suppliers" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q73_analytic_functions" ->
       """WITH o AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
         |SELECT o_custkey, o_orderkey,
