@@ -55,6 +55,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     query.stop()
   }
 
+  test("append mode + watermark = suppress-until-window-closes (final results only)") {
+    // Kafka Streams' suppress(untilWindowCloses) emits one FINAL result per
+    // window; Structured Streaming's append output mode has exactly those
+    // semantics — a window row is emitted only once the watermark passes
+    // its end, and never updated again.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val query = EventStreams
+      .windowedStats(
+        input.toDF().toDF("ts", "event_type", "value"),
+        windowLength = "10 minutes",
+        watermark = Some("0 seconds")
+      )
+      .writeStream
+      .format("memory")
+      .queryName("final_windows")
+      .outputMode("append")
+      .start()
+
+    input.addData((ts(0), "click", 1.0), (ts(1), "click", 2.0))
+    query.processAllAvailable()
+    // window [ts0, +10min) is still open: nothing emitted yet
+    assert(spark.table("final_windows").count() == 0, "open windows must stay suppressed")
+
+    input.addData((ts(30), "click", 4.0)) // watermark jumps past the first window's end
+    query.processAllAvailable()
+    val rows = spark.table("final_windows").as[(Timestamp, String, Long, Double)].collect()
+    assert(rows.length == 1, "exactly one FINAL result for the closed window")
+    assert(rows.head._1 == winStart(0) && rows.head._3 == 2L && rows.head._4 == 3.0)
+    query.stop()
+  }
+
   test("sessionize: gap rule splits sessions per user (batch twin)") {
     val events = Seq(
       (1L, ts(0)), (1L, ts(5)), (1L, ts(40)), // user 1: gap 35min -> 2 sessions
