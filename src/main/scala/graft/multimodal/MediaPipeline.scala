@@ -102,17 +102,19 @@ object MediaPipeline {
     }
   }
 
-  /** Frame sampling for video content: every-nth-byte slices standing in
-    * for frame extraction (STUB, same boundary as [[decodeOne]]); returns
-    * (media_id, frame_no, frame_bytes).
+  /** Frame sampling for video content: the byte stream is cut into
+    * fixed-size "frames" (STUB for container parsing, same boundary as
+    * [[decodeOne]]) and every `everyN`-th frame is kept; returns
+    * (media_id, frame_no, frame_bytes) with `frame_no` the original frame
+    * index.
     */
-  def sampleFrames(media: Dataset[MediaRecord], everyN: Int = 10): DataFrame = {
+  def sampleFrames(media: Dataset[MediaRecord], frameSize: Int = 10, everyN: Int = 10): DataFrame = {
     import media.sparkSession.implicits._
     media
       .filter(_.kind == "video")
       .flatMap { m =>
-        m.content.grouped(everyN).zipWithIndex.collect {
-          case (slice, idx) if idx % everyN == 0 => (m.media_id, idx, slice)
+        m.content.grouped(frameSize).zipWithIndex.collect {
+          case (frame, idx) if idx % everyN == 0 => (m.media_id, idx, frame)
         }
       }
       .toDF("media_id", "frame_no", "frame_bytes")

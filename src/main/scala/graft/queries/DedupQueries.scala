@@ -55,8 +55,7 @@ object DedupQueries {
     * count), then unpivoted to the (doc_id, seed, mh) shape.
     */
   private def signatures(sh: DataFrame): DataFrame = {
-    val mins = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+    val mins = (0 until NumHashes).map(i => minhashAgg(i, col("shingle")).as(s"mh$i"))
     val stackExpr = (0 until NumHashes).map(i => s"$i, mh$i").mkString(", ")
     sh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)

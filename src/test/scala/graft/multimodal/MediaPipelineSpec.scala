@@ -37,7 +37,7 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
       rec(1, "image", Array.fill(50)(1.toByte)),
       rec(2, "video", Array.tabulate(200)(_.toByte))
     ).toDS()
-    val frames = MediaPipeline.sampleFrames(media, everyN = 10)
+    val frames = MediaPipeline.sampleFrames(media, frameSize = 10, everyN = 10)
     assert(frames.select("media_id").distinct().as[Long].collect().toSeq == Seq(2L))
     assert(frames.count() == 2) // slices 0 and 10 of 20 ten-byte slices
   }
