@@ -37,6 +37,12 @@ object DedupQueries {
     * re-exploding the corpus per join side.
     */
   private def shingleSet(s: SparkSession, dir: String): DataFrame =
+    shingleMultiset(s, dir).distinct()
+
+  /** Shingles WITH duplicates — enough for MinHash (min is idempotent), so
+    * q41 skips the distinct's shuffle entirely.
+    */
+  private def shingleMultiset(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
       // The raw table is one small parquet split; without this, the whole
@@ -47,7 +53,6 @@ object DedupQueries {
       // materialize the token array BEFORE shingling (see shinglesOf docs)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(shinglesOf(col("w"))).as("shingle"))
-      .distinct()
 
   /** MinHash signatures: (doc_id, seed ∈ [0,k), mh = min md5("seed:shingle")).
     * All k mins are computed in ONE groupBy pass (k agg columns, map-side
@@ -117,9 +122,10 @@ object DedupQueries {
         .select(col("keep_id"), col("n_copies"))
         .orderBy(col("keep_id"))),
 
-    // MinHash signatures (k=8, md5-based — engine-portable).
+    // MinHash signatures (k=8, md5-based — engine-portable). Runs on the
+    // shingle MULTISET: min is idempotent, so the distinct shuffle is waste.
     "q41_minhash_sig" -> ((s, dir) =>
-      signatures(shingleSet(s, dir)).orderBy(col("doc_id"), col("seed"))),
+      signatures(shingleMultiset(s, dir)).orderBy(col("doc_id"), col("seed"))),
 
     // MinHash + LSH near-dup detection: banded candidates, then exact
     // Jaccard verification on candidates only. The shingle index is

@@ -194,6 +194,38 @@ object TpchQueries {
         )
         .orderBy(col("o_orderkey"))),
 
+    // TPC-H Q12-style — OR-of-ANDs predicate classes (complex boolean
+    // pushdown) with grouped counts.
+    "q76_or_predicates" -> ((s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .filter(
+          (col("l_returnflag") === "A" && col("l_quantity") > 25) ||
+            (col("l_returnflag") === "N" && col("l_discount") < 0.03)
+        )
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_linestatus"))),
+
+    // TPC-H Q14-style — promo revenue share: conditional aggregation with a
+    // LIKE predicate over the joined part type, exact integer cents.
+    "q77_promo_share" -> ((s, dir) => {
+      val li   = Tables.lineitem(s, dir)
+      val part = Tables.part(s, dir)
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .select(
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"),
+          col("p_type").like("PROMO%").as("is_promo")
+        )
+        .agg(
+          // both sums are exact int64 < 2^53 → cast-to-double is exact and
+          // the (a/b)*1e4 chain is one deterministic IEEE sequence
+          (sum(when(col("is_promo"), col("rev4")).otherwise(0L)).cast("double")
+            / sum(col("rev4")).cast("double") * 10000.0).as("promo_share_bp")
+        )
+    }),
+
     // Region → nation → supplier dimension chain (covers the two remaining
     // tables): supplier counts and account balances per region.
     "q75_region_suppliers" -> ((s, dir) => {
@@ -353,6 +385,19 @@ object TpchQueries {
         |  round(o_totalprice % 1000, 2) AS price_mod,
         |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q76_or_predicates" ->
+      """SELECT l_linestatus, count(*) AS n FROM lineitem
+        |WHERE (l_returnflag = 'A' AND l_quantity > 25)
+        |   OR (l_returnflag = 'N' AND l_discount < 0.03)
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q77_promo_share" ->
+      """WITH r AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4,
+        |         p_type LIKE 'PROMO%' AS is_promo
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT CAST(sum(CASE WHEN is_promo THEN rev4 ELSE 0 END) AS DOUBLE)
+        |       / CAST(sum(rev4) AS DOUBLE) * 10000.0 AS promo_share_bp
+        |FROM r""".stripMargin,
     "q75_region_suppliers" ->
       """SELECT r_name, count(*) AS n_suppliers,
         |  CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
