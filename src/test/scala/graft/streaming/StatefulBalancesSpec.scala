@@ -5,6 +5,8 @@ import graft.model.PaymentEvent
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 import java.nio.file.Files
 
 class StatefulBalancesSpec extends AnyFunSuite with SparkSpec {
@@ -67,8 +69,10 @@ class StatefulBalancesSpec extends AnyFunSuite with SparkSpec {
         .map(_._2)
         .max
       assert(last == 210L)
-      // the running query's state store conf really is RocksDB
-      assert(query.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery] != null)
+      // runtime evidence, not conf echo: RocksDB-backed state operators
+      // report rocksdb* custom metrics in the query progress
+      val metrics = query.lastProgress.stateOperators.flatMap(_.customMetrics.keySet.asScala)
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")), metrics.mkString(", "))
       query.stop()
     } finally {
       prev match {
