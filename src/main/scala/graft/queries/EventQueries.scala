@@ -50,6 +50,19 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("session_idx"))),
 
+    // Pivot: per-user-bucket event-type counts as columns (explicit value
+    // list, so the plan is a single CASE-based aggregate — no extra pass to
+    // discover pivot values).
+    "q16_pivot" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .withColumn("user_bucket", (col("user_id") % 10).cast("long"))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", Seq("click", "purchase", "view", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_bucket"))),
+
     // ROLLUP over (event_type, hour-of-day): subtotal + grand-total rows.
     "q29_rollup" -> ((s, dir) =>
       Tables
@@ -73,6 +86,14 @@ object EventQueries {
       """SELECT user_id FROM events WHERE event_type = 'click'
         |EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+    "q16_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
     "q28_sessions" ->
       """WITH lagged AS (
         |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
