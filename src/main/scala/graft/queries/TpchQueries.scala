@@ -194,6 +194,42 @@ object TpchQueries {
         )
         .orderBy(col("o_orderkey"))),
 
+    // TPC-H Q6 — forecasting revenue change: pure filter + global aggregate
+    // (every predicate pushes into the scan; no shuffle at all beyond the
+    // final single-row combine). Exact cents.
+    "q78_forecast_revenue" -> ((s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+            col("l_quantity") < 24
+        )
+        .select(
+          (round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 100).cast("long")).as("rev4")
+        )
+        .agg((sum(col("rev4")).cast("double") / 1e4).as("revenue"))),
+
+    // TPC-H Q10-style — top-20 customers by returned-item revenue.
+    "q79_returned_revenue" -> ((s, dir) => {
+      val li = Tables
+        .lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(
+          col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4")
+        )
+      li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg((sum(col("rev4")).cast("double") / 1e4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q12-style — OR-of-ANDs predicate classes (complex boolean
     // pushdown) with grouped counts.
     "q76_or_predicates" -> ((s, dir) =>
@@ -385,6 +421,19 @@ object TpchQueries {
         |  round(o_totalprice % 1000, 2) AS price_mod,
         |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q78_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24""".stripMargin,
+    "q79_returned_revenue" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q76_or_predicates" ->
       """SELECT l_linestatus, count(*) AS n FROM lineitem
         |WHERE (l_returnflag = 'A' AND l_quantity > 25)
