@@ -27,10 +27,11 @@ object Bench {
     }
     spark.catalog.clearCache() // drop warm-up persists; keep JIT/codegen
 
-    // min of two timed runs per query: damps first-run residual JIT and
-    // scheduler noise so round-over-round numbers are comparable.
+    // min of three timed runs per query: the box shares CPU with co-tenant
+    // load (observed 2-10x outliers on single runs), and the driver runs
+    // Bench once per round — min-of-N is the cheapest robust estimator.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val sec = (1 to 2).map { _ =>
+      val sec = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val s = (System.nanoTime() - t0) / 1e9
