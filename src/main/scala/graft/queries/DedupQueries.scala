@@ -162,6 +162,25 @@ object DedupQueries {
         .orderBy(col("ia"), col("ib"))
     }),
 
+    // The composed curation pipeline: corpus minus near-duplicates (LSH
+    // pairs, keep the lower doc_id of each pair — the standard one-pass
+    // decision; full transitive closure would need iterative CC) minus
+    // low-quality docs. This is the "output table" a training-data run
+    // materializes.
+    "q46_curated_corpus" -> ((s, dir) => {
+      val sh = shingleSet(s, dir).persist()
+      val dupLosers = jaccardOf(lshCandidates(sh), sh)
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("ib").as("doc_id"))
+        .distinct()
+      Tables
+        .documents(s, dir)
+        .join(dupLosers, Seq("doc_id"), "left_anti")
+        .filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash (32-bit, md5 bit source, term-frequency weighted) — near-dup
     // fingerprint whose Hamming distance approximates cosine similarity.
     "q44_simhash" -> ((s, dir) => {
@@ -232,6 +251,23 @@ object DedupQueries {
         s"SELECT j.ia, j.ib, j.jac FROM jac j JOIN cand USING (ia, ib) WHERE j.jac >= $JaccardThreshold ORDER BY ia, ib"),
     "q43_ngram_jaccard" ->
       (shingleCte + s"SELECT ia, ib, jac FROM jac WHERE jac >= $JaccardThreshold ORDER BY ia, ib"),
+    "q46_curated_corpus" ->
+      (shingleCte +
+        raw""", losers AS (
+             |  SELECT DISTINCT j.ib AS doc_id FROM jac j JOIN cand USING (ia, ib)
+             |  WHERE j.jac >= $JaccardThreshold),
+             | quality AS (
+             |  SELECT doc_id, lang, source,
+             |    round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
+             |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+             |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
+             |            THEN 0.5 ELSE 1.0 END)
+             |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+             |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4) AS q
+             |  FROM documents)
+             |SELECT doc_id, lang, source FROM quality
+             |WHERE doc_id NOT IN (SELECT doc_id FROM losers) AND q >= 0.5
+             |ORDER BY doc_id""".stripMargin),
     "q44_simhash" ->
       raw"""WITH toks AS (
            |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
