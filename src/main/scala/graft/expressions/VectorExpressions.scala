@@ -170,9 +170,9 @@ object GraftFunctions {
     * runtime-injection twin of [[GraftExtensions]]).
     */
   def installOptimizations(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(AccelerateVectorOps))
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.AccelerateVectorOps))
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ AccelerateVectorOps
+        spark.experimental.extraOptimizations :+ graft.plans.AccelerateVectorOps
 }
 
 /** Session-extension entry point: `--conf
@@ -181,6 +181,6 @@ object GraftFunctions {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.registrations.foreach(ext.injectFunction)
-    ext.injectOptimizerRule(_ => AccelerateVectorOps)
+    ext.injectOptimizerRule(_ => graft.plans.AccelerateVectorOps)
   }
 }

@@ -78,7 +78,7 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
       assert(viaRule.length == 49 && viaRule.forall { case (c, d) => !c.isNaN && d > 0 })
     } finally {
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations.filterNot(_ == AccelerateVectorOps)
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.AccelerateVectorOps)
     }
   }
 
