@@ -68,19 +68,22 @@ object DedupQueries {
   }
 
   /** Candidate pairs: docs sharing any (band, sig) LSH bucket; a < b,
-    * distinct. Single pass: band signatures → bucket doc lists → in-bucket
-    * pair expansion (Σ bucket², never a full self-join re-computation).
+    * distinct. Band signatures come straight off the wide one-row-per-doc
+    * minhash frame (columns are already in seed order), so there is no
+    * unpivot, no per-(doc,band) shuffle, and no sort — one groupBy for the
+    * mins, one for the buckets. Bucket pair expansion is Σ bucket², never a
+    * full self-join re-computation.
     */
-  private def lshCandidates(sh: DataFrame): DataFrame =
-    signatures(sh)
-      .withColumn("band", floor(col("seed") / RowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("seed"), col("mh")))), x => x.getField("mh")),
-          "|"
-        ).as("sig")
-      )
+  private def lshCandidates(sh: DataFrame): DataFrame = {
+    val mins  = (0 until NumHashes).map(i => minhashAgg(i, col("shingle")).as(s"mh$i"))
+    val bands = (0 until NumHashes / RowsPerBand).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("sig"))
+    }
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .groupBy(col("band"), col("sig"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -91,6 +94,7 @@ object DedupQueries {
       )
       .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .distinct()
+  }
 
   /** Exact Jaccard for a pair frame (ia, ib): intersection via the shingle
     * inverted index, union by inclusion–exclusion.
