@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ TpchQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ MediaQueries.queries ++
-      EventQueries.queries ++ CurationQueries.queries
+      EventQueries.queries ++ CurationQueries.queries ++ TemporalJoinQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +31,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ParityQueries.oracles ++ TpchQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ MediaQueries.oracles ++
-      EventQueries.oracles ++ CurationQueries.oracles
+      EventQueries.oracles ++ CurationQueries.oracles ++ TemporalJoinQueries.oracles
 }

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins, composed from existing
+  * ops (preference (a) of the custom-operator ladder — no custom plan node
+  * needed because the compositions carry the exact semantics):
+  *
+  *   - **as-of join** (q80): each event matched to the latest order at or
+  *     before its timestamp for the same user. Composed as a range join +
+  *     `max(struct(time, key))` per event — the struct max gives a total
+  *     order (latest date, then highest key), so ties are deterministic.
+  *     At 100 TB the range join's fan-out is bounded by per-key history
+  *     length; for long histories the union-window formulation (sort both
+  *     sides once per key, `last_value` over the interleaving) replaces the
+  *     join without changing results.
+  *   - **range join** (q81): same-customer order pairs within a bounded
+  *     time band (repeat purchases). At scale this wants time-bucketing on
+  *     both sides (join on coarse bucket, filter exact range) so the join
+  *     key is equi-joinable — the composed form here expresses the
+  *     semantics with the equi-key (customer) carrying the join.
+  */
+object TemporalJoinQueries {
+
+  private val RangeDays = 7
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: latest order at-or-before each event, per user.
+    "q80_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      val o = Tables
+        .orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("event_id"), col("user_id"), col("m.o_orderkey").as("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Range join: same-customer order pairs placed within a week of each
+    // other (repeat-purchase detection — bounded-band temporal self-join).
+    "q81_range_join" -> ((s, dir) => {
+      val a = Tables.orders(s, dir)
+        .select(col("o_custkey").as("ck"), col("o_orderkey").as("k1"), col("o_orderdate").as("d1"))
+      val b = Tables.orders(s, dir)
+        .select(col("o_custkey").as("ck"), col("o_orderkey").as("k2"),
+          col("o_orderdate").as("d2"), col("o_totalprice").as("p2"))
+      a.join(
+          b,
+          Seq("ck")
+        )
+        .filter(col("d2") > col("d1") && col("d2") <= col("d1") + expr(s"INTERVAL $RangeDays DAYS"))
+        .groupBy(col("ck"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          (sum(round(col("p2") * 100).cast("long")).cast("double") / 100.0).as("followup_total")
+        )
+        .orderBy(col("ck"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Independent formulation: DuckDB's row_number pick of the latest
+    // (date, key) — must equal the Spark struct-max composition.
+    "q80_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey AS last_orderkey FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q81_range_join" ->
+      s"""SELECT a.o_custkey AS ck, count(*) AS n_pairs,
+         |  CAST(sum(CAST(round(b.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS followup_total
+         |FROM orders a JOIN orders b
+         |  ON a.o_custkey = b.o_custkey
+         |  AND b.o_orderdate > a.o_orderdate
+         |  AND b.o_orderdate <= a.o_orderdate + INTERVAL $RangeDays DAYS
+         |GROUP BY a.o_custkey ORDER BY ck""".stripMargin
+  )
+}
