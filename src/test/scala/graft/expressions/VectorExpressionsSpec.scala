@@ -42,6 +42,20 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("null inputs propagate to null results (BinaryExpression null-safety)") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (None, Some(Array(3.0f, 4.0f))),
+      (Some(Array(1.0f, 2.0f)), None)
+    ).toDF("a", "b")
+    val rows = df
+      .select(VectorFunctions.dotFast($"a", $"b").as("d"), VectorFunctions.cosineFast($"a", $"b").as("c"))
+      .collect()
+    assert(!rows(0).isNullAt(0) && rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+  }
+
   test("SQL registration: vector_dot / vector_cosine callable from spark.sql") {
     GraftFunctions.register(spark)
     vecs.createOrReplaceTempView("vexpr_test")
