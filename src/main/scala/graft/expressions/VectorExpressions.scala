@@ -18,9 +18,18 @@ import org.apache.spark.sql.types._
   * multiplication and accumulated left-to-right — bit-identical to the HOF
   * fold and to DuckDB's `list_reduce`, so either implementation hash-matches
   * the driver's oracle. Array elements are assumed non-null (embedding
-  * vectors); both inputs must share element type (float or double).
+  * vectors).
+  *
+  * Length mismatch ⇒ NULL: `zip_with` null-pads the shorter side, which turns
+  * the HOF fold into NULL — the native expressions reproduce that (rather
+  * than silently dotting the common prefix), so [[graft.plans.AccelerateVectorOps]]
+  * replacing one form with the other never changes results.
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
+
+  // NULL is produced for length-mismatched inputs even when both children
+  // are non-nullable, so this must not inherit the children's nullability.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -62,7 +71,8 @@ case class VectorDot(left: Expression, right: Expression) extends VectorBinaryEx
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // zip_with null-pad parity
     var s = 0.0
     var i = 0
     while (i < n) { s += getL(x, i) * getR(y, i); i += 1 }
@@ -74,10 +84,14 @@ case class VectorDot(left: Expression, right: Expression) extends VectorBinaryEx
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += ${genGetL(a, i)} * ${genGetR(b, i)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${ev.value} += ${genGetL(a, i)} * ${genGetR(b, i)};
+         |  }
          |}
        """.stripMargin
     })
@@ -96,7 +110,8 @@ case class VectorCosine(left: Expression, right: Expression) extends VectorBinar
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // zip_with null-pad parity
     var dot = 0.0
     var na  = 0.0
     var nb  = 0.0
@@ -119,14 +134,18 @@ case class VectorCosine(left: Expression, right: Expression) extends VectorBinar
       val xv  = ctx.freshName("xv")
       val yv  = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = ${genGetL(a, i)};
-         |  double $yv = ${genGetR(b, i)};
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = ${genGetL(a, i)};
+         |    double $yv = ${genGetR(b, i)};
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -96,6 +96,51 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("AccelerateVectorOps does NOT rewrite non-dot lambdas (sum of squares, swapped-operand shapes)") {
+    GraftFunctions.installOptimizations(spark)
+    try {
+      val base = spark
+        .range(1, 10)
+        .select(
+          transform(sequence(lit(0), lit(2)), i => (col("id") + i).cast("double")).as("a"),
+          transform(sequence(lit(0), lit(2)), i => (col("id") * (i + 1)).cast("double")).as("b")
+        )
+      // (x,y) -> x*x is NOT a dot product — the round-1 bug rewrote it to one.
+      val sumSq = base.select(
+        aggregate(zip_with($"a", $"b", (x, _) => x * x), lit(0.0), _ + _).as("ss")
+      )
+      assert(!sumSq.queryExecution.optimizedPlan.toString.contains("vector_dot"))
+      val expected = base.select(VectorFunctions.dotFast($"a", $"a").as("e")).as[Double].collect()
+      assert(sumSq.as[Double].collect().sameElements(expected), "sum-of-squares values wrong")
+      // (s,v) -> s+s doubles the accumulator — also must not match.
+      val accTwice = base.select(
+        aggregate(zip_with($"a", $"b", _ * _), lit(0.0), (s, _) => s + s).as("x")
+      )
+      assert(!accTwice.queryExecution.optimizedPlan.toString.contains("vector_dot"))
+      assert(accTwice.as[Double].collect().forall(_ == 0.0)) // 0 doubled n times
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.AccelerateVectorOps)
+    }
+  }
+
+  test("length-mismatched arrays yield NULL — same as the zip_with null-pad fold") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f)),
+      (Array(1.0f, 2.0f), Array(4.0f, 5.0f))
+    ).toDF("a", "b")
+    val rows = df
+      .select(
+        VectorFunctions.dot($"a", $"b").as("hof"),
+        VectorFunctions.dotFast($"a", $"b").as("gen"),
+        VectorFunctions.cosineFast($"a", $"b").as("genCos")
+      )
+      .collect()
+    assert(rows(0).isNullAt(0), "HOF dot on mismatched lengths should be null (null-pad)")
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2), "native expressions must match the HOF null")
+    assert(!rows(1).isNullAt(0) && rows(1).getDouble(0) == rows(1).getDouble(1))
+  }
+
   test("codegen path actually engages (no fallback to interpreted)") {
     // A local table would be pre-evaluated by ConvertToLocalRelation; use a
     // range-based plan so the projection really runs through codegen. If
