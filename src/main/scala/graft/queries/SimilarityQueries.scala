@@ -38,6 +38,18 @@ object SimilarityQueries {
   private val QuerySetSize = 5 // vec_id < 5 plays the "incoming queries"
   private val NumPlanes    = 8 // SRP-LSH signature bits
 
+  /** Hyperplane p as a literal ±1 array — the identical md5-parity formula
+    * the oracle evaluates in SQL, here over literals so Catalyst constant-
+    * folds the whole array at plan time.
+    */
+  private def planeLit(p: Int): org.apache.spark.sql.Column =
+    array((0 until Dim).map { i =>
+      (((instr(
+        lit("0123456789abcdef"),
+        substring(md5(lit(s"$p:$i")), 1, 1)
+      ) - 1) % 2) * 2 - 1).cast("double")
+    }: _*)
+
   private def scored(queries: DataFrame, corpus: DataFrame): DataFrame =
     corpus
       .repartition(col("vec_id")) // single-split input: parallelize scoring
@@ -125,47 +137,35 @@ object SimilarityQueries {
     // Sign-random-projection LSH near-dup: 8 deterministic ±1 hyperplanes
     // (md5-derived, engine-portable), bucket by the 8-bit sign signature,
     // verify candidates with exact cosine. This is the O(n) blocking that
-    // replaces q45's label blocking when no cluster assignment exists —
-    // the cross join is n × 8 planes, never n².
+    // replaces q45's label blocking when no cluster assignment exists.
+    //
+    // The planes are CONSTANTS (md5 of "p:i" literals), so they are embedded
+    // as literal arrays and constant-folded: the 8 projections are 8
+    // codegen'd vector_dot columns in one narrow Project — no crossJoin
+    // against a plane table, no per-(vec, plane) rows, no groupBy to
+    // re-assemble the signature. Candidate pairs come from an equi SELF-JOIN
+    // on the bucket string (carrying the embeddings through, so verification
+    // needs no join-back): individual rows shuffle, never whole buckets —
+    // a degenerate bucket (e.g. all-zero region of the space) is split
+    // across tasks by the join instead of landing in one collect_list row.
     "q52_srp_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).repartition(col("vec_id"))
-      val planes = s
-        .range(NumPlanes)
+      val bucketed = e
         .select(
-          col("id").cast("int").as("p"),
-          transform(
-            sequence(lit(0), lit(Dim - 1)),
-            i =>
-              (((instr(
-                lit("0123456789abcdef"),
-                substring(md5(concat(col("id").cast("string"), lit(":"), i.cast("string"))), 1, 1)
-              ) - 1) % 2) * 2 - 1).cast("double")
-          ).as("warr")
+          col("vec_id"),
+          col("embedding"),
+          concat((0 until NumPlanes).map { p =>
+            when(dotFast(col("embedding"), planeLit(p)) >= 0, lit("1")).otherwise(lit("0"))
+          }: _*).as("bucket")
         )
-      val buckets = e
-        .crossJoin(broadcast(planes))
-        .withColumn("pr", dotFast(col("embedding"), col("warr")))
-        .withColumn("bit", when(col("pr") >= 0, lit("1")).otherwise(lit("0")))
-        .groupBy(col("vec_id"))
-        .agg(
-          array_join(
-            transform(array_sort(collect_list(struct(col("p"), col("bit")))), x => x.getField("bit")),
-            ""
-          ).as("bucket")
+        .persist()
+      bucketed
+        .select(col("bucket"), col("vec_id").as("ia"), col("embedding").as("ea"))
+        .join(
+          bucketed.select(col("bucket"), col("vec_id").as("ib"), col("embedding").as("eb")),
+          Seq("bucket")
         )
-      val cand = buckets
-        .groupBy(col("bucket"))
-        .agg(collect_list(col("vec_id")).as("ds"))
-        .filter(size(col("ds")) > 1)
-        .select(
-          explode(
-            expr("flatten(transform(ds, a -> transform(filter(ds, b -> b > a), b -> struct(a AS ia, b AS ib))))")
-          ).as("pr")
-        )
-        .select(col("pr.ia").as("ia"), col("pr.ib").as("ib"))
-      cand
-        .join(e.select(col("vec_id").as("ia"), col("embedding").as("ea")), Seq("ia"))
-        .join(e.select(col("vec_id").as("ib"), col("embedding").as("eb")), Seq("ib"))
+        .filter(col("ia") < col("ib"))
         .withColumn("cos", round(cosineFast(col("ea"), col("eb")), 6))
         .filter(col("cos") >= NearDupCos)
         .select(col("ia"), col("ib"), col("cos"))

@@ -44,6 +44,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, "unexpected extra shuffles")
   }
 
+  test("LSH candidate generation never materializes buckets into rows (no collect_list)") {
+    // q42/q46 (minhash bands) and q52 (SRP signatures) generate pairs via
+    // equi self-joins: a collect_list of a bucket puts an unbounded doc list
+    // into ONE row and its pair expansion into ONE task — the classic
+    // skewed-bucket OOM at 100 TB. Enforced here so a refactor can't
+    // reintroduce it.
+    Seq("q42_minhash_lsh", "q46_curated_corpus", "q52_srp_lsh").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("collect_list"), s"$q materializes buckets:\n" + plan.take(800))
+    }
+  }
+
+  test("q52 signatures are constant-folded plane dots (no plane crossJoin, no signature shuffle)") {
+    val plan = SparkEntry.queries("q52_srp_lsh")(spark, dir).queryExecution.optimizedPlan.toString
+    assert(plan.contains("vector_dot"), plan.take(800))
+    // planes embedded as folded literals — no join against a plane relation
+    assert(!plan.contains("CartesianProduct") && !plan.contains("md5"), plan.take(800))
+  }
+
   test("q50 top-k is pushed below the shuffle (partial WindowGroupLimit) and scores with vector_cosine") {
     val plan = executedPlan("q50_cosine_topk")
     assert(plan.contains("vector_cosine"), plan.take(500))
