@@ -42,10 +42,4 @@ object VectorFunctions {
 
   def cosineFast(a: Column, b: Column): Column =
     toCol(graft.expressions.VectorCosine(toExpr(a), toExpr(b)))
-
-  /** Element-wise sum of an array-of-arrays column (fold over rows collected
-    * in a deterministic order) — used for centroid computation.
-    */
-  def sumVectors(arrays: Column, dim: Int): Column =
-    aggregate(arrays, array_repeat(lit(0.0), dim), (acc, e) => zip_with(acc, asDouble(e), _ + _))
 }

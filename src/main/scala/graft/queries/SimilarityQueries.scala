@@ -37,6 +37,7 @@ object SimilarityQueries {
   private val NearDupCos   = 0.3
   private val QuerySetSize = 5 // vec_id < 5 plays the "incoming queries"
   private val NumPlanes    = 8 // SRP-LSH signature bits
+  private val QuantScale   = 16777216.0 // 2^24 — exact float-mantissa shift (q51 centroids)
 
   /** Hyperplane p as a literal ±1 array — the identical md5-parity formula
     * the oracle evaluates in SQL, here over literals so Catalyst constant-
@@ -95,20 +96,25 @@ object SimilarityQueries {
     "q51_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
 
-      // Coarse quantizer: centroid = mean vector per label, folded over rows
-      // sorted by vec_id (deterministic accumulation).
+      // Coarse quantizer: per-dimension mean via posexplode + groupBy(label,
+      // pos) — scalars shuffle (map-side partial sums reduce each partition
+      // to ≤ labels × Dim rows before the exchange), never whole clusters.
+      // Float sums are order-dependent, so the centroid is DEFINED over
+      // quantized components: scale by 2^24 (a power of two only shifts the
+      // float's exponent — exact), floor to BIGINT, sum exactly in any
+      // order. The oracle computes the identical quantization, so both
+      // engines agree bit-for-bit regardless of partitioning; the ~6e-8
+      // quantization error is irrelevant to a coarse quantizer. The final
+      // collect_list holds exactly Dim (pos, value) scalars per label —
+      // bounded by dimensionality, not by cluster size.
       val centroids = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(floor(col("v").cast("double") * QuantScale)).as("sq"), count(lit(1)).as("n"))
+        .withColumn("c", col("sq").cast("double") / QuantScale / col("n"))
         .groupBy(col("label"))
-        .agg(
-          sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("es")
-        )
-        .select(
-          col("label"),
-          transform(
-            sumVectors(transform(col("es"), _.getField("embedding")), Dim),
-            x => x / size(col("es"))
-          ).as("centroid")
-        )
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label"), transform(col("pc"), _.getField("c")).as("centroid"))
 
       val qs = e.filter(col("vec_id") < QuerySetSize)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -203,16 +209,15 @@ object SimilarityQueries {
            |  FROM scored) WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin),
     "q51_ann_ivf" ->
       (vecCte +
-        s""", folded AS (
-           |  SELECT label, array_agg(embedding ORDER BY vec_id) AS es FROM v GROUP BY label),
+        s""", expl AS (
+           |  SELECT label, i AS pos, embedding[i + 1]::DOUBLE AS v
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range($Dim)) AS i)),
+           | dimsum AS (
+           |  SELECT label, pos, sum(CAST(floor(v * $QuantScale) AS BIGINT)) AS sq, count(*) AS n
+           |  FROM expl GROUP BY 1, 2),
            | cent AS (
-           |  SELECT label,
-           |    list_transform(
-           |      list_reduce(
-           |        list_prepend(list_transform(range($Dim), x -> 0.0::DOUBLE), es),
-           |        (acc, e) -> list_transform(range(1, ${Dim + 1}), i -> acc[i] + e[i]::DOUBLE)),
-           |      x -> x / len(es)) AS centroid
-           |  FROM folded),
+           |  SELECT label, list(sq::DOUBLE / $QuantScale / n ORDER BY pos) AS centroid
+           |  FROM dimsum GROUP BY label),
            | cn AS (SELECT label, centroid, sqrt(${dotSql("centroid", "centroid")}) AS cnrm FROM cent),
            | probes AS (
            |  SELECT query_id, label FROM (

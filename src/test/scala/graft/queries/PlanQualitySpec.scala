@@ -56,6 +56,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q51 centroids aggregate per-dimension scalars, never whole clusters") {
+    // The coarse quantizer must shuffle (label, pos, value) scalars — a
+    // collect_list over (vec_id, embedding) puts an entire cluster into one
+    // row. The only collect_list allowed is the Dim-bounded (pos, c)
+    // re-assembly.
+    val plan = SparkEntry.queries("q51_ann_ivf")(spark, dir).queryExecution.optimizedPlan.toString
+    assert(plan.contains("posexplode"), plan.take(800))
+    assert(!plan.contains("collect_list(struct(vec_id"), "whole-cluster rows:\n" + plan.take(800))
+  }
+
   test("q52 signatures are constant-folded plane dots (no plane crossJoin, no signature shuffle)") {
     val plan = SparkEntry.queries("q52_srp_lsh")(spark, dir).queryExecution.optimizedPlan.toString
     assert(plan.contains("vector_dot"), plan.take(800))
