@@ -6,9 +6,6 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import java.util.concurrent.ConcurrentHashMap
-import scala.jdk.CollectionConverters._
-
 /** Structured-Streaming twin of the reference's runtime
   * (`processor/PaymentTopology.java:39-98` wired by
   * `KafkaStreamsDemoConfiguration.java:34-48`): the same operator chain
@@ -27,35 +24,103 @@ import scala.jdk.CollectionConverters._
   * group key across `spark.sql.shuffle.partitions` tasks; for wide key spaces
   * use the RocksDB provider
   * (`spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider`)
-  * exactly as the reference leans on RocksDB. The foreachBatch upsert below
-  * collects ONLY the per-batch changelog (keys that changed in the batch, not
-  * the full state), so driver traffic is proportional to update rate, not to
-  * key cardinality; a production deployment would swap the in-memory map for
-  * a Delta/JDBC upsert with the same contract.
+  * exactly as the reference leans on RocksDB. Queryable state NEVER funnels
+  * through the driver: each micro-batch's changelog (keys that changed, not
+  * the full state) is appended EXECUTOR-SIDE to a parquet changelog table
+  * stamped with the batchId, and a point lookup is a filtered SQL scan —
+  * the account predicate reaches the parquet reader (PushedFilters), so at
+  * scale a lookup reads row-group statistics, not the table. A production
+  * deployment would swap the parquet append for Delta/JDBC MERGE with the
+  * same (key, value, batch_id) contract and compact periodically.
   */
 object PaymentPipeline {
 
-  /** Queryable per-account balance snapshot — the Spark stand-in for
-    * `kafkaStreams.store("balance", keyValueStore())`. Thread-safe; readable
-    * while the stream runs (same eventual-consistency window the reference
-    * tests tolerate, `KafkaStreamsPaymentIntegrationTest.java:185-188`).
+  /** Queryable per-account balance state — the Spark stand-in for
+    * `kafkaStreams.store("balance", keyValueStore())`, backed by a parquet
+    * changelog (`fromAccount`, `balance`, `batch_id`) written by the
+    * stream's foreachBatch. Reads see the latest committed batch (same
+    * eventual-consistency window the reference tests tolerate,
+    * `KafkaStreamsPaymentIntegrationTest.java:185-188`). Replayed batches
+    * re-append identical rows under the same batch_id — the last-wins read
+    * is idempotent to that.
     */
-  final class BalanceStore {
-    private val state = new ConcurrentHashMap[String, Long]()
+  final class BalanceStore(spark: SparkSession, dir: String) {
+
+    private val schema = "fromAccount STRING, balance BIGINT, batch_id BIGINT"
+
+    private def changelog: Option[DataFrame] =
+      if (new java.io.File(dir).exists()) Some(spark.read.schema(schema).parquet(dir))
+      else None // no batch committed yet
 
     /** `GET /balance/{account}`: None ⇒ the reference's HTTP 404
-      * (`BalanceController.java:29-33`).
+      * (`BalanceController.java:29-33`). A point lookup: the equality
+      * predicate pushes into the parquet scan; last write (max batch_id)
+      * wins.
       */
-    def get(account: String): Option[Long] = Option(state.get(account))
+    def get(account: String): Option[Long] =
+      changelog.flatMap { log =>
+        val r = log
+          .filter(col("fromAccount") === account)
+          .agg(max_by(col("balance"), col("batch_id")))
+          .head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
 
-    def snapshot: Map[String, Long] = state.asScala.toMap
+    /** Full current state (drives tests/exports — a driver-side Map by
+      * intent; everything else stays distributed).
+      */
+    def snapshot: Map[String, Long] =
+      changelog
+        .map(
+          _.groupBy(col("fromAccount"))
+            .agg(max_by(col("balance"), col("batch_id")).as("balance"))
+            .collect()
+            .map(r => r.getString(0) -> r.getLong(1))
+            .toMap
+        )
+        .getOrElse(Map.empty)
 
-    private[streaming] def upsert(rows: Array[Row]): Unit =
-      rows.foreach(r => state.put(r.getString(0), r.getLong(1)))
+    private[streaming] def append(batch: Dataset[Row], batchId: Long): Unit =
+      batch
+        .select(col("fromAccount"), col("balance"))
+        .withColumn("batch_id", lit(batchId))
+        .write
+        .mode("append")
+        .parquet(dir)
+  }
 
-    /** Add per-batch deltas (the single-pass variant's merge step). */
-    private[streaming] def merge(rows: Array[Row]): Unit =
-      rows.foreach(r => state.merge(r.getString(0), r.getLong(1), (a, b) => a + b))
+  /** Delta-changelog variant for [[startSinglePass]]: rows are per-batch
+    * ADDITIONS (`fromAccount`, `delta`, `batch_id`), so the balance is the
+    * sum of deltas. Reads first dedup replayed appends per (account,
+    * batch_id) — a crash-replayed batch appends identical rows and must not
+    * double-count (this closes the replay caveat the in-memory round-1
+    * store documented).
+    */
+  final class DeltaBalanceStore(spark: SparkSession, dir: String) {
+
+    private val schema = "fromAccount STRING, delta BIGINT, batch_id BIGINT"
+
+    private def changelog: Option[DataFrame] =
+      if (new java.io.File(dir).exists()) Some(spark.read.schema(schema).parquet(dir))
+      else None
+
+    def get(account: String): Option[Long] =
+      changelog.flatMap { log =>
+        val r = log
+          .filter(col("fromAccount") === account)
+          .groupBy(col("batch_id"))
+          .agg(max(col("delta")).as("d")) // identical on replay — max dedups
+          .agg(sum(col("d")))
+          .head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+
+    private[streaming] def append(batch: Dataset[Row], batchId: Long): Unit =
+      batch
+        .withColumn("batch_id", lit(batchId))
+        .write
+        .mode("append")
+        .parquet(dir)
   }
 
   /** Handles to the running topology: the two branch queries' shared writer,
@@ -86,7 +151,9 @@ object PaymentPipeline {
     *                 the tagged union, no per-branch re-scan).
     */
   def start(payments: DataFrame, checkpointDir: String, sinkDir: String): RunningTopology = {
-    val store = new BalanceStore
+    // underscore prefix ⇒ invisible to data reads of sinkDir (Spark's
+    // hidden-path convention), so one output root serves both surfaces
+    val store = new BalanceStore(payments.sparkSession, s"$sinkDir/_balance_state")
 
     val supported     = PaymentOps.railsFilter(payments)
     val Seq(gbp, usd) = PaymentOps.branchByCurrency(supported)
@@ -111,15 +178,16 @@ object PaymentPipeline {
       .start()
 
     // O8+O9 — update-mode grouped sum; foreachBatch receives exactly the
-    // changed keys per batch (the KTable changelog) and upserts the store.
+    // changed keys per batch (the KTable changelog) and appends them to the
+    // changelog table — executor-side parquet write, nothing to the driver.
     val balance = PaymentOps
       .balances(merged)
       .writeStream
       .queryName("graft-balance")
       .outputMode("update")
       .option("checkpointLocation", s"$checkpointDir/balance")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        store.upsert(batch.select(col("fromAccount"), col("balance")).collect())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        store.append(batch, batchId)
         ()
       }
       .start()
@@ -129,18 +197,13 @@ object PaymentPipeline {
 
   /** Single-pass alternative to [[start]]: ONE streaming query reads the
     * source once per micro-batch, writes both sink branches (partitioned
-    * write) AND folds the batch's per-account deltas into the store — the
-    * reference's actual execution shape (one topology, one consumer).
-    *
-    * Trade-off vs [[start]]: half the source reads and one set of
-    * checkpoints, but balance state lives in the store (delta-merged), so a
-    * replayed batch after a crash would double-count — [[start]]'s
-    * update-mode aggregation keeps state in Spark's checkpointed store and
-    * re-emits idempotent totals. Use this form when the sink is idempotent
-    * per batchId or the source is effectively-once.
+    * write) AND appends the batch's per-account deltas to the delta
+    * changelog — the reference's actual execution shape (one topology, one
+    * consumer). Balances are delta-sums; the store dedups replayed batch_ids
+    * at read time, so a crash-replayed batch cannot double-count.
     */
-  def startSinglePass(payments: DataFrame, checkpointDir: String, sinkDir: String): (StreamingQuery, BalanceStore) = {
-    val store = new BalanceStore
+  def startSinglePass(payments: DataFrame, checkpointDir: String, sinkDir: String): (StreamingQuery, DeltaBalanceStore) = {
+    val store = new DeltaBalanceStore(payments.sparkSession, s"$sinkDir/_balance_state")
 
     val supported     = PaymentOps.railsFilter(payments)
     val Seq(gbp, usd) = PaymentOps.branchByCurrency(supported)
@@ -157,14 +220,12 @@ object PaymentPipeline {
     val query = routed.writeStream
       .queryName("graft-single-pass")
       .option("checkpointLocation", s"$checkpointDir/single")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         batch.persist()
         batch.write.mode("append").partitionBy("topic").parquet(sinkDir)
-        store.merge(
-          batch
-            .groupBy(col("fromAccount"))
-            .agg(sum(col("amount")).as("delta"))
-            .collect()
+        store.append(
+          batch.groupBy(col("fromAccount")).agg(sum(col("amount")).as("delta")),
+          batchId
         )
         batch.unpersist()
         ()

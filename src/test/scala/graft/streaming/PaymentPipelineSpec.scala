@@ -74,6 +74,24 @@ class PaymentPipelineSpec extends AnyFunSuite with SparkSpec {
     query.stop()
   }
 
+  test("changelog stores are idempotent to crash-replayed batches (same batch_id re-appended)") {
+    val tmp   = Files.createTempDirectory("graft-replay").toString
+    val total = new PaymentPipeline.BalanceStore(spark, s"$tmp/totals")
+    val batch = Seq(("ABC", 210L)).toDF("fromAccount", "balance")
+    total.append(batch, 0L)
+    total.append(batch, 0L) // replay: identical rows, same batch_id
+    total.append(Seq(("ABC", 250L)).toDF("fromAccount", "balance"), 1L)
+    assert(total.get("ABC").contains(250L), "last-wins read must ignore the replay")
+
+    val delta = new PaymentPipeline.DeltaBalanceStore(spark, s"$tmp/deltas")
+    val d0    = Seq(("XYZ", 800L)).toDF("fromAccount", "delta")
+    delta.append(d0, 0L)
+    delta.append(d0, 0L) // replay must NOT double-count
+    delta.append(Seq(("XYZ", 40L)).toDF("fromAccount", "delta"), 1L)
+    assert(delta.get("XYZ").contains(840L))
+    assert(delta.get("NOPE").isEmpty)
+  }
+
   test("kafka codec round-trip: encode -> decode preserves the record (O1/O11/O14/O15)") {
     val df      = golden.toDF()
     val encoded = PaymentSerde.encodeKafka(df) // (key, value) wire shape
