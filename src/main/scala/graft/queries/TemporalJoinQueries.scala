@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal join operators Spark lacks as built-ins, composed from existing
@@ -13,9 +14,10 @@ import org.apache.spark.sql.functions._
   *     `max(struct(time, key))` per event — the struct max gives a total
   *     order (latest date, then highest key), so ties are deterministic.
   *     At 100 TB the range join's fan-out is bounded by per-key history
-  *     length; for long histories the union-window formulation (sort both
-  *     sides once per key, `last_value` over the interleaving) replaces the
-  *     join without changing results.
+  *     length; for long histories the union-window formulation **q82** (sort
+  *     both sides once per key, running `last` over the interleaving)
+  *     replaces the join without changing results — the driver verifies q82
+  *     against q80's own oracle.
   *   - **range join** (q81): same-customer order pairs within a bounded
   *     time band (repeat purchases). At scale this wants time-bucketing on
   *     both sides (join on coarse bucket, filter exact range) so the join
@@ -37,6 +39,42 @@ object TemporalJoinQueries {
         .groupBy(col("event_id"), col("user_id"))
         .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
         .select(col("event_id"), col("user_id"), col("m.o_orderkey").as("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // As-of join, union-window formulation: SAME result set as q80 (the
+    // driver checks it against q80's oracle), different physical shape.
+    // Both sides are tagged and unioned, sorted once per user by
+    // (time, orders-before-events, orderkey), and each event reads the
+    // running `last(order key)` over the interleaving. Work is
+    // O((events + orders) log) per key with NO event×history fan-out —
+    // the form that wins when per-key histories are long (q80's range join
+    // materializes every (event, prior-order) pair before aggregating).
+    // Determinism: ties inside the frame only ever tie between events,
+    // which carry null order keys and are ignored by last(ignoreNulls).
+    "q82_asof_union_window" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("user_id"),
+        col("ts").as("t"),
+        lit(1).as("kind"), // events AFTER orders at the same instant: <= is inclusive
+        col("event_id"),
+        lit(null).cast("long").as("ok")
+      )
+      val o = Tables.orders(s, dir).select(
+        col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("t"), // same coercion the q80 join predicate uses
+        lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("ok")
+      )
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("t"), col("kind"), col("ok")) // orderkey asc ⇒ running last = max at equal dates
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(o)
+        .withColumn("last_ok", last(col("ok"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("last_ok").isNotNull)
+        .select(col("event_id"), col("user_id"), col("last_ok").as("last_orderkey"))
         .orderBy(col("event_id"))
     }),
 
@@ -66,6 +104,16 @@ object TemporalJoinQueries {
     // Independent formulation: DuckDB's row_number pick of the latest
     // (date, key) — must equal the Spark struct-max composition.
     "q80_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey AS last_orderkey FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // Same oracle as q80 on purpose: the union-window form must reproduce
+    // the range-join+struct-max result exactly.
+    "q82_asof_union_window" ->
       """SELECT event_id, user_id, o_orderkey AS last_orderkey FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,
         |    row_number() OVER (PARTITION BY e.event_id
