@@ -31,14 +31,21 @@ final case class MediaFeatures(
   * Scala analogue of `mapInPandas` (records stream through in bounded
   * batches; a real decoder would hand each batch to native code).
   *
-  * ===== STUB BOUNDARY =====
-  * This container ships no image/audio/video codecs, so [[decodeOne]] is a
-  * clearly-marked deterministic FAKE: features are pure functions of the
-  * bytes (length, first/last byte, rolling hash). Everything around it —
-  * schema, encoders, batching shape, partition parallelism, the query
-  * surface — is real, and because the fake is a pure byte formula the driver
-  * can still oracle-check the whole path end-to-end in SQL. Swapping in a
-  * real decoder changes only the body of [[decodeOne]].
+  * ===== STUB BOUNDARY (shrunk in round 2) =====
+  * IMAGE dimensions are decoded FOR REAL: [[decodeOne]] dispatches on the
+  * container magic and reads PNG IHDR width/height (big-endian at offsets
+  * 16/20 after the 8-byte signature + IHDR chunk header) and BMP
+  * BITMAPINFOHEADER width/height (little-endian at offsets 18/22; negative
+  * height = top-down rows ⇒ abs) — fixed-offset byte reads that need no
+  * codec and work on any real PNG/BMP file. The synthetic image rows carry
+  * genuine headers (signature + IHDR / BITMAPFILEHEADER+BITMAPINFOHEADER,
+  * truncated after the header fields — no pixel data or CRC, which
+  * dimension decode never touches). What REMAINS stubbed: audio/video
+  * decode (no codecs in this container) uses a deterministic byte formula,
+  * loudly marked below. Everything around the boundary — schema, encoders,
+  * batching shape, partition parallelism, the query surface — is real, and
+  * every path is a pure byte function so the driver oracle-checks the whole
+  * pipeline in SQL.
   *
   * Scale notes: decode is embarrassingly parallel and CPU-bound — at 100 TB
   * you repartition by size (`maxPartitionBytes`) not by row count, keep
@@ -54,39 +61,94 @@ object MediaPipeline {
   val DecodeBatchSize = 64
 
   private val Kinds = Seq("image", "audio", "video")
-  private val Mimes = Map("image" -> "image/png", "audio" -> "audio/wav", "video" -> "video/mp4")
 
-  /** Synthesize a media table from `documents` (content = UTF-8 bytes of the
-    * text — the only bytes available in the harness; the pipeline treats
-    * them as opaque).
+  /** Synthesize a media table from `documents`. Image rows (doc_id % 3 == 0)
+    * carry GENUINE container headers — PNG (doc_id % 6 == 0) or BMP
+    * (otherwise) with dimensions derived from doc_id, so the real header
+    * parser in [[decodeOne]] is what the oracle checks. Audio/video rows
+    * carry the UTF-8 text bytes (the only payload bytes available in the
+    * harness), treated as opaque.
     */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables
       .documents(spark, sfDir)
-      .select(
-        col("doc_id").as("media_id"),
-        element_at(typedLit(Kinds), (col("doc_id") % 3).cast("int") + 1).as("kind"),
-        element_at(typedLit(Mimes), element_at(typedLit(Kinds), (col("doc_id") % 3).cast("int") + 1))
-          .as("mime"),
-        encode(col("text"), "UTF-8").as("content")
-      )
-      .as[MediaRecord]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        Kinds((id % 3).toInt) match {
+          case "image" =>
+            val w = (1 + id % 512).toInt
+            val h = (1 + (id * 7) % 512).toInt
+            if (id % 6 == 0) MediaRecord(id, "image", "image/png", pngHeader(w, h))
+            else MediaRecord(id, "image", "image/bmp", bmpHeader(w, h))
+          case "audio" => MediaRecord(id, "audio", "audio/wav", text.getBytes("UTF-8"))
+          case "video" => MediaRecord(id, "video", "video/mp4", text.getBytes("UTF-8"))
+        }
+      }
   }
 
-  /** ===== STUB ===== deterministic fake decode (see class doc). A real
-    * implementation would parse the container format here.
+  /** PNG signature + IHDR chunk data (length, type, width/height big-endian,
+    * bit depth 8, truecolor, deflate, adaptive filter, no interlace) — the
+    * 29-byte prefix every valid PNG starts with; the IHDR CRC and pixel data
+    * are omitted (dimension decode never reads them).
+    */
+  def pngHeader(w: Int, h: Int): Array[Byte] =
+    (Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 13, 'I', 'H', 'D', 'R')
+      .map(_.toByte)
+      ++ beBytes(w) ++ beBytes(h) ++ Array[Byte](8, 2, 0, 0, 0))
+
+  /** BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes) with
+    * width/height little-endian at offsets 18/22 — the standard 54-byte BMP
+    * preamble; pixel array omitted.
+    */
+  def bmpHeader(w: Int, h: Int): Array[Byte] =
+    (Array('B'.toByte, 'M'.toByte) ++ leBytes(54) ++ leBytes(0) ++ leBytes(54) ++ leBytes(40)
+      ++ leBytes(w) ++ leBytes(h)
+      ++ Array[Byte](1, 0, 24, 0) ++ Array.fill[Byte](20)(0))
+
+  private def beBytes(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def leBytes(v: Int): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 24 &&
+      b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
+
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 26 && b(0) == 'B' && b(1) == 'M'
+
+  /** Decode one record. Image dimensions are REAL fixed-offset header reads
+    * (PNG IHDR big-endian, BMP info-header little-endian with top-down
+    * negative-height handling). ===== STUB ===== for anything without a
+    * recognized image magic (audio/video — no codecs in this container):
+    * dimensions fall back to a deterministic byte formula. Frame count and
+    * the feature hash are pure byte functions on every path, which is what
+    * keeps the whole pipeline SQL-oracle-checkable.
     */
   private[multimodal] def decodeOne(m: MediaRecord): MediaFeatures = {
-    val bytes   = m.content
-    val n       = bytes.length.toLong
-    val first   = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-    val last    = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else 0
-    val width   = 64 + (first % 64)
-    val height  = 64 + (last % 64)
-    val frames  = if (m.kind == "video") (1 + n % 30).toInt else 1
-    var h       = 0L
-    var i       = 0
+    val bytes = m.content
+    val n     = bytes.length.toLong
+    val (width, height) =
+      if (isPng(bytes)) (beInt(bytes, 16), beInt(bytes, 20))
+      else if (isBmp(bytes)) (leInt(bytes, 18), math.abs(leInt(bytes, 22)))
+      else {
+        val first = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+        val last  = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else 0
+        (64 + (first % 64), 64 + (last % 64)) // STUB fallback — no codec
+      }
+    val frames = if (m.kind == "video") (1 + n % 30).toInt else 1
+    var h      = 0L
+    var i      = 0
     while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % 2147483647L; i += 1 }
     MediaFeatures(m.media_id, m.kind, n, width, height, frames, h)
   }

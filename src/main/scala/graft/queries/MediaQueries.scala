@@ -38,29 +38,49 @@ object MediaQueries {
         .toDF()
         .groupBy(col("kind"), col("mime"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("kind")))
+        .orderBy(col("kind"), col("mime")))
   )
 
+  // The oracle rebuilds the exact bytes the Spark side synthesizes — PNG/BMP
+  // headers as integer lists (a pure doc_id formula), text bytes via ord() —
+  // then applies the same feature formulas, so the REAL header parse is what
+  // gets cross-checked.
   val oracles: Map[String, String] = Map(
     "q60_media_features" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    text, octet_length(encode(text)) AS n_bytes,
-        |    ord(substr(text, 1, 1)) AS first_b,
-        |    ord(substr(text, length(text), 1)) AS last_b
-        |  FROM documents)
-        |SELECT media_id, kind, n_bytes,
-        |  (64 + first_b % 64)::BIGINT AS width,
-        |  (64 + last_b % 64)::BIGINT AS height,
-        |  (CASE WHEN kind = 'video' THEN 1 + n_bytes % 30 ELSE 1 END)::BIGINT AS n_frames,
-        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text)+1), i -> ord(substr(text, i::INT, 1))::BIGINT)),
+        |    text, 1 + doc_id % 512 AS w, 1 + (doc_id * 7) % 512 AS h,
+        |    (doc_id % 6 = 0) AS is_png
+        |  FROM documents),
+        | b AS (
+        |  SELECT media_id, kind, w, h,
+        |    CASE
+        |      WHEN kind = 'image' AND is_png THEN
+        |        [137,80,78,71,13,10,26,10, 0,0,0,13, 73,72,68,82,
+        |         w // 16777216 % 256, w // 65536 % 256, w // 256 % 256, w % 256,
+        |         h // 16777216 % 256, h // 65536 % 256, h // 256 % 256, h % 256,
+        |         8,2,0,0,0]
+        |      WHEN kind = 'image' THEN
+        |        [66,77, 54,0,0,0, 0,0,0,0, 54,0,0,0, 40,0,0,0,
+        |         w % 256, w // 256 % 256, 0, 0,
+        |         h % 256, h // 256 % 256, 0, 0,
+        |         1,0,24,0] || [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0]
+        |      ELSE list_transform(range(1, length(text)+1), i -> ord(substr(text, i::INT, 1))::BIGINT)
+        |    END AS bl
+        |  FROM m)
+        |SELECT media_id, kind, len(bl)::BIGINT AS n_bytes,
+        |  (CASE WHEN kind = 'image' THEN w ELSE 64 + bl[1] % 64 END)::BIGINT AS width,
+        |  (CASE WHEN kind = 'image' THEN h ELSE 64 + bl[len(bl)] % 64 END)::BIGINT AS height,
+        |  (CASE WHEN kind = 'video' THEN 1 + len(bl) % 30 ELSE 1 END)::BIGINT AS n_frames,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(bl, x -> x::BIGINT)),
         |              (a, c) -> (a * 31 + c) % 2147483647) AS feature_hash
-        |FROM m ORDER BY media_id""".stripMargin,
+        |FROM b ORDER BY media_id""".stripMargin,
     "q61_media_meta" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |  CASE WHEN doc_id % 6 = 0 THEN 'image/png' WHEN doc_id % 3 = 0 THEN 'image/bmp'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
         |  count(*) AS n
-        |FROM documents GROUP BY 1, 2 ORDER BY kind""".stripMargin
+        |FROM documents GROUP BY 1, 2 ORDER BY kind, mime""".stripMargin
   )
 }

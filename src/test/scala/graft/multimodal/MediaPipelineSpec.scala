@@ -25,6 +25,36 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(MediaPipeline.extractFeatures(media).collect().sortBy(_.media_id).toSeq == feats.toSeq)
   }
 
+  test("PNG header decode: IHDR width/height read big-endian, any real PNG header shape") {
+    // crafted: full 33-byte signature+IHDR for 1920x1080 and for widths
+    // crossing byte boundaries (257 needs the second BE byte, 70000 the third)
+    Seq((1920, 1080), (257, 3), (70000, 65536), (1, 1)).foreach { case (w, h) =>
+      val f = MediaPipeline.decodeOne(rec(1, "image", MediaPipeline.pngHeader(w, h)))
+      assert(f.width == w && f.height == h, s"($w,$h) decoded as (${f.width},${f.height})")
+    }
+    // bytes after IHDR (pixel data) must not affect the parse
+    val withData = MediaPipeline.pngHeader(640, 480) ++ Array.tabulate(100)(_.toByte)
+    val f        = MediaPipeline.decodeOne(rec(2, "image", withData))
+    assert(f.width == 640 && f.height == 480 && f.n_bytes == 29 + 100)
+  }
+
+  test("BMP header decode: little-endian dims; negative height (top-down) yields abs") {
+    Seq((800, 600), (257, 511), (1, 1)).foreach { case (w, h) =>
+      val f = MediaPipeline.decodeOne(rec(1, "image", MediaPipeline.bmpHeader(w, h)))
+      assert(f.width == w && f.height == h, s"($w,$h) decoded as (${f.width},${f.height})")
+    }
+    val topDown = MediaPipeline.decodeOne(rec(2, "image", MediaPipeline.bmpHeader(320, -240)))
+    assert(topDown.width == 320 && topDown.height == 240)
+  }
+
+  test("unrecognized magic falls back to the stub formula (audio/video boundary)") {
+    val f = MediaPipeline.decodeOne(rec(1, "audio", "hello world".getBytes("UTF-8")))
+    assert(f.width == 64 + 'h' % 64 && f.height == 64 + 'd' % 64)
+    // a 'BM' prefix shorter than the info header must not be parsed as BMP
+    val tiny = MediaPipeline.decodeOne(rec(2, "audio", "BM tiny".getBytes("UTF-8")))
+    assert(tiny.width == 64 + 'B' % 64 && tiny.height == 64 + 'y' % 64)
+  }
+
   test("batched decode handles partitions larger than the batch size") {
     val many  = (1L to 1000L).map(i => rec(i, "audio", Array.fill(8)(i.toByte))).toDS().repartition(2)
     val feats = MediaPipeline.extractFeatures(many)
