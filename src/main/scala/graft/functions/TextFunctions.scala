@@ -91,6 +91,28 @@ object TextFunctions {
       (acc, i) => (acc * 31 + ascii(text.substr(i, lit(1)))) % 2147483647L
     )
 
+  /** PII masking patterns — kept to RE2-safe syntax (character classes +
+    * bounded repetition) so the Java-regex Spark side and the RE2 DuckDB
+    * oracle match the same spans. A production pipeline would swap in its
+    * compliance-approved pattern set; the operator shape (count + mask in
+    * one projection pass) is what scales.
+    */
+  val EmailPattern: String   = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumPattern: String = "[0-9]{6,}" // account-number-ish digit runs
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  def longNumCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(LongNumPattern), lit(0)))
+
+  /** Mask emails first, then residual long digit runs (a digit run inside an
+    * already-masked email is not re-counted — the counts above are computed
+    * on the RAW text, deliberately, as audit totals).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"), LongNumPattern, "<NUM>")
+
   /** Word n-gram shingles: `["a b c", "b c d", ...]` from the token array.
     * Empty when the doc has fewer than n tokens.
     */

@@ -88,6 +88,58 @@ object TextQueries {
         )
         .orderBy(col("doc_id"))),
 
+    // PII redaction: mask emails + long digit runs, with per-doc audit
+    // counts computed on the raw text. One narrow projection pass — the
+    // 100 TB shape is "every byte visits the regex engine exactly once".
+    "q35_pii_redaction" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          emailCount(col("text")).cast("long").as("n_emails"),
+          longNumCount(col("text")).cast("long").as("n_longnums"),
+          redactPii(col("text")).as("redacted")
+        )
+        .orderBy(col("doc_id"))),
+
+    // Intra-document repetition: 1 - distinct/total over word-3-shingles —
+    // the boilerplate/spam signal of a curation pipeline. Embarrassingly
+    // parallel (the shingle array never leaves its row).
+    "q38_repetition" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
+        .select(
+          col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct"),
+          round(
+            when(size(col("sh")) === 0, lit(0.0))
+              .otherwise(
+                lit(1.0) - size(array_distinct(col("sh"))).cast("double")
+                  / size(col("sh")).cast("double")
+              ),
+            4
+          ).as("rep_ratio")
+        )
+        .orderBy(col("doc_id"))),
+
+    // Quality histogram: corpus volume per quality decile — the "what does
+    // the filter throw away" report every curation run ships. Long-sum only
+    // (order-free), so the oracle hash-matches.
+    "q39_quality_bins" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          qualityScore(col("text")).as("q"),
+          tokenCount(col("text")).cast("long").as("n")
+        )
+        .withColumn("bin", least(floor(col("q") * 10).cast("int"), lit(9)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .orderBy(col("bin"))),
+
     // Term frequency: top-20 corpus terms (explode + count + top-k).
     "q34_term_freq" -> ((s, dir) =>
       Tables
@@ -127,6 +179,25 @@ object TextQueries {
            |FROM documents ORDER BY doc_id""".stripMargin,
     "q34_term_freq" ->
       (tokensCte +
-        "SELECT term, count(*) AS n FROM (SELECT unnest(ws) AS term FROM toks) GROUP BY 1 ORDER BY n DESC, term LIMIT 20")
+        "SELECT term, count(*) AS n FROM (SELECT unnest(ws) AS term FROM toks) GROUP BY 1 ORDER BY n DESC, term LIMIT 20"),
+    "q35_pii_redaction" ->
+      raw"""SELECT doc_id,
+           |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+           |  len(regexp_extract_all(text, '[0-9]{6,}'))::BIGINT AS n_longnums,
+           |  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |                 '[0-9]{6,}', '<NUM>', 'g') AS redacted
+           |FROM documents ORDER BY doc_id""".stripMargin,
+    "q38_repetition" ->
+      raw"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+           | shl AS (SELECT doc_id, list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w)
+           |SELECT doc_id, len(sh)::BIGINT AS n_shingles, len(list_distinct(sh))::BIGINT AS n_distinct,
+           |  round(CASE WHEN len(sh) = 0 THEN 0.0 ELSE 1.0 - len(list_distinct(sh)) * 1.0 / len(sh) END, 4) AS rep_ratio
+           |FROM shl ORDER BY doc_id""".stripMargin,
+    "q39_quality_bins" ->
+      (tokensCte +
+        """SELECT least(floor(round(least(n_tokens / 50.0, 1.0) * 0.5 * (CASE WHEN avg_len > 12.0 THEN 0.5 ELSE 1.0 END)
+          |                        + least(stop_ratio / 0.05, 1.0) * 0.5, 4) * 10), 9)::INT AS bin,
+          |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+          |FROM stats GROUP BY 1 ORDER BY bin""".stripMargin)
   )
 }
