@@ -37,6 +37,7 @@ object SimilarityQueries {
   private val NearDupCos   = 0.3
   private val QuerySetSize = 5 // vec_id < 5 plays the "incoming queries"
   private val NumPlanes    = 8 // SRP-LSH signature bits
+  private val RangeTau     = 0.25 // q53 similarity-threshold radius
   private val QuantScale   = 16777216.0 // 2^24 — exact float-mantissa shift (q51 centroids)
 
   /** Hyperplane p as a literal ±1 array — the identical md5-parity formula
@@ -90,6 +91,41 @@ object SimilarityQueries {
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rnk").cast("long").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+
+    // Range search: every corpus vector within a similarity radius of each
+    // query — the other standard ANN primitive (top-k's sibling). Same
+    // broadcast-scoring plan as q50, but the aggregates are COUNT/MAX/MIN of
+    // the rounded score, all order-free, so the result is partitioning-
+    // independent (an AVG of raw doubles would not be).
+    "q53_range_search" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      scored(qs, e)
+        .filter(col("cos") >= RangeTau)
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).as("n_neighbors"),
+          max(col("cos")).as("max_cos"),
+          min(col("cos")).as("min_cos")
+        )
+        .orderBy(col("query_id"))
+    }),
+
+    // Vector normalization audit: L2 norm + first unit-vector component per
+    // embedding — the projection every cosine-ANN ingest runs (store unit
+    // vectors ⇒ cosine becomes a plain dot at query time). Narrow, no
+    // shuffle; the fold order is the array order on both engines.
+    "q54_normalize" -> ((s, dir) =>
+      Tables
+        .embeddings(s, dir)
+        .select(col("vec_id"), norm(col("embedding")).as("l2"), asDouble(col("embedding")).getItem(0).as("x0"))
+        .select(
+          col("vec_id"),
+          round(col("l2"), 6).as("l2"),
+          round(col("x0") / col("l2"), 6).as("u0")
+        )
+        .orderBy(col("vec_id"))),
 
     // IVF-style ANN: per-label centroids (coarse quantizer), probe the
     // nprobe nearest centroids per query, exact re-rank within probed cells.
@@ -207,6 +243,17 @@ object SimilarityQueries {
            |SELECT query_id, neighbor_id, cos, rnk FROM (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
            |  FROM scored) WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin),
+    "q53_range_search" ->
+      (vecCte +
+        s"""SELECT q.vec_id AS query_id, count(*) AS n_neighbors,
+           |  max(round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6)) AS max_cos,
+           |  min(round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6)) AS min_cos
+           |FROM v q JOIN v c ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id
+           |WHERE round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) >= $RangeTau
+           |GROUP BY 1 ORDER BY query_id""".stripMargin),
+    "q54_normalize" ->
+      (vecCte +
+        "SELECT vec_id, round(nrm, 6) AS l2, round(embedding[1]::DOUBLE / nrm, 6) AS u0 FROM v ORDER BY vec_id"),
     "q51_ann_ivf" ->
       (vecCte +
         s""", expl AS (
