@@ -48,6 +48,69 @@ object StatefulBalances {
       }
   }
 
+  /** A payment stamped with its event time — the input shape for TTL'd
+    * state, where "idle" must be defined on the DATA's clock.
+    */
+  final case class TimedPayment(ts: java.sql.Timestamp, payment: PaymentEvent)
+
+  /** [[runningBalances]] with a sliding event-time TTL: a key whose last
+    * activity falls `ttl` behind the watermark is EVICTED (silently — the
+    * next payment re-initializes from 0L). This is the bounded-state variant
+    * the reference never needed (its KTable is unbounded,
+    * `PaymentTopology.java:78-88`) but a 100 TB key space does: with key
+    * churn, no-TTL state grows without bound; with TTL + the RocksDB
+    * provider, live state is proportional to the ACTIVE key set.
+    *
+    * The TTL is event-time (`EventTimeTimeout` + watermark), NOT wall-clock,
+    * deliberately: eviction then depends only on the data, so results are
+    * deterministic and replay/backfill-safe — a reprocessing run evicts
+    * exactly the same keys. (A wall-clock `ProcessingTimeTimeout` also keeps
+    * the micro-batch engine permanently busy — Spark must schedule
+    * speculative empty batches forever to fire deadlines, and
+    * `processAllAvailable` never sees a quiescent stream.)
+    *
+    * Timeout mechanics (Spark contract): a key's deadline is
+    * `max(event time seen) + ttl`, re-armed on every batch with data
+    * (sliding); the timeout fires on the first trigger after the watermark
+    * passes the deadline where the key received no new data.
+    */
+  def runningBalancesTtl(
+      payments: Dataset[TimedPayment],
+      ttl: java.time.Duration,
+      lateness: java.time.Duration = java.time.Duration.ZERO
+  ): Dataset[BalanceUpdate] = {
+    import payments.sparkSession.implicits._
+    payments
+      .withWatermark("ts", s"${lateness.toMillis} milliseconds")
+      .groupByKey(_.payment.fromAccount)
+      .flatMapGroupsWithState[Long, BalanceUpdate](
+        OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout()
+      ) { (account: String, events: Iterator[TimedPayment], state: GroupState[Long]) =>
+        if (state.hasTimedOut) {
+          state.remove() // evict; no tombstone — absence reads as 404
+          Iterator.empty
+        } else {
+          val prior = state.getOption.getOrElse(0L)
+          var lastSeen = Long.MinValue
+          var next     = prior
+          events.foreach { tp =>
+            next += tp.payment.amount
+            lastSeen = math.max(lastSeen, tp.ts.getTime)
+          }
+          val fresh = !state.exists
+          state.update(next)
+          // deadline must sit strictly ahead of the current watermark — a
+          // key fed only late data still gets (watermark + 1ms, i.e. evict
+          // at the next watermark advance) rather than an exception
+          state.setTimeoutTimestamp(
+            math.max(lastSeen + ttl.toMillis, state.getCurrentWatermarkMs + 1L))
+          if (next != prior || fresh) Iterator.single(BalanceUpdate(account, next))
+          else Iterator.empty
+        }
+      }
+  }
+
   final case class SeenKey(key: String)
 
   /** Exact streaming dedup: pass each key's FIRST record, drop replays.

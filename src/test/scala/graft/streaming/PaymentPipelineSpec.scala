@@ -116,6 +116,21 @@ class PaymentPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(rows(2).isNullAt(0), "corrupt json -> null row (PERMISSIVE)")
   }
 
+  test("null payload bytes decode to a null record over binary wire columns (JsonDeserializer.java:24-25)") {
+    // The kafka source yields BinaryType key/value; a tombstone has value=null.
+    val wire = Seq(
+      ("p1".getBytes("UTF-8"),
+       """{"paymentId":"p1","amount":5,"currency":"GBP","toAccount":"t","fromAccount":"f","rails":"BANK_RAILS_FOO"}"""
+         .getBytes("UTF-8")),
+      ("p2".getBytes("UTF-8"), null: Array[Byte])
+    ).toDF("key", "value")
+    val decoded = PaymentSerde.decodeKafka(wire).collect()
+    assert(decoded(0).getString(0) == "p1" && decoded(0).getString(1) == "p1")
+    // null payload -> null record: every payment field null, key still present
+    assert(decoded(1).getString(0) == "p2")
+    (1 until decoded(1).length).foreach(i => assert(decoded(1).isNullAt(i), s"field $i"))
+  }
+
   test("strict serde throws on malformed JSON (reference fail-fast, JsonDeserializer.java:27-31)") {
     val raw = Seq("""not-json""").toDF("value")
     val ex = intercept[Exception] {

@@ -82,6 +82,83 @@ class StatefulBalancesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  private def tp(sec: Long, id: String, amount: Long, from: String) =
+    StatefulBalances.TimedPayment(new java.sql.Timestamp(sec * 1000L), p(id, amount, from))
+
+  test("runningBalancesTtl: keys idle past the watermark TTL are evicted and re-initialize from zero") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulBalances.TimedPayment]
+    val tmp   = Files.createTempDirectory("graft-ttl").toString
+    val query = StatefulBalances
+      .runningBalancesTtl(input.toDS(), java.time.Duration.ofSeconds(30))
+      .writeStream
+      .queryName("ttl_bal")
+      .outputMode("update")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory")
+      .start()
+
+    input.addData(tp(10, "p1", 100, "ABC")) // ABC deadline = 10s + 30s = 40s
+    query.processAllAvailable()             // watermark advances to 10s
+    // DEF at t=100s pushes the watermark past ABC's 40s deadline; the
+    // follow-up trigger fires ABC's timeout (no fresh ABC data) → evicted.
+    input.addData(tp(100, "p2", 70, "DEF"))
+    query.processAllAvailable()
+    // ABC was evicted above, so this re-initializes from 0L — NOT 100+50.
+    input.addData(tp(110, "p3", 50, "ABC"))
+    query.processAllAvailable()
+
+    val rows = spark.table("ttl_bal").as[StatefulBalances.BalanceUpdate].collect()
+    val abc  = rows.filter(_.fromAccount == "ABC").map(_.balance).toSeq
+    assert(abc.contains(100L) && abc.contains(50L) && !abc.contains(150L),
+      s"expected eviction between batches, got $abc")
+    assert(rows.filter(_.fromAccount == "DEF").map(_.balance).toSeq == Seq(70L))
+    query.stop()
+  }
+
+  test("runningBalancesTtl on RocksDB sustains a large key space (TTL bounds live state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try {
+      val input = MemoryStream[StatefulBalances.TimedPayment]
+      val tmp   = Files.createTempDirectory("graft-ttl-rocks").toString
+      val query = StatefulBalances
+        .runningBalancesTtl(input.toDS(), java.time.Duration.ofMinutes(10))
+        .writeStream
+        .queryName("ttl_rocks")
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .format("memory")
+        .start()
+      val n = 20000
+      input.addData((1 to n).map(i => tp(1000, s"p$i", i.toLong, s"ACC${i % 5000}")))
+      query.processAllAvailable()
+      input.addData((1 to 100).map(i => tp(1001, s"q$i", 1L, s"ACC$i")))
+      query.processAllAvailable()
+      val state = spark
+        .table("ttl_rocks")
+        .as[StatefulBalances.BalanceUpdate]
+        .collect()
+        .groupBy(_.fromAccount)
+        .view.mapValues(_.map(_.balance).max).toMap
+      assert(state.size == 5000)
+      // ACC7 got payments 7, 5007, 10007, 15007 (= 30028), then +1
+      assert(state("ACC7") == 30029L, s"ACC7=${state("ACC7")}")
+      val rocks = query.lastProgress.stateOperators.flatMap(_.customMetrics.keySet.asScala)
+      assert(rocks.exists(_.toLowerCase.contains("rocksdb")))
+      query.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("built-in dropDuplicatesWithinWatermark agrees with custom dedup inside the window") {
     // Spark's built-in streaming dedup keeps state only within the
     // watermark (bounded state — the 100 TB default); the custom
