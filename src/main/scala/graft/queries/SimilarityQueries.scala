@@ -53,8 +53,8 @@ object SimilarityQueries {
     }: _*)
 
   private def scored(queries: DataFrame, corpus: DataFrame): DataFrame =
-    corpus
-      .repartition(col("vec_id")) // single-split input: parallelize scoring
+    Tables
+      .spread(corpus, col("vec_id")) // parallelize scoring (see Tables.spread)
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosineFast(col("q_emb"), col("embedding")), 6))
 
@@ -72,7 +72,8 @@ object SimilarityQueries {
       a.join(b, Seq("label"))
         .filter(col("ia") < col("ib"))
         // the label join leaves ≤ n_clusters partitions busy; spread the
-        // pair-scoring (the expensive part) across all cores
+        // pair-scoring (the expensive part) across all cores — needed at
+        // ANY scale when clusters ≪ cores, unlike the scan-side spreads
         .repartition(col("ia"), col("ib"))
         .withColumn("cos", round(cosineFast(col("ea"), col("eb")), 6))
         .filter(col("cos") >= NearDupCos)
@@ -191,7 +192,7 @@ object SimilarityQueries {
     // a degenerate bucket (e.g. all-zero region of the space) is split
     // across tasks by the join instead of landing in one collect_list row.
     "q52_srp_lsh" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).repartition(col("vec_id"))
+      val e = Tables.spread(Tables.embeddings(s, dir), col("vec_id"))
       val bucketed = e
         .select(
           col("vec_id"),

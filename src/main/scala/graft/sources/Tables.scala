@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet table loading for the driver's synthetic TPC-H-ish corpus
@@ -22,12 +22,46 @@ object Tables {
     * reader rejects outright. Read it as raw nanos (legacy conf) and
     * floor-convert to a microsecond TimestampType — the same truncation
     * DuckDB applies when it reads TIMESTAMP_NS, so oracle results agree.
+    *
+    * The conf is a SESSION setting the caller must own (set it in the
+    * `SparkSession.builder`, as `Verify`/`Bench`/the test harness do): it is
+    * consulted again at execution time when the scan builds its readers, so
+    * a set-and-restore around this call would still break the query later —
+    * and a library silently mutating session state behind the caller's back
+    * is worse than failing fast with instructions.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.ts is parquet TIMESTAMP(NANOS): build the session with " +
+        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")"
+    )
     load(spark, sfDir, "events")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
+
+  /** Spread a small scan across all cores before heavy narrow work
+    * (tokenization, shingle explosion, vector scoring).
+    *
+    * Why this exists: the harness parquet files are written as a SINGLE row
+    * group (`parquet_metadata` shows row_groups=1 at every SF), and a
+    * parquet scan can never split below one row group — the scan stage runs
+    * in ONE task regardless of `spark.sql.files.maxPartitionBytes`. AQE
+    * (on by default in Spark 4) cannot help either: adaptive execution
+    * re-plans at shuffle boundaries; it cannot create parallelism inside a
+    * scan stage. One explicit hash shuffle of the raw rows (~1 MB here) is
+    * the only way to put the narrow work on every core.
+    *
+    * At 100 TB this call is DELETED, not tuned: cluster inputs arrive in
+    * thousands of row groups and the scan parallelizes by itself. Keeping
+    * the shim in one named place makes that a one-line change per query and
+    * keeps the hand-tuning out of the query logic.
+    *
+    * Measured (sf0.1, local[32], min-of-3 per query): the twelve scan-heavy
+    * dedup/similarity queries total ~11 s with the shim vs ~32 s with it
+    * stubbed to identity — q47 3.4→10.9 s, q42 1.0→5.8 s, q46 1.2→5.5 s.
+    */
+  def spread(df: DataFrame, keys: Column*): DataFrame = df.repartition(keys: _*)
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
