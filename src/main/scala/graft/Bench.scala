@@ -28,19 +28,27 @@ object Bench {
     }
     spark.catalog.clearCache() // drop warm-up persists; keep JIT/codegen
 
-    // min of three timed runs per query: the box shares CPU with co-tenant
-    // load (observed 2-10x outliers on single runs), and the driver runs
-    // Bench once per round — min-of-N is the cheapest robust estimator.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val sec = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val s = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        s
-      }.min
-      name -> sec
+    // Per query: min over 2 rounds × 2 back-to-back reps. The box shares
+    // CPU with co-tenant load (observed 2-10x outliers, including
+    // multi-second stalls), and the driver runs Bench once per round.
+    // Back-to-back reps keep page cache/JIT warm for the low-noise floor;
+    // the second ROUND separates repeats by minutes, so a stall that
+    // swallowed a query's adjacent reps has to recur at the same query
+    // next round to survive the min.
+    val names = SparkEntry.queries.keys.toSeq
+    val timed = (1 to 2).map { _ =>
+      names.map { name =>
+        val sec = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val s = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          s
+        }.min
+        name -> sec
+      }.toMap
     }
+    val results = names.map(n => n -> timed.map(_(n)).min).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -24,11 +24,12 @@ object GraphOps {
     * @return (`id`, `comp`)
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val sym = edges
-      .select(col("src"), col("dst"))
-      .union(edges.select(col("dst"), col("src")))
-      .toDF("src", "dst")
-      .persist()
+    // Materialize the edge pipeline ONCE before deriving both directions:
+    // building the symmetric closure straight off `edges` would evaluate
+    // the (potentially expensive — q47 feeds the whole LSH candidate
+    // pipeline in here) upstream plan twice, racing its own cache fill.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val sym = e.union(e.select(col("dst"), col("src")).toDF("src", "dst")).persist()
     var labels  = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     var changed = 1L
     var rounds  = 0
@@ -38,15 +39,18 @@ object GraphOps {
         .groupBy(col("src"))
         .agg(min(col("ncomp")).as("nmin"))
         .withColumnRenamed("src", "id")
+      // carry the previous label through the checkpoint so the convergence
+      // count is a scan of `next`, not another join against `labels`
       val next = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("next_comp"),
+          col("comp").as("prev")
+        )
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") =!= col("prev"))
-        .count()
-      labels = next
+      changed = next.filter(col("next_comp") =!= col("prev")).count()
+      labels = next.select(col("id"), col("next_comp").as("comp"))
       rounds += 1
     }
     sym.unpersist()
