@@ -128,6 +128,34 @@ object SimilarityQueries {
         )
         .orderBy(col("vec_id"))),
 
+    // Scalar int8 quantization: per-vector min/max affine codes (the
+    // memory-4x step every large ANN index takes before sharding), plus the
+    // reconstruction-error audit. Narrow per-row work — codes never leave
+    // their row; output is an exact integer checksum + rounded error stats.
+    // Guarded for degenerate constant vectors (scale 0 ⇒ code 0, error 0).
+    "q55_quantize_int8" -> ((s, dir) =>
+      Tables
+        .embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("x"))
+        .withColumn("mn", array_min(col("x")))
+        .withColumn("scale", (array_max(col("x")) - col("mn")) / lit(255.0))
+        .withColumn(
+          "codes",
+          when(col("scale") === 0.0, transform(col("x"), _ => lit(0.0)))
+            .otherwise(transform(col("x"), v => round((v - col("mn")) / col("scale"))))
+        )
+        .withColumn(
+          "errs",
+          zip_with(col("x"), col("codes"), (v, c) => abs(v - (col("mn") + c * col("scale"))))
+        )
+        .select(
+          col("vec_id"),
+          aggregate(col("codes"), lit(0.0), _ + _).cast("long").as("code_sum"),
+          round(aggregate(col("errs"), lit(0.0), _ + _) / lit(Dim.toDouble), 6).as("mean_abs_err"),
+          round(array_max(col("errs")), 6).as("max_abs_err")
+        )
+        .orderBy(col("vec_id"))),
+
     // IVF-style ANN: per-label centroids (coarse quantizer), probe the
     // nprobe nearest centroids per query, exact re-rank within probed cells.
     "q51_ann_ivf" -> ((s, dir) => {
@@ -255,6 +283,22 @@ object SimilarityQueries {
     "q54_normalize" ->
       (vecCte +
         "SELECT vec_id, round(nrm, 6) AS l2, round(embedding[1]::DOUBLE / nrm, 6) AS u0 FROM v ORDER BY vec_id"),
+    "q55_quantize_int8" ->
+      s"""WITH d AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS x FROM embeddings),
+         | p AS (SELECT vec_id, x, list_min(x) AS mn,
+         |              (list_max(x) - list_min(x)) / 255.0 AS scale FROM d),
+         | c AS (SELECT vec_id, x, mn, scale,
+         |         CASE WHEN scale = 0 THEN list_transform(x, v -> 0.0::DOUBLE)
+         |              ELSE list_transform(x, v -> round((v - mn) / scale)) END AS codes
+         |       FROM p),
+         | e AS (SELECT vec_id, codes,
+         |         list_transform(range(1, ${Dim + 1}), i -> abs(x[i] - (mn + codes[i] * scale))) AS errs
+         |       FROM c)
+         |SELECT vec_id,
+         |  list_reduce(list_prepend(0.0::DOUBLE, codes), (a, b) -> a + b)::BIGINT AS code_sum,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE, errs), (a, b) -> a + b) / ${Dim}.0, 6) AS mean_abs_err,
+         |  round(list_max(errs), 6) AS max_abs_err
+         |FROM e ORDER BY vec_id""".stripMargin,
     "q51_ann_ivf" ->
       (vecCte +
         s""", expl AS (

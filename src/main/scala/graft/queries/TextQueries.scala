@@ -148,8 +148,66 @@ object TextQueries {
         .groupBy(col("term"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term"))
-        .limit(20))
+        .limit(20)),
+
+    // TF-IDF: each document's single most characteristic term. tf and df
+    // shuffle on term (vocab ≪ corpus — the df side is the small one, but
+    // it still scales with vocabulary so it is a shuffle join, not a
+    // broadcast); the corpus size N rides in as a broadcast 1-row frame.
+    // The per-doc argmax ranks on the ROUNDED score (then term) so both
+    // engines break last-ulp ln() ties identically.
+    "q56_tfidf" -> ((s, dir) => {
+      val tf = Tables
+        .spread(Tables.documents(s, dir), col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n   = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scoredTerms = tf
+        .join(dfx, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      scoredTerms
+        .withColumn(
+          "rn",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id"))
+              .orderBy(col("tfidf").desc, col("term"))
+          )
+        )
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // RAG-style chunking: fixed-size token windows with overlap
+    // (64-token chunks, stride 48). Pure per-row explode — chunks never
+    // shuffle; the md5 keeps the output compact while still proving the
+    // exact chunk text byte-for-byte against the oracle.
+    "q57_chunks" -> ((s, dir) =>
+      Tables
+        .spread(Tables.documents(s, dir), col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") > 0)
+        .select(
+          col("doc_id"),
+          col("w"),
+          explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as("st")
+        )
+        .select(
+          col("doc_id"),
+          (col("st") / lit(ChunkStride)).cast("int").as("chunk_id"),
+          size(slice(col("w"), col("st") + 1, lit(ChunkSize))).cast("long").as("n_chunk"),
+          md5(array_join(slice(col("w"), col("st") + 1, lit(ChunkSize)), " ")).as("chunk_md5")
+        )
+        .orderBy(col("doc_id"), col("chunk_id")))
   )
+
+  private val ChunkSize   = 64
+  private val ChunkStride = 48
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" ->
@@ -198,6 +256,24 @@ object TextQueries {
         """SELECT least(floor(round(least(n_tokens / 50.0, 1.0) * 0.5 * (CASE WHEN avg_len > 12.0 THEN 0.5 ELSE 1.0 END)
           |                        + least(stop_ratio / 0.05, 1.0) * 0.5, 4) * 10), 9)::INT AS bin,
           |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
-          |FROM stats GROUP BY 1 ORDER BY bin""".stripMargin)
+          |FROM stats GROUP BY 1 ORDER BY bin""".stripMargin),
+    "q56_tfidf" ->
+      raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+           | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           | dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           | n AS (SELECT count(*) AS n_docs FROM documents),
+           | scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+           |              round(tf.tf * ln(n.n_docs * 1.0 / dfx.df), 4) AS tfidf
+           |            FROM tf JOIN dfx USING (term) CROSS JOIN n)
+           |SELECT doc_id, term, tf, df, tfidf FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM scored)
+           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q57_chunks" ->
+      raw"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+           | st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS st FROM w WHERE len(ws) > 0)
+           |SELECT doc_id, (st // 48)::INT AS chunk_id,
+           |  len(ws[st+1 : least(st+64, len(ws))])::BIGINT AS n_chunk,
+           |  md5(array_to_string(ws[st+1 : least(st+64, len(ws))], ' ')) AS chunk_md5
+           |FROM st ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

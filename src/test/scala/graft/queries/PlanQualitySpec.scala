@@ -73,6 +73,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("md5"), plan.take(800))
   }
 
+  test("q55 quantization is a narrow pass: no shuffle except the output sort") {
+    // Codes/errors never leave their row — the only exchange in the plan is
+    // the final orderBy's range partitioning. A groupBy or join sneaking in
+    // would shuffle the whole embedding corpus at 100 TB.
+    val plan = executedPlan("q55_quantize_int8")
+    assert(!plan.contains("Exchange hashpartitioning"), "per-row op acquired a hash shuffle:\n" + plan.take(800))
+  }
+
+  test("q56 tf-idf broadcasts only the 1-row corpus count; tf-df joins shuffle on term") {
+    val plan = executedPlan("q56_tfidf")
+    // N is a broadcast scalar (vocab-sized df is NOT broadcast: it scales)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), "corpus-size join fell back to cartesian")
+  }
+
   test("q50 top-k is pushed below the shuffle (partial WindowGroupLimit) and scores with vector_cosine") {
     val plan = executedPlan("q50_cosine_topk")
     assert(plan.contains("vector_cosine"), plan.take(500))
