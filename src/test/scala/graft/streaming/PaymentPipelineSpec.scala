@@ -57,6 +57,35 @@ class PaymentPipelineSpec extends AnyFunSuite with SparkSpec {
     topo.stop()
   }
 
+  test("restart from checkpoint recovers state and does not re-emit committed batches") {
+    // The reference gets this from Kafka Streams' changelog-topic restore
+    // (RocksDB state rebuilt on rebalance/restart); the Spark twin is
+    // checkpoint recovery: offsets + state-store versions. Same source
+    // instance, same checkpoint — stop, restart, feed more data.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PaymentEvent]
+    val tmp   = Files.createTempDirectory("graft-restart").toString
+
+    val run1 = PaymentPipeline.start(input.toDF(), s"$tmp/ckpt", s"$tmp/sink")
+    input.addData(golden: _*)
+    run1.processAllAvailable()
+    assert(run1.store.get("ABC").contains(210L))
+    run1.stop()
+
+    val run2 = PaymentPipeline.start(input.toDF(), s"$tmp/ckpt", s"$tmp/sink")
+    input.addData(PaymentEvent("p7", 30L, "GBP", "DEF", "ABC", "BANK_RAILS_FOO"))
+    run2.processAllAvailable()
+    // State recovered: 210 from before the restart + 30 — NOT 30 from zero.
+    assert(run2.store.get("ABC").contains(240L), s"got ${run2.store.get("ABC")}")
+    assert(run2.store.get("XYZ").contains(800L), "untouched key lost across restart")
+
+    // Committed batches are not re-emitted: p1 still routed exactly once.
+    val foo = spark.read.parquet(s"$tmp/sink").filter($"topic" === "rails-foo-topic")
+    assert(foo.filter($"paymentId" === "p1").count() == 1, "committed batch replayed into the sink")
+    assert(foo.select("paymentId").as[String].collect().toSet == Set("p1", "p2", "p3", "p7"))
+    run2.stop()
+  }
+
   test("single-pass pipeline: one query feeds both sinks and the balance store") {
     implicit val sqlCtx = spark.sqlContext
     val input          = MemoryStream[PaymentEvent]
