@@ -15,13 +15,20 @@ final case class MediaRecord(
     content: Array[Byte]
 )
 
-/** Decoded per-object features (the output schema of the decode stage). */
+/** Decoded per-object features (the output schema of the decode stage).
+  * Fields are kind-specific where noted: `width`/`height` are image
+  * dimensions (0 for audio), `sample_rate`/`n_channels` are audio PCM
+  * parameters (0 for image/video), `n_frames` is video frames or audio
+  * sample frames (1 for images).
+  */
 final case class MediaFeatures(
     media_id: Long,
     kind: String,
     n_bytes: Long,
     width: Int,
     height: Int,
+    sample_rate: Int,
+    n_channels: Int,
     n_frames: Int,
     feature_hash: Long
 )
@@ -37,12 +44,15 @@ final case class MediaFeatures(
   * 16/20 after the 8-byte signature + IHDR chunk header) and BMP
   * BITMAPINFOHEADER width/height (little-endian at offsets 18/22; negative
   * height = top-down rows ⇒ abs) — fixed-offset byte reads that need no
-  * codec and work on any real PNG/BMP file. The synthetic image rows carry
-  * genuine headers (signature + IHDR / BITMAPFILEHEADER+BITMAPINFOHEADER,
-  * truncated after the header fields — no pixel data or CRC, which
-  * dimension decode never touches). What REMAINS stubbed: audio/video
-  * decode (no codecs in this container) uses a deterministic byte formula,
-  * loudly marked below. Everything around the boundary — schema, encoders,
+  * codec and work on any real PNG/BMP file. AUDIO is decoded for real too:
+  * the synthetic audio rows carry a genuine 44-byte canonical RIFF/WAVE
+  * PCM header ([[wavHeader]]) ahead of the payload, and [[decodeOne]]
+  * parses channels (LE16 @22), sample rate (LE32 @24), bit depth (LE16
+  * @34) and data size (LE32 @40) — the standard fmt/data layout any real
+  * PCM WAV file carries — deriving the sample-frame count from
+  * `dataSize / (channels * bits/8)`. What REMAINS stubbed: video decode
+  * (no codecs in this container) uses a deterministic byte formula, loudly
+  * marked below. Everything around the boundary — schema, encoders,
   * batching shape, partition parallelism, the query surface — is real, and
   * every path is a pure byte function so the driver oracle-checks the whole
   * pipeline in SQL.
@@ -82,7 +92,11 @@ object MediaPipeline {
             val h = (1 + (id * 7) % 512).toInt
             if (id % 6 == 0) MediaRecord(id, "image", "image/png", pngHeader(w, h))
             else MediaRecord(id, "image", "image/bmp", bmpHeader(w, h))
-          case "audio" => MediaRecord(id, "audio", "audio/wav", text.getBytes("UTF-8"))
+          case "audio" =>
+            val data = text.getBytes("UTF-8")
+            val rate = 8000 + (id % 8).toInt * 1000
+            val ch   = 1 + (id % 2).toInt
+            MediaRecord(id, "audio", "audio/wav", wavHeader(rate, ch, 16, data.length) ++ data)
           case "video" => MediaRecord(id, "video", "video/mp4", text.getBytes("UTF-8"))
         }
       }
@@ -107,6 +121,23 @@ object MediaPipeline {
       ++ leBytes(w) ++ leBytes(h)
       ++ Array[Byte](1, 0, 24, 0) ++ Array.fill[Byte](20)(0))
 
+  /** Canonical 44-byte RIFF/WAVE PCM header: RIFF chunk (size = 36 + data),
+    * `fmt ` subchunk (PCM, channels/rate/byte-rate/block-align/bits), `data`
+    * subchunk header. Exactly the layout `ffmpeg -f wav` or any recorder
+    * emits for plain PCM.
+    */
+  def wavHeader(sampleRate: Int, channels: Int, bits: Int, dataSize: Int): Array[Byte] = {
+    val byteRate   = sampleRate * channels * bits / 8
+    val blockAlign = channels * bits / 8
+    ("RIFF".getBytes("US-ASCII") ++ leBytes(36 + dataSize)
+      ++ "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++ leBytes(16)
+      ++ Array[Byte](1, 0) ++ Array[Byte](channels.toByte, (channels >>> 8).toByte)
+      ++ leBytes(sampleRate) ++ leBytes(byteRate)
+      ++ Array[Byte](blockAlign.toByte, (blockAlign >>> 8).toByte)
+      ++ Array[Byte](bits.toByte, (bits >>> 8).toByte)
+      ++ "data".getBytes("US-ASCII") ++ leBytes(dataSize))
+  }
+
   private def beBytes(v: Int): Array[Byte] =
     Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
 
@@ -127,30 +158,48 @@ object MediaPipeline {
   private def isBmp(b: Array[Byte]): Boolean =
     b.length >= 26 && b(0) == 'B' && b(1) == 'M'
 
-  /** Decode one record. Image dimensions are REAL fixed-offset header reads
-    * (PNG IHDR big-endian, BMP info-header little-endian with top-down
-    * negative-height handling). ===== STUB ===== for anything without a
-    * recognized image magic (audio/video — no codecs in this container):
-    * dimensions fall back to a deterministic byte formula. Frame count and
-    * the feature hash are pure byte functions on every path, which is what
-    * keeps the whole pipeline SQL-oracle-checkable.
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 44 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Decode one record. Image dimensions and WAV PCM parameters are REAL
+    * fixed-offset header reads (PNG IHDR big-endian, BMP info-header
+    * little-endian with top-down negative-height handling, RIFF/WAVE
+    * little-endian fmt/data fields). ===== STUB ===== for anything without
+    * a recognized magic (video — no codecs in this container): dimensions
+    * fall back to a deterministic byte formula. Frame count and the feature
+    * hash are pure byte functions on every path, which is what keeps the
+    * whole pipeline SQL-oracle-checkable.
     */
   private[multimodal] def decodeOne(m: MediaRecord): MediaFeatures = {
     val bytes = m.content
     val n     = bytes.length.toLong
-    val (width, height) =
-      if (isPng(bytes)) (beInt(bytes, 16), beInt(bytes, 20))
-      else if (isBmp(bytes)) (leInt(bytes, 18), math.abs(leInt(bytes, 22)))
-      else {
-        val first = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-        val last  = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else 0
-        (64 + (first % 64), 64 + (last % 64)) // STUB fallback — no codec
-      }
-    val frames = if (m.kind == "video") (1 + n % 30).toInt else 1
-    var h      = 0L
-    var i      = 0
+    var (width, height, rate, channels) = (0, 0, 0, 0)
+    var frames = 1
+    if (isPng(bytes)) { width = beInt(bytes, 16); height = beInt(bytes, 20) }
+    else if (isBmp(bytes)) { width = leInt(bytes, 18); height = math.abs(leInt(bytes, 22)) }
+    else if (isWav(bytes)) {
+      channels = leShort(bytes, 22)
+      rate = leInt(bytes, 24)
+      val bits     = leShort(bytes, 34)
+      val dataSize = leInt(bytes, 40)
+      val bytesPerFrame = math.max(1, channels * bits / 8)
+      frames = dataSize / bytesPerFrame // PCM sample frames
+    } else {
+      val first = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+      val last  = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else 0
+      width = 64 + (first % 64) // STUB fallback — no codec
+      height = 64 + (last % 64)
+      if (m.kind == "video") frames = (1 + n % 30).toInt
+    }
+    var h = 0L
+    var i = 0
     while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % 2147483647L; i += 1 }
-    MediaFeatures(m.media_id, m.kind, n, width, height, frames, h)
+    MediaFeatures(m.media_id, m.kind, n, width, height, rate, channels, frames, h)
   }
 
   /** Decode stage: batched mapPartitions (each task pulls

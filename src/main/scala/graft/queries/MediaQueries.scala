@@ -25,6 +25,8 @@ object MediaQueries {
           col("n_bytes"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_channels").cast("long").as("n_channels"),
           col("n_frames").cast("long").as("n_frames"),
           col("feature_hash")
         )
@@ -51,10 +53,11 @@ object MediaQueries {
         |  SELECT doc_id AS media_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |    text, 1 + doc_id % 512 AS w, 1 + (doc_id * 7) % 512 AS h,
-        |    (doc_id % 6 = 0) AS is_png
+        |    (doc_id % 6 = 0) AS is_png,
+        |    8000 + (doc_id % 8) * 1000 AS rate, 1 + doc_id % 2 AS ch, length(text) AS ds
         |  FROM documents),
         | b AS (
-        |  SELECT media_id, kind, w, h,
+        |  SELECT media_id, kind, w, h, rate, ch, ds,
         |    CASE
         |      WHEN kind = 'image' AND is_png THEN
         |        [137,80,78,71,13,10,26,10, 0,0,0,13, 73,72,68,82,
@@ -66,13 +69,24 @@ object MediaQueries {
         |         w % 256, w // 256 % 256, 0, 0,
         |         h % 256, h // 256 % 256, 0, 0,
         |         1,0,24,0] || [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0]
+        |      WHEN kind = 'audio' THEN
+        |        [82,73,70,70, (36+ds) % 256, (36+ds) // 256 % 256, (36+ds) // 65536 % 256, (36+ds) // 16777216 % 256,
+        |         87,65,86,69, 102,109,116,32, 16,0,0,0, 1,0, ch % 256, ch // 256 % 256,
+        |         rate % 256, rate // 256 % 256, rate // 65536 % 256, rate // 16777216 % 256,
+        |         (rate*ch*2) % 256, (rate*ch*2) // 256 % 256, (rate*ch*2) // 65536 % 256, (rate*ch*2) // 16777216 % 256,
+        |         (ch*2) % 256, (ch*2) // 256 % 256, 16,0, 100,97,116,97,
+        |         ds % 256, ds // 256 % 256, ds // 65536 % 256, ds // 16777216 % 256]
+        |        || list_transform(range(1, length(text)+1), i -> ord(substr(text, i::INT, 1))::BIGINT)
         |      ELSE list_transform(range(1, length(text)+1), i -> ord(substr(text, i::INT, 1))::BIGINT)
         |    END AS bl
         |  FROM m)
         |SELECT media_id, kind, len(bl)::BIGINT AS n_bytes,
-        |  (CASE WHEN kind = 'image' THEN w ELSE 64 + bl[1] % 64 END)::BIGINT AS width,
-        |  (CASE WHEN kind = 'image' THEN h ELSE 64 + bl[len(bl)] % 64 END)::BIGINT AS height,
-        |  (CASE WHEN kind = 'video' THEN 1 + len(bl) % 30 ELSE 1 END)::BIGINT AS n_frames,
+        |  (CASE WHEN kind = 'image' THEN w WHEN kind = 'audio' THEN 0 ELSE 64 + bl[1] % 64 END)::BIGINT AS width,
+        |  (CASE WHEN kind = 'image' THEN h WHEN kind = 'audio' THEN 0 ELSE 64 + bl[len(bl)] % 64 END)::BIGINT AS height,
+        |  (CASE WHEN kind = 'audio' THEN rate ELSE 0 END)::BIGINT AS sample_rate,
+        |  (CASE WHEN kind = 'audio' THEN ch ELSE 0 END)::BIGINT AS n_channels,
+        |  (CASE WHEN kind = 'video' THEN 1 + len(bl) % 30
+        |        WHEN kind = 'audio' THEN ds // (ch*2) ELSE 1 END)::BIGINT AS n_frames,
         |  list_reduce(list_prepend(0::BIGINT, list_transform(bl, x -> x::BIGINT)),
         |              (a, c) -> (a * 31 + c) % 2147483647) AS feature_hash
         |FROM b ORDER BY media_id""".stripMargin,

@@ -47,12 +47,28 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(topDown.width == 320 && topDown.height == 240)
   }
 
-  test("unrecognized magic falls back to the stub formula (audio/video boundary)") {
-    val f = MediaPipeline.decodeOne(rec(1, "audio", "hello world".getBytes("UTF-8")))
+  test("unrecognized magic falls back to the stub formula (video boundary)") {
+    val f = MediaPipeline.decodeOne(rec(1, "video", "hello world".getBytes("UTF-8")))
     assert(f.width == 64 + 'h' % 64 && f.height == 64 + 'd' % 64)
     // a 'BM' prefix shorter than the info header must not be parsed as BMP
-    val tiny = MediaPipeline.decodeOne(rec(2, "audio", "BM tiny".getBytes("UTF-8")))
+    val tiny = MediaPipeline.decodeOne(rec(2, "video", "BM tiny".getBytes("UTF-8")))
     assert(tiny.width == 64 + 'B' % 64 && tiny.height == 64 + 'y' % 64)
+  }
+
+  test("WAV header decode: PCM params read little-endian at fmt/data offsets, any real header shape") {
+    // CD stereo, 8k mono telephony, 48k/24-bit surround-ish — and rates
+    // crossing the 16-bit boundary (48000 and 96000 need the third LE byte)
+    Seq((44100, 2, 16, 1000), (8000, 1, 16, 11), (48000, 6, 24, 7200), (96000, 1, 8, 3)).foreach {
+      case (rate, ch, bits, ds) =>
+        val f = MediaPipeline.decodeOne(
+          rec(1, "audio", MediaPipeline.wavHeader(rate, ch, bits, ds) ++ Array.fill[Byte](ds)(7)))
+        assert(f.sample_rate == rate && f.n_channels == ch, s"($rate,$ch) → (${f.sample_rate},${f.n_channels})")
+        assert(f.n_frames == ds / (ch * bits / 8), s"frames ${f.n_frames}")
+        assert(f.width == 0 && f.height == 0, "image fields must stay zero for audio")
+    }
+    // a 'RIFF' prefix shorter than the 44-byte header must not be parsed as WAV
+    val tiny = MediaPipeline.decodeOne(rec(2, "audio", "RIFFxxxxWAVE".getBytes("UTF-8")))
+    assert(tiny.sample_rate == 0 && tiny.width == 64 + 'R' % 64)
   }
 
   test("batched decode handles partitions larger than the batch size") {
