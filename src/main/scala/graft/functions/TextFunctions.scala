@@ -139,4 +139,14 @@ object TextFunctions {
     */
   def minhashAgg(seed: Int, shingle: Column): Column =
     min(md5(concat(lit(s"$seed:"), shingle)))
+
+  /** The same MinHash value computed NARROW: an array fold over the per-row
+    * shingle array — no explode, no aggregation, no shuffle. Identical value
+    * to [[minhashAgg]] over the exploded rows (same md5 strings, same
+    * lexicographic min; min over the multiset = min over the set). Returns
+    * NULL for an empty shingle array — callers filter those rows, matching
+    * the exploded form where such docs simply produce no rows.
+    */
+  def minhashCol(seed: Int, shingles: Column): Column =
+    array_min(transform(shingles, s => md5(concat(lit(s"$seed:"), s))))
 }

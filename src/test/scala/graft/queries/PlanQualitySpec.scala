@@ -73,6 +73,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("md5"), plan.take(800))
   }
 
+  test("q41 minhash signatures are narrow folds: no aggregation, no shingle explode") {
+    // Signatures are per-row array folds (minhashCol). The only permitted
+    // exchanges are the small-scan spread (REPARTITION_BY_COL — the
+    // documented harness shim, Tables.spread) and the output sort; the
+    // only Generate is the bounded stack unpivot, never a shingle explode.
+    val plan = executedPlan("q41_minhash_sig")
+    assert(!plan.contains("HashAggregate"), "signature generation acquired an aggregation:\n" + plan.take(800))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 1, s"$hashExchanges hash exchanges (only the spread shim is allowed):\n" + plan.take(800))
+    assert("Generate ".r.findAllIn(plan).size == 1 && plan.contains("Generate stack"),
+      "unexpected explode in the signature path:\n" + plan.take(800))
+  }
+
   test("q55 quantization is a narrow pass: no shuffle except the output sort") {
     // Codes/errors never leave their row — the only exchange in the plan is
     // the final orderBy's range partitioning. A groupBy or join sneaking in
