@@ -42,4 +42,28 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     val lo = one("zorp").select(qualityScore($"text")).as[Double].head()
     assert(hi > lo && hi <= 1.0 && lo >= 0.0)
   }
+
+  test("minhashCol (narrow fold) equals minhashAgg (explode + groupBy) for every seed") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a b c d e f g h i j k l m n o p"),
+      (3L, "short doc here"),
+      (4L, "repeat repeat repeat repeat repeat repeat")
+    ).toDF("doc_id", "text")
+    val withSh = docs
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", shinglesOf($"w").as("sh"))
+      .filter(size($"sh") > 0)
+    val narrow = withSh
+      .select($"doc_id" +: (0 until 4).map(i => minhashCol(i, $"sh").as(s"mh$i")): _*)
+      .orderBy($"doc_id")
+      .collect()
+    val agged = withSh
+      .select($"doc_id", explode($"sh").as("shingle"))
+      .groupBy($"doc_id")
+      .agg(minhashAgg(0, $"shingle").as("mh0"), (1 until 4).map(i => minhashAgg(i, $"shingle").as(s"mh$i")): _*)
+      .orderBy($"doc_id")
+      .collect()
+    assert(narrow.map(_.toSeq).toSeq == agged.map(_.toSeq).toSeq)
+  }
 }
