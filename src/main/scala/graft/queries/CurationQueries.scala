@@ -28,11 +28,11 @@ object CurationQueries {
         .orderBy(col("label"))
     }),
 
-    // Stratified sample: 20% of embeddings per label, seeded — the
-    // class-balanced downsampling step of a curation pipeline. Sampling is
-    // engine-specific randomness, so this entry has NO oracle (driver
-    // records a rows-only check); determinism and per-stratum rates are
-    // asserted in CurationSpec.
+    // Stratified sample via the engine's sampler: 20% per label, seeded —
+    // demonstrates the `sampleBy` API. Engine-specific randomness, so NO
+    // oracle (driver records a rows-only check); determinism and per-stratum
+    // rates are asserted in CurationSpec. q64 is the reproducible,
+    // oracle-checked form.
     "q63_stratified_sample" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val fractions = (0 to 9).map(l => (l: Any) -> 0.2).toMap
@@ -41,6 +41,36 @@ object CurationQueries {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
     }),
+
+    // Deterministic hash sample: keep a row iff the first 16 bits of
+    // md5("label:vec_id") fall under rate × 2^16 — ~20% per stratum with a
+    // membership decision that is a pure row function. This is the form a
+    // 100 TB curation run actually ships: resampling is STABLE across
+    // engines, runs, retries, and repartitioning (no RNG state), the sample
+    // is a narrow filter (never materializes the stratum), and the exact
+    // member set is oracle-checkable.
+    "q64_hash_sample" -> ((s, dir) =>
+      Tables
+        .embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          col("label"),
+          md5(concat_ws(":", col("label"), col("vec_id"))).as("h")
+        )
+        .select(
+          col("vec_id"),
+          col("label"),
+          (0 until 4)
+            .map(i =>
+              (instr(lit("0123456789abcdef"), substring(col("h"), i + 1, 1)) - 1)
+                * lit(math.pow(16, 3 - i).toLong)
+            )
+            .reduce(_ + _)
+            .as("bucket")
+        )
+        .filter(col("bucket") < 13107) // 0.2 * 2^16
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))),
 
     // Exact interpolated percentiles per event type (Spark `percentile` ==
     // DuckDB `quantile_cont`, both linear interpolation over sorted values).
@@ -75,6 +105,15 @@ object CurationQueries {
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q64_hash_sample" ->
+      """WITH h AS (
+        |  SELECT vec_id, label, md5(label::VARCHAR || ':' || vec_id::VARCHAR) AS h FROM embeddings)
+        |SELECT vec_id, label FROM h
+        |WHERE (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) < 13107
+        |ORDER BY vec_id""".stripMargin
   )
 }
