@@ -230,6 +230,29 @@ object TpchQueries {
         .limit(20)
     }),
 
+    // TPC-H Q21 shape: suppliers solely to blame for a return on a
+    // multi-supplier order — EXISTS (another supplier on the order) as a
+    // LeftSemi and NOT EXISTS (another supplier with a return) as a
+    // LeftAnti, both equi self-joins on the fact table. The dimension join
+    // (supplier names) broadcasts; the semi/anti joins shuffle on orderkey
+    // and never duplicate fact rows (Catalyst keeps them semi/anti — the
+    // inner-join + distinct rewrite would).
+    "q83_blamed_suppliers" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val returned = l.filter(col("l_returnflag") === "R").select(col("l_orderkey"), col("l_suppkey"))
+      val others = l.select(col("l_orderkey").as("o_ok"), col("l_suppkey").as("o_sk"))
+      val otherReturns = returned.select(col("l_orderkey").as("r_ok"), col("l_suppkey").as("r_sk"))
+      returned
+        .join(others, col("l_orderkey") === col("o_ok") && col("l_suppkey") =!= col("o_sk"), "left_semi")
+        .join(otherReturns, col("l_orderkey") === col("r_ok") && col("l_suppkey") =!= col("r_sk"), "left_anti")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // TPC-H Q12-style — OR-of-ANDs predicate classes (complex boolean
     // pushdown) with grouped counts.
     "q76_or_predicates" -> ((s, dir) =>
@@ -434,6 +457,19 @@ object TpchQueries {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q83_blamed_suppliers" ->
+      """SELECT s_name, numwait FROM (
+        |  SELECT r.l_suppkey, count(*) AS numwait
+        |  FROM lineitem r
+        |  WHERE r.l_returnflag = 'R'
+        |    AND EXISTS (SELECT 1 FROM lineitem o
+        |                WHERE o.l_orderkey = r.l_orderkey AND o.l_suppkey <> r.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem o2
+        |                    WHERE o2.l_orderkey = r.l_orderkey AND o2.l_suppkey <> r.l_suppkey
+        |                      AND o2.l_returnflag = 'R')
+        |  GROUP BY r.l_suppkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q76_or_predicates" ->
       """SELECT l_linestatus, count(*) AS n FROM lineitem
         |WHERE (l_returnflag = 'A' AND l_quantity > 25)

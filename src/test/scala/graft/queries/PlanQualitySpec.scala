@@ -37,6 +37,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("LeftSemi"), plan.take(500))
   }
 
+  test("q83 keeps EXISTS/NOT-EXISTS as semi/anti joins; supplier dim broadcasts") {
+    val plan = executedPlan("q83_blamed_suppliers")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), "supplier dim join must broadcast:\n" + plan.take(800))
+  }
+
   test("flagship balance query is a two-phase aggregate (map-side partial combine)") {
     val plan = executedPlan("q09_balance")
     // partial_sum before the exchange, final sum after — one shuffle total.
