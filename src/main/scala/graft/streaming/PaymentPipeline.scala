@@ -168,13 +168,18 @@ object PaymentPipeline {
         "rails-bar-topic" -> (col("rails") === "BANK_RAILS_BAR")
       )
     )
+    // Native file sink, not foreachBatch-append: the sink's _spark_metadata
+    // transaction log records exactly which files each batch committed, so a
+    // crash-replayed batch overwrites instead of duplicating (foreachBatch
+    // with blind append would write the batch twice) and readers of sinkDir
+    // see only committed files. partitionBy("topic") keeps both outbound
+    // "topics" in one pass over the tagged union.
     val routing = routed.writeStream
       .queryName("graft-sink-routing")
+      .format("parquet")
+      .option("path", sinkDir)
       .option("checkpointLocation", s"$checkpointDir/routing")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("append").partitionBy("topic").parquet(sinkDir)
-        ()
-      }
+      .partitionBy("topic")
       .start()
 
     // O8+O9 — update-mode grouped sum; foreachBatch receives exactly the
