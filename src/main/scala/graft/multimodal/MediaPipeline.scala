@@ -158,10 +158,21 @@ object MediaPipeline {
   private def isBmp(b: Array[Byte]): Boolean =
     b.length >= 26 && b(0) == 'B' && b(1) == 'M'
 
+  /** True only for the canonical 44-byte PCM layout this parser reads:
+    * RIFF/WAVE magics AND the `fmt ` subchunk at offset 12 AND the `data`
+    * subchunk header at offset 36. Non-canonical real-world WAVs
+    * (WAVE_FORMAT_EXTENSIBLE's 40-byte fmt, LIST/INFO chunks before
+    * `data`) put other bytes at those offsets; reading them as PCM params
+    * would yield garbage, so they take the stub fallback instead. A full
+    * decoder walks the chunk list — that is codec-library territory.
+    */
   private def isWav(b: Array[Byte]): Boolean =
     b.length >= 44 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+      b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ' &&
+      leInt(b, 16) == 16 && // PCM fmt chunk size — extensible (40) falls back
+      b(36) == 'd' && b(37) == 'a' && b(38) == 't' && b(39) == 'a'
 
   private def leShort(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.TextFunctions.{qualityScore, rollingFingerprint}
+import graft.functions.TextFunctions.qualityScore
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   * operator trades horizon for bounded state, the standard production
   * compromise.)
   *
-  * The fingerprint is the Karp–Rabin rolling hash over the NORMALIZED text
-  * (lower/trim — the same normalization as batch q40), computed as a narrow
-  * column expression; the quality gate runs BEFORE dedup so junk never
-  * occupies state.
+  * The fingerprint is md5 over the NORMALIZED text (lower/trim — the same
+  * normalization as batch q40), computed as a narrow column expression; the
+  * quality gate runs BEFORE dedup so junk never occupies state. md5's 128
+  * bits matter here: dedup treats equal fingerprints as equal CONTENT, and a
+  * short hash (e.g. the 31-bit Karp–Rabin fingerprint of q33) would silently
+  * drop distinct documents on collision — by the birthday bound a 31-bit
+  * space reaches ~50% collision odds at only ~54k live fingerprints, whereas
+  * 128 bits stay collision-free at any realistic ingest volume.
   */
 object CurationStream {
 
@@ -36,7 +40,7 @@ object CurationStream {
   ): DataFrame =
     docs
       .filter(qualityScore(col("text")) >= minQuality)
-      .withColumn("fp", rollingFingerprint(lower(trim(col("text")))))
+      .withColumn("fp", md5(lower(trim(col("text")))))
       .withWatermark("ts", s"${lateness.toMillis} milliseconds")
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")

@@ -51,7 +51,9 @@ final class RestService(
 
   private def respondWith(ex: HttpExchange)(body: => (Int, String)): Unit =
     try {
-      val (status, text) = try body catch { case e: Throwable => (500, String.valueOf(e.getMessage)) }
+      val (status, text) =
+        try body
+        catch { case e: Throwable => (500, Option(e.getMessage).getOrElse(e.getClass.getName)) }
       val bytes          = text.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
       // contract quirk: a 404 with -1 means empty body (HttpServer API)

@@ -70,10 +70,16 @@ object StatefulBalances {
     * `processAllAvailable` never sees a quiescent stream.)
     *
     * Timeout mechanics (Spark contract): a key's deadline is
-    * `max(event time seen) + ttl`, re-armed on every batch with data
+    * `max(event time EVER seen) + ttl`, re-armed on every batch with data
     * (sliding); the timeout fires on the first trigger after the watermark
-    * passes the deadline where the key received no new data.
+    * passes the deadline where the key received no new data. The
+    * max-seen event time rides in the STATE, not just the batch: computing
+    * the deadline from the current batch alone would let one late event
+    * (admitted by a lateness allowance) move the deadline BACKWARD and
+    * evict an active key early.
     */
+  final case class BalanceState(balance: Long, maxSeenMs: Long)
+
   def runningBalancesTtl(
       payments: Dataset[TimedPayment],
       ttl: java.time.Duration,
@@ -83,29 +89,30 @@ object StatefulBalances {
     payments
       .withWatermark("ts", s"${lateness.toMillis} milliseconds")
       .groupByKey(_.payment.fromAccount)
-      .flatMapGroupsWithState[Long, BalanceUpdate](
+      .flatMapGroupsWithState[BalanceState, BalanceUpdate](
         OutputMode.Update(),
         GroupStateTimeout.EventTimeTimeout()
-      ) { (account: String, events: Iterator[TimedPayment], state: GroupState[Long]) =>
+      ) { (account: String, events: Iterator[TimedPayment], state: GroupState[BalanceState]) =>
         if (state.hasTimedOut) {
           state.remove() // evict; no tombstone — absence reads as 404
           Iterator.empty
         } else {
-          val prior = state.getOption.getOrElse(0L)
-          var lastSeen = Long.MinValue
-          var next     = prior
+          val prior = state.getOption.getOrElse(BalanceState(0L, Long.MinValue))
+          var lastSeen = prior.maxSeenMs
+          var next     = prior.balance
           events.foreach { tp =>
             next += tp.payment.amount
             lastSeen = math.max(lastSeen, tp.ts.getTime)
           }
           val fresh = !state.exists
-          state.update(next)
+          state.update(BalanceState(next, lastSeen))
           // deadline must sit strictly ahead of the current watermark — a
-          // key fed only late data still gets (watermark + 1ms, i.e. evict
-          // at the next watermark advance) rather than an exception
+          // key that has only ever seen late data still gets (watermark +
+          // 1ms, i.e. evict at the next watermark advance) rather than an
+          // exception
           state.setTimeoutTimestamp(
             math.max(lastSeen + ttl.toMillis, state.getCurrentWatermarkMs + 1L))
-          if (next != prior || fresh) Iterator.single(BalanceUpdate(account, next))
+          if (next != prior.balance || fresh) Iterator.single(BalanceUpdate(account, next))
           else Iterator.empty
         }
       }

@@ -69,6 +69,13 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
     // a 'RIFF' prefix shorter than the 44-byte header must not be parsed as WAV
     val tiny = MediaPipeline.decodeOne(rec(2, "audio", "RIFFxxxxWAVE".getBytes("UTF-8")))
     assert(tiny.sample_rate == 0 && tiny.width == 64 + 'R' % 64)
+    // WAVE_FORMAT_EXTENSIBLE-shaped header (fmt chunk size 40): offsets 36/40
+    // hold fmt-extension bytes, not the data header — must fall back to the
+    // stub, not parse garbage PCM params
+    val ext = MediaPipeline.wavHeader(44100, 2, 16, 100)
+    ext(16) = 40 // fmt chunk size -> extensible
+    val fExt = MediaPipeline.decodeOne(rec(3, "audio", ext ++ Array.fill[Byte](100)(1)))
+    assert(fExt.sample_rate == 0 && fExt.n_channels == 0, "extensible WAV parsed as canonical PCM")
   }
 
   test("batched decode handles partitions larger than the batch size") {

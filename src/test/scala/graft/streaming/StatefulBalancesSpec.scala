@@ -116,6 +116,47 @@ class StatefulBalancesSpec extends AnyFunSuite with SparkSpec {
     query.stop()
   }
 
+  test("runningBalancesTtl: a late event cannot move the eviction deadline backward") {
+    // The deadline is max(event time EVER seen) + ttl, held in state. If it
+    // were computed from the current batch alone, the late A@60s event in
+    // batch 2 would regress A's deadline from 130s to 90s and the watermark
+    // advance in batch 3 would evict an ACTIVE key.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulBalances.TimedPayment]
+    val tmp   = Files.createTempDirectory("graft-ttl-late").toString
+    val query = StatefulBalances
+      .runningBalancesTtl(
+        input.toDS(),
+        java.time.Duration.ofSeconds(30),
+        lateness = java.time.Duration.ofSeconds(60))
+      .writeStream
+      .queryName("ttl_late")
+      .outputMode("update")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory")
+      .start()
+
+    input.addData(tp(100, "p1", 100, "ABC")) // deadline = 100s + 30s = 130s
+    query.processAllAvailable()              // watermark -> 40s
+    input.addData(tp(60, "p2", 50, "ABC"))   // LATE but admitted (60s >= watermark 40s)
+    query.processAllAvailable()              // deadline must STAY 130s, balance 150
+    input.addData(tp(160, "p3", 70, "DEF"))  // watermark -> 100s; 100 < 130 -> ABC survives
+    query.processAllAvailable()
+    input.addData(tp(165, "p4", 25, "ABC")) // continues from 150 -> 175, NOT a 25 re-init
+    query.processAllAvailable()
+
+    val abc = spark
+      .table("ttl_late")
+      .as[StatefulBalances.BalanceUpdate]
+      .collect()
+      .filter(_.fromAccount == "ABC")
+      .map(_.balance)
+      .toSeq
+    assert(abc.contains(175L) && !abc.contains(25L),
+      s"late event regressed the TTL deadline and evicted an active key: $abc")
+    query.stop()
+  }
+
   test("runningBalancesTtl on RocksDB sustains a large key space (TTL bounds live state)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
