@@ -35,26 +35,33 @@ object Bench {
     // the second ROUND separates repeats by minutes, so a stall that
     // swallowed a query's adjacent reps has to recur at the same query
     // next round to survive the min.
+    // A rep that THROWS contributes no time: folding a fast failure into the
+    // min would silently deflate the total, so failed queries are excluded
+    // from `queries`/total and reported by name in `failed` instead.
     val names = SparkEntry.queries.keys.toSeq
-    val timed = (1 to 2).map { _ =>
-      names.map { name =>
-        val sec = (1 to 2).map { _ =>
+    val timed: Seq[Map[String, Double]] = (1 to 2).map { _ =>
+      names.flatMap { name =>
+        val okReps = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val ok =
+            try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+            catch { case scala.util.control.NonFatal(_) => false }
           val s = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
-          s
-        }.min
-        name -> sec
+          if (ok) Some(s) else None
+        }
+        okReps.minOption.map(name -> _)
       }.toMap
     }
-    val results = names.map(n => n -> timed.map(_(n)).min).toMap
+    val results = names.flatMap(n => timed.flatMap(_.get(n)).minOption.map(n -> _)).toMap
+    val failed  = names.filterNot(results.contains).sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // n_queries contextualizes the total: the registry grows round over
     // round, so the sum is only comparable per-query or per-count.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

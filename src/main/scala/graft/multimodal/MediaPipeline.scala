@@ -38,13 +38,15 @@ final case class MediaFeatures(
   * Scala analogue of `mapInPandas` (records stream through in bounded
   * batches; a real decoder would hand each batch to native code).
   *
-  * ===== STUB BOUNDARY (shrunk in round 2) =====
+  * ===== STUB BOUNDARY (shrunk again in round 3: video only) =====
   * IMAGE dimensions are decoded FOR REAL: [[decodeOne]] dispatches on the
   * container magic and reads PNG IHDR width/height (big-endian at offsets
-  * 16/20 after the 8-byte signature + IHDR chunk header) and BMP
+  * 16/20 after the 8-byte signature + IHDR chunk header), BMP
   * BITMAPINFOHEADER width/height (little-endian at offsets 18/22; negative
-  * height = top-down rows ⇒ abs) — fixed-offset byte reads that need no
-  * codec and work on any real PNG/BMP file. AUDIO is decoded for real too:
+  * height = top-down rows ⇒ abs), and JPEG SOF0–SOF15 height/width via the
+  * standard marker-segment walk ([[jpegDims]] — skips APP/EXIF/comment
+  * segments by declared length, no codec needed, works on any real
+  * baseline or progressive JPEG). AUDIO is decoded for real too:
   * the synthetic audio rows carry a genuine 44-byte canonical RIFF/WAVE
   * PCM header ([[wavHeader]]) ahead of the payload, and [[decodeOne]]
   * parses channels (LE16 @22), sample rate (LE32 @24), bit depth (LE16
@@ -73,11 +75,11 @@ object MediaPipeline {
   private val Kinds = Seq("image", "audio", "video")
 
   /** Synthesize a media table from `documents`. Image rows (doc_id % 3 == 0)
-    * carry GENUINE container headers — PNG (doc_id % 6 == 0) or BMP
-    * (otherwise) with dimensions derived from doc_id, so the real header
-    * parser in [[decodeOne]] is what the oracle checks. Audio/video rows
-    * carry the UTF-8 text bytes (the only payload bytes available in the
-    * harness), treated as opaque.
+    * carry GENUINE container headers — PNG (doc_id % 6 == 0), JPEG
+    * (doc_id % 12 == 3) or BMP (otherwise) with dimensions derived from
+    * doc_id, so the real header parsers in [[decodeOne]] are what the
+    * oracle checks. Audio/video rows carry the UTF-8 text bytes (the only
+    * payload bytes available in the harness), treated as opaque.
     */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -91,6 +93,7 @@ object MediaPipeline {
             val w = (1 + id % 512).toInt
             val h = (1 + (id * 7) % 512).toInt
             if (id % 6 == 0) MediaRecord(id, "image", "image/png", pngHeader(w, h))
+            else if (id % 12 == 3) MediaRecord(id, "image", "image/jpeg", jpegHeader(w, h))
             else MediaRecord(id, "image", "image/bmp", bmpHeader(w, h))
           case "audio" =>
             val data = text.getBytes("UTF-8")
@@ -138,6 +141,23 @@ object MediaPipeline {
       ++ "data".getBytes("US-ASCII") ++ leBytes(dataSize))
   }
 
+  /** Minimal-but-real JPEG/JFIF prefix: SOI, an APP0/JFIF segment (so the
+    * dimension walk must actually SKIP a marker segment by its declared
+    * length before reaching the frame header), then a baseline SOF0 with
+    * height/width big-endian and three components — byte-for-byte the
+    * layout every camera/encoder emits; entropy-coded data is omitted
+    * (dimension decode stops at SOF).
+    */
+  def jpegHeader(w: Int, h: Int): Array[Byte] =
+    (Array(0xff, 0xd8)                                        // SOI
+      ++ Array(0xff, 0xe0, 0x00, 0x10)                        // APP0, length 16
+      ++ "JFIF".getBytes("US-ASCII").map(_.toInt)
+      ++ Array(0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+      ++ Array(0xff, 0xc0, 0x00, 0x11, 0x08,                  // SOF0, length 17, 8-bit
+        (h >>> 8) & 0xff, h & 0xff, (w >>> 8) & 0xff, w & 0xff,
+        0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01))
+      .map(_.toByte)
+
   private def beBytes(v: Int): Array[Byte] =
     Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
 
@@ -177,20 +197,55 @@ object MediaPipeline {
   private def leShort(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
+  private def beShort(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** JPEG height/width via the standard marker-segment walk — a pure byte
+    * scan, no codec: from SOI, skip each segment by its declared big-endian
+    * length (APP0/EXIF/quant tables/comments — whatever the encoder wrote)
+    * until a frame header SOF0–SOF15 (excluding DHT 0xC4, JPG 0xC8, DAC
+    * 0xCC, which reuse the 0xC? range but aren't frames), then read
+    * height (BE16 @ payload+3) and width (BE16 @ payload+5). Works on
+    * baseline AND progressive (SOF2) files. Returns None — caller falls
+    * back to the stub — on anything malformed: no SOI, a non-marker byte
+    * where a marker belongs, SOS/EOI before any SOF, or truncation.
+    */
+  private[multimodal] def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      var j = i
+      while (j < b.length && (b(j) & 0xff) == 0xff) j += 1 // marker + fill bytes
+      if (j >= b.length) return None
+      val m = b(j) & 0xff
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+        return if (j + 8 <= b.length) Some((beShort(b, j + 6), beShort(b, j + 4))) else None
+      if (m == 0xda || m == 0xd9) return None // SOS/EOI reached without a frame header
+      if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) i = j + 1 // standalone markers: no length field
+      else {
+        if (j + 3 > b.length) return None
+        i = j + 1 + beShort(b, j + 1) // skip segment: length includes its own 2 bytes
+      }
+    }
+    None
+  }
+
   /** Decode one record. Image dimensions and WAV PCM parameters are REAL
-    * fixed-offset header reads (PNG IHDR big-endian, BMP info-header
-    * little-endian with top-down negative-height handling, RIFF/WAVE
+    * header reads (PNG IHDR big-endian, BMP info-header little-endian with
+    * top-down negative-height handling, JPEG SOF marker walk, RIFF/WAVE
     * little-endian fmt/data fields). ===== STUB ===== for anything without
-    * a recognized magic (video — no codecs in this container): dimensions
-    * fall back to a deterministic byte formula. Frame count and the feature
-    * hash are pure byte functions on every path, which is what keeps the
-    * whole pipeline SQL-oracle-checkable.
+    * a recognized container (video — no codecs in this container):
+    * dimensions fall back to a deterministic byte formula. Frame count and
+    * the feature hash are pure byte functions on every path, which is what
+    * keeps the whole pipeline SQL-oracle-checkable.
     */
   private[multimodal] def decodeOne(m: MediaRecord): MediaFeatures = {
     val bytes = m.content
     val n     = bytes.length.toLong
     var (width, height, rate, channels) = (0, 0, 0, 0)
     var frames = 1
+    lazy val jpegDim = jpegDims(bytes) // None unless a well-formed SOF is found
     if (isPng(bytes)) { width = beInt(bytes, 16); height = beInt(bytes, 20) }
     else if (isBmp(bytes)) { width = leInt(bytes, 18); height = math.abs(leInt(bytes, 22)) }
     else if (isWav(bytes)) {
@@ -199,7 +254,13 @@ object MediaPipeline {
       val bits     = leShort(bytes, 34)
       val dataSize = leInt(bytes, 40)
       val bytesPerFrame = math.max(1, channels * bits / 8)
-      frames = dataSize / bytesPerFrame // PCM sample frames
+      // clamp to the actual payload (data starts at 44 in the canonical
+      // layout): a truncated or lying header must not inflate — or negate —
+      // the frame count
+      frames = math.max(0, math.min(dataSize, bytes.length - 44)) / bytesPerFrame
+    } else if (jpegDim.isDefined) {
+      width = jpegDim.get._1
+      height = jpegDim.get._2
     } else {
       val first = if (bytes.nonEmpty) bytes(0) & 0xff else 0
       val last  = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else 0

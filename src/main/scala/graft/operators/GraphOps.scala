@@ -12,25 +12,48 @@ object GraphOps {
     *
     * comp(v) ← min(comp(v), min over neighbors comp(u)) until fixpoint. Each
     * round is two distributed joins + an aggregation; only the CONVERGENCE
-    * SCALAR (count of changed labels) reaches the driver, and
-    * `localCheckpoint` truncates the per-round lineage so plans don't grow
-    * with iterations (a cluster deployment would use reliable checkpointing).
+    * SCALAR (count of changed labels) reaches the driver, and a per-round
+    * checkpoint truncates the lineage so plans don't grow with iterations —
+    * reliable (`checkpointDir`) on a cluster, executor-local otherwise.
     * Rounds ≤ component diameter — near-dup clusters are shallow; `maxRounds`
     * is a runaway guard, not a correctness knob.
     *
     * @param nodes one column `id` (distinct node ids)
     * @param edges columns `src`, `dst` — UNDIRECTED input, pass each pair
     *              once; both directions are derived here
+    * @param checkpointDir when set, per-round checkpoints are RELIABLE
+    *              (written to this fault-tolerant path, surviving executor
+    *              loss — the cluster-deployment mode); when None, falls
+    *              back to `localCheckpoint` (executor-local blocks: fast,
+    *              but lineage is gone if an executor dies — fine for a
+    *              single-JVM harness, not for a 1000-executor run).
     * @return (`id`, `comp`)
+    *
+    * Algorithm note: min-label propagation needs O(component diameter)
+    * rounds — the right default for near-dup components, which are shallow
+    * (a cluster of variants of one page). For general graphs with deep
+    * components (chains, meshes), switch to large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    * which converges in O(log²) rounds at the cost of heavier per-round
+    * shuffles; the loop/driver-scalar structure here carries over as-is.
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxRounds: Int = 50,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    // reliable (HDFS/object-store) vs executor-local lineage truncation
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // Materialize the edge pipeline ONCE before deriving both directions:
     // building the symmetric closure straight off `edges` would evaluate
     // the (potentially expensive — q47 feeds the whole LSH candidate
     // pipeline in here) upstream plan twice, racing its own cache fill.
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = ckpt(edges.select(col("src"), col("dst")))
     val sym = e.union(e.select(col("dst"), col("src")).toDF("src", "dst")).persist()
-    var labels  = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var labels  = ckpt(nodes.select(col("id"), col("id").as("comp")))
     var changed = 1L
     var rounds  = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -41,14 +64,15 @@ object GraphOps {
         .withColumnRenamed("src", "id")
       // carry the previous label through the checkpoint so the convergence
       // count is a scan of `next`, not another join against `labels`
-      val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("next_comp"),
-          col("comp").as("prev")
-        )
-        .localCheckpoint()
+      val next = ckpt(
+        labels
+          .join(neighborMin, Seq("id"), "left")
+          .select(
+            col("id"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("next_comp"),
+            col("comp").as("prev")
+          )
+      )
       changed = next.filter(col("next_comp") =!= col("prev")).count()
       labels = next.select(col("id"), col("next_comp").as("comp"))
       rounds += 1

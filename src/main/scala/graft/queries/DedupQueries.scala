@@ -30,7 +30,27 @@ object DedupQueries {
   private val JaccardThreshold = 0.5
   private val NumHashes        = 8 // MinHash signature length
   private val RowsPerBand      = 2 // → 4 bands; P(candidate | j=0.9) ≈ 0.999
-  private val HammingMax       = 3 // q48: 4 bands of 8 bits guarantee recall for ≤ 3 flipped bits
+  private val HammingMax       = 3 // q48 near-dup bound on fingerprint Hamming distance
+
+  /** SimHash production shape (q44/q48): a 60-bit fingerprint split into 4
+    * pigeonhole bands of 15 bits → 2^15 = 32,768 buckets per band, so bucket
+    * occupancy — and the Σ bucket² candidate cost — stays flat as the corpus
+    * grows (vs 256 buckets/band for the naive 32-bit/8-bit split, which is
+    * n²/256 — still quadratic). 60 bits (not 64) because bit 63 flips the
+    * sign of a Spark `LongType` / DuckDB `BIGINT`, and every `pow(2, b)`
+    * term must stay exactly representable as a double (powers of two are
+    * exact up to 2^1023, but the SUM must fit a signed 64-bit int: Σ 2^b for
+    * b < 60 = 2^60 − 1 < 2^63). The pigeonhole recall bound needs only
+    * bands > HammingMax: a pair within Hamming ≤ 3 differs in at most 3
+    * bands, so at least one of the 4 bands matches exactly — blocking is
+    * lossless for the bound at ANY band width (proven by q48's brute-force
+    * all-pairs oracle).
+    */
+  private val SimHashBits     = 60
+  private val SimHashBands    = 4
+  private val SimHashBandBits = SimHashBits / SimHashBands // 15 → 32,768 buckets/band
+  require(SimHashBands > HammingMax, "pigeonhole recall needs more bands than flipped bits")
+  require(SimHashBands * SimHashBandBits == SimHashBits, "bands must tile the fingerprint")
 
   /** Distinct word-3-shingles per document. Callers that consume this more
     * than once (the LSH and Jaccard joins) persist it — the 100 TB analogue
@@ -228,34 +248,39 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // SimHash (32-bit, md5 bit source, term-frequency weighted) — near-dup
+    // SimHash (60-bit, md5 bit source, term-frequency weighted) — near-dup
     // fingerprint whose Hamming distance approximates cosine similarity.
+    // Width/band parameters documented at [[SimHashBits]].
     "q44_simhash" -> ((s, dir) => simhashOf(s, dir).orderBy(col("doc_id"))),
 
-    // SimHash near-dup pairs: Hamming(simhash_a, simhash_b) <= 3, found by
-    // PIGEONHOLE BAND BLOCKING — split the 32-bit fingerprint into 4 bytes;
-    // any pair within Hamming 3 differs in at most 3 bytes, so at least one
-    // byte matches exactly (the ORACLE is the brute-force all-pairs scan,
-    // so the hash match proves blocking recall is lossless). Candidates
-    // come from an equi self-join on (band, byte value) — the same
-    // individual-rows-shuffle shape as q42's LSH banding, never a bucket
-    // collect — then the exact Hamming distance (bit_count of xor)
-    // verifies. Completes the SimHash story: q44 builds the fingerprint,
-    // q48 uses it.
+    // SimHash near-dup pairs: Hamming(simhash_a, simhash_b) <= HammingMax,
+    // found by PIGEONHOLE BAND BLOCKING — split the 60-bit fingerprint into
+    // 4 bands of 15 bits; any pair within Hamming 3 differs in at most 3
+    // bands, so at least one band matches exactly (the ORACLE is the
+    // brute-force all-pairs scan, so the hash match proves blocking recall
+    // is lossless). Candidates come from an equi self-join on (band, band
+    // value) — the same individual-rows-shuffle shape as q42's LSH banding,
+    // never a bucket collect — then the exact Hamming distance (bit_count
+    // of xor) verifies. Completes the SimHash story: q44 builds the
+    // fingerprint, q48 uses it. 15-bit bands give 32,768 buckets per band,
+    // so candidate generation stays sub-quadratic as the corpus scales
+    // (rationale at [[SimHashBits]]).
     //
-    // Scale note: 8-bit bands give only 256 buckets per band, so bucket
-    // sizes — and the Σ bucket² candidate cost — grow linearly with corpus
-    // size. A 100 TB run uses a 64-bit fingerprint with 16-bit bands (65536
-    // buckets/band, same pigeonhole bound for Hamming <= 3); the 32-bit/4-
-    // band choice here mirrors the oracle's portable integer range.
+    // bandRows is persisted to feed both join sides off one computation of
+    // the fingerprints; the harness drops it via spark.catalog.clearCache()
+    // between queries (Verify.scala:28, Bench.scala:45) — long-lived
+    // sessions embedding this query should unpersist after materializing.
     "q48_simhash_neardup" -> ((s, dir) => {
       val sh = simhashOf(s, dir)
       val bandRows = sh
         .select(
           col("doc_id"),
           col("simhash"),
-          explode(array((0 until 4).map { b =>
-            struct(lit(b).as("band"), (shiftright(col("simhash"), 8 * b) % 256).as("bv"))
+          explode(array((0 until SimHashBands).map { b =>
+            struct(
+              lit(b).as("band"),
+              (shiftright(col("simhash"), SimHashBandBits * b) % (1L << SimHashBandBits)).as("bv")
+            )
           }: _*)).as("bs")
         )
         .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bv").as("bv"))
@@ -287,7 +312,7 @@ object DedupQueries {
       .select(col("tok"))
       .distinct()
       .withColumn("h", md5(col("tok")))
-      .select(col("tok"), explode(sequence(lit(0), lit(31))).as("b"), col("h"))
+      .select(col("tok"), explode(sequence(lit(0), lit(SimHashBits - 1))).as("b"), col("h"))
       // hex digit (4 bits) holding bit b, then the bit itself — portable
       // integer arithmetic only (same text in the DuckDB oracle).
       // NB: integer division must be explicit (DIV / //): DuckDB's
@@ -390,7 +415,7 @@ object DedupQueries {
          | dict AS (SELECT tok, b,
          |            ((strpos('0123456789abcdef', substr(md5(tok), (b // 4) + 1, 1)) - 1)
          |              // (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 AS bit
-         |          FROM dict0 CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+         |          FROM dict0 CROSS JOIN (SELECT unnest(range(0, $SimHashBits)) AS b)),
          | dirs AS (SELECT doc_id, b, sum(cnt * (bit * 2 - 1)) AS sdir
          |          FROM dt JOIN dict USING (tok) GROUP BY 1, 2),
          | fp AS (SELECT doc_id,

@@ -43,18 +43,22 @@ object MediaQueries {
         .orderBy(col("kind"), col("mime")))
   )
 
-  // The oracle rebuilds the exact bytes the Spark side synthesizes — PNG/BMP
-  // headers as integer lists (a pure doc_id formula), text bytes via ord() —
-  // then applies the same feature formulas, so the REAL header parse is what
-  // gets cross-checked.
+  // The oracle rebuilds the exact bytes the Spark side synthesizes —
+  // PNG/BMP/JPEG headers as integer lists (a pure doc_id formula), text
+  // bytes via ord() — then applies the same feature formulas, so the REAL
+  // header parse is what gets cross-checked. ds uses strlen() (BYTE length,
+  // matching Spark's getBytes("UTF-8").length in the WAV header); the
+  // ord()-per-character byte list additionally assumes the synthetic corpus
+  // is ASCII (asserted by MediaPipelineSpec's corpus-is-ascii test —
+  // non-ASCII text would need a per-byte UTF-8 encoder in SQL).
   val oracles: Map[String, String] = Map(
     "q60_media_features" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |    text, 1 + doc_id % 512 AS w, 1 + (doc_id * 7) % 512 AS h,
-        |    (doc_id % 6 = 0) AS is_png,
-        |    8000 + (doc_id % 8) * 1000 AS rate, 1 + doc_id % 2 AS ch, length(text) AS ds
+        |    (doc_id % 6 = 0) AS is_png, (doc_id % 12 = 3) AS is_jpeg,
+        |    8000 + (doc_id % 8) * 1000 AS rate, 1 + doc_id % 2 AS ch, strlen(text) AS ds
         |  FROM documents),
         | b AS (
         |  SELECT media_id, kind, w, h, rate, ch, ds,
@@ -64,6 +68,10 @@ object MediaQueries {
         |         w // 16777216 % 256, w // 65536 % 256, w // 256 % 256, w % 256,
         |         h // 16777216 % 256, h // 65536 % 256, h // 256 % 256, h % 256,
         |         8,2,0,0,0]
+        |      WHEN kind = 'image' AND is_jpeg THEN
+        |        [255,216, 255,224,0,16, 74,70,73,70,0, 1,1, 0, 0,1, 0,1, 0,0,
+        |         255,192,0,17,8, h // 256 % 256, h % 256, w // 256 % 256, w % 256,
+        |         3, 1,34,0, 2,17,1, 3,17,1]
         |      WHEN kind = 'image' THEN
         |        [66,77, 54,0,0,0, 0,0,0,0, 54,0,0,0, 40,0,0,0,
         |         w % 256, w // 256 % 256, 0, 0,
@@ -92,7 +100,8 @@ object MediaQueries {
         |FROM b ORDER BY media_id""".stripMargin,
     "q61_media_meta" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CASE WHEN doc_id % 6 = 0 THEN 'image/png' WHEN doc_id % 3 = 0 THEN 'image/bmp'
+        |  CASE WHEN doc_id % 6 = 0 THEN 'image/png' WHEN doc_id % 12 = 3 THEN 'image/jpeg'
+        |       WHEN doc_id % 3 = 0 THEN 'image/bmp'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
         |  count(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY kind, mime""".stripMargin

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.TextFunctions.qualityScore
+import graft.functions.TextFunctions.{minhashCol, qualityScore, shinglesOf, tokens}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -44,4 +44,81 @@ object CurationStream {
       .withWatermark("ts", s"${lateness.toMillis} milliseconds")
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
+
+  /** NEAR-dup streaming curation — the ingest-time twin of the batch
+    * MinHash-LSH pipeline (q42): a document is dropped when ANY of its LSH
+    * band signatures was already seen within the watermark horizon
+    * (exactly q42's candidate rule, first-wins; the exact-Jaccard
+    * verification step is the documented precision trade of ingest-time
+    * blocking — a colliding band flags the pair, and at banding
+    * P(band collision | J) = J^rowsPerBand, false flags are rare and
+    * recoverable by a batch audit).
+    *
+    * Execution shape — all narrow until the stateful operators:
+    *   1. quality gate, then per-row MinHash band signatures as COLUMN
+    *      folds (no explode/shuffle — the q41 signature shape);
+    *   2. explode to (doc, band, sig) rows and
+    *      `dropDuplicatesWithinWatermark(band, sig)`: per-BUCKET first-wins
+    *      keyed state, bounded by the watermark exactly like [[curate]];
+    *   3. a windowed per-doc count of SURVIVING band rows: a doc is emitted
+    *      iff all `bands` of its rows were bucket-firsts — i.e. no band
+    *      collided with an earlier doc. (Chained stateful operators in
+    *      append mode; the result becomes final — and is emitted — when
+    *      the watermark passes its window.)
+    *
+    * State is ∝ distinct band signatures in the ingest window + open
+    * windows — both watermark-bounded; nothing grows with corpus history.
+    *
+    * Docs with fewer than 3 tokens have no shingles (no near-dup identity);
+    * they pass the quality gate unexamined via a union.
+    *
+    * @param docs     streaming frame with (doc_id LONG, ts TIMESTAMP,
+    *                 text STRING) columns
+    * @param lateness watermark delay = the near-dup horizon
+    * @param window   tumbling finalization window for the per-doc verdict;
+    *                 output latency is `lateness` + up to one `window`
+    */
+  def curateNearDup(
+      docs: DataFrame,
+      lateness: java.time.Duration,
+      minQuality: Double = 0.5,
+      window: String = "1 minute"
+  ): DataFrame = {
+    val numHashes   = 8
+    val rowsPerBand = 2
+    val nBands      = numHashes / rowsPerBand
+
+    val gated = docs
+      .filter(qualityScore(col("text")) >= minQuality)
+      .withWatermark("ts", s"${lateness.toMillis} milliseconds")
+      .withColumn("w", tokens(col("text")))
+
+    val shingled = gated
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", shinglesOf(col("w")))
+    val withSigs = (0 until numHashes)
+      .foldLeft(shingled)((df, i) => df.withColumn(s"mh$i", minhashCol(i, col("sh"))))
+    val bandCols = (0 until nBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("sig"))
+    }
+    val deduped = withSigs
+      .select(col("doc_id"), col("ts"), col("text"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("ts"), col("text"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .dropDuplicatesWithinWatermark("band", "sig")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("doc_id"), col("ts"), col("text"))
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") === nBands) // every band was first in its bucket
+      .select(col("doc_id"), col("ts"), col("text"))
+
+    // shingle-less short docs: no near-dup identity — pass through (their
+    // verdict needs no window, but unioned branches share the output mode)
+    val short = gated
+      .filter(size(col("w")) < 3)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("doc_id"), col("ts"), col("text"))
+      .agg(count(lit(1)).as("nb"))
+      .select(col("doc_id"), col("ts"), col("text"))
+
+    deduped.unionByName(short)
+  }
 }

@@ -43,8 +43,33 @@ object PaymentPipeline {
     * `KafkaStreamsPaymentIntegrationTest.java:185-188`). Replayed batches
     * re-append identical rows under the same batch_id — the last-wins read
     * is idempotent to that.
+    *
+    * The changelog is COMPACTED every `compactEvery` batches: the table is
+    * rewritten to latest-per-key, so `get()` reads O(live keys) + at most
+    * `compactEvery` batch appends — bounded — instead of every historical
+    * version of every key (unbounded file listing + footer reads on a
+    * long-running stream). Compaction keeps the (key, value, batch_id)
+    * contract: each surviving row carries the batch_id that produced it, so
+    * reads concurrent with a compaction see either the old rows, the
+    * compacted row, or both — identical (key, value, batch_id) content
+    * either way, and `max_by(balance, batch_id)` is tie-stable on
+    * duplicates. A production deployment maps this 1:1 onto Delta/Iceberg
+    * MERGE + OPTIMIZE with snapshot-isolated reads (here, plain parquet on
+    * a local FS: a read that lists a file the compactor deletes mid-scan
+    * would need `spark.sql.files.ignoreMissingFiles` — the harness drives
+    * batches and lookups from one thread).
+    *
+    * @param compactEvery rewrite cadence in batches; <= 0 disables.
+    * @param compactPartitions output files per compaction — sized here for
+    *        tiny local state; a 100 TB deployment sizes it to live-key
+    *        volume / 128 MB (or lets Delta OPTIMIZE pick).
     */
-  final class BalanceStore(spark: SparkSession, dir: String) {
+  final class BalanceStore(
+      spark: SparkSession,
+      dir: String,
+      compactEvery: Long = 16L,
+      compactPartitions: Int = 1
+  ) {
 
     private val schema = "fromAccount STRING, balance BIGINT, batch_id BIGINT"
 
@@ -80,13 +105,44 @@ object PaymentPipeline {
         )
         .getOrElse(Map.empty)
 
-    private[streaming] def append(batch: Dataset[Row], batchId: Long): Unit =
+    private[streaming] def append(batch: Dataset[Row], batchId: Long): Unit = {
       batch
         .select(col("fromAccount"), col("balance"))
         .withColumn("batch_id", lit(batchId))
         .write
         .mode("append")
         .parquet(dir)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) compact()
+    }
+
+    /** Rewrite the changelog to latest-per-key (see class doc). Safe order:
+      * snapshot the current data files, append the compacted rows (the scan
+      * plans against the snapshot — the new file doesn't exist yet), then
+      * delete the snapshot. Every intermediate state serves correct reads.
+      */
+    def compact(): Unit = changelog.foreach { log =>
+      val old = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      log
+        .groupBy(col("fromAccount"))
+        .agg(
+          max_by(col("balance"), col("batch_id")).as("balance"),
+          max(col("batch_id")).as("batch_id")
+        )
+        .coalesce(compactPartitions)
+        .write
+        .mode("append")
+        .parquet(dir)
+      old.foreach(_.delete())
+    }
+
+    /** Data files currently in the changelog directory (test/ops surface —
+      * the boundedness compaction guarantees is asserted on this).
+      */
+    def dataFileCount: Int = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.startsWith("part-"))
   }
 
   /** Delta-changelog variant for [[startSinglePass]]: rows are per-batch
@@ -149,11 +205,18 @@ object PaymentPipeline {
     *                 `sinkDir/topic=rails-foo-topic/` etc. as parquet —
     *                 one partitioned write per micro-batch (single pass over
     *                 the tagged union, no per-branch re-scan).
+    * @param compactEvery balance-changelog compaction cadence (batches);
+    *                 see [[BalanceStore]].
     */
-  def start(payments: DataFrame, checkpointDir: String, sinkDir: String): RunningTopology = {
+  def start(
+      payments: DataFrame,
+      checkpointDir: String,
+      sinkDir: String,
+      compactEvery: Long = 16L
+  ): RunningTopology = {
     // underscore prefix ⇒ invisible to data reads of sinkDir (Spark's
     // hidden-path convention), so one output root serves both surfaces
-    val store = new BalanceStore(payments.sparkSession, s"$sinkDir/_balance_state")
+    val store = new BalanceStore(payments.sparkSession, s"$sinkDir/_balance_state", compactEvery)
 
     val supported     = PaymentOps.railsFilter(payments)
     val Seq(gbp, usd) = PaymentOps.branchByCurrency(supported)

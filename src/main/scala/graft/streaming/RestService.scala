@@ -31,6 +31,15 @@ final class RestService(
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
 
+  // Small worker pool: without one the JDK server runs every handler on its
+  // single dispatcher thread, serializing all lookups behind one Spark job.
+  // Daemon threads so an un-stopped service never pins the JVM.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    4,
+    (r: Runnable) => { val t = new Thread(r, "graft-rest"); t.setDaemon(true); t }
+  )
+  server.setExecutor(pool)
+
   private val BalancePath = "/v1/kafka-streams/balance/"
 
   server.createContext(
@@ -49,11 +58,19 @@ final class RestService(
     (ex: HttpExchange) => respondWith(ex)((200, describeTopology()))
   )
 
+  /** Handler exceptions map to a GENERIC 500 — the exception is logged, not
+    * serialized into the body (internal detail leakage), and fatal JVM errors
+    * (OOM, thread death) propagate rather than masquerade as an HTTP status.
+    */
   private def respondWith(ex: HttpExchange)(body: => (Int, String)): Unit =
     try {
       val (status, text) =
         try body
-        catch { case e: Throwable => (500, Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[RestService] ${ex.getRequestURI}: $e")
+            (500, "internal server error")
+        }
       val bytes          = text.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
       // contract quirk: a 404 with -1 means empty body (HttpServer API)
@@ -66,7 +83,7 @@ final class RestService(
   /** Bound port (after start; useful with port=0). */
   def boundPort: Int = server.getAddress.getPort
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
 
 object RestService {

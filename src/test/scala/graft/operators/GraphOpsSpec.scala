@@ -28,6 +28,27 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     assert(comp.values.forall(_ == 1L))
   }
 
+  test("reliable checkpointing: a deep chain (many rounds) converges with checkpointDir set") {
+    // depth 12 -> well past 2 rounds of label propagation, every round
+    // re-checkpointed to the reliable dir (the cluster-deployment mode);
+    // result must be identical to the localCheckpoint path.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val n   = 12L
+    val comp = GraphOps
+      .connectedComponents(
+        (1L to n).toDF("id"),
+        (1L until n).map(i => (i, i + 1)).toDF("src", "dst"),
+        checkpointDir = Some(dir)
+      )
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(comp.values.forall(_ == 1L), s"deep chain not closed: $comp")
+    // the reliable checkpoints actually landed on disk
+    val files = new java.io.File(dir).listFiles()
+    assert(files != null && files.nonEmpty, "no reliable checkpoint written")
+  }
+
   test("multiple components, edge direction irrelevant, singletons survive") {
     val comp = components(
       Seq(1L, 2L, 3L, 10L, 11L, 12L, 50L),

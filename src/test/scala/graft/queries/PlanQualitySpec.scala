@@ -62,6 +62,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q48 simhash blocking ships the production shape: wide bands, pair expansion via self-join") {
+    val plan = SparkEntry.queries("q48_simhash_neardup")(spark, dir).queryExecution.optimizedPlan.toString
+    // candidates are an equi self-join on (band, band-value) — a collect_list
+    // of a bucket would put its whole pair expansion into one task
+    assert(!plan.contains("collect_list"), s"q48 materializes buckets:\n" + plan.take(800))
+    // the 15-bit band extraction (% 32768 = 2^15 buckets/band) — the 256-
+    // bucket 8-bit shape grows candidates quadratically with corpus size
+    assert(plan.contains("32768"), "band width regressed from the 15-bit production shape:\n" + plan.take(800))
+  }
+
   test("q51 centroids aggregate per-dimension scalars, never whole clusters") {
     // The coarse quantizer must shuffle (label, pos, value) scalars — a
     // collect_list over (vec_id, embedding) puts an entire cluster into one

@@ -48,6 +48,107 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
     query.stop()
   }
 
+  test("streaming NEAR-dup curation: LSH band collisions drop within the watermark, pass outside it") {
+    implicit val sqlCtx = spark.sqlContext
+    val base   = goodText                                      // 50 tokens, 5 distinct shingles
+    val nearA  = goodText + " wobble"                          // NOT byte-identical: shares shingles
+    val other  = Seq.fill(10)("a slow green turtle walks").mkString(" ")
+    val other2 = Seq.fill(10)("the tiny red crab swims").mkString(" ")
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val tmp   = Files.createTempDirectory("graft-neardup").toString
+    val query = CurationStream
+      .curateNearDup(
+        input.toDF().toDF("doc_id", "ts", "text"),
+        lateness = java.time.Duration.ofMinutes(2),
+        window = "1 minute"
+      )
+      .writeStream
+      .queryName("neardup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory")
+      .start()
+
+    input.addData(doc(1, 60, base))
+    query.processAllAvailable()
+    // cross-batch NEAR duplicate (extra trailing token, same band buckets)
+    // inside the horizon, plus genuinely distinct content
+    input.addData(doc(2, 70, nearA), doc(3, 80, other))
+    query.processAllAvailable()
+    // advance the watermark to 480s: band-signature state from t<=360 evicts
+    input.addData(doc(6, 600, other2))
+    query.processAllAvailable()
+    // the same near-dup content again — ORIGINAL's state is beyond the
+    // horizon now, so it must pass (the bounded-state contract)
+    input.addData(doc(7, 700, nearA))
+    query.processAllAvailable()
+    // flush: push the watermark far past every open window so verdicts emit
+    input.addData(doc(9, 4000, other))
+    query.processAllAvailable()
+
+    val ids = spark.table("neardup_stream").select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(1L), "original must pass")
+    assert(!ids.contains(2L), "near-duplicate (not byte-identical) within the watermark must drop")
+    assert(ids.contains(3L), "distinct content must pass")
+    assert(ids.contains(6L), "distinct content must pass")
+    assert(ids.contains(7L), "near-duplicate arriving outside the horizon must pass (state evicted)")
+    query.stop()
+  }
+
+  test("near-dup curation: quality gate runs before LSH state; short docs pass through") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val tmp   = Files.createTempDirectory("graft-neardup-gate").toString
+    val query = CurationStream
+      .curateNearDup(
+        input.toDF().toDF("doc_id", "ts", "text"),
+        lateness = java.time.Duration.ofMinutes(2),
+        window = "1 minute"
+      )
+      .writeStream
+      .queryName("neardup_gate")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory")
+      .start()
+
+    // junk fails the gate and never occupies LSH state
+    input.addData(doc(1, 60, junkText), doc(2, 70, goodText))
+    query.processAllAvailable()
+    input.addData(doc(9, 4000, goodText + " flush"))
+    query.processAllAvailable()
+    val ids = spark.table("neardup_gate").select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(1L), "junk must not pass the quality gate (nor occupy LSH state)")
+    assert(ids.contains(2L), "good doc must pass")
+    query.stop()
+
+    // shingle-less pass-through with the gate lowered
+    val input2 = MemoryStream[(Long, Timestamp, String)]
+    val tmp2   = Files.createTempDirectory("graft-neardup-short").toString
+    val query2 = CurationStream
+      .curateNearDup(
+        input2.toDF().toDF("doc_id", "ts", "text"),
+        lateness = java.time.Duration.ofMinutes(2),
+        minQuality = 0.0,
+        window = "1 minute"
+      )
+      .writeStream
+      .queryName("neardup_short")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp2/ckpt")
+      .format("memory")
+      .start()
+    input2.addData(doc(1, 60, "two tokens"), doc(2, 70, goodText))
+    query2.processAllAvailable()
+    input2.addData(doc(9, 4000, goodText + " flush"))
+    query2.processAllAvailable()
+    val ids2 = spark.table("neardup_short").select("doc_id").as[Long].collect().toSet
+    assert(ids2.contains(1L), "shingle-less doc must pass through the union branch")
+    assert(ids2.contains(2L))
+    query2.stop()
+  }
+
   test("normalization: case/whitespace variants collapse to one fingerprint (batch q40 parity)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]

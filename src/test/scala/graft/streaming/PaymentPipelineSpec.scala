@@ -121,6 +121,40 @@ class PaymentPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(delta.get("NOPE").isEmpty)
   }
 
+  test("changelog compaction bounds the store's read path across many batches") {
+    // 13 direct appends (exactly what the stream's foreachBatch issues) with
+    // compaction every 4 batches: correctness must survive each rewrite and
+    // the data-file count must be bounded by the cadence, not batch count.
+    val tmp   = Files.createTempDirectory("graft-compact").toString
+    val store = new PaymentPipeline.BalanceStore(spark, s"$tmp/totals", compactEvery = 4L)
+    val accounts = Seq("ABC", "XYZ", "DEF")
+    (0L to 12L).foreach { b =>
+      // rotate accounts so compactions interleave touched and untouched keys
+      val acct = accounts((b % 3).toInt)
+      store.append(Seq((acct, 100L * (b + 1))).toDF("fromAccount", "balance"), b)
+    }
+    // latest per key: ABC last wrote at b=12 (1300), XYZ at b=10 (1100), DEF at b=11 (1200)
+    assert(store.get("ABC").contains(1300L))
+    assert(store.get("XYZ").contains(1100L))
+    assert(store.get("DEF").contains(1200L))
+    assert(store.get("NOPE").isEmpty, "404 contract must survive compaction")
+    // last append was batch 12 -> compaction just ran: exactly the compacted
+    // file(s) remain. Without compaction this directory would hold 13 appends.
+    assert(store.dataFileCount <= 2, s"unbounded changelog: ${store.dataFileCount} files")
+
+    // And through the actual stream: 7 micro-batches, compactEvery=3.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PaymentEvent]
+    val topo  = PaymentPipeline.start(input.toDF(), s"$tmp/ckpt", s"$tmp/sink", compactEvery = 3L)
+    (1 to 7).foreach { i =>
+      input.addData(PaymentEvent(s"s$i", 10L * i, "GBP", "DEF", "ACC", "BANK_RAILS_FOO"))
+      topo.processAllAvailable()
+    }
+    assert(topo.store.get("ACC").contains((1 to 7).map(10L * _).sum), "balance wrong after streamed compactions")
+    assert(topo.store.dataFileCount <= 4, s"stream changelog unbounded: ${topo.store.dataFileCount} files")
+    topo.stop()
+  }
+
   test("kafka codec round-trip: encode -> decode preserves the record (O1/O11/O14/O15)") {
     val df      = golden.toDF()
     val encoded = PaymentSerde.encodeKafka(df) // (key, value) wire shape

@@ -50,6 +50,21 @@ class RestServiceSpec extends AnyFunSuite with SparkSpec {
     } finally svc.stop()
   }
 
+  test("handler exception yields a generic 500 and the server survives") {
+    val svc = new RestService(
+      acct => if (acct == "BOOM") throw new RuntimeException("secret internal detail") else Some(1L),
+      () => "plan"
+    ).start()
+    try {
+      val boom = get(svc.boundPort, "/v1/kafka-streams/balance/BOOM")
+      assert(boom.statusCode() == 500)
+      assert(!boom.body().contains("secret"), "exception message must not leak into the body")
+      // the service keeps serving after a handler failure
+      val ok = get(svc.boundPort, "/v1/kafka-streams/balance/OK")
+      assert(ok.statusCode() == 200 && ok.body() == "1")
+    } finally svc.stop()
+  }
+
   test("end-to-end: HTTP reads see the streaming store's state as batches commit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
