@@ -55,13 +55,33 @@ object Bench {
     }
     val results = names.flatMap(n => timed.flatMap(_.get(n)).minOption.map(n -> _)).toMap
     val failed  = names.filterNot(results.contains).sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // The harness captures only the LAST ~2000 chars of stdout and
+    // json-parses the metric line, so the PRINTED line must stay short:
+    // per-query keys are the qNN id (unique by construction) and times are
+    // ms-rounded. The full-name, full-precision map goes to bench_full.json
+    // for post-hoc analysis.
+    val shortIds = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+    val ids = // collision guard: fall back to full names if ids ever clash
+      if (shortIds.values.toSet.size == names.size) shortIds
+      else names.map(n => n -> n).toMap
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + ids(k) + "\":" + sec(v) }
+      .mkString("{", ",", "}")
+    val qsFull = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // n_queries contextualizes the total: the registry grows round over
     // round, so the sum is only comparable per-query or per-count.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val head = s""""metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")),
+      s"""{$head,"queries":$qsFull,"sf":"$sfDir"}\n""".getBytes("UTF-8")
+    )
+    catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] detail write failed: $e") }
+    println(s"""{$head,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

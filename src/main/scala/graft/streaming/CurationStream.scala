@@ -102,22 +102,30 @@ object CurationStream {
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("|", cols: _*).as("sig"))
     }
+    // Group on a DEMOTED copy of ts (unix_micros — a computed long, so the
+    // event-time watermark metadata does not propagate to it): grouping on
+    // window(ts) AND the watermarked ts itself would leave two event-time
+    // columns in the aggregate output, which Spark rejects
+    // ("More than one event time columns are available"). The exact
+    // timestamp is rebuilt losslessly after the aggregate.
     val deduped = withSigs
       .select(col("doc_id"), col("ts"), col("text"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("ts"), col("text"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .dropDuplicatesWithinWatermark("band", "sig")
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("doc_id"), col("ts"), col("text"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("doc_id"), col("ts_us"), col("text"))
       .agg(count(lit(1)).as("nb"))
       .filter(col("nb") === nBands) // every band was first in its bucket
-      .select(col("doc_id"), col("ts"), col("text"))
+      .select(col("doc_id"), timestamp_micros(col("ts_us")).as("ts"), col("text"))
 
     // shingle-less short docs: no near-dup identity — pass through (their
     // verdict needs no window, but unioned branches share the output mode)
     val short = gated
       .filter(size(col("w")) < 3)
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("doc_id"), col("ts"), col("text"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("doc_id"), col("ts_us"), col("text"))
       .agg(count(lit(1)).as("nb"))
-      .select(col("doc_id"), col("ts"), col("text"))
+      .select(col("doc_id"), timestamp_micros(col("ts_us")).as("ts"), col("text"))
 
     deduped.unionByName(short)
   }
