@@ -80,4 +80,96 @@ object GraphOps {
     sym.unpersist()
     labels
   }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the deep-graph complement to [[connectedComponents]]:
+    * min-label propagation needs O(component diameter) rounds, star
+    * contraction converges in O(log² n) regardless of diameter, at the
+    * cost of a heavier per-round shuffle. Use this for general graphs
+    * (chains, meshes, social graphs); min-label stays the default for
+    * near-dup components, which are shallow.
+    *
+    * The edge frame IS the state — a union-find forest encoded as (child,
+    * parent) rows, rewritten toward stars each round:
+    *   - large-star(u): every neighbor v > u re-points to
+    *     m = min(Γ(u) ∪ {u});
+    *   - small-star(u): every neighbor v ≤ u (edges oriented high→low
+    *     first) re-points to m = min(Γ⁻(u) ∪ {u}), and u re-points to m.
+    * At the fixpoint every edge is (node, component-min). Per-round
+    * neighborhood minima are whole-partition window aggregates (one
+    * shuffle each, no join-back); only per-round COUNTS reach the driver,
+    * and the convergence test (edge set unchanged) runs distributed via
+    * `except`. High-degree hubs concentrate a star's rows on one task —
+    * transient by construction: stars collapse into their center in the
+    * next round, which is the algorithm's skew story at 100 TB.
+    *
+    * @param nodes one column `id` (distinct node ids)
+    * @param edges columns `src`, `dst` — UNDIRECTED input, pass each pair
+    *              once; both directions are derived here
+    * @param checkpointDir reliable vs executor-local lineage truncation,
+    *              exactly as in [[connectedComponents]]
+    * @return (`id`, `comp`) — comp = min node id of the component
+    */
+  def connectedComponentsStars(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxRounds: Int = 30,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val bySrc = Window.partitionBy("src")
+
+    var e = ckpt(
+      edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct()
+    )
+    var eCount  = e.count()
+    var changed = eCount > 0
+    var rounds  = 0
+    while (changed && rounds < maxRounds) {
+      // LARGE-STAR over the full symmetric neighborhood
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val ls = sym
+        .withColumn("m", least(col("src"), min(col("dst")).over(bySrc)))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // SMALL-STAR over high→low oriented edges: m = min(smaller neighbors)
+      val oriented = ls
+        .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+        .distinct()
+      val ss = oriented
+        .withColumn("m", min(col("dst")).over(bySrc))
+        .select(
+          explode(
+            array(
+              struct(col("dst").as("s"), col("m").as("d")),
+              struct(col("src").as("s"), col("m").as("d"))
+            )
+          ).as("x")
+        )
+        .select(col("x.s").as("src"), col("x.d").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val next      = ckpt(ss)
+      val nextCount = next.count()
+      changed = nextCount != eCount || next.except(e).count() > 0
+      e = next
+      eCount = nextCount
+      rounds += 1
+    }
+    nodes
+      .join(
+        // min() is belt-and-braces: at the fixpoint each child has exactly
+        // one parent, the component min
+        e.groupBy(col("src")).agg(min(col("dst")).as("comp")).withColumnRenamed("src", "id"),
+        Seq("id"),
+        "left"
+      )
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
 }

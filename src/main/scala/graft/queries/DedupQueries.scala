@@ -248,6 +248,22 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Same transitive-closure dedup, but components by LARGE-STAR/SMALL-STAR
+    // contraction (GraphOps.connectedComponentsStars) — the O(log²)-round
+    // deep-graph algorithm, oracle-checked against the SAME recursive-CTE
+    // ground truth as q47, so both component algorithms are independently
+    // proven on the real candidate graph.
+    "q49_dedup_components_stars" -> ((s, dir) => {
+      val sh = shingleSet(s, dir).persist()
+      val pairs = jaccardOf(lshCandidates(minhashWide(s, dir)), sh)
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      graft.operators.GraphOps
+        .connectedComponentsStars(Tables.documents(s, dir).select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("comp").as("rep_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash (60-bit, md5 bit source, term-frequency weighted) — near-dup
     // fingerprint whose Hamming distance approximates cosine similarity.
     // Width/band parameters documented at [[SimHashBits]].
@@ -382,15 +398,10 @@ object DedupQueries {
              |SELECT doc_id, lang, source FROM quality
              |WHERE doc_id NOT IN (SELECT doc_id FROM losers) AND q >= 0.5
              |ORDER BY doc_id""".stripMargin),
-    "q47_dedup_components" ->
-      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        raw""", dup AS (SELECT j.ia, j.ib FROM jac j JOIN cand USING (ia, ib) WHERE j.jac >= $JaccardThreshold),
-             | e2 AS (SELECT ia AS src, ib AS dst FROM dup UNION ALL SELECT ib, ia FROM dup),
-             | reach AS (
-             |  SELECT doc_id, doc_id AS r FROM documents
-             |  UNION
-             |  SELECT e2.dst AS doc_id, reach.r FROM reach JOIN e2 ON e2.src = reach.doc_id)
-             |SELECT doc_id, min(r) AS rep_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q47_dedup_components" -> componentsOracle,
+    // q49 computes the identical ground truth through a different
+    // distributed algorithm — same oracle on purpose
+    "q49_dedup_components_stars" -> componentsOracle,
     "q44_simhash" ->
       (simhashCte + "SELECT doc_id, simhash FROM fp ORDER BY doc_id"),
     "q48_simhash_neardup" ->
@@ -401,6 +412,20 @@ object DedupQueries {
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
            |ORDER BY ia, ib""".stripMargin)
   )
+
+  /** Ground truth for q47/q49 (transitive closure over verified near-dup
+    * pairs): DuckDB recursive CTE reachability, min label per component.
+    * `lazy` — the oracle map above references it (init-order trap).
+    */
+  private lazy val componentsOracle: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      raw""", dup AS (SELECT j.ia, j.ib FROM jac j JOIN cand USING (ia, ib) WHERE j.jac >= $JaccardThreshold),
+           | e2 AS (SELECT ia AS src, ib AS dst FROM dup UNION ALL SELECT ib, ia FROM dup),
+           | reach AS (
+           |  SELECT doc_id, doc_id AS r FROM documents
+           |  UNION
+           |  SELECT e2.dst AS doc_id, reach.r FROM reach JOIN e2 ON e2.src = reach.doc_id)
+           |SELECT doc_id, min(r) AS rep_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Shared oracle CTE ending in `fp(doc_id, simhash)` — the q44 formula.
     * The oracle verifies by brute force over all pairs (exact semantics);

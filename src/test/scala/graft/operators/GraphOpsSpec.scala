@@ -56,4 +56,43 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     )
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 50L -> 50L))
   }
+
+  // ---- large-star/small-star ----------------------------------------------
+
+  private def starComponents(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps
+      .connectedComponentsStars(nodes.toDF("id"), edges.toDF("src", "dst"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+
+  test("stars: deep chain converges in far fewer than diameter rounds") {
+    // a 200-node path has diameter 199 — min-label with default maxRounds=50
+    // CANNOT close it, stars must (O(log²) rounds; maxRounds=30 is ample)
+    val n    = 200L
+    val comp = starComponents(1L to n, (1L until n).map(i => (i, i + 1)))
+    assert(comp.size == 200 && comp.values.forall(_ == 1L), "deep chain not closed by star contraction")
+  }
+
+  test("stars: parity with min-label propagation on a seeded random graph") {
+    val rnd   = new scala.util.Random(7)
+    val nodes = 1L to 120L
+    val edges = Seq.fill(90)((rnd.nextInt(120) + 1L, rnd.nextInt(120) + 1L)).filter(e => e._1 != e._2)
+    val byStars = starComponents(nodes, edges)
+    val byLabel = components(nodes, edges)
+    assert(byStars == byLabel, "star contraction and min-label disagree")
+  }
+
+  test("stars: multiple components, direction irrelevant, singletons survive") {
+    val comp = starComponents(
+      Seq(1L, 2L, 3L, 10L, 11L, 12L, 50L),
+      Seq((2L, 1L), (3L, 2L), (12L, 10L), (11L, 12L))
+    )
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 50L -> 50L))
+  }
+
+  test("stars: empty edge set leaves every node a singleton") {
+    val comp = starComponents(Seq(5L, 6L), Seq.empty)
+    assert(comp == Map(5L -> 5L, 6L -> 6L))
+  }
 }
