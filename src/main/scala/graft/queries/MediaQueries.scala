@@ -40,7 +40,24 @@ object MediaQueries {
         .toDF()
         .groupBy(col("kind"), col("mime"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("kind"), col("mime")))
+        .orderBy(col("kind"), col("mime"))),
+
+    // Frame sampling end-to-end: every 10th fixed-size "frame" of each
+    // video's byte stream (the container-parse STUB boundary — the
+    // byte-slicing plumbing, flatMap fan-out and schema are real). Frames
+    // are compared BY VALUE: the bytes decode as UTF-8 text (video payloads
+    // are text bytes in the harness; ASCII asserted by MediaPipelineSpec),
+    // so the oracle slices the same windows with substr.
+    "q65_frame_sample" -> ((s, dir) =>
+      MediaPipeline
+        .sampleFrames(MediaPipeline.mediaFromDocuments(s, dir))
+        .select(
+          col("media_id"),
+          col("frame_no").cast("long").as("frame_no"),
+          length(col("frame_bytes")).cast("long").as("frame_len"),
+          col("frame_bytes").cast("string").as("frame_text")
+        )
+        .orderBy(col("media_id"), col("frame_no")))
   )
 
   // The oracle rebuilds the exact bytes the Spark side synthesizes —
@@ -104,6 +121,18 @@ object MediaQueries {
         |       WHEN doc_id % 3 = 0 THEN 'image/bmp'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
         |  count(*) AS n
-        |FROM documents GROUP BY 1, 2 ORDER BY kind, mime""".stripMargin
+        |FROM documents GROUP BY 1, 2 ORDER BY kind, mime""".stripMargin,
+    "q65_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+        | f AS (
+        |  SELECT media_id, text,
+        |    unnest(range(0, CAST(ceil(strlen(text) / 10.0) AS BIGINT))) AS frame_no
+        |  FROM v)
+        |SELECT media_id, frame_no,
+        |  CAST(strlen(substr(text, CAST(frame_no * 10 + 1 AS INT), 10)) AS BIGINT) AS frame_len,
+        |  substr(text, CAST(frame_no * 10 + 1 AS INT), 10) AS frame_text
+        |FROM f WHERE frame_no % 10 = 0
+        |ORDER BY media_id, frame_no""".stripMargin
   )
 }

@@ -357,7 +357,106 @@ object TpchQueries {
           col("n"),
           col("total")
         )
-        .orderBy(col("window_start"), col("event_type")))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // TPC-H Q2 shape — correlated MIN subquery (cheapest line per part),
+    // decorrelated to group-min + join-back on (key, min): the rewrite
+    // Catalyst produces for a correlated scalar subquery and the only form
+    // that scales (no per-row re-scan). Price compared in exact cents.
+    "q84_cheapest_line_per_part" -> ((s, dir) => {
+      val li = Tables
+        .lineitem(s, dir)
+        .select(
+          col("l_partkey"),
+          col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")
+        )
+      val minCents = li.groupBy(col("l_partkey").as("m_partkey")).agg(min(col("cents")).as("min_cents"))
+      li.join(minCents, col("l_partkey") === col("m_partkey") && col("cents") === col("min_cents"))
+        .join(broadcast(Tables.part(s, dir).filter(col("p_size") < 10)), col("l_partkey") === col("p_partkey"))
+        .select(
+          col("p_partkey"),
+          col("p_name"),
+          col("l_suppkey"),
+          (col("cents").cast("double") / 100.0).as("min_price")
+        )
+        .orderBy(col("p_partkey"), col("l_suppkey"))
+    }),
+
+    // TPC-H Q13 — customer order-count distribution: LEFT OUTER join so
+    // zero-order customers survive, count(non-null) per customer, then a
+    // second aggregation over the counts. Two shuffles (custkey, c_count) —
+    // both on the natural keys, no row explosion anywhere.
+    "q85_order_count_distribution" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT")
+      Tables
+        .customer(s, dir)
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 — top supplier(s) by period revenue: the aggregated view
+    // + scalar-max subquery, expressed as a 1-row broadcast cross join
+    // (the q56/q51 tiny-crossJoin pattern). Revenue in exact 1e-4 units so
+    // the max-equality join cannot be split by float noise.
+    "q86_top_supplier" -> ((s, dir) => {
+      val rev = Tables
+        .lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp")
+        )
+        .groupBy(col("l_suppkey"))
+        .agg(
+          sum(
+            round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long"))
+          ).as("rev4")
+        )
+      val top = rev.agg(max(col("rev4")).as("max4"))
+      rev
+        .join(broadcast(top), col("rev4") === col("max4"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), (col("rev4").cast("double") / 1e4).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q22 shape — "pending" wealthy customers: above-average account
+    // balance (scalar AVG subquery) and no RECENT orders (anti join against
+    // the date-filtered fact), grouped by the segment initial (the
+    // cntrycode-substring analogue). The above-average filter is EXACT:
+    // cents*n > total_cents compares the rational avg by
+    // cross-multiplication — no double roundoff at the boundary, so the
+    // row set is engine- and order-independent.
+    "q87_pending_customers" -> ((s, dir) => {
+      val cust = Tables
+        .customer(s, dir)
+        .select(
+          col("c_custkey"),
+          substring(col("c_mktsegment"), 1, 1).as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents")
+        )
+      val pos = cust.filter(col("cents") > 0)
+      val stats = broadcast(pos.agg(sum(col("cents")).as("total_cents"), count(lit(1)).as("n_pos")))
+      pos
+        .crossJoin(stats) // 1 row, broadcast — every executor gets the scalar
+        .filter(col("cents") * col("n_pos") > col("total_cents"))
+        .join(
+          Tables
+            .orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti"
+        )
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_cust"), (sum(col("cents")).cast("double") / 100.0).as("total_bal"))
+        .orderBy(col("seg"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -507,6 +606,52 @@ object TpchQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q84_cheapest_line_per_part" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        | mn AS (SELECT l_partkey, min(cents) AS min_cents FROM li GROUP BY 1)
+        |SELECT p_partkey, p_name, l_suppkey,
+        |  CAST(min_cents AS DOUBLE) / 100.0 AS min_price
+        |FROM li JOIN mn USING (l_partkey) JOIN part ON l_partkey = p_partkey
+        |WHERE cents = min_cents AND p_size < 10
+        |ORDER BY p_partkey, l_suppkey""".stripMargin,
+    "q85_order_count_distribution" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q86_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev4 AS DOUBLE) / 1e4 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev4 = (SELECT max(rev4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q87_pending_customers" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, substr(c_mktsegment, 1, 1) AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        | pos AS (SELECT * FROM cust WHERE cents > 0),
+        | stats AS (SELECT sum(cents) AS total_cents, count(*) AS n_pos FROM pos)
+        |SELECT seg, count(*) AS n_cust, CAST(sum(cents) AS DOUBLE) / 100.0 AS total_bal
+        |FROM pos, stats
+        |WHERE cents * n_pos > total_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY seg ORDER BY seg""".stripMargin
   )
 }
