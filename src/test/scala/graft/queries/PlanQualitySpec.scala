@@ -126,4 +126,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     // and the query set side is broadcast, never shuffling the corpus
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q84 correlated min stays decorrelated: group-min + equi join, part dim broadcasts") {
+    val plan = executedPlan("q84_cheapest_line_per_part")
+    assert(plan.contains("BroadcastHashJoin"), "part dim join must broadcast:\n" + plan.take(800))
+    // the min side is a partial-aggregated frame joined by equality — never
+    // a per-row correlated re-scan (no nested-loop against the fact)
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q86 scalar max is a 1-row broadcast, supplier dim broadcasts") {
+    val plan = executedPlan("q86_top_supplier")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), "scalar/dim join fell back to SMJ:\n" + plan.take(800))
+  }
+
+  test("q87 keeps the anti join and broadcasts the 1-row stats scalar") {
+    val plan = executedPlan("q87_pending_customers")
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), "stats scalar fell back to cartesian:\n" + plan.take(800))
+  }
 }
