@@ -72,6 +72,43 @@ object CurationQueries {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))),
 
+    // Deterministic WEIGHTED sample: keep a document with probability
+    // proportional to its quality score — the "sample good data harder"
+    // curation primitive — with the same hash-uniform trick as q64, so
+    // membership is a pure row function (stable across engines, runs and
+    // repartitioning; a narrow filter, no RNG state, oracle-checkable).
+    // Exactness at the boundary: quality is a round(·,4) double computed
+    // identically on both engines, and the threshold multiplier 2^15 is a
+    // POWER OF TWO — scaling a double by 2^15 is exact in IEEE — so
+    // `bucket < quality * 32768` compares the same two numbers everywhere.
+    "q66_weighted_sample" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          md5(concat_ws(":", lit("ws"), col("doc_id"))).as("h")
+        )
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("source"),
+          col("quality"),
+          (0 until 4)
+            .map(i =>
+              (instr(lit("0123456789abcdef"), substring(col("h"), i + 1, 1)) - 1)
+                * lit(math.pow(16, 3 - i).toLong)
+            )
+            .reduce(_ + _)
+            .as("bucket")
+        )
+        // acceptance probability = quality / 2 (scale 2^16 buckets by 2^15)
+        .filter(col("bucket") < col("quality") * lit(32768.0))
+        .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+        .orderBy(col("doc_id"))),
+
     // Exact interpolated percentiles per event type (Spark `percentile` ==
     // DuckDB `quantile_cont`, both linear interpolation over sorted values).
     "q36_percentiles" -> ((s, dir) =>
@@ -114,6 +151,23 @@ object CurationQueries {
         |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
         |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
         |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) < 13107
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+    "q66_weighted_sample" ->
+      raw"""WITH q AS (
+           |  SELECT doc_id, lang, source,
+           |    round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
+           |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+           |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
+           |            THEN 0.5 ELSE 1.0 END)
+           |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+           |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4) AS quality,
+           |    md5('ws:' || doc_id::VARCHAR) AS h
+           |  FROM documents)
+           |SELECT doc_id, lang, source, quality FROM q
+           |WHERE (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+           |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+           |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+           |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) < quality * 32768
+           |ORDER BY doc_id""".stripMargin
   )
 }

@@ -228,6 +228,40 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup AUDIT report: near-dup rate per source — the "which crawl is
+    // feeding us duplicates" question every curation run answers before
+    // deciding where to spend cleaning effort. Verified LSH pairs (q42's
+    // exact-Jaccard gate) are reduced to the distinct loser set, joined
+    // back to the corpus, and aggregated per source: total docs, docs that
+    // would drop, and the drop rate. The pair pipeline is the shared q42
+    // machinery; the report itself is one broadcast-size join + a
+    // source-keyed aggregate.
+    "q58_neardup_rate_by_source" -> ((s, dir) => {
+      val sh = shingleSet(s, dir).persist()
+      val losers = jaccardOf(lshCandidates(minhashWide(s, dir)), sh)
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("ib").as("doc_id"))
+        .distinct()
+        .withColumn("is_dup", lit(1L))
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .join(losers, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("is_dup")).as("n_dups") // count(col) skips the nulls
+        )
+        .select(
+          col("source"),
+          col("n_docs"),
+          col("n_dups"),
+          // exact rational in both engines: int/int division, rounded once
+          round(col("n_dups").cast("double") / col("n_docs").cast("double"), 4).as("dup_rate")
+        )
+        .orderBy(col("source"))
+    }),
+
     // Transitive closure of the near-dup relation: connected components over
     // the LSH dup pairs, every doc mapped to its component representative
     // (min doc_id; singletons map to themselves). q46's one-pass "keep the
@@ -402,6 +436,15 @@ object DedupQueries {
     // q49 computes the identical ground truth through a different
     // distributed algorithm — same oracle on purpose
     "q49_dedup_components_stars" -> componentsOracle,
+    "q58_neardup_rate_by_source" ->
+      (shingleCte +
+        raw""", losers AS (
+             |  SELECT DISTINCT j.ib AS doc_id FROM jac j JOIN cand USING (ia, ib)
+             |  WHERE j.jac >= $JaccardThreshold)
+             |SELECT source, count(*) AS n_docs, count(l.doc_id) AS n_dups,
+             |  round(count(l.doc_id)::DOUBLE / count(*)::DOUBLE, 4) AS dup_rate
+             |FROM documents d LEFT JOIN losers l USING (doc_id)
+             |GROUP BY source ORDER BY source""".stripMargin),
     "q44_simhash" ->
       (simhashCte + "SELECT doc_id, simhash FROM fp ORDER BY doc_id"),
     "q48_simhash_neardup" ->

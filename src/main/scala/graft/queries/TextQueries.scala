@@ -36,6 +36,25 @@ object TextQueries {
          |""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Approximate distinct-token cardinality per language via HLL++
+    // sketches — the 100 TB replacement for countDistinct: partial sketches
+    // merge map-side, so the shuffle carries one fixed-size sketch per
+    // (partition, lang) instead of every distinct token. The sketch is
+    // engine-private (no DuckDB oracle possible — driver records the
+    // rows-only check, like q63's RNG sampling); the ≤5%-of-exact and
+    // determinism contracts are spec'd in ApproxSpec. The exact token
+    // TOTAL rides along as an anchor column.
+    "q59_approx_distinct" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(
+          approx_count_distinct(col("tok"), 0.01).as("approx_distinct_tokens"),
+          count(lit(1)).as("n_tokens")
+        )
+        .orderBy(col("lang"))),
+
     // Token counting: whitespace tokenizer + stopword stats per document.
     "q30_token_stats" -> ((s, dir) =>
       Tables

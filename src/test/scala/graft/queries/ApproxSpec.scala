@@ -30,6 +30,30 @@ class ApproxSpec extends AnyFunSuite with SparkSpec {
     assert(run() == ((approx, exact)), "HLL merge is commutative -> deterministic result")
   }
 
+  test("q59 per-lang approx distinct tokens within 5% of exact, deterministic") {
+    val exact = Tables
+      .documents(spark, dir)
+      .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("exact"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    def run() = graft.SparkEntry
+      .queries("q59_approx_distinct")(spark, dir)
+      .select(col("lang"), col("approx_distinct_tokens"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    val approx = run()
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (lang, a) =>
+      val e = exact(lang)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$lang: approx=$a exact=$e")
+    }
+    assert(run() == approx, "sketch merge is commutative -> deterministic result")
+  }
+
   test("approx_percentile brackets the exact interpolated percentile") {
     val exact = Tables
       .events(spark, dir)
