@@ -290,6 +290,12 @@ object MediaPipeline {
     * [[decodeOne]]) and every `everyN`-th frame is kept; returns
     * (media_id, frame_no, frame_bytes) with `frame_no` the original frame
     * index.
+    *
+    * Memory bound: `grouped` materializes one frame at a time but the input
+    * record's full byte array is already in memory (a parquet binary cell),
+    * so max media size per ROW is the operative limit — cap it at ingest
+    * (e.g. ≤ a few hundred MB) or store large media as chunked rows; a
+    * frame row is ≤ `frameSize` bytes regardless.
     */
   def sampleFrames(media: Dataset[MediaRecord], frameSize: Int = 10, everyN: Int = 10): DataFrame = {
     import media.sparkSession.implicits._
