@@ -134,19 +134,55 @@ object TextFunctions {
         )
       )
 
-  /** One MinHash value: the lexicographic min of `md5(seed || ":" || s)`
-    * over a shingle column (use after `explode(shingles(...))` + groupBy).
+  /** Base hashes for the MinHash family: ONE md5 per shingle, split into
+    * two independent 60-bit integers (hex digits 1–15 and 16–30). The k
+    * minhash functions are then the double-hash family
+    * `h_i(s) = h1(s) + i·h2(s)` (Dietzfelbinger et al.) — k multiply-adds
+    * per shingle instead of k md5 invocations, an ~8× cut in the hashing
+    * CPU of the 100 TB dedup hot path. No modulus: 60-bit operands keep
+    * `h1 + 7·h2 < 2^63` (no signed overflow), and any strictly-monotone
+    * range works for a MIN-hash. Engine-portable: the DuckDB oracle parses
+    * the same hex digits to the same integers.
+    *
+    * Returns `array<struct<h1: long, h2: long>>` — materialize it ONCE as a
+    * projected column and fan the k seeds out with [[minhashFromPairs]]
+    * (the same CollapseProject contract as [[shinglesOf]]).
     */
-  def minhashAgg(seed: Int, shingle: Column): Column =
-    min(md5(concat(lit(s"$seed:"), shingle)))
+  def minhashPairs(shingles: Column): Column =
+    transform(
+      shingles,
+      s => {
+        val h = md5(s)
+        struct(
+          conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
+          conv(substring(h, 16, 15), 16, 10).cast("long").as("h2")
+        )
+      }
+    )
 
-  /** The same MinHash value computed NARROW: an array fold over the per-row
-    * shingle array — no explode, no aggregation, no shuffle. Identical value
-    * to [[minhashAgg]] over the exploded rows (same md5 strings, same
-    * lexicographic min; min over the multiset = min over the set). Returns
-    * NULL for an empty shingle array — callers filter those rows, matching
-    * the exploded form where such docs simply produce no rows.
+  /** MinHash value for one seed over a materialized [[minhashPairs]] array:
+    * a narrow array fold — no explode, no aggregation, no shuffle. NULL for
+    * an empty array — callers filter those rows.
+    */
+  def minhashFromPairs(seed: Int, pairs: Column): Column =
+    array_min(transform(pairs, p => p.getField("h1") + lit(seed.toLong) * p.getField("h2")))
+
+  /** One MinHash value from the raw shingle array (computes the base hashes
+    * in place — use [[minhashPairs]] + [[minhashFromPairs]] when several
+    * seeds read the same array).
     */
   def minhashCol(seed: Int, shingles: Column): Column =
-    array_min(transform(shingles, s => md5(concat(lit(s"$seed:"), s))))
+    minhashFromPairs(seed, minhashPairs(shingles))
+
+  /** The same MinHash value as an AGGREGATE over exploded shingle rows
+    * (equality with the narrow [[minhashCol]] fold is spec'd: min over the
+    * multiset = min over the set).
+    */
+  def minhashAgg(seed: Int, shingle: Column): Column = {
+    val h = md5(shingle)
+    min(
+      conv(substring(h, 1, 15), 16, 10).cast("long")
+        + lit(seed.toLong) * conv(substring(h, 16, 15), 16, 10).cast("long")
+    )
+  }
 }

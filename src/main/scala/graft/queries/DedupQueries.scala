@@ -70,17 +70,19 @@ object DedupQueries {
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(shinglesOf(col("w"))).as("shingle"))
 
-  /** One row per doc with all k minhash values, computed NARROW: each
-    * `mh_i` is an array fold over the per-row shingle array
-    * ([[graft.functions.TextFunctions.minhashCol]]) — no explode, no
-    * groupBy, NO SHUFFLE anywhere in signature generation. At 100 TB this
-    * is the difference between "signatures are a map over the corpus" and
-    * "the shingle stream transits an exchange". Docs with no shingles
-    * (under n tokens) are filtered, exactly matching the exploded form
-    * where they produce no rows. The shingle array is materialized in its
-    * own projection so the k folds read one computed array per row
-    * (CollapseProject keeps non-cheap aliases referenced k+1 times
-    * un-inlined).
+  /** One row per doc with all k minhash values, computed NARROW: the base
+    * hash pairs ([[graft.functions.TextFunctions.minhashPairs]] — ONE md5
+    * per shingle) are materialized in their own projection, then each
+    * `mh_i` is a multiply-add array fold over that one array
+    * ([[graft.functions.TextFunctions.minhashFromPairs]]) — no explode, no
+    * groupBy, NO SHUFFLE anywhere in signature generation, and the hashing
+    * CPU is k-fold lower than a per-seed md5. At 100 TB this is the
+    * difference between "signatures are a map over the corpus" and "the
+    * shingle stream transits an exchange". Docs with no shingles (under n
+    * tokens) are filtered, exactly matching the exploded form where they
+    * produce no rows. Each intermediate array sits in its own projection
+    * so downstream folds read one computed array per row (CollapseProject
+    * keeps non-cheap aliases referenced k+1 times un-inlined).
     */
   private def minhashWide(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -91,9 +93,11 @@ object DedupQueries {
       // transform (predicate pushdown substitutes aliases into the filter)
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
+      .select(col("doc_id"), graft.functions.TextFunctions.minhashPairs(col("sh")).as("hp"))
       .select(
         col("doc_id") +:
-          (0 until NumHashes).map(i => minhashCol(i, col("sh")).as(s"mh$i")): _*
+          (0 until NumHashes)
+            .map(i => graft.functions.TextFunctions.minhashFromPairs(i, col("hp")).as(s"mh$i")): _*
       )
 
   /** MinHash signatures unpivoted to (doc_id, seed, mh) — a narrow stack
@@ -387,14 +391,23 @@ object DedupQueries {
 
   // ---- oracles ------------------------------------------------------------
 
-  /** Shared oracle CTEs: shingle sets, sizes, signatures, band buckets. */
+  /** Shared oracle CTEs: shingle sets, sizes, signatures, band buckets.
+    * `hp` mirrors TextFunctions.minhashPairs: ONE md5 per shingle, hex
+    * digits 1–15 / 16–30 folded to two 60-bit integers; the k minhash
+    * functions are the double-hash family h1 + seed·h2 (no overflow:
+    * h1 + 7·h2 < 2^63).
+    */
   private val shingleCte =
     raw"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
          | sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM w),
          | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         | sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
-         |         FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS seed) GROUP BY doc_id, seed),
-         | bands AS (SELECT doc_id, (seed // $RowsPerBand)::INT AS band, string_agg(mh, '|' ORDER BY seed) AS s
+         | hp AS (SELECT doc_id,
+         |          list_reduce(list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr(h, i::INT, 1)) - 1)::BIGINT), (a, c) -> a * 16 + c) AS h1,
+         |          list_reduce(list_transform(range(16, 31), i -> (strpos('0123456789abcdef', substr(h, i::INT, 1)) - 1)::BIGINT), (a, c) -> a * 16 + c) AS h2
+         |        FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
+         | sig AS (SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         |         FROM hp CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS seed) GROUP BY doc_id, seed),
+         | bands AS (SELECT doc_id, (seed // $RowsPerBand)::INT AS band, string_agg(mh::VARCHAR, '|' ORDER BY seed) AS s
          |           FROM sig GROUP BY doc_id, 2),
          | cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
          |          FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.TextFunctions.{minhashCol, qualityScore, shinglesOf, tokens}
+import graft.functions.TextFunctions.{minhashFromPairs, minhashPairs, qualityScore, shinglesOf, tokens}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -96,8 +96,9 @@ object CurationStream {
     val shingled = gated
       .filter(size(col("w")) >= 3)
       .withColumn("sh", shinglesOf(col("w")))
+      .withColumn("hp", minhashPairs(col("sh"))) // ONE md5 per shingle
     val withSigs = (0 until numHashes)
-      .foldLeft(shingled)((df, i) => df.withColumn(s"mh$i", minhashCol(i, col("sh"))))
+      .foldLeft(shingled)((df, i) => df.withColumn(s"mh$i", minhashFromPairs(i, col("hp"))))
     val bandCols = (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("|", cols: _*).as("sig"))
