@@ -1,0 +1,218 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending,
+  Attribute,
+  BindReferences,
+  Expression,
+  JoinedRow,
+  SortOrder,
+  UnsafeProjection
+}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF JOIN as a first-class plan node — rung (c) of the custom-operator
+  * ladder (custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`), for the
+  * one temporal operator Spark has no built-in for. The composed forms
+  * (q80 range-join+struct-max, q82 union-window) express the same
+  * semantics with existing operators; this node executes them as the
+  * textbook SINGLE-PASS MERGE: both sides hash-partitioned on the key and
+  * sorted (key, time), then each partition pair is merged with one cursor
+  * per side — O(n+m) per partition, no (event × history) intermediate, no
+  * window buffer.
+  *
+  * Semantics (inner, backward-looking): each left row joins the LATEST
+  * right row with the same key and `rightTime <= leftTime`; ties on time
+  * resolve to the greatest `rightTie` (the sort's last row wins — with the
+  * tie-break in the required ordering this is deterministic). Left rows
+  * with no matching right row are dropped (inner) — exactly the q80
+  * contract, which the driver verifies against q80's own DuckDB oracle.
+  *
+  * Scale shape: the planner's `EnsureRequirements` inserts the hash
+  * exchanges and sorts from the DECLARED requirements below — the operator
+  * itself never repartitions, so it composes with AQE, reused exchanges,
+  * and bucketed inputs (pre-bucketed sides skip the shuffle entirely).
+  * Execution is a streaming iterator per partition: state is ONE buffered
+  * right row (the current best match) regardless of history length.
+  *
+  * Key and time expressions must evaluate to integral-comparable values
+  * (long/int/short/byte; timestamps surface as micros, dates as days) —
+  * the natural shape for keys and event time at scale; a production
+  * generalization would swap the comparator, not the merge.
+  */
+final case class AsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression,
+    rightTie: Expression
+) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsofJoin =
+    copy(left = l, right = r)
+}
+
+/** Plans [[AsofJoin]] to [[AsofJoinExec]]; inject via
+  * `spark.experimental.extraStrategies` ([[AsofJoinOps.install]]) or a
+  * `SparkSessionExtensions.injectPlannerStrategy`.
+  */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsofJoin =>
+      AsofJoinExec(j.leftKey, j.leftTime, j.rightKey, j.rightTime, j.rightTie, planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsofJoinExec(
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression,
+    rightTie: Expression,
+    left: SparkPlan,
+    right: SparkPlan
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  // co-partition both sides on the key: EnsureRequirements inserts
+  // compatible hash exchanges (or none, if the input is already bucketed)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // merge order: (key, time) both sides; the tie-break makes "last row at
+  // equal time" deterministic (ascending sort ⇒ last = greatest tie value)
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending), SortOrder(rightTie, Ascending))
+    )
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  private def asLong(v: Any): Long = v match {
+    case l: java.lang.Long    => l
+    case i: java.lang.Integer => i.toLong
+    case s: java.lang.Short   => s.toLong
+    case b: java.lang.Byte    => b.toLong
+    case other =>
+      throw new IllegalArgumentException(
+        s"asof join key/time must be integral-comparable, got ${if (other == null) "null" else other.getClass}")
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lt = BindReferences.bindReference(leftTime, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rt = BindReferences.bindReference(rightTime, right.output)
+    val outputAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joined     = new JoinedRow
+      val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      new Iterator[InternalRow] {
+        // single-row lookahead on the right, with its evaluated (key, time)
+        private var rRow: InternalRow = null
+        private var rKey              = 0L
+        private var rTime             = 0L
+        private def pullRight(): Boolean =
+          if (rIter.hasNext) {
+            val r = rIter.next()
+            rKey = asLong(rk.eval(r))
+            rTime = asLong(rt.eval(r))
+            rRow = r
+            true
+          } else { rRow = null; false }
+        private var rExhausted = !pullRight()
+
+        // best match for the CURRENT left key: one buffered row, total state
+        private var best: InternalRow = null
+        private var bestKey           = 0L
+
+        private var out: InternalRow = null
+        private var ready            = false
+
+        private def computeNext(): Unit = {
+          out = null
+          while (out == null && lIter.hasNext) {
+            val l     = lIter.next()
+            val lKey  = asLong(lk.eval(l))
+            val lTime = asLong(lt.eval(l))
+            if (best != null && bestKey != lKey) best = null
+            var scan = !rExhausted
+            while (scan) {
+              if (rKey < lKey) {
+                // left is sorted ascending: no remaining left row can match
+                if (!pullRight()) { rExhausted = true; scan = false }
+              } else if (rKey == lKey && rTime <= lTime) {
+                best = rRow.copy() // shuffle/sort readers reuse row objects
+                bestKey = lKey
+                if (!pullRight()) { rExhausted = true; scan = false }
+              } else scan = false // right is ahead of this left row
+            }
+            if (best != null) out = resultProj(joined(l, best)) // inner: no match ⇒ skip
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (!ready) { computeNext(); ready = true }
+          out != null
+        }
+        override def next(): InternalRow = {
+          if (!ready) computeNext()
+          ready = false
+          out
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsofJoinExec =
+    copy(left = l, right = r)
+}
+
+/** Public API: `AsofJoinOps.asof(events, orders, ...)`. Columns must come
+  * from the respective frames (`left.col(...)` / `right.col(...)`) so the
+  * node is built fully resolved.
+  */
+object AsofJoinOps {
+
+  /** Idempotently add [[AsofJoinStrategy]] to the session's planner. */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsofJoinStrategy
+
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      leftTime: Column,
+      rightKey: Column,
+      rightTime: Column,
+      rightTie: Column
+  ): DataFrame = {
+    val spark = left.sparkSession
+    install(spark)
+    val toExpr = org.apache.spark.sql.graft.GraftDatasetBridge.expr _
+    org.apache.spark.sql.graft.GraftDatasetBridge.ofRows(
+      spark,
+      AsofJoin(
+        left.queryExecution.analyzed,
+        right.queryExecution.analyzed,
+        toExpr(leftKey),
+        toExpr(leftTime),
+        toExpr(rightKey),
+        toExpr(rightTime),
+        toExpr(rightTie)
+      )
+    )
+  }
+}

@@ -78,6 +78,23 @@ object TemporalJoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // As-of join through the CUSTOM PLAN NODE (graft.plans.AsofJoin:
+    // logical node + strategy + single-pass merge exec) — same result set
+    // as q80/q82, verified against q80's own oracle. The physical shape is
+    // the one a 100 TB run wants: co-partition on the key, sort (key,
+    // time), merge with one buffered row of state — no event×history
+    // fan-out (q80's range join) and no window buffer (q82).
+    "q88_asof_custom" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      val o = Tables
+        .orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
+      graft.plans.AsofJoinOps
+        .asof(e, o, e.col("user_id"), e.col("ts"), o.col("o_custkey"), o.col("o_ts"), o.col("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join: same-customer order pairs placed within a week of each
     // other (repeat-purchase detection — bounded-band temporal self-join).
     "q81_range_join" -> ((s, dir) => {
@@ -114,6 +131,16 @@ object TemporalJoinQueries {
     // Same oracle as q80 on purpose: the union-window form must reproduce
     // the range-join+struct-max result exactly.
     "q82_asof_union_window" ->
+      """SELECT event_id, user_id, o_orderkey AS last_orderkey FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // Same oracle as q80/q82 on purpose: the custom merge plan node must
+    // reproduce the composed result exactly.
+    "q88_asof_custom" ->
       """SELECT event_id, user_id, o_orderkey AS last_orderkey FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,
         |    row_number() OVER (PARTITION BY e.event_id

@@ -1,0 +1,85 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** The custom as-of join (logical node + strategy + merge exec) must match
+  * the composed range-join+struct-max formulation on every edge: ties on
+  * time (greatest tie-break wins), left rows with no match (dropped —
+  * inner), multiple keys interleaved, and matches exactly AT the left time
+  * (<= is inclusive). Plus plan-shape assertions: the strategy plans the
+  * node, and EnsureRequirements inserts the exchanges/sorts the declared
+  * requirements ask for.
+  */
+class AsofJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private val events = Seq(
+    (1L, 10L, ts(100)), // u10: one order before -> matches
+    (2L, 10L, ts(200)), // u10: two orders <= 200, one AT 200 -> inclusive, latest wins
+    (3L, 20L, ts(50)),  // u20: no order at-or-before -> dropped (inner)
+    (4L, 20L, ts(500)), // u20: tie on order time -> greatest orderkey wins
+    (5L, 30L, ts(10))   // u30: no orders at all -> dropped
+  ).toDF("event_id", "user_id", "ts")
+
+  private val orders = Seq(
+    (10L, 101L, ts(90)),
+    (10L, 102L, ts(200)), // equal to event 2's time -> inclusive match
+    (20L, 201L, ts(400)),
+    (20L, 202L, ts(400)), // tie: same time, higher key must win
+    (20L, 203L, ts(600))  // after event 4 -> ignored
+  ).toDF("o_custkey", "o_orderkey", "o_ts")
+
+  private def custom() =
+    AsofJoinOps
+      .asof(events, orders,
+        events.col("user_id"), events.col("ts"),
+        orders.col("o_custkey"), orders.col("o_ts"), orders.col("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_orderkey"))
+      .orderBy(col("event_id"))
+
+  test("crafted edges: inclusive <=, tie-break by greatest key, inner drop of unmatched") {
+    val rows = custom().as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 10L, 101L), (2L, 10L, 102L), (4L, 20L, 202L)), rows.toString)
+  }
+
+  test("parity with the composed range-join + struct-max formulation") {
+    val composed = events
+      .join(orders, col("user_id") === col("o_custkey") && col("o_ts") <= col("ts"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(max(struct(col("o_ts"), col("o_orderkey"))).as("m"))
+      .select(col("event_id"), col("user_id"), col("m.o_orderkey").as("last_orderkey"))
+      .orderBy(col("event_id"))
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(custom().as[(Long, Long, Long)].collect().toSeq == composed)
+  }
+
+  test("the strategy plans AsofJoinExec and the planner inserts hash exchanges + sorts") {
+    val plan = custom().queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(800)) // SparkPlan.nodeName strips the Exec suffix
+    assert(plan.contains("Exchange hashpartitioning"), "missing co-partition exchange:\n" + plan.take(800))
+    assert(plan.contains("Sort ["), "missing merge-order sort:\n" + plan.take(800))
+  }
+
+  test("parity on real data: custom node equals q80's composition at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val composed = graft.SparkEntry
+      .queries("q80_asof_join")(spark, dir)
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    val viaNode = graft.SparkEntry
+      .queries("q88_asof_custom")(spark, dir)
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(viaNode == composed, s"custom=${viaNode.take(5)}... composed=${composed.take(5)}...")
+  }
+}
