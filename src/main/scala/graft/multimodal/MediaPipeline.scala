@@ -308,4 +308,46 @@ object MediaPipeline {
       }
       .toDF("media_id", "frame_no", "frame_bytes")
   }
+
+  /** Resize stage for image content: target dimensions are computed FOR REAL
+    * (aspect-preserving fit into `maxSide` — the metadata transform every
+    * thumbnailing pipeline runs, fed by the REAL header dims from
+    * [[decodeOne]]), while the pixel resample is the ===== STUB ===== step
+    * (the synthetic corpus carries header-only images — no pixel arrays to
+    * filter; a deployment swaps in its codec here): the output payload is a
+    * deterministic every-k-th-byte subsample of the content, sized by the
+    * area ratio, so the stage has a real, oracle-checkable contract
+    * end-to-end. Runs through the same batched mapPartitions shape as
+    * [[extractFeatures]] (decoder-memory contract).
+    */
+  def resizeImages(media: Dataset[MediaRecord], maxSide: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .filter(_.kind == "image")
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.map { m =>
+            val f = decodeOne(m)
+            // aspect-preserving fit: scale = maxSide / longest side (never
+            // upscale); ceil keeps 1 <= side <= maxSide for any input >= 1
+            val longest = math.max(f.width, f.height)
+            val (w2, h2) =
+              if (longest <= maxSide) (f.width, f.height)
+              else (
+                math.max(1, (f.width.toLong * maxSide + longest - 1) / longest).toInt,
+                math.max(1, (f.height.toLong * maxSide + longest - 1) / longest).toInt
+              )
+            // STUB pixel step: every-k-th-byte subsample, k = floor of the
+            // inverse area ratio (>= 1); pure byte function => SQL oracle
+            val k = math.max(
+              1L,
+              (f.width.toLong * f.height) / math.max(1L, w2.toLong * h2)
+            ).toInt
+            val sub = Range(0, m.content.length, k).map(m.content(_)).toArray
+            (m.media_id, f.width, f.height, w2, h2, sub.length.toLong)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "out_width", "out_height", "out_bytes")
+  }
 }

@@ -57,7 +57,23 @@ object MediaQueries {
           length(col("frame_bytes")).cast("long").as("frame_len"),
           col("frame_bytes").cast("string").as("frame_text")
         )
-        .orderBy(col("media_id"), col("frame_no")))
+        .orderBy(col("media_id"), col("frame_no"))),
+
+    // Resize stage: REAL aspect-preserving dimension math off the REAL
+    // header dims; the pixel resample is the stub byte-subsample (see
+    // MediaPipeline.resizeImages). Oracle checks the full contract.
+    "q67_media_resize" -> ((s, dir) =>
+      MediaPipeline
+        .resizeImages(MediaPipeline.mediaFromDocuments(s, dir))
+        .select(
+          col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_width").cast("long").as("out_width"),
+          col("out_height").cast("long").as("out_height"),
+          col("out_bytes")
+        )
+        .orderBy(col("media_id")))
   )
 
   // The oracle rebuilds the exact bytes the Spark side synthesizes —
@@ -133,6 +149,25 @@ object MediaQueries {
         |  CAST(strlen(substr(text, CAST(frame_no * 10 + 1 AS INT), 10)) AS BIGINT) AS frame_len,
         |  substr(text, CAST(frame_no * 10 + 1 AS INT), 10) AS frame_text
         |FROM f WHERE frame_no % 10 = 0
-        |ORDER BY media_id, frame_no""".stripMargin
+        |ORDER BY media_id, frame_no""".stripMargin,
+    // Header lengths by construction: PNG 29, JPEG 39, BMP 50 bytes (the
+    // q60 oracle's byte lists); resize math mirrors resizeImages exactly
+    // (ceil divisions in integers — no float boundary anywhere).
+    "q67_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 1 + doc_id % 512 AS w, 1 + (doc_id * 7) % 512 AS h,
+        |    CASE WHEN doc_id % 6 = 0 THEN 29 WHEN doc_id % 12 = 3 THEN 39 ELSE 50 END AS n
+        |  FROM documents WHERE doc_id % 3 = 0),
+        | r AS (SELECT media_id, w, h, n, greatest(w, h) AS longest FROM m),
+        | s AS (
+        |  SELECT media_id, w, h, n,
+        |    CASE WHEN longest <= 64 THEN w ELSE greatest(1, (w * 64 + longest - 1) // longest) END AS w2,
+        |    CASE WHEN longest <= 64 THEN h ELSE greatest(1, (h * 64 + longest - 1) // longest) END AS h2
+        |  FROM r),
+        | k AS (SELECT media_id, w, h, w2, h2, n, greatest(1, (w * h) // (w2 * h2)) AS kk FROM s)
+        |SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  w2::BIGINT AS out_width, h2::BIGINT AS out_height,
+        |  ((n + kk - 1) // kk)::BIGINT AS out_bytes
+        |FROM k ORDER BY media_id""".stripMargin
   )
 }
