@@ -52,7 +52,8 @@ final case class AsofJoin(
     leftTime: Expression,
     rightKey: Expression,
     rightTime: Expression,
-    rightTie: Expression
+    rightTie: Expression,
+    tolerance: Option[Long] = None // max leftTime - rightTime, in the time expressions' units
 ) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsofJoin =
@@ -66,7 +67,9 @@ final case class AsofJoin(
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsofJoin =>
-      AsofJoinExec(j.leftKey, j.leftTime, j.rightKey, j.rightTime, j.rightTie, planLater(j.left), planLater(j.right)) :: Nil
+      AsofJoinExec(
+        j.leftKey, j.leftTime, j.rightKey, j.rightTime, j.rightTie, j.tolerance,
+        planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -77,6 +80,7 @@ final case class AsofJoinExec(
     rightKey: Expression,
     rightTime: Expression,
     rightTie: Expression,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan
 ) extends BinaryExecNode {
@@ -136,6 +140,8 @@ final case class AsofJoinExec(
         // best match for the CURRENT left key: one buffered row, total state
         private var best: InternalRow = null
         private var bestKey           = 0L
+        private var bestTime          = 0L
+        private val tol               = tolerance.getOrElse(Long.MaxValue)
 
         private var out: InternalRow = null
         private var ready            = false
@@ -155,10 +161,13 @@ final case class AsofJoinExec(
               } else if (rKey == lKey && rTime <= lTime) {
                 best = rRow.copy() // shuffle/sort readers reuse row objects
                 bestKey = lKey
+                bestTime = rTime
                 if (!pullRight()) { rExhausted = true; scan = false }
               } else scan = false // right is ahead of this left row
             }
-            if (best != null) out = resultProj(joined(l, best)) // inner: no match ⇒ skip
+            // inner: no match ⇒ skip; tolerance: the best (latest eligible)
+            // match is the only candidate that could be in range
+            if (best != null && lTime - bestTime <= tol) out = resultProj(joined(l, best))
           }
         }
 
@@ -190,6 +199,11 @@ object AsofJoinOps {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsofJoinStrategy
 
+  /** @param tolerance max `leftTime - rightTime` for a match, in the SAME
+    *        UNITS as the time expressions (micros for timestamp columns) —
+    *        the pandas-merge_asof/Flink-interval bound; None = unbounded
+    *        backward search.
+    */
   def asof(
       left: DataFrame,
       right: DataFrame,
@@ -197,7 +211,8 @@ object AsofJoinOps {
       leftTime: Column,
       rightKey: Column,
       rightTime: Column,
-      rightTie: Column
+      rightTie: Column,
+      tolerance: Option[Long] = None
   ): DataFrame = {
     val spark = left.sparkSession
     install(spark)
@@ -211,7 +226,8 @@ object AsofJoinOps {
         toExpr(leftTime),
         toExpr(rightKey),
         toExpr(rightTime),
-        toExpr(rightTie)
+        toExpr(rightTie),
+        tolerance
       )
     )
   }

@@ -95,6 +95,24 @@ object TemporalJoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // The custom node with a TOLERANCE bound (pandas merge_asof parity):
+    // only orders within the last 9000 days of the event qualify (the
+    // harness corpora are epochs apart — 9000 days drops ~3% of matches,
+    // so the bound demonstrably discriminates). The form a
+    // feature-engineering pipeline ships ("most recent purchase, but only
+    // if recent enough"). Same merge, one extra comparison at emit.
+    "q89_asof_tolerance" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      val o = Tables
+        .orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
+      graft.plans.AsofJoinOps
+        .asof(e, o, e.col("user_id"), e.col("ts"), o.col("o_custkey"), o.col("o_ts"), o.col("o_orderkey"),
+          tolerance = Some(9000L * 86400L * 1000000L)) // 9000 days in micros
+        .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join: same-customer order pairs placed within a week of each
     // other (repeat-purchase detection — bounded-band temporal self-join).
     "q81_range_join" -> ((s, dir) => {
@@ -147,6 +165,17 @@ object TemporalJoinQueries {
         |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // The latest in-window match equals "latest overall, if in window":
+    // eligible rows ordered by time have the in-window ones as a suffix.
+    "q89_asof_tolerance" ->
+      """SELECT event_id, user_id, o_orderkey AS last_orderkey FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |    AND o.o_orderdate >= e.ts - INTERVAL 9000 DAYS)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q81_range_join" ->
       s"""SELECT a.o_custkey AS ck, count(*) AS n_pairs,

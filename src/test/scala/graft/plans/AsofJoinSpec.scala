@@ -61,6 +61,24 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     assert(custom().as[(Long, Long, Long)].collect().toSeq == composed)
   }
 
+  test("tolerance bounds the backward search: out-of-window best match is dropped") {
+    def run(tolSec: Long) =
+      AsofJoinOps
+        .asof(events, orders,
+          events.col("user_id"), events.col("ts"),
+          orders.col("o_custkey"), orders.col("o_ts"), orders.col("o_orderkey"),
+          tolerance = Some(tolSec * 1000000L)) // timestamps surface as micros
+        .select(col("event_id"), col("o_orderkey"))
+        .as[(Long, Long)]
+        .collect()
+        .toMap
+    // event 4 (t=500) best-matches order 202 (t=400): gap 100s
+    assert(run(200L).get(4L).contains(202L), "in-window match must survive")
+    assert(!run(50L).contains(4L), "out-of-window match must drop (inner)")
+    // event 2 matches AT its own time (gap 0) — any tolerance keeps it
+    assert(run(0L).get(2L).contains(102L))
+  }
+
   test("the strategy plans AsofJoinExec and the planner inserts hash exchanges + sorts") {
     val plan = custom().queryExecution.executedPlan.toString
     assert(plan.contains("AsofJoin"), plan.take(800)) // SparkPlan.nodeName strips the Exec suffix
