@@ -164,8 +164,13 @@ object TextFunctions {
     * a narrow array fold — no explode, no aggregation, no shuffle. NULL for
     * an empty array — callers filter those rows.
     */
-  def minhashFromPairs(seed: Int, pairs: Column): Column =
+  def minhashFromPairs(seed: Int, pairs: Column): Column = {
+    // the no-overflow bound is h1 + 7·h2 < 2^63: 60-bit operands admit
+    // seeds 0–7 ONLY (beyond that Spark wraps negative while the DuckDB
+    // oracle's BIGINT raises — engines would diverge silently)
+    require(seed >= 0 && seed < 8, s"minhash double-hash family supports seeds 0-7, got $seed")
     array_min(transform(pairs, p => p.getField("h1") + lit(seed.toLong) * p.getField("h2")))
+  }
 
   /** One MinHash value from the raw shingle array (computes the base hashes
     * in place — use [[minhashPairs]] + [[minhashFromPairs]] when several
@@ -179,6 +184,7 @@ object TextFunctions {
     * multiset = min over the set).
     */
   def minhashAgg(seed: Int, shingle: Column): Column = {
+    require(seed >= 0 && seed < 8, s"minhash double-hash family supports seeds 0-7, got $seed")
     val h = md5(shingle)
     min(
       conv(substring(h, 1, 15), 16, 10).cast("long")

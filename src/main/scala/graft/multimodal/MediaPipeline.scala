@@ -338,13 +338,17 @@ object MediaPipeline {
                 math.max(1, (f.height.toLong * maxSide + longest - 1) / longest).toInt
               )
             // STUB pixel step: every-k-th-byte subsample, k = floor of the
-            // inverse area ratio (>= 1); pure byte function => SQL oracle
+            // inverse area ratio (>= 1); pure byte function => SQL oracle.
+            // Only the SIZE is emitted here, so it is computed
+            // arithmetically (= Range(0, n, k).length) — a deployment that
+            // ships the resampled payload materializes the bytes at this
+            // point instead
             val k = math.max(
               1L,
               (f.width.toLong * f.height) / math.max(1L, w2.toLong * h2)
             ).toInt
-            val sub = Range(0, m.content.length, k).map(m.content(_)).toArray
-            (m.media_id, f.width, f.height, w2, h2, sub.length.toLong)
+            val outBytes = (m.content.length.toLong + k - 1) / k
+            (m.media_id, f.width, f.height, w2, h2, outBytes)
           }
         }
       }

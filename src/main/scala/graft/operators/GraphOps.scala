@@ -78,6 +78,13 @@ object GraphOps {
       rounds += 1
     }
     sym.unpersist()
+    // partial labels are SILENTLY WRONG (nodes mapped to non-minimal
+    // ancestors → split components downstream) — refuse to return them
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(component diameter exceeds the budget): raise maxRounds or use " +
+          "connectedComponentsStars, which needs O(log^2 n) rounds on any graph")
     labels
   }
 
@@ -162,6 +169,13 @@ object GraphOps {
       eCount = nextCount
       rounds += 1
     }
+    // an unconverged edge frame still points at intermediate parents —
+    // groupBy/min below would emit non-minimal reps with nothing signaling
+    // the truncation; fail instead (O(log² n) rounds means hitting this
+    // bound implies a pathological input or a far-too-small maxRounds)
+    if (changed)
+      throw new IllegalStateException(
+        s"connectedComponentsStars did not converge in $maxRounds rounds; raise maxRounds")
     nodes
       .join(
         // min() is belt-and-braces: at the fixpoint each child has exactly

@@ -103,14 +103,20 @@ final case class AsofJoinExec(
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  // java.lang.Long.MIN_VALUE is reserved as the null sentinel: a NULL key or
+  // time follows JOIN SEMANTICS (the row can never match — dropped), it does
+  // not fail the query the way a type error does
+  private val NullSentinel = Long.MinValue
+
   private def asLong(v: Any): Long = v match {
+    case null                 => NullSentinel
     case l: java.lang.Long    => l
     case i: java.lang.Integer => i.toLong
     case s: java.lang.Short   => s.toLong
     case b: java.lang.Byte    => b.toLong
     case other =>
       throw new IllegalArgumentException(
-        s"asof join key/time must be integral-comparable, got ${if (other == null) "null" else other.getClass}")
+        s"asof join key/time must be integral-comparable, got ${other.getClass}")
   }
 
   protected override def doExecute(): RDD[InternalRow] = {
@@ -127,13 +133,14 @@ final case class AsofJoinExec(
         private var rRow: InternalRow = null
         private var rKey              = 0L
         private var rTime             = 0L
+        @scala.annotation.tailrec
         private def pullRight(): Boolean =
           if (rIter.hasNext) {
             val r = rIter.next()
             rKey = asLong(rk.eval(r))
             rTime = asLong(rt.eval(r))
-            rRow = r
-            true
+            if (rKey == NullSentinel || rTime == NullSentinel) pullRight() // null never matches
+            else { rRow = r; true }
           } else { rRow = null; false }
         private var rExhausted = !pullRight()
 
@@ -152,6 +159,9 @@ final case class AsofJoinExec(
             val l     = lIter.next()
             val lKey  = asLong(lk.eval(l))
             val lTime = asLong(lt.eval(l))
+            if (lKey == NullSentinel || lTime == NullSentinel) {
+              // null key/time never matches: inner semantics drop the row
+            } else {
             if (best != null && bestKey != lKey) best = null
             var scan = !rExhausted
             while (scan) {
@@ -168,6 +178,7 @@ final case class AsofJoinExec(
             // inner: no match ⇒ skip; tolerance: the best (latest eligible)
             // match is the only candidate that could be in range
             if (best != null && lTime - bestTime <= tol) out = resultProj(joined(l, best))
+            }
           }
         }
 
@@ -216,6 +227,17 @@ object AsofJoinOps {
   ): DataFrame = {
     val spark = left.sparkSession
     install(spark)
+    // Self-joins over shared lineage would put DUPLICATE expression ids in
+    // the node's output: the analyzer's DeduplicateRelations rewrites only
+    // built-in Join nodes, so downstream binding would silently read
+    // left-side ordinals for right-side attributes. Fail fast instead —
+    // the caller disambiguates with select(...as...) aliases (fresh ids).
+    val dup = left.queryExecution.analyzed.outputSet.intersect(right.queryExecution.analyzed.outputSet)
+    require(
+      dup.isEmpty,
+      s"asof: left and right share attributes ${dup.toSeq.mkString(", ")} — self-joins over " +
+        "shared lineage are not supported; re-alias one side's columns (select(col(...).as(...)))"
+    )
     val toExpr = org.apache.spark.sql.graft.GraftDatasetBridge.expr _
     org.apache.spark.sql.graft.GraftDatasetBridge.ofRows(
       spark,

@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
+  /** First 16 bits of an md5 hex column as an integer bucket in [0, 2^16) —
+    * the shared uniform for the deterministic samplers (q64, q66); one
+    * definition so the formula (and its DuckDB mirrors) cannot drift apart.
+    */
+  private def md5Bucket16(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 4)
+      .map(i =>
+        (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1)
+          * lit(math.pow(16, 3 - i).toLong)
+      )
+      .reduce(_ + _)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-modal: join documents to their embedding rows (doc_id = vec_id)
     // and profile text quality per embedding cluster — the "which clusters
@@ -57,17 +69,7 @@ object CurationQueries {
           col("label"),
           md5(concat_ws(":", col("label"), col("vec_id"))).as("h")
         )
-        .select(
-          col("vec_id"),
-          col("label"),
-          (0 until 4)
-            .map(i =>
-              (instr(lit("0123456789abcdef"), substring(col("h"), i + 1, 1)) - 1)
-                * lit(math.pow(16, 3 - i).toLong)
-            )
-            .reduce(_ + _)
-            .as("bucket")
-        )
+        .select(col("vec_id"), col("label"), md5Bucket16(col("h")).as("bucket"))
         .filter(col("bucket") < 13107) // 0.2 * 2^16
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))),
@@ -96,13 +98,7 @@ object CurationQueries {
           col("lang"),
           col("source"),
           col("quality"),
-          (0 until 4)
-            .map(i =>
-              (instr(lit("0123456789abcdef"), substring(col("h"), i + 1, 1)) - 1)
-                * lit(math.pow(16, 3 - i).toLong)
-            )
-            .reduce(_ + _)
-            .as("bucket")
+          md5Bucket16(col("h")).as("bucket")
         )
         // acceptance probability = quality / 2 (scale 2^16 buckets by 2^15)
         .filter(col("bucket") < col("quality") * lit(32768.0))

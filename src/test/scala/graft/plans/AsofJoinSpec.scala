@@ -79,6 +79,35 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     assert(run(0L).get(2L).contains(102L))
   }
 
+  test("null keys/times follow join semantics: never match, never crash") {
+    val e = Seq(
+      (1L, Option(10L), Option(ts(100))),
+      (2L, None, Option(ts(100))),      // null key -> dropped
+      (3L, Option(10L), None)           // null time -> dropped
+    ).toDF("event_id", "user_id", "ts")
+    val o = Seq(
+      (Option(10L), 101L, Option(ts(90))),
+      (None, 999L, Option(ts(90))),     // null right key -> matches nothing
+      (Option(10L), 998L, None)         // null right time -> matches nothing
+    ).toDF("o_custkey", "o_orderkey", "o_ts")
+    val rows = AsofJoinOps
+      .asof(e, o, e.col("user_id"), e.col("ts"), o.col("o_custkey"), o.col("o_ts"), o.col("o_orderkey"))
+      .select(col("event_id"), col("o_orderkey"))
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    assert(rows == Seq((1L, 101L)), rows.toString)
+  }
+
+  test("shared-lineage self-join is rejected fast instead of silently mis-binding") {
+    val err = intercept[IllegalArgumentException] {
+      AsofJoinOps.asof(events, events,
+        events.col("user_id"), events.col("ts"),
+        events.col("user_id"), events.col("ts"), events.col("event_id"))
+    }
+    assert(err.getMessage.contains("re-alias"), err.getMessage)
+  }
+
   test("the strategy plans AsofJoinExec and the planner inserts hash exchanges + sorts") {
     val plan = custom().queryExecution.executedPlan.toString
     assert(plan.contains("AsofJoin"), plan.take(800)) // SparkPlan.nodeName strips the Exec suffix
