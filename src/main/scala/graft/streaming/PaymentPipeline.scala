@@ -151,6 +151,22 @@ object PaymentPipeline {
     * batch_id) — a crash-replayed batch appends identical rows and must not
     * double-count (this closes the replay caveat the in-memory round-1
     * store documented).
+    *
+    * COMPACTION (the read-path bound [[BalanceStore]] already has): batches
+    * older than a caller-supplied cutoff merge into ONE base row per
+    * account, tagged `batch_id = -(cutoff) - 2` — the CUTOFF RIDES IN THE
+    * TAG, which is what makes every intermediate file state read
+    * correctly: readers reconstruct the LOGICAL state as "winning base
+    * (greatest cutoff) + real batches >= that cutoff", so a crash or
+    * concurrent read between the compaction's append and its deletes
+    * (old rows + new base both present) cannot double-count — the old
+    * rows/bases are excluded by the winning base's cutoff filter, exactly
+    * the snapshot-isolation contract Delta/Iceberg would provide for free.
+    *
+    * Replay safety: per-batch rows survive for every batch `>= cutoff`, so
+    * replayed appends of those batches still dedup at read time; batches
+    * `< cutoff` cannot replay once the streaming checkpoint has committed
+    * past them — pass a cutoff at or below the last committed batch.
     */
   final class DeltaBalanceStore(spark: SparkSession, dir: String) {
 
@@ -160,13 +176,31 @@ object PaymentPipeline {
       if (new java.io.File(dir).exists()) Some(spark.read.schema(schema).parquet(dir))
       else None
 
+    /** The logical per-(account, batch) rows: replayed appends deduped,
+      * stale rows/bases below the winning base's cutoff dropped. `cutoff`
+      * is the winning base's horizon (null where no base exists); base
+      * rows keep their negative tag so recompaction includes them.
+      */
+    private def logicalRows(log: DataFrame): DataFrame = {
+      val dd = log
+        .groupBy(col("fromAccount"), col("batch_id"))
+        .agg(max(col("delta")).as("delta")) // identical on replay — max dedups
+      val winning = dd
+        .filter(col("batch_id") <= -2L)
+        .groupBy(col("fromAccount"))
+        .agg(max(-col("batch_id") - 2L).as("cutoff"))
+      dd.join(winning, Seq("fromAccount"), "left")
+        .filter(
+          col("cutoff").isNull ||                 // no base: everything counts
+            col("batch_id") === -col("cutoff") - 2L || // the winning base itself
+            col("batch_id") >= col("cutoff")      // real batches at/after the horizon
+        )
+    }
+
     def get(account: String): Option[Long] =
       changelog.flatMap { log =>
-        val r = log
-          .filter(col("fromAccount") === account)
-          .groupBy(col("batch_id"))
-          .agg(max(col("delta")).as("d")) // identical on replay — max dedups
-          .agg(sum(col("d")))
+        val r = logicalRows(log.filter(col("fromAccount") === account))
+          .agg(sum(col("delta")))
           .head()
         if (r.isNullAt(0)) None else Some(r.getLong(0))
       }
@@ -177,6 +211,42 @@ object PaymentPipeline {
         .write
         .mode("append")
         .parquet(dir)
+
+    /** Merge every logical row with `batch_id < beforeBatchId` (the winning
+      * base's negative tag always qualifies) into one base row per account
+      * tagged `-(beforeBatchId) - 2`; real batches at/after the cutoff stay
+      * as-is. File order: append the merged rows, then delete the
+      * snapshot — correct at every intermediate state (see class doc).
+      *
+      * @param beforeBatchId must be <= the last batch the streaming
+      *        checkpoint has committed (replay safety, class doc).
+      */
+    def compact(beforeBatchId: Long): Unit = changelog.foreach { log =>
+      require(beforeBatchId >= 0, s"cutoff must be a committed batch id, got $beforeBatchId")
+      val old = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      val logical = logicalRows(log)
+      val base = logical
+        .filter(col("batch_id") < beforeBatchId) // includes any prior base (negative tag)
+        .groupBy(col("fromAccount"))
+        .agg(sum(col("delta")).as("delta"))
+        .withColumn("batch_id", lit(-beforeBatchId - 2L))
+      val keep = logical.filter(col("batch_id") >= beforeBatchId)
+      base
+        .unionByName(keep.select(col("fromAccount"), col("delta"), col("batch_id")))
+        .select(col("fromAccount"), col("delta"), col("batch_id"))
+        .coalesce(1)
+        .write
+        .mode("append")
+        .parquet(dir)
+      old.foreach(_.delete())
+    }
+
+    /** Data files currently in the changelog (boundedness test surface). */
+    def dataFileCount: Int = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.startsWith("part-"))
   }
 
   /** Handles to the running topology: the two branch queries' shared writer,
@@ -270,7 +340,12 @@ object PaymentPipeline {
     * consumer). Balances are delta-sums; the store dedups replayed batch_ids
     * at read time, so a crash-replayed batch cannot double-count.
     */
-  def startSinglePass(payments: DataFrame, checkpointDir: String, sinkDir: String): (StreamingQuery, DeltaBalanceStore) = {
+  def startSinglePass(
+      payments: DataFrame,
+      checkpointDir: String,
+      sinkDir: String,
+      compactEvery: Long = 16L
+  ): (StreamingQuery, DeltaBalanceStore) = {
     val store = new DeltaBalanceStore(payments.sparkSession, s"$sinkDir/_balance_state")
 
     val supported     = PaymentOps.railsFilter(payments)
@@ -295,6 +370,10 @@ object PaymentPipeline {
           batch.groupBy(col("fromAccount")).agg(sum(col("amount")).as("delta")),
           batchId
         )
+        // every batch < batchId is checkpoint-committed by the time this
+        // foreachBatch runs — a safe compaction cutoff (replay contract)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          store.compact(batchId)
         batch.unpersist()
         ()
       }

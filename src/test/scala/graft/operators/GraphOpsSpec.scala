@@ -95,4 +95,19 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     val comp = starComponents(Seq(5L, 6L), Seq.empty)
     assert(comp == Map(5L -> 5L, 6L -> 6L))
   }
+
+  test("exhausting maxRounds throws instead of returning partial labels") {
+    // a 10-node path needs 9 min-label rounds; 3 is not enough — partial
+    // labels are silently wrong downstream, so the operator must refuse
+    val err = intercept[IllegalStateException] {
+      GraphOps
+        .connectedComponents(
+          (1L to 10L).toDF("id"),
+          (1L until 10L).map(i => (i, i + 1)).toDF("src", "dst"),
+          maxRounds = 3
+        )
+        .collect()
+    }
+    assert(err.getMessage.contains("connectedComponentsStars"), err.getMessage)
+  }
 }

@@ -155,6 +155,42 @@ class PaymentPipelineSpec extends AnyFunSuite with SparkSpec {
     topo.stop()
   }
 
+  test("delta-store compaction: cutoff rides in the base tag, every mixed state reads correctly") {
+    val tmp   = Files.createTempDirectory("graft-delta-compact").toString
+    val store = new PaymentPipeline.DeltaBalanceStore(spark, s"$tmp/deltas")
+    (0L to 9L).foreach { b =>
+      store.append(Seq(("ABC", 10L), ("XYZ", 5L)).toDF("fromAccount", "delta"), b)
+    }
+    store.append(Seq(("ABC", 10L), ("XYZ", 5L)).toDF("fromAccount", "delta"), 3L) // replay pre-cutoff
+    store.compact(5L)
+    assert(store.get("ABC").contains(100L), "sum must survive compaction (and the replay)")
+    assert(store.dataFileCount <= 2, s"unbounded: ${store.dataFileCount}")
+    // replay of a KEPT batch after compaction must still dedup
+    store.append(Seq(("ABC", 10L), ("XYZ", 5L)).toDF("fromAccount", "delta"), 7L)
+    assert(store.get("XYZ").contains(50L), "post-compaction replay double-counted")
+    // the crash window: a stale pre-cutoff row lingering NEXT TO the base
+    // (compaction appended but not yet deleted) must be ignored by reads —
+    // the winning base's cutoff filter is what guarantees it
+    store.append(Seq(("ABC", 999L)).toDF("fromAccount", "delta"), 2L)
+    assert(store.get("ABC").contains(100L), "stale pre-cutoff row was double-counted")
+    // recompaction with the stale row present stays correct and re-bounds files
+    store.compact(9L)
+    assert(store.get("ABC").contains(100L) && store.get("XYZ").contains(50L))
+    assert(store.dataFileCount <= 2, s"recompaction unbounded: ${store.dataFileCount}")
+
+    // through the stream: 7 batches, compactEvery=3 -> bounded files, right sum
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PaymentEvent]
+    val (query, s2) = PaymentPipeline.startSinglePass(input.toDF(), s"$tmp/ckpt", s"$tmp/sink", compactEvery = 3L)
+    (1 to 7).foreach { i =>
+      input.addData(PaymentEvent(s"d$i", 10L * i, "GBP", "DEF", "ACC", "BANK_RAILS_FOO"))
+      query.processAllAvailable()
+    }
+    assert(s2.get("ACC").contains((1 to 7).map(10L * _).sum), "delta balance wrong after streamed compactions")
+    assert(s2.dataFileCount <= 4, s"stream delta changelog unbounded: ${s2.dataFileCount} files")
+    query.stop()
+  }
+
   test("kafka codec round-trip: encode -> decode preserves the record (O1/O11/O14/O15)") {
     val df      = golden.toDF()
     val encoded = PaymentSerde.encodeKafka(df) // (key, value) wire shape
