@@ -105,6 +105,38 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("quality"))
         .orderBy(col("doc_id"))),
 
+    // Source-mixture REWEIGHTING: per-source acceptance weights that move
+    // the corpus toward a target mixture (uniform here) without
+    // upsampling — weight_s = min(1, target_share·N / n_s), the standard
+    // data-mixing computation (composable with q64/q66: accept doc iff
+    // md5-bucket < weight·2^16). Exact: weights derive from integer counts
+    // by one IEEE division + round, identical in both engines.
+    "q69_mixture_weights" -> ((s, dir) => {
+      val perSource = Tables
+        .documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val totals = broadcast(
+        perSource.agg(sum(col("n_docs")).as("n_total"), count(lit(1)).as("n_sources"))
+      )
+      perSource
+        .crossJoin(totals) // 1 row
+        .select(
+          col("source"),
+          col("n_docs"),
+          round(
+            least(
+              lit(1.0),
+              col("n_total").cast("double") /
+                (col("n_sources") * col("n_docs")).cast("double")
+            ),
+            6
+          ).as("weight")
+        )
+        .withColumn("expected_n", round(col("n_docs") * col("weight"), 2))
+        .orderBy(col("source"))
+    }),
+
     // Exact interpolated percentiles per event type (Spark `percentile` ==
     // DuckDB `quantile_cont`, both linear interpolation over sorted values).
     "q36_percentiles" -> ((s, dir) =>
@@ -148,6 +180,13 @@ object CurationQueries {
         |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
         |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) < 13107
         |ORDER BY vec_id""".stripMargin,
+    "q69_mixture_weights" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        | t AS (SELECT sum(n_docs) AS n_total, count(*) AS n_sources FROM s)
+        |SELECT source, n_docs,
+        |  round(least(1.0, CAST(n_total AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE)), 6) AS weight,
+        |  round(n_docs * round(least(1.0, CAST(n_total AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE)), 6), 2) AS expected_n
+        |FROM s, t ORDER BY source""".stripMargin,
     "q66_weighted_sample" ->
       raw"""WITH q AS (
            |  SELECT doc_id, lang, source,

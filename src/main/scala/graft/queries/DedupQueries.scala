@@ -232,6 +232,38 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DECONTAMINATION: which corpus documents near-duplicate a held-out
+    // eval set (here: doc_id % 10 == 0 stands in for the benchmark) — the
+    // train/test-overlap check every training-data run performs before
+    // shipping. Asymmetric shingle-index join (eval side is the small one
+    // and would be broadcast at scale), exact Jaccard, then the best
+    // (jac, eval_id) per contaminated doc via struct-max (deterministic
+    // ties). Output: the contamination report a pipeline acts on.
+    "q68_decontaminate" -> ((s, dir) => {
+      val sh    = shingleSet(s, dir).persist()
+      val evalS = sh.filter(col("doc_id") % 10 === 0)
+      val corp  = sh.filter(col("doc_id") % 10 =!= 0)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = corp
+        .select(col("doc_id"), col("shingle"))
+        .join(evalS.select(col("doc_id").as("eval_id"), col("shingle")), Seq("shingle"))
+        .groupBy(col("doc_id"), col("eval_id"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes, Seq("doc_id"))
+        .join(sizes.select(col("doc_id").as("eval_id"), col("n").as("ne")), Seq("eval_id"))
+        .select(
+          col("doc_id"),
+          col("eval_id"),
+          round(col("c").cast("double") / (col("n") + col("ne") - col("c")), 4).as("jac")
+        )
+        .filter(col("jac") >= JaccardThreshold)
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("jac"), col("eval_id"))).as("m"))
+        .select(col("doc_id"), col("m.eval_id").as("eval_id"), col("m.jac").as("jac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup AUDIT report: near-dup rate per source — the "which crawl is
     // feeding us duplicates" question every curation run answers before
     // deciding where to spend cleaning effort. Verified LSH pairs (q42's
@@ -449,6 +481,21 @@ object DedupQueries {
     // q49 computes the identical ground truth through a different
     // distributed algorithm — same oracle on purpose
     "q49_dedup_components_stars" -> componentsOracle,
+    "q68_decontaminate" ->
+      (shingleCte +
+        raw""", ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0),
+             | corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+             | xi AS (SELECT c.doc_id, e.eval_id, count(*) AS c
+             |        FROM corp c JOIN ev e USING (shingle) GROUP BY 1, 2),
+             | xj AS (SELECT xi.doc_id, xi.eval_id,
+             |          round(xi.c * 1.0 / (sa.n + sb.n - xi.c), 4) AS jac
+             |        FROM xi JOIN sizes sa ON xi.doc_id = sa.doc_id
+             |                JOIN sizes sb ON xi.eval_id = sb.doc_id),
+             | best AS (SELECT doc_id, eval_id, jac,
+             |            row_number() OVER (PARTITION BY doc_id
+             |              ORDER BY jac DESC, eval_id DESC) AS rn
+             |          FROM xj WHERE jac >= $JaccardThreshold)
+             |SELECT doc_id, eval_id, jac FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     "q58_neardup_rate_by_source" ->
       (shingleCte +
         raw""", losers AS (
