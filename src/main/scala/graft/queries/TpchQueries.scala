@@ -425,6 +425,48 @@ object TpchQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // RANGE-frame window: per customer, trailing-30-day revenue at each
+    // order — the VALUE-based frame (ties share a frame; deterministic by
+    // construction, unlike ROWS on a tied sort). Ordered on epoch seconds
+    // because Spark's rangeBetween takes numeric offsets; the oracle
+    // mirrors the same numeric frame. Exact cents inside the frame sum.
+    "q90_trailing_revenue" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("sec"))
+        .rangeBetween(-30L * 86400L, 0L)
+      Tables
+        .orders(s, dir)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("sec"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")
+        )
+        .withColumn("trail30", (sum(col("cents")).over(w).cast("double") / 100.0))
+        .select(col("o_custkey"), col("o_orderkey"), col("trail30").as("trailing_30d_revenue"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Explicit GROUPING SETS (status totals, priority totals, grand total)
+    // with grouping_id disambiguating the null-vs-subtotal rows — the
+    // grouping-sets surface beyond q29's ROLLUP and q74's CUBE, through
+    // Spark 4's Dataset#groupingSets API.
+    "q91_grouping_sets" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"),
+          col("o_orderpriority")
+        )
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).as("total")
+        )
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
     // TPC-H Q22 shape — "pending" wealthy customers: above-average account
     // balance (scalar AVG subquery) and no RECENT orders (anti join against
     // the date-filtered fact), grouped by the segment initial (the
@@ -640,6 +682,21 @@ object TpchQueries {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rev4 = (SELECT max(rev4) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q90_trailing_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+        |    AS trailing_30d_revenue
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q91_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q87_pending_customers" ->
       """WITH cust AS (
         |  SELECT c_custkey, substr(c_mktsegment, 1, 1) AS seg,
