@@ -32,6 +32,50 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
   }
 
+  /** TRENDING TERMS: top-k tokens per finalized event-time window — the
+    * streaming leaderboard shape (finalize → rank → publish). Counting is
+    * the streaming windowed aggregate in APPEND mode (a (window, token)
+    * count emits exactly once, when the watermark closes its window);
+    * RANKING runs inside `foreachBatch` on the finalized rows — window
+    * functions are not allowed on unbounded streams, and they don't need
+    * to be: a closed window is a bounded batch, so the rank is ordinary
+    * batch work. State is ∝ (open windows × distinct tokens in them),
+    * watermark-bounded.
+    *
+    * @param docs  streaming frame with (ts TIMESTAMP, text STRING)
+    * @param sink  receives the finalized top-k rows per batch
+    *              (window_start, token, n, rank) — write to your store
+    * @return the started query (caller stops it)
+    */
+  def trendingTerms(
+      docs: DataFrame,
+      windowLength: String,
+      watermark: String,
+      k: Int,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), windowLength).as("w"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("w"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("append") // rows arrive here only once their window closes
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rank = Window.partitionBy(col("w")).orderBy(col("n").desc, col("token"))
+        sink(
+          batch
+            .withColumn("rank", row_number().over(rank).cast("long"))
+            .filter(col("rank") <= k)
+            .select(col("w.start").as("window_start"), col("token"), col("n"), col("rank"))
+        )
+        ()
+      }
+      .start()
+  }
+
   /** Sliding windows (length, slide) — each event lands in length/slide
     * windows; otherwise identical contract to [[windowedStats]].
     */

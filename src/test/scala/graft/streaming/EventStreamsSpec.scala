@@ -87,6 +87,37 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     query.stop()
   }
 
+  test("trendingTerms: top-k tokens per window, emitted only when the window closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val tmp   = java.nio.file.Files.createTempDirectory("graft-trending").toString
+    val out   = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String, Long, Long)]
+    val query = EventStreams.trendingTerms(
+      input.toDF().toDF("ts", "text"),
+      windowLength = "10 minutes",
+      watermark = "0 seconds",
+      k = 2,
+      checkpointDir = s"$tmp/ckpt"
+    ) { batch =>
+      out.synchronized {
+        out ++= batch.as[(Timestamp, String, Long, Long)].collect()
+      }
+    }
+    // window A (minutes 0-9): alpha x3, beta x2, gamma x1 -> top2 alpha, beta
+    input.addData(
+      (ts(1), "alpha beta alpha"),
+      (ts(2), "alpha beta gamma")
+    )
+    query.processAllAvailable()
+    assert(out.isEmpty, "no window closed yet — append mode must not emit")
+    // an event in the NEXT window pushes the watermark past window A
+    input.addData((ts(12), "delta"))
+    query.processAllAvailable()
+    val winA = out.synchronized(out.filter(_._1 == winStart(1)).map(t => (t._2, t._3, t._4)).toSet)
+    assert(winA == Set(("alpha", 3L, 1L), ("beta", 2L, 2L)), s"got $winA")
+    query.stop()
+  }
+
   test("sessionize: gap rule splits sessions per user (batch twin)") {
     val events = Seq(
       (1L, ts(0)), (1L, ts(5)), (1L, ts(40)), // user 1: gap 35min -> 2 sessions
