@@ -467,6 +467,70 @@ object TpchQueries {
         )
         .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
+    // String-function sweep beyond q72: regex extraction, split_part,
+    // translate, padding, edit distance — each mirrored 1:1 in the oracle
+    // (portable subset only; e.g. substring_index is NOT split_part and is
+    // deliberately absent).
+    "q92_string_functions" -> ((s, dir) =>
+      Tables
+        .customer(s, dir)
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "#(\\d+)$", 1).as("digits"),
+          split_part(col("c_name"), lit("#"), lit(1)).as("prefix"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_lower_vowels"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("seg_dist"),
+          reverse(col("c_name")).as("rev")
+        )
+        .orderBy(col("c_custkey"))),
+
+    // Date/time-function sweep: truncation, month-end, component extracts,
+    // day arithmetic. Portability notes encoded in the expressions:
+    // dayofweek is 1=Sunday in Spark but 0=Sunday in DuckDB (normalized to
+    // 0-based here), and datediff(end, start) = DuckDB
+    // date_diff('day', start, end).
+    "q93_date_functions" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow0"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).cast("long").as("days_since_epoch0")
+        )
+        .orderBy(col("o_orderkey"))),
+
+    // FUNNEL: signup -> view -> purchase per user, each stage's first
+    // event at-or-after the previous stage's. Three conditional-min
+    // aggregations chained by per-user joins (the decorrelated form);
+    // output is the single funnel row a dashboard reads.
+    "q94_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev
+        .filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t_signup"))
+      val s2 = ev
+        .filter(col("event_type") === "view")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") >= col("t_signup"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t_view"))
+      val s3 = ev
+        .filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") >= col("t_view"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t_purchase"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_view_after"))))
+        .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_purchase_after"))))
+    }),
+
     // TPC-H Q22 shape — "pending" wealthy customers: above-average account
     // balance (scalar AVG subquery) and no RECENT orders (anti join against
     // the date-filtered fact), grouped by the segment initial (the
@@ -682,6 +746,37 @@ object TpchQueries {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rev4 = (SELECT max(rev4) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q92_string_functions" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '#(\d+)$', 1) AS digits,
+        |  split_part(c_name, '#', 1) AS prefix,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+        |  lpad(c_custkey::VARCHAR, 8, '0') AS padded,
+        |  levenshtein(c_mktsegment, 'BUILDING')::BIGINT AS seg_dist,
+        |  reverse(c_name) AS rev
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q93_date_functions" ->
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(last_day(o_orderdate::DATE) AS TIMESTAMP) AS month_end,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow0,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch0
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q94_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        | s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_view FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts >= s1.t_signup GROUP BY e.user_id),
+        | s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t_view GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |       (SELECT count(*) FROM s2) AS n_view_after,
+        |       (SELECT count(*) FROM s3) AS n_purchase_after""".stripMargin,
     "q90_trailing_revenue" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
