@@ -33,16 +33,46 @@ object StreamJoins {
       key: String,
       withinSeconds: Long,
       watermark: String = "1 minute"
+  ): DataFrame =
+    intervalJoinType(left, right, key, withinSeconds, watermark, "inner")
+
+  /** Stream–stream LEFT OUTER interval join — the "did a matching event
+    * ever arrive in the window?" shape (e.g. payment × confirmation,
+    * unconfirmed payments surface with null right columns). The outer
+    * semantics are WATERMARK-DRIVEN: a left row's null-padded result can
+    * only emit once the watermark proves no matching right row can still
+    * arrive (state for its interval has expired) — so unmatched results
+    * trail matched ones by the watermark delay. That delayed emission is
+    * exactly what the spec pins down.
+    */
+  def intervalJoinLeftOuter(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      withinSeconds: Long,
+      watermark: String = "1 minute"
+  ): DataFrame =
+    intervalJoinType(left, right, key, withinSeconds, watermark, "left_outer")
+
+  private def intervalJoinType(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      withinSeconds: Long,
+      watermark: String,
+      joinType: String
   ): DataFrame = {
     val l = left.withWatermark("ts", watermark)
     val r = right
       .withColumnRenamed("ts", "r_ts")
+      .withColumnRenamed(key, s"r_$key")
       .withWatermark("r_ts", watermark)
     l.join(
       r,
-      l(key) === r(key) &&
+      col(key) === col(s"r_$key") &&
         col("r_ts") >= col("ts") &&
-        col("r_ts") <= col("ts") + expr(s"INTERVAL $withinSeconds SECONDS")
-    ).drop(r(key))
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $withinSeconds SECONDS"),
+      joinType
+    ).drop(s"r_$key")
   }
 }

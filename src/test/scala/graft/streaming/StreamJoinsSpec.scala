@@ -53,4 +53,38 @@ class StreamJoinsSpec extends AnyFunSuite with SparkSpec {
     assert(users == Seq("u1"), "only the within-bound purchase attributes")
     query.stop()
   }
+
+  test("left-outer interval join: unmatched rows emit null-padded ONLY after the watermark expires them") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp)]
+    val buys   = MemoryStream[(String, Timestamp)]
+    val joined = StreamJoins.intervalJoinLeftOuter(
+      clicks.toDF().toDF("user", "ts"),
+      buys.toDF().toDF("user", "ts"),
+      key = "user",
+      withinSeconds = 30,
+      watermark = "10 seconds"
+    )
+    val query = joined.writeStream
+      .format("memory")
+      .queryName("attributed_outer")
+      .outputMode("append")
+      .start()
+
+    clicks.addData(("u1", ts(0)), ("u2", ts(0)))
+    buys.addData(("u1", ts(10))) // u1 matches; u2 has nothing (yet?)
+    query.processAllAvailable()
+    def rows() =
+      spark.table("attributed_outer").select("user", "r_ts").as[(String, Option[Timestamp])].collect().toSet
+    assert(rows() == Set(("u1", Some(ts(10)))),
+      "u2 must NOT null-pad yet — its join window is still open: " + rows())
+    // advance event time far past u2's window (0s + 30s) + watermark (10s):
+    // state expires, and ONLY NOW the null-padded u2 row may emit
+    buys.addData(("zz", ts(300)))
+    clicks.addData(("zz2", ts(300)))
+    query.processAllAvailable()
+    assert(rows().contains(("u2", None)),
+      "watermark passed u2's window — the outer row must have emitted: " + rows())
+    query.stop()
+  }
 }
