@@ -58,6 +58,9 @@ object EventStreams {
     docs
       .withWatermark("ts", watermark)
       .select(window(col("ts"), windowLength).as("w"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      // split(trim(""), "\s+") yields [""] — a blank/whitespace-only doc
+      // must not put the empty token on the leaderboard
+      .filter(col("token") =!= "")
       .groupBy(col("w"), col("token"))
       .agg(count(lit(1)).as("n"))
       .writeStream

@@ -35,6 +35,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object PaymentPipeline {
 
+  /** The data files of a parquet changelog directory (the part-* files a
+    * write produced — one shared definition for both stores' compaction
+    * snapshot and the boundedness test surface).
+    */
+  private def partFiles(dir: String): Array[java.io.File] =
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+
   /** Queryable per-account balance state — the Spark stand-in for
     * `kafkaStreams.store("balance", keyValueStore())`, backed by a parquet
     * changelog (`fromAccount`, `balance`, `batch_id`) written by the
@@ -121,9 +130,7 @@ object PaymentPipeline {
       * delete the snapshot. Every intermediate state serves correct reads.
       */
     def compact(): Unit = changelog.foreach { log =>
-      val old = Option(new java.io.File(dir).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      val old = partFiles(dir)
       log
         .groupBy(col("fromAccount"))
         .agg(
@@ -140,9 +147,7 @@ object PaymentPipeline {
     /** Data files currently in the changelog directory (test/ops surface —
       * the boundedness compaction guarantees is asserted on this).
       */
-    def dataFileCount: Int = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty)
-      .count(f => f.isFile && f.getName.startsWith("part-"))
+    def dataFileCount: Int = partFiles(dir).length
   }
 
   /** Delta-changelog variant for [[startSinglePass]]: rows are per-batch
@@ -157,11 +162,17 @@ object PaymentPipeline {
     * account, tagged `batch_id = -(cutoff) - 2` — the CUTOFF RIDES IN THE
     * TAG, which is what makes every intermediate file state read
     * correctly: readers reconstruct the LOGICAL state as "winning base
-    * (greatest cutoff) + real batches >= that cutoff", so a crash or
-    * concurrent read between the compaction's append and its deletes
-    * (old rows + new base both present) cannot double-count — the old
-    * rows/bases are excluded by the winning base's cutoff filter, exactly
-    * the snapshot-isolation contract Delta/Iceberg would provide for free.
+    * (greatest cutoff) + real batches >= that cutoff", so any state that
+    * LISTS old rows + new base together (a crash between the compaction's
+    * append and its deletes, or a reader that indexed before the deletes)
+    * cannot double-count — the old rows/bases are excluded by the winning
+    * base's cutoff filter. Same file-listing caveat as [[BalanceStore]]:
+    * a reader that planned against a file the compactor then DELETED
+    * mid-scan fails with FileNotFoundException unless
+    * `spark.sql.files.ignoreMissingFiles` is set — the harness drives
+    * batches and lookups from one thread; a concurrent query surface (the
+    * REST store) wants Delta/Iceberg, whose snapshot isolation makes both
+    * the value-level and the file-level race disappear.
     *
     * Replay safety: per-batch rows survive for every batch `>= cutoff`, so
     * replayed appends of those batches still dedup at read time; batches
@@ -218,14 +229,18 @@ object PaymentPipeline {
       * as-is. File order: append the merged rows, then delete the
       * snapshot — correct at every intermediate state (see class doc).
       *
-      * @param beforeBatchId must be <= the last batch the streaming
-      *        checkpoint has committed (replay safety, class doc).
+      * @param beforeBatchId the EXCLUSIVE merge bound: every batch
+      *        STRICTLY BELOW it must be checkpoint-committed (replay
+      *        safety, class doc). The in-flight batch's own id is
+      *        therefore a safe value — batches < batchId are committed by
+      *        the time its foreachBatch runs, and the in-flight batch
+      *        itself stays a real row. Do NOT widen the merge to <= or
+      *        pass batchId + 1: folding an uncommitted batch into the
+      *        base double-counts it when a crash replays that batch.
       */
     def compact(beforeBatchId: Long): Unit = changelog.foreach { log =>
       require(beforeBatchId >= 0, s"cutoff must be a committed batch id, got $beforeBatchId")
-      val old = Option(new java.io.File(dir).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      val old = partFiles(dir)
       val logical = logicalRows(log)
       val base = logical
         .filter(col("batch_id") < beforeBatchId) // includes any prior base (negative tag)
@@ -244,9 +259,7 @@ object PaymentPipeline {
     }
 
     /** Data files currently in the changelog (boundedness test surface). */
-    def dataFileCount: Int = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty)
-      .count(f => f.isFile && f.getName.startsWith("part-"))
+    def dataFileCount: Int = partFiles(dir).length
   }
 
   /** Handles to the running topology: the two branch queries' shared writer,

@@ -103,10 +103,16 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         out ++= batch.as[(Timestamp, String, Long, Long)].collect()
       }
     }
-    // window A (minutes 0-9): alpha x3, beta x2, gamma x1 -> top2 alpha, beta
+    // window A (minutes 0-9): alpha x3, beta x2, gamma x1 -> top2 alpha,
+    // beta; the blank docs would contribute 4 empty tokens — enough to
+    // "win" the window — and must be ignored
     input.addData(
       (ts(1), "alpha beta alpha"),
-      (ts(2), "alpha beta gamma")
+      (ts(2), "alpha beta gamma"),
+      (ts(2), ""),
+      (ts(2), "   "),
+      (ts(3), ""),
+      (ts(3), " ")
     )
     query.processAllAvailable()
     assert(out.isEmpty, "no window closed yet — append mode must not emit")
