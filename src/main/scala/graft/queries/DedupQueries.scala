@@ -382,6 +382,87 @@ object DedupQueries {
         .distinct()
         .filter(col("hamming") <= HammingMax)
         .orderBy(col("ia"), col("ib"))
+    }),
+
+    // CANONICAL DOCUMENT SELECTION — the decision q47's components exist
+    // for: within each near-dup component keep the BEST-QUALITY member
+    // (highest quality score, ties to the lowest doc_id), not merely the
+    // lowest id. One struct-max aggregate per component — the per-group
+    // argmax runs as a map-side-combined shuffle on the component key, so
+    // a pathological mega-component still reduces distributively instead
+    // of collecting members anywhere.
+    "q99_canonical_docs" -> ((s, dir) => {
+      val sh = shingleSet(s, dir).persist()
+      val pairs = jaccardOf(lshCandidates(minhashWide(s, dir)), sh)
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      val comp = graft.operators.GraphOps
+        .connectedComponents(Tables.documents(s, dir).select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("comp").as("rep_id"))
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("q")
+        )
+        .join(comp, Seq("doc_id"))
+        .groupBy(col("rep_id"))
+        .agg(
+          // argmax(quality), ties → MIN doc_id (negate so struct-max picks it)
+          max(struct(col("q"), (-col("doc_id")).as("neg_id"))).as("best"),
+          count(lit(1)).as("n_members")
+        )
+        .select(
+          col("rep_id"),
+          (-col("best.neg_id")).as("keep_id"),
+          col("best.q").as("best_q"),
+          col("n_members")
+        )
+        .orderBy(col("rep_id"))
+    }),
+
+    // MinHash ESTIMATE audit: for every LSH candidate pair, the signature
+    // agreement fraction (the Jaccard estimate the sketch carries) next to
+    // the exact Jaccard — the "how good is our sketch" report that decides
+    // k and band shape before a production run. Estimate and truth are each
+    // exact rationals (agreements/k and the shingle-count ratio), so the
+    // comparison is engine-deterministic. Candidates with NO shared
+    // shingle (a pure double-hash collision) surface with jac = 0 via the
+    // left join rather than disappearing.
+    "q100_minhash_estimate" -> ((s, dir) => {
+      val sh   = shingleSet(s, dir).persist()
+      val wide = minhashWide(s, dir).persist() // feeds candidates AND both signature sides
+      val agree = (0 until NumHashes)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val cand = lshCandidates(wide) // band rows persisted inside; both uses below re-read them
+      cand
+        .join(
+          wide.select(
+            col("doc_id").as("ia") +: (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*
+          ),
+          Seq("ia")
+        )
+        .join(
+          wide.select(
+            col("doc_id").as("ib") +: (0 until NumHashes).map(i => col(s"mh$i").as(s"b$i")): _*
+          ),
+          Seq("ib")
+        )
+        .select(
+          col("ia"),
+          col("ib"),
+          round(agree.cast("double") / NumHashes, 4).as("est_jac")
+        )
+        .join(jaccardOf(cand, sh), Seq("ia", "ib"), "left")
+        .select(
+          col("ia"),
+          col("ib"),
+          col("est_jac"),
+          coalesce(col("jac"), lit(0.0)).as("jac"),
+          round(abs(col("est_jac") - coalesce(col("jac"), lit(0.0))), 4).as("err")
+        )
+        .orderBy(col("ia"), col("ib"))
     })
   )
 
@@ -466,17 +547,33 @@ object DedupQueries {
              |  SELECT DISTINCT j.ib AS doc_id FROM jac j JOIN cand USING (ia, ib)
              |  WHERE j.jac >= $JaccardThreshold),
              | quality AS (
-             |  SELECT doc_id, lang, source,
-             |    round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
-             |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-             |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
-             |            THEN 0.5 ELSE 1.0 END)
-             |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-             |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4) AS q
+             |  SELECT doc_id, lang, source, $qualityExprSql AS q
              |  FROM documents)
              |SELECT doc_id, lang, source FROM quality
              |WHERE doc_id NOT IN (SELECT doc_id FROM losers) AND q >= 0.5
              |ORDER BY doc_id""".stripMargin),
+    "q99_canonical_docs" ->
+      (componentsCte +
+        raw""", quality AS (SELECT doc_id, $qualityExprSql AS q FROM documents),
+             | ranked AS (
+             |  SELECT c.rep_id, c.doc_id, q.q,
+             |    row_number() OVER (PARTITION BY c.rep_id ORDER BY q.q DESC, c.doc_id ASC) AS rn,
+             |    count(*) OVER (PARTITION BY c.rep_id) AS n_members
+             |  FROM comp c JOIN quality q USING (doc_id))
+             |SELECT rep_id, doc_id AS keep_id, q AS best_q, n_members
+             |FROM ranked WHERE rn = 1 ORDER BY rep_id""".stripMargin),
+    "q100_minhash_estimate" ->
+      (shingleCte +
+        s""", est AS (
+           |  SELECT c.ia, c.ib,
+           |    round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 1.0 / $NumHashes, 4) AS est_jac
+           |  FROM cand c JOIN sig sa ON sa.doc_id = c.ia
+           |              JOIN sig sb ON sb.doc_id = c.ib AND sb.seed = sa.seed
+           |  GROUP BY 1, 2)
+           |SELECT e.ia, e.ib, e.est_jac,
+           |  coalesce(j.jac, 0.0) AS jac,
+           |  round(abs(e.est_jac - coalesce(j.jac, 0.0)), 4) AS err
+           |FROM est e LEFT JOIN jac j USING (ia, ib) ORDER BY ia, ib""".stripMargin),
     "q47_dedup_components" -> componentsOracle,
     // q49 computes the identical ground truth through a different
     // distributed algorithm — same oracle on purpose
@@ -516,19 +613,36 @@ object DedupQueries {
            |ORDER BY ia, ib""".stripMargin)
   )
 
-  /** Ground truth for q47/q49 (transitive closure over verified near-dup
-    * pairs): DuckDB recursive CTE reachability, min label per component.
-    * `lazy` — the oracle map above references it (init-order trap).
+  /** DuckDB SQL for [[graft.functions.TextFunctions.qualityScore]] over a
+    * `documents` row (`text` in scope) — shared by the q46 and q99 oracles.
     */
-  private lazy val componentsOracle: String =
+  private lazy val qualityExprSql: String =
+    raw"""round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
+         |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+         |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
+         |            THEN 0.5 ELSE 1.0 END)
+         |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+         |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4)""".stripMargin
+
+  /** Shared transitive-closure CTE ending in `comp(doc_id, rep_id)` —
+    * DuckDB recursive reachability over the verified near-dup pairs, min
+    * label per component. `lazy` — the oracle map above references it
+    * (init-order trap).
+    */
+  private lazy val componentsCte: String =
     shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       raw""", dup AS (SELECT j.ia, j.ib FROM jac j JOIN cand USING (ia, ib) WHERE j.jac >= $JaccardThreshold),
            | e2 AS (SELECT ia AS src, ib AS dst FROM dup UNION ALL SELECT ib, ia FROM dup),
            | reach AS (
            |  SELECT doc_id, doc_id AS r FROM documents
            |  UNION
-           |  SELECT e2.dst AS doc_id, reach.r FROM reach JOIN e2 ON e2.src = reach.doc_id)
-           |SELECT doc_id, min(r) AS rep_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+           |  SELECT e2.dst AS doc_id, reach.r FROM reach JOIN e2 ON e2.src = reach.doc_id),
+           | comp AS (SELECT doc_id, min(r) AS rep_id FROM reach GROUP BY doc_id)
+           |""".stripMargin
+
+  /** Ground truth for q47/q49: the component map, ordered. */
+  private lazy val componentsOracle: String =
+    componentsCte + "SELECT doc_id, rep_id FROM comp ORDER BY doc_id"
 
   /** Shared oracle CTE ending in `fp(doc_id, simhash)` — the q44 formula.
     * The oracle verifies by brute force over all pairs (exact semantics);

@@ -70,7 +70,28 @@ object EventQueries {
         .withColumn("hod", hour(col("ts")).cast("long"))
         .rollup(col("event_type"), col("hod"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-        .orderBy(col("event_type").asc_nulls_first, col("hod").asc_nulls_first))
+        .orderBy(col("event_type").asc_nulls_first, col("hod").asc_nulls_first)),
+
+    // RETENTION COHORTS — the product-analytics staple: users grouped by
+    // their first-activity week (cohort), distinct actives counted per
+    // (cohort, weeks-since-cohort) cell. Both dates are week-truncated
+    // (Monday start in Spark AND DuckDB), so the day difference is an exact
+    // multiple of 7 and the offset division is exact. Two shuffles by
+    // nature: the per-user min (cohort assignment, map-side combined) and
+    // the cohort-cell distinct count.
+    "q101_retention_cohorts" -> ((s, dir) => {
+      val e = Tables
+        .events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      e.join(cohort, Seq("user_id"))
+        .groupBy(
+          col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / lit(7)).cast("long").as("week_no")
+        )
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_wk"), col("week_no"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -112,6 +133,15 @@ object EventQueries {
       """SELECT event_type, hod, count(*) AS n, round(sum(value), 2) AS total
         |FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, value FROM events)
         |GROUP BY ROLLUP (event_type, hod)
-        |ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST""".stripMargin
+        |ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST""".stripMargin,
+    "q101_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+        | cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id)
+        |SELECT cohort_wk,
+        |  date_diff('day', cohort_wk, wk) // 7 AS week_no,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_wk, week_no""".stripMargin
   )
 }

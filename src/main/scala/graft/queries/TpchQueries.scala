@@ -562,6 +562,179 @@ object TpchQueries {
         .groupBy(col("seg"))
         .agg(count(lit(1)).as("n_cust"), (sum(col("cents")).cast("double") / 100.0).as("total_bal"))
         .orderBy(col("seg"))
+    }),
+
+    // TPC-H Q7 — volume shipping between a nation PAIR, both directions,
+    // per ship year. Physical shape: each fact is REDUCED before the
+    // fact-fact join — lineitem drops to the 2-nation supplier slice via a
+    // broadcast of the (filtered) supplier dim, orders drops to the
+    // 2-nation customer slice the same way — and only then do the two
+    // reduced facts shuffle on orderkey. The cross-pair condition
+    // (supp ≠ cust) is a residual filter after the join; with both sides
+    // already restricted to the two nations it is exactly the
+    // (A,B)/(B,A) disjunction of the spec.
+    "q95_volume_shipping" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val nat  = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      val sup = Tables
+        .supplier(s, dir)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables
+        .customer(s, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = Tables
+        .orders(s, dir)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      Tables
+        .lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+        )
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(
+          col("supp_nation"),
+          col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year")
+        )
+        .agg(
+          (sum(
+            round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long"))
+          ).cast("double") / 1e4).as("revenue")
+        )
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 — market share: of all PROMO-part revenue sold into the
+    // EUROPE customer market per order year, what fraction came from
+    // NATION_3 suppliers? The share is a ratio of two EXACT scaled-integer
+    // sums (conditional numerator via CASE inside the same aggregate), so
+    // one double division at the end is the only inexact step — engine- and
+    // order-independent. All four dims (part, supplier+nation, customer+
+    // nation+region) broadcast; the only exchanges are the lineitem⋈orders
+    // orderkey shuffle and the final year-keyed aggregate.
+    "q96_market_share" -> ((s, dir) => {
+      val part = Tables.part(s, dir).filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val supNation = Tables
+        .supplier(s, dir)
+        .join(
+          broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey")
+        )
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val eurCust = Tables
+        .customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(
+          broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey")
+        )
+        .select(col("c_custkey"))
+      val ord = Tables
+        .orders(s, dir)
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+        )
+        .join(broadcast(eurCust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      Tables
+        .lineitem(s, dir)
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("o_year"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol4"),
+          col("supp_nation")
+        )
+        .groupBy(col("o_year"))
+        .agg(
+          round(
+            sum(when(col("supp_nation") === "NATION_3", col("vol4")).otherwise(0L)).cast("double") /
+              sum(col("vol4")).cast("double"),
+            6
+          ).as("mkt_share")
+        )
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q9 — product-type profit per supplier nation per year, for
+    // parts matching a name pattern. No partsupp table in this corpus, so
+    // supply cost is the deterministic surrogate retailprice/2; profit =
+    // extprice·(1−disc) − qty·retailprice/2, carried as TWO int64 sums
+    // (scale 1e4 each) and combined by one double division — exact
+    // cross-engine regardless of accumulation order (the magnitudes that
+    // break rounded double sums at sf0.1, see q20's note). Part and
+    // supplier+nation broadcast; lineitem⋈orders shuffles on orderkey (year
+    // comes from o_orderdate, so the orders side is irreducible here).
+    "q97_product_profit" -> ((s, dir) => {
+      val part = Tables
+        .part(s, dir)
+        .filter(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"), round(col("p_retailprice") * 100).cast("long").as("r2"))
+      val supNation = Tables
+        .supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val ord = Tables
+        .orders(s, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      Tables
+        .lineitem(s, dir)
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("nation"),
+          col("o_year"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"),
+          (round(col("l_quantity") * 100).cast("long") * col("r2")).as("cost4")
+        )
+        .groupBy(col("nation"), col("o_year"))
+        .agg(
+          ((sum(col("rev4")) * 2 - sum(col("cost4"))).cast("double") / 2e4).as("profit")
+        )
+        .orderBy(col("nation"), col("o_year"))
+    }),
+
+    // TPC-H Q19 — disjunctive multi-attribute join predicate: revenue from
+    // three (brand, size-range, quantity-range) classes OR'd together. The
+    // equi key (partkey) is extracted by Catalyst; the OR-of-ANDs spanning
+    // BOTH tables stays as the join residual. The brand disjunction's
+    // common superset (brand ∈ {1,2,3}) is applied on the part side before
+    // the join, so the broadcast dim carries only candidate parts and the
+    // scan prunes on the pushed-down brand filter.
+    "q98_disjunctive_join" -> ((s, dir) => {
+      val part = Tables
+        .part(s, dir)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val classes =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(15, 35)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(25, 50))
+      Tables
+        .lineitem(s, dir)
+        .join(broadcast(part), col("l_partkey") === col("p_partkey") && classes)
+        .agg(
+          (sum(
+            round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long"))
+          ).cast("double") / 1e4).as("revenue"),
+          count(lit(1)).as("n_lines")
+        )
     })
   )
 
@@ -804,6 +977,55 @@ object TpchQueries {
         |WHERE cents * n_pos > total_cents
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1998-01-01')
-        |GROUP BY seg ORDER BY seg""".stripMargin
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+    "q95_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4 AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q96_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(
+        |    CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |                  THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |                  ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE),
+        |    6) AS mkt_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q97_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) * 2
+        |     - sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 2e4 AS profit
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q98_disjunctive_join" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 15 AND 35)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 25 AND 50)""".stripMargin
   )
 }

@@ -147,4 +147,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan.take(800))
     assert(!plan.contains("CartesianProduct"), "stats scalar fell back to cartesian:\n" + plan.take(800))
   }
+
+  test("q95/q96/q97 reduce facts via broadcast dims before any fact-fact join") {
+    Seq("q95_volume_shipping", "q96_market_share", "q97_product_profit").foreach { q =>
+      val plan = executedPlan(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q: dims must broadcast:\n" + plan.take(800))
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian crept in:\n" + plan.take(800))
+    }
+  }
+
+  test("q98 extracts the equi key from the disjunctive join predicate (hash join, not NL)") {
+    // The OR-of-ANDs spans both tables; Catalyst must still pull
+    // l_partkey = p_partkey out as the hash key and keep the disjunction as
+    // the join residual — a nested-loop here is a corpus×parts scan at scale.
+    val plan = executedPlan("q98_disjunctive_join")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "disjunctive predicate demoted the join to nested-loop:\n" + plan.take(800))
+  }
+
+  test("q99/q100 candidate machinery stays bucket-row-free (no collect_list)") {
+    Seq("q99_canonical_docs", "q100_minhash_estimate").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("collect_list"), s"$q materializes buckets:\n" + plan.take(800))
+    }
+  }
 }
