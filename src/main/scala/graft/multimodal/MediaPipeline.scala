@@ -43,8 +43,9 @@ final case class MediaFeatures(
   * container magic and reads PNG IHDR width/height (big-endian at offsets
   * 16/20 after the 8-byte signature + IHDR chunk header), BMP
   * BITMAPINFOHEADER width/height (little-endian at offsets 18/22; negative
-  * height = top-down rows ⇒ abs), and JPEG SOF0–SOF15 height/width via the
-  * standard marker-segment walk ([[jpegDims]] — skips APP/EXIF/comment
+  * height = top-down rows ⇒ abs), GIF87a/89a logical-screen dims
+  * (little-endian at offsets 6/8), and JPEG SOF0–SOF15 height/width via
+  * the standard marker-segment walk ([[jpegDims]] — skips APP/EXIF/comment
   * segments by declared length, no codec needed, works on any real
   * baseline or progressive JPEG). AUDIO is decoded for real too:
   * the synthetic audio rows carry a genuine 44-byte canonical RIFF/WAVE
@@ -75,11 +76,12 @@ object MediaPipeline {
   private val Kinds = Seq("image", "audio", "video")
 
   /** Synthesize a media table from `documents`. Image rows (doc_id % 3 == 0)
-    * carry GENUINE container headers — PNG (doc_id % 6 == 0), JPEG
-    * (doc_id % 12 == 3) or BMP (otherwise) with dimensions derived from
-    * doc_id, so the real header parsers in [[decodeOne]] are what the
-    * oracle checks. Audio/video rows carry the UTF-8 text bytes (the only
-    * payload bytes available in the harness), treated as opaque.
+    * carry GENUINE container headers — PNG (doc_id % 12 == 0), GIF
+    * (doc_id % 12 == 6), JPEG (doc_id % 12 == 3) or BMP (otherwise) with
+    * dimensions derived from doc_id, so the real header parsers in
+    * [[decodeOne]] are what the oracle checks. Audio/video rows carry the
+    * UTF-8 text bytes (the only payload bytes available in the harness),
+    * treated as opaque.
     */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -92,7 +94,8 @@ object MediaPipeline {
           case "image" =>
             val w = (1 + id % 512).toInt
             val h = (1 + (id * 7) % 512).toInt
-            if (id % 6 == 0) MediaRecord(id, "image", "image/png", pngHeader(w, h))
+            if (id % 12 == 0) MediaRecord(id, "image", "image/png", pngHeader(w, h))
+            else if (id % 12 == 6) MediaRecord(id, "image", "image/gif", gifHeader(w, h))
             else if (id % 12 == 3) MediaRecord(id, "image", "image/jpeg", jpegHeader(w, h))
             else MediaRecord(id, "image", "image/bmp", bmpHeader(w, h))
           case "audio" =>
@@ -158,6 +161,17 @@ object MediaPipeline {
         0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01))
       .map(_.toByte)
 
+  /** GIF89a header + logical screen descriptor: 6-byte signature, canvas
+    * width/height little-endian at offsets 6/8, then the packed flags /
+    * background / aspect bytes — the 13-byte prefix every GIF file starts
+    * with (image data sub-blocks omitted; dimension decode never reads
+    * them).
+    */
+  def gifHeader(w: Int, h: Int): Array[Byte] =
+    ("GIF89a".getBytes("US-ASCII")
+      ++ Array[Byte](w.toByte, (w >>> 8).toByte, h.toByte, (h >>> 8).toByte)
+      ++ Array[Byte](0xf7.toByte, 0, 0))
+
   private def beBytes(v: Int): Array[Byte] =
     Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
 
@@ -177,6 +191,12 @@ object MediaPipeline {
 
   private def isBmp(b: Array[Byte]): Boolean =
     b.length >= 26 && b(0) == 'B' && b(1) == 'M'
+
+  /** GIF87a or GIF89a signature — both carry the canvas dims at 6/8. */
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 10 &&
+      b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
   /** True only for the canonical 44-byte PCM layout this parser reads:
     * RIFF/WAVE magics AND the `fmt ` subchunk at offset 12 AND the `data`
@@ -248,6 +268,7 @@ object MediaPipeline {
     lazy val jpegDim = jpegDims(bytes) // None unless a well-formed SOF is found
     if (isPng(bytes)) { width = beInt(bytes, 16); height = beInt(bytes, 20) }
     else if (isBmp(bytes)) { width = leInt(bytes, 18); height = math.abs(leInt(bytes, 22)) }
+    else if (isGif(bytes)) { width = leShort(bytes, 6); height = leShort(bytes, 8) }
     else if (isWav(bytes)) {
       channels = leShort(bytes, 22)
       rate = leInt(bytes, 24)

@@ -90,7 +90,7 @@ object MediaQueries {
         |  SELECT doc_id AS media_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |    text, 1 + doc_id % 512 AS w, 1 + (doc_id * 7) % 512 AS h,
-        |    (doc_id % 6 = 0) AS is_png, (doc_id % 12 = 3) AS is_jpeg,
+        |    (doc_id % 12 = 0) AS is_png, (doc_id % 12 = 6) AS is_gif, (doc_id % 12 = 3) AS is_jpeg,
         |    8000 + (doc_id % 8) * 1000 AS rate, 1 + doc_id % 2 AS ch, strlen(text) AS ds
         |  FROM documents),
         | b AS (
@@ -101,6 +101,8 @@ object MediaQueries {
         |         w // 16777216 % 256, w // 65536 % 256, w // 256 % 256, w % 256,
         |         h // 16777216 % 256, h // 65536 % 256, h // 256 % 256, h % 256,
         |         8,2,0,0,0]
+        |      WHEN kind = 'image' AND is_gif THEN
+        |        [71,73,70,56,57,97, w % 256, w // 256 % 256, h % 256, h // 256 % 256, 247,0,0]
         |      WHEN kind = 'image' AND is_jpeg THEN
         |        [255,216, 255,224,0,16, 74,70,73,70,0, 1,1, 0, 0,1, 0,1, 0,0,
         |         255,192,0,17,8, h // 256 % 256, h % 256, w // 256 % 256, w % 256,
@@ -133,7 +135,8 @@ object MediaQueries {
         |FROM b ORDER BY media_id""".stripMargin,
     "q61_media_meta" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CASE WHEN doc_id % 6 = 0 THEN 'image/png' WHEN doc_id % 12 = 3 THEN 'image/jpeg'
+        |  CASE WHEN doc_id % 12 = 0 THEN 'image/png' WHEN doc_id % 12 = 6 THEN 'image/gif'
+        |       WHEN doc_id % 12 = 3 THEN 'image/jpeg'
         |       WHEN doc_id % 3 = 0 THEN 'image/bmp'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
         |  count(*) AS n
@@ -150,13 +153,14 @@ object MediaQueries {
         |  substr(text, CAST(frame_no * 10 + 1 AS INT), 10) AS frame_text
         |FROM f WHERE frame_no % 10 = 0
         |ORDER BY media_id, frame_no""".stripMargin,
-    // Header lengths by construction: PNG 29, JPEG 39, BMP 50 bytes (the
-    // q60 oracle's byte lists); resize math mirrors resizeImages exactly
-    // (ceil divisions in integers — no float boundary anywhere).
+    // Header lengths by construction: PNG 29, GIF 13, JPEG 39, BMP 50 bytes
+    // (the q60 oracle's byte lists); resize math mirrors resizeImages
+    // exactly (ceil divisions in integers — no float boundary anywhere).
     "q67_media_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, 1 + doc_id % 512 AS w, 1 + (doc_id * 7) % 512 AS h,
-        |    CASE WHEN doc_id % 6 = 0 THEN 29 WHEN doc_id % 12 = 3 THEN 39 ELSE 50 END AS n
+        |    CASE WHEN doc_id % 12 = 0 THEN 29 WHEN doc_id % 12 = 6 THEN 13
+        |         WHEN doc_id % 12 = 3 THEN 39 ELSE 50 END AS n
         |  FROM documents WHERE doc_id % 3 = 0),
         | r AS (SELECT media_id, w, h, n, greatest(w, h) AS longest FROM m),
         | s AS (
