@@ -93,6 +93,90 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // The SAME brute-force top-k computed through the PHYSICAL shape the
+    // scale notes promise at 100 TB: the query set rides a broadcast
+    // variable, each corpus partition is scored in a tight JVM loop (the
+    // BLAS-batch stand-in — a production build hands the batch to gemm
+    // with the identical numeric contract), and a bounded per-query heap
+    // per partition means only queries×k candidate rows ever transit an
+    // exchange — the partial-top-k that q50 gets from WindowGroupLimit,
+    // here made explicit at the partition level. Accumulation order,
+    // HALF_UP 6dp rounding, and the (cos DESC, id ASC) tie-break replicate
+    // q50's declarative plan bit-for-bit — hash-checked against the SAME
+    // oracle.
+    "q102_topk_mappartitions" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      // this collect IS the broadcast build: bounded by QuerySetSize by
+      // construction (the identical rows q50 wraps in broadcast()); the
+      // CORPUS never leaves the executors
+      val qs: Array[(Long, Array[Float])] = e
+        .filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .collect()
+        .sortBy(_._1)
+      val qb = s.sparkContext.broadcast(qs)
+      val candidates = Tables
+        .spread(e, col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val queries = qb.value
+          def better(a: (Double, Long), b: (Double, Long)): Boolean =
+            a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+          // PriorityQueue dequeues its max; under (-cos, id) the max is the
+          // WORST candidate (lowest cos, then highest id) — an O(log k)
+          // replace-worst bound per accepted row
+          val worstFirst: Ordering[(Double, Long)] =
+            Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))
+          val heaps = Array.fill(queries.length)(
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+          )
+          it.foreach { case (id, emb) =>
+            var qi = 0
+            while (qi < queries.length) {
+              val (qid, qemb) = queries(qi)
+              if (qid != id) {
+                // single-pass dot + norms, left-to-right — the exact
+                // accumulation of expressions.VectorCosine.nullSafeEval
+                var dot = 0.0; var na = 0.0; var nb = 0.0
+                val n = math.min(qemb.length, emb.length)
+                var i = 0
+                while (i < n) {
+                  val x = qemb(i).toDouble; val y = emb(i).toDouble
+                  dot += x * y; na += x * x; nb += y * y; i += 1
+                }
+                // Spark's Round(double, 6): BigDecimal.valueOf + HALF_UP
+                val cos = BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+                  .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble
+                val cand = (cos, id)
+                val h = heaps(qi)
+                if (h.size < TopK) h.enqueue(cand)
+                else if (better(cand, h.head)) { h.dequeue(); h.enqueue(cand) }
+              }
+              qi += 1
+            }
+          }
+          heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+            val qid = queries(qi)._1
+            h.iterator.map { case (cos, id) => (qid, id, cos) }
+          }
+        }
+        .toDF("query_id", "neighbor_id", "cos")
+      candidates
+        .withColumn(
+          "rnk",
+          row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+          )
+        )
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Range search: every corpus vector within a similarity radius of each
     // query — the other standard ANN primitive (top-k's sibling). Same
     // broadcast-scoring plan as q50, but the aggregates are COUNT/MAX/MIN of
@@ -255,6 +339,17 @@ object SimilarityQueries {
        |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
        |""".stripMargin
 
+  /** Shared by q50 and q102: one top-k contract, two physical plans. */
+  private val topkOracle: String =
+    vecCte +
+      s""", scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM v q JOIN v c ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, cos, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored) WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q45_embedding_neardup" ->
       (vecCte +
@@ -263,15 +358,10 @@ object SimilarityQueries {
            |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
            |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $NearDupCos
            |ORDER BY ia, ib""".stripMargin),
-    "q50_cosine_topk" ->
-      (vecCte +
-        s""", scored AS (
-           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           |    round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos
-           |  FROM v q JOIN v c ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id)
-           |SELECT query_id, neighbor_id, cos, rnk FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-           |  FROM scored) WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin),
+    "q50_cosine_topk" -> topkOracle,
+    // q102 computes the identical result through the mapPartitions physical
+    // shape — same oracle on purpose (the point is result identity).
+    "q102_topk_mappartitions" -> topkOracle,
     "q53_range_search" ->
       (vecCte +
         s"""SELECT q.vec_id AS query_id, count(*) AS n_neighbors,

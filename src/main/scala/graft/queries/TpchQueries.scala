@@ -573,6 +573,12 @@ object TpchQueries {
     // (supp ≠ cust) is a residual filter after the join; with both sides
     // already restricted to the two nations it is exactly the
     // (A,B)/(B,A) disjunction of the spec.
+    //
+    // Scale note: nation is fixed-size (safe to force-broadcast forever);
+    // the 2-nation CUSTOMER slice scales with the data — the explicit hint
+    // is right while it fits (8% of a dimension), and dropping it lets
+    // AQE choose broadcast-vs-shuffle from the runtime size when it
+    // doesn't.
     "q95_volume_shipping" -> ((s, dir) => {
       val pair = Seq("NATION_1", "NATION_2")
       val nat  = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))

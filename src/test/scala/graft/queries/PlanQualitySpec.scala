@@ -166,6 +166,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       "disjunctive predicate demoted the join to nested-loop:\n" + plan.take(800))
   }
 
+  test("q102 scores inside mapPartitions: no join operator, queries ride a broadcast variable") {
+    // The whole corpus-vs-query scoring happens in the partition loop; the
+    // only plan operators are the object map, the spread shim, and the
+    // final candidate window — a Join node here would mean the corpus is
+    // being shuffled or nested-looped against the query set.
+    val plan = executedPlan("q102_topk_mappartitions")
+    assert(plan.contains("MapPartitions"), plan.take(800))
+    assert(!plan.contains("Join"), "corpus joined instead of partition-scored:\n" + plan.take(800))
+  }
+
   test("q99/q100 candidate machinery stays bucket-row-free (no collect_list)") {
     Seq("q99_canonical_docs", "q100_minhash_estimate").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString
