@@ -72,6 +72,21 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .orderBy(col("event_type").asc_nulls_first, col("hod").asc_nulls_first)),
 
+    // EXCEPT ALL — multiset difference: each user's click rows minus one
+    // row per purchase (q15 is the DISTINCT form; ALL preserves
+    // multiplicity, which Spark plans as a count-balancing aggregate +
+    // generate, not a distinct-ifying set op). Aggregated per user so the
+    // result is order-free.
+    "q104_except_all" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"))
+        .exceptAll(e.filter(col("event_type") === "purchase").select(col("user_id")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_surplus_clicks"))
+        .orderBy(col("user_id"))
+    }),
+
     // RETENTION COHORTS — the product-analytics staple: users grouped by
     // their first-activity week (cohort), distinct actives counted per
     // (cohort, weeks-since-cohort) cell. Both dates are week-truncated
@@ -134,6 +149,12 @@ object EventQueries {
         |FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, value FROM events)
         |GROUP BY ROLLUP (event_type, hod)
         |ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST""".stripMargin,
+    "q104_except_all" ->
+      """SELECT user_id, count(*) AS n_surplus_clicks FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q101_retention_cohorts" ->
       """WITH e AS (
         |  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),

@@ -712,6 +712,35 @@ object TpchQueries {
         .orderBy(col("nation"), col("o_year"))
     }),
 
+    // FULL OUTER reconciliation — per-nation customer count vs supplier
+    // count, keeping nations that have only one side (the "what's missing
+    // from either ledger" report; the one outer-join flavor nothing else
+    // in the registry exercises). Both inputs are pre-aggregated to
+    // nation-key cardinality BEFORE the outer join, so the join touches
+    // dim-sized frames no matter how large the base tables are.
+    "q103_nation_reconciliation" -> ((s, dir) => {
+      val custN = Tables
+        .customer(s, dir)
+        .filter(col("c_acctbal") > 7500)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val supN = Tables
+        .supplier(s, dir)
+        .filter(col("s_acctbal") > 7500)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      custN
+        .join(supN, Seq("nationkey"), "full_outer")
+        .join(broadcast(Tables.nation(s, dir)), col("nationkey") === col("n_nationkey"))
+        .select(
+          col("n_name"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          (coalesce(col("n_cust"), lit(0L)) - coalesce(col("n_supp"), lit(0L))).as("gap")
+        )
+        .orderBy(col("n_name"))
+    }),
+
     // TPC-H Q19 — disjunctive multi-attribute join predicate: revenue from
     // three (brand, size-range, quantity-range) classes OR'd together. The
     // equi key (partkey) is extracted by Catalyst; the OR-of-ANDs spanning
@@ -984,6 +1013,18 @@ object TpchQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1998-01-01')
         |GROUP BY seg ORDER BY seg""".stripMargin,
+    "q103_nation_reconciliation" ->
+      """WITH custN AS (
+        |  SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |  FROM customer WHERE c_acctbal > 7500 GROUP BY 1),
+        | supN AS (
+        |  SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 7500 GROUP BY 1)
+        |SELECT n_name, coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp,
+        |  coalesce(n_cust, 0) - coalesce(n_supp, 0) AS gap
+        |FROM custN FULL OUTER JOIN supN USING (nationkey)
+        |JOIN nation ON nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
     "q95_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
