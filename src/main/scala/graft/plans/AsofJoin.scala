@@ -26,12 +26,19 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * per side — O(n+m) per partition, no (event × history) intermediate, no
   * window buffer.
   *
-  * Semantics (inner, backward-looking): each left row joins the LATEST
-  * right row with the same key and `rightTime <= leftTime`; ties on time
-  * resolve to the greatest `rightTie` (the sort's last row wins — with the
-  * tie-break in the required ordering this is deterministic). Left rows
-  * with no matching right row are dropped (inner) — exactly the q80
-  * contract, which the driver verifies against q80's own DuckDB oracle.
+  * Semantics (inner join, both pandas-merge_asof directions):
+  *   - BACKWARD (default): each left row joins the LATEST right row with
+  *     the same key and `rightTime <= leftTime`; ties on time resolve to
+  *     the greatest `rightTie` (the sort's last row wins — with the
+  *     tie-break in the required ordering this is deterministic).
+  *   - FORWARD: each left row joins the EARLIEST right row with the same
+  *     key and `rightTime >= leftTime`; ties resolve to the LEAST
+  *     `rightTie` (the sort's first row wins). A matched right row is NOT
+  *     consumed — it remains the candidate for later left rows at the same
+  *     key, so state is still the single right-cursor lookahead.
+  * Left rows with no matching right row are dropped (inner) — exactly the
+  * q80/q105 contracts, which the driver verifies against independent
+  * DuckDB oracles.
   *
   * Scale shape: the planner's `EnsureRequirements` inserts the hash
   * exchanges and sorts from the DECLARED requirements below — the operator
@@ -45,6 +52,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * the natural shape for keys and event time at scale; a production
   * generalization would swap the comparator, not the merge.
   */
+sealed trait AsofDirection
+object AsofDirection {
+  case object Backward extends AsofDirection
+  case object Forward  extends AsofDirection
+}
+
 final case class AsofJoin(
     left: LogicalPlan,
     right: LogicalPlan,
@@ -53,7 +66,8 @@ final case class AsofJoin(
     rightKey: Expression,
     rightTime: Expression,
     rightTie: Expression,
-    tolerance: Option[Long] = None // max leftTime - rightTime, in the time expressions' units
+    tolerance: Option[Long] = None, // max |leftTime - rightTime|, in the time expressions' units
+    direction: AsofDirection = AsofDirection.Backward
 ) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsofJoin =
@@ -68,7 +82,7 @@ object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsofJoin =>
       AsofJoinExec(
-        j.leftKey, j.leftTime, j.rightKey, j.rightTime, j.rightTie, j.tolerance,
+        j.leftKey, j.leftTime, j.rightKey, j.rightTime, j.rightTie, j.tolerance, j.direction,
         planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
@@ -81,6 +95,7 @@ final case class AsofJoinExec(
     rightTime: Expression,
     rightTie: Expression,
     tolerance: Option[Long],
+    direction: AsofDirection,
     left: SparkPlan,
     right: SparkPlan
 ) extends BinaryExecNode {
@@ -153,6 +168,8 @@ final case class AsofJoinExec(
         private var out: InternalRow = null
         private var ready            = false
 
+        private val forward = direction == AsofDirection.Forward
+
         private def computeNext(): Unit = {
           out = null
           while (out == null && lIter.hasNext) {
@@ -161,6 +178,20 @@ final case class AsofJoinExec(
             val lTime = asLong(lt.eval(l))
             if (lKey == NullSentinel || lTime == NullSentinel) {
               // null key/time never matches: inner semantics drop the row
+            } else if (forward) {
+              // advance past DEAD right rows: earlier keys, or same key
+              // strictly before lTime — left times ascend, so a right row
+              // behind this left row is behind every later one too
+              var scan = !rExhausted
+              while (scan) {
+                if (rKey < lKey || (rKey == lKey && rTime < lTime)) {
+                  if (!pullRight()) { rExhausted = true; scan = false }
+                } else scan = false
+              }
+              // the head (first eligible row: earliest time, least tie) is
+              // the match — NOT consumed, it may serve later left rows
+              if (!rExhausted && rKey == lKey && rTime - lTime <= tol)
+                out = resultProj(joined(l, rRow))
             } else {
             if (best != null && bestKey != lKey) best = null
             var scan = !rExhausted
@@ -210,10 +241,13 @@ object AsofJoinOps {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsofJoinStrategy
 
-  /** @param tolerance max `leftTime - rightTime` for a match, in the SAME
+  /** @param tolerance max `leftTime - rightTime` (backward) or
+    *        `rightTime - leftTime` (forward) for a match, in the SAME
     *        UNITS as the time expressions (micros for timestamp columns) —
     *        the pandas-merge_asof/Flink-interval bound; None = unbounded
-    *        backward search.
+    *        search.
+    * @param direction Backward (latest right at-or-before, default) or
+    *        Forward (earliest right at-or-after) — merge_asof parity.
     */
   def asof(
       left: DataFrame,
@@ -223,7 +257,8 @@ object AsofJoinOps {
       rightKey: Column,
       rightTime: Column,
       rightTie: Column,
-      tolerance: Option[Long] = None
+      tolerance: Option[Long] = None,
+      direction: AsofDirection = AsofDirection.Backward
   ): DataFrame = {
     val spark = left.sparkSession
     install(spark)
@@ -249,7 +284,8 @@ object AsofJoinOps {
         toExpr(rightKey),
         toExpr(rightTime),
         toExpr(rightTie),
-        tolerance
+        tolerance,
+        direction
       )
     )
   }

@@ -113,6 +113,23 @@ object TemporalJoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // FORWARD as-of through the custom node: the EARLIEST order at-or-after
+    // each event per user — the "time-to-next-purchase" feature twin of
+    // q88's backward lookup (pandas merge_asof direction='forward'). Ties
+    // resolve to the least orderkey (the merge's first-row-wins), which the
+    // independent oracle mirrors with an ASC/ASC row_number pick.
+    "q105_asof_forward" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      val o = Tables
+        .orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
+      graft.plans.AsofJoinOps
+        .asof(e, o, e.col("user_id"), e.col("ts"), o.col("o_custkey"), o.col("o_ts"), o.col("o_orderkey"),
+          direction = graft.plans.AsofDirection.Forward)
+        .select(col("event_id"), col("user_id"), col("o_orderkey").as("next_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join: same-customer order pairs placed within a week of each
     // other (repeat-purchase detection — bounded-band temporal self-join).
     "q81_range_join" -> ((s, dir) => {
@@ -176,6 +193,16 @@ object TemporalJoinQueries {
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         |    AND o.o_orderdate >= e.ts - INTERVAL 9000 DAYS)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // Independent formulation of the forward contract: earliest
+    // (date, key) pick per event over the future-orders join.
+    "q105_asof_forward" ->
+      """SELECT event_id, user_id, o_orderkey AS next_orderkey FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q81_range_join" ->
       s"""SELECT a.o_custkey AS ck, count(*) AS n_pairs,

@@ -115,6 +115,70 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("Sort ["), "missing merge-order sort:\n" + plan.take(800))
   }
 
+  test("forward direction: inclusive >=, tie-break by LEAST key, shared match not consumed") {
+    // forward contract on the same crafted data:
+    //   event 1 (u10, t=100) -> first order at/after 100 is 102 (t=200)
+    //   event 2 (u10, t=200) -> order 102 AT 200 (inclusive)
+    //   event 3 (u20, t=50)  -> first future order tie at t=400: LEAST key 201
+    //   event 4 (u20, t=500) -> order 203 (t=600)
+    //   event 5 (u30, t=10)  -> no orders at all -> dropped
+    val rows = AsofJoinOps
+      .asof(events, orders,
+        events.col("user_id"), events.col("ts"),
+        orders.col("o_custkey"), orders.col("o_ts"), orders.col("o_orderkey"),
+        direction = AsofDirection.Forward)
+      .select(col("event_id"), col("o_orderkey"))
+      .orderBy(col("event_id"))
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    assert(rows == Seq((1L, 102L), (2L, 102L), (3L, 201L), (4L, 203L)), rows.toString)
+    // events 1 and 2 BOTH matched order 102 — the head row serves multiple
+    // left rows (forward matches are not consumed)
+  }
+
+  test("forward tolerance bounds the future search window") {
+    def run(tolSec: Long) =
+      AsofJoinOps
+        .asof(events, orders,
+          events.col("user_id"), events.col("ts"),
+          orders.col("o_custkey"), orders.col("o_ts"), orders.col("o_orderkey"),
+          tolerance = Some(tolSec * 1000000L),
+          direction = AsofDirection.Forward)
+        .select(col("event_id"), col("o_orderkey"))
+        .as[(Long, Long)]
+        .collect()
+        .toMap
+    // event 1 (t=100) -> order 102 (t=200): gap 100s
+    assert(run(150L).get(1L).contains(102L))
+    assert(!run(50L).contains(1L), "future match beyond tolerance must drop")
+    // event 2 matches AT its own time (gap 0) — survives any tolerance
+    assert(run(0L).get(2L).contains(102L))
+  }
+
+  test("forward parity with the composed min-struct formulation on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val composed = {
+      val e = graft.sources.Tables.events(spark, dir).select(col("event_id"), col("ts"), col("user_id"))
+      val o = graft.sources.Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
+      e.join(o, col("user_id") === col("o_custkey") && col("o_ts") >= col("ts"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(min(struct(col("o_ts"), col("o_orderkey"))).as("m"))
+        .select(col("event_id"), col("user_id"), col("m.o_orderkey").as("next_orderkey"))
+        .orderBy(col("event_id"))
+        .as[(Long, Long, Long)]
+        .collect()
+        .toSeq
+    }
+    val viaNode = graft.SparkEntry
+      .queries("q105_asof_forward")(spark, dir)
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(viaNode == composed, s"custom=${viaNode.take(5)}... composed=${composed.take(5)}...")
+  }
+
   test("parity on real data: custom node equals q80's composition at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val composed = graft.SparkEntry
