@@ -36,6 +36,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *     `rightTie` (the sort's first row wins). A matched right row is NOT
   *     consumed — it remains the candidate for later left rows at the same
   *     key, so state is still the single right-cursor lookahead.
+  *   - NEAREST: the closer of the backward and forward candidates by
+  *     absolute time distance; an exact distance tie prefers the BACKWARD
+  *     candidate (pandas parity). The merge already holds both candidates
+  *     (the buffered backward best + the right-cursor head), so nearest
+  *     adds one comparison, not a second pass.
   * Left rows with no matching right row are dropped (inner) — exactly the
   * q80/q105 contracts, which the driver verifies against independent
   * DuckDB oracles.
@@ -56,6 +61,7 @@ sealed trait AsofDirection
 object AsofDirection {
   case object Backward extends AsofDirection
   case object Forward  extends AsofDirection
+  case object Nearest  extends AsofDirection
 }
 
 final case class AsofJoin(
@@ -169,6 +175,7 @@ final case class AsofJoinExec(
         private var ready            = false
 
         private val forward = direction == AsofDirection.Forward
+        private val nearest = direction == AsofDirection.Nearest
 
         private def computeNext(): Unit = {
           out = null
@@ -206,9 +213,20 @@ final case class AsofJoinExec(
                 if (!pullRight()) { rExhausted = true; scan = false }
               } else scan = false // right is ahead of this left row
             }
-            // inner: no match ⇒ skip; tolerance: the best (latest eligible)
-            // match is the only candidate that could be in range
-            if (best != null && lTime - bestTime <= tol) out = resultProj(joined(l, best))
+            if (nearest) {
+              // both candidates are in hand: the buffered backward best and
+              // the cursor head (the first same-key row AFTER lTime — rows
+              // AT lTime were consumed into best). Distance tie → backward.
+              val db = if (best != null) lTime - bestTime else Long.MaxValue
+              val df = if (!rExhausted && rKey == lKey) rTime - lTime else Long.MaxValue
+              if (db <= df) {
+                if (best != null && db <= tol) out = resultProj(joined(l, best))
+              } else if (df <= tol) out = resultProj(joined(l, rRow))
+            } else {
+              // inner: no match ⇒ skip; tolerance: the best (latest eligible)
+              // match is the only candidate that could be in range
+              if (best != null && lTime - bestTime <= tol) out = resultProj(joined(l, best))
+            }
             }
           }
         }
@@ -246,8 +264,9 @@ object AsofJoinOps {
     *        UNITS as the time expressions (micros for timestamp columns) —
     *        the pandas-merge_asof/Flink-interval bound; None = unbounded
     *        search.
-    * @param direction Backward (latest right at-or-before, default) or
-    *        Forward (earliest right at-or-after) — merge_asof parity.
+    * @param direction Backward (latest right at-or-before, default),
+    *        Forward (earliest right at-or-after), or Nearest (closer of
+    *        the two, distance ties backward) — merge_asof parity.
     */
   def asof(
       left: DataFrame,

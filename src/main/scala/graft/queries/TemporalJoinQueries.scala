@@ -130,6 +130,23 @@ object TemporalJoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // NEAREST as-of: whichever order is closest in time to the event,
+    // before or after (distance ties prefer the backward candidate —
+    // pandas merge_asof direction='nearest'). The merge holds both
+    // candidates anyway (buffered backward best + cursor head), so this is
+    // one extra comparison per left row, not a second pass.
+    "q106_asof_nearest" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      val o = Tables
+        .orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
+      graft.plans.AsofJoinOps
+        .asof(e, o, e.col("user_id"), e.col("ts"), o.col("o_custkey"), o.col("o_ts"), o.col("o_orderkey"),
+          direction = graft.plans.AsofDirection.Nearest)
+        .select(col("event_id"), col("user_id"), col("o_orderkey").as("near_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join: same-customer order pairs placed within a week of each
     // other (repeat-purchase detection — bounded-band temporal self-join).
     "q81_range_join" -> ((s, dir) => {
@@ -203,6 +220,20 @@ object TemporalJoinQueries {
         |      ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // Independent nearest formulation: rank all same-user orders by micro-
+    // second distance (event ts truncated to micros, the same coercion the
+    // node sees), then backward-first / greatest-backward-key /
+    // least-forward-key — exactly the merge's candidate rules.
+    "q106_asof_nearest" ->
+      """SELECT event_id, user_id, o_orderkey AS near_orderkey FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) ASC,
+        |               (o.o_orderdate <= CAST(e.ts AS TIMESTAMP)) DESC,
+        |               CASE WHEN o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        |                    THEN -o.o_orderkey ELSE o.o_orderkey END ASC) AS rn
+        |  FROM events e JOIN orders o ON e.user_id = o.o_custkey)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q81_range_join" ->
       s"""SELECT a.o_custkey AS ck, count(*) AS n_pairs,

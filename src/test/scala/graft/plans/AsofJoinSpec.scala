@@ -156,6 +156,29 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     assert(run(0L).get(2L).contains(102L))
   }
 
+  test("nearest direction: closer candidate wins, distance tie prefers backward") {
+    // event 1 (u10, t=100): backward 101@90 (d=10) vs forward 102@200 (d=100) -> 101
+    // event 2 (u10, t=200): backward 102 AT 200 (d=0) -> 102
+    // event 3 (u20, t=50):  no backward; forward 201@400 (d=350) -> 201
+    // event 4 (u20, t=500): backward 202@400 (d=100) TIES forward 203@600 (d=100) -> backward 202
+    // event 5 (u30, t=10):  no orders -> dropped
+    def run(tol: Option[Long]) =
+      AsofJoinOps
+        .asof(events, orders,
+          events.col("user_id"), events.col("ts"),
+          orders.col("o_custkey"), orders.col("o_ts"), orders.col("o_orderkey"),
+          tolerance = tol.map(_ * 1000000L),
+          direction = AsofDirection.Nearest)
+        .select(col("event_id"), col("o_orderkey"))
+        .as[(Long, Long)]
+        .collect()
+        .toMap
+    assert(run(None) == Map(1L -> 101L, 2L -> 102L, 3L -> 201L, 4L -> 202L))
+    // tolerance applies to the CHOSEN candidate's distance
+    val bounded = run(Some(50L))
+    assert(bounded == Map(1L -> 101L, 2L -> 102L), bounded.toString)
+  }
+
   test("forward parity with the composed min-struct formulation on real data") {
     val dir = "/root/testdata/sf0.001"
     val composed = {
