@@ -384,6 +384,43 @@ object DedupQueries {
         .orderBy(col("ia"), col("ib"))
     }),
 
+    // BOILERPLATE DETECTION — corpus-frequent n-grams (navigation chrome,
+    // license headers, template text) flagged by document frequency, and
+    // each document scored by the fraction of its shingles that are
+    // boilerplate — the repeated-substring penalty a C4/RefinedWeb-style
+    // cleaning pass applies before quality filtering. A shingle is
+    // boilerplate when it appears in >= 1% of docs (relative, so the
+    // threshold survives corpus growth) AND >= 3 docs (absolute floor so
+    // tiny corpora aren't all-boilerplate). Plan shape: the DF aggregate
+    // shuffles on shingle (map-side combined), the 1-row corpus count
+    // broadcasts, and the boilerplate set joins back to the shingle index
+    // on the shuffle key — no step materializes per-bucket rows.
+    "q107_boilerplate_ngrams" -> ((s, dir) => {
+      val sh    = shingleSet(s, dir).persist()
+      val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val boiler = sh
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")) // sh is distinct per doc => df = doc frequency
+        .crossJoin(broadcast(total)) // 1 row — every executor gets the scalar
+        .filter(col("df") * 100 >= col("n_docs") && col("df") >= 3)
+        .select(col("shingle"), lit(1L).as("is_b"))
+      sh.join(boiler, Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          count(col("is_b")).as("n_boiler") // count(col) skips nulls
+        )
+        .select(
+          col("doc_id"),
+          col("n_shingles"),
+          col("n_boiler"),
+          // int/int division rounded once — exact rational in both engines
+          round(col("n_boiler").cast("double") / col("n_shingles").cast("double"), 4)
+            .as("boiler_ratio")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
     // CANONICAL DOCUMENT SELECTION — the decision q47's components exist
     // for: within each near-dup component keep the BEST-QUALITY member
     // (highest quality score, ties to the lowest doc_id), not merely the
@@ -552,6 +589,17 @@ object DedupQueries {
              |SELECT doc_id, lang, source FROM quality
              |WHERE doc_id NOT IN (SELECT doc_id FROM losers) AND q >= 0.5
              |ORDER BY doc_id""".stripMargin),
+    "q107_boilerplate_ngrams" ->
+      (shingleCte +
+        """, total AS (SELECT count(*) AS n_docs FROM documents),
+          | boiler AS (
+          |  SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1), total
+          |  WHERE df * 100 >= n_docs AND df >= 3)
+          |SELECT s.doc_id, count(*) AS n_shingles,
+          |  count(b.shingle) AS n_boiler,
+          |  round(count(b.shingle)::DOUBLE / count(*)::DOUBLE, 4) AS boiler_ratio
+          |FROM sh s LEFT JOIN boiler b USING (shingle)
+          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
     "q99_canonical_docs" ->
       (componentsCte +
         raw""", quality AS (SELECT doc_id, $qualityExprSql AS q FROM documents),
