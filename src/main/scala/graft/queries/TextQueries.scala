@@ -55,6 +55,53 @@ object TextQueries {
         )
         .orderBy(col("lang"))),
 
+    // COUNT-MIN SKETCH term-frequency estimation — the bounded-memory
+    // frequency twin of q59's HLL distinct count. Every token occurrence
+    // increments D=4 cells (md5-derived buckets, engine-portable) of a
+    // 4×64 sketch; a term's estimate is the MIN of its 4 cells — an upper
+    // bound on the true count that a fixed 256-cell aggregate maintains no
+    // matter how large the corpus or vocabulary grows (the map-side
+    // combine carries 256 rows per partition, never the term stream).
+    // Output: the exact top-20 terms with exact count, CMS estimate, and
+    // the (always non-negative) overcount — exact AND estimate are both
+    // deterministic, so the driver hash-checks the whole sketch pipeline.
+    "q108_countmin_topk" -> ((s, dir) => {
+      val W = 64
+      val D = 4
+      // 60-bit md5 fold (15 hex digits — same portable formula as the
+      // minhash family), then mod W; d is baked into the hashed string
+      def bucket(d: Int) =
+        expr(s"CAST(conv(substr(md5(concat('$d:', term)), 1, 15), 16, 10) AS BIGINT)") % W
+      val toks = Tables
+        .spread(Tables.documents(s, dir), col("doc_id"))
+        .select(explode(tokens(col("text"))).as("term"))
+      val cells = toks
+        .select(explode(array((0 until D).map(d =>
+          struct(lit(d).as("d"), bucket(d).as("bucket"))): _*)).as("db"))
+        .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cell_n"))
+      val top = toks
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("term"))
+        .limit(20)
+      top
+        .select(col("term"), col("exact_n"),
+          explode(array((0 until D).map(d =>
+            struct(lit(d).as("d"), bucket(d).as("bucket"))): _*)).as("db"))
+        .select(col("term"), col("exact_n"), col("db.d").as("d"), col("db.bucket").as("bucket"))
+        .join(cells, Seq("d", "bucket"))
+        .groupBy(col("term"), col("exact_n"))
+        .agg(min(col("cell_n")).as("cms_n"))
+        .select(
+          col("term"),
+          col("exact_n"),
+          col("cms_n"),
+          (col("cms_n") - col("exact_n")).as("overcount")
+        )
+        .orderBy(col("exact_n").desc, col("term"))
+    }),
+
     // Token counting: whitespace tokenizer + stopword stats per document.
     "q30_token_stats" -> ((s, dir) =>
       Tables
@@ -233,6 +280,25 @@ object TextQueries {
       (tokensCte +
         "SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_stop::BIGINT AS n_stop, round(stop_ratio, 4) AS stop_ratio " +
         "FROM stats ORDER BY doc_id"),
+    "q108_countmin_topk" ->
+      raw"""WITH cm_toks AS (
+           |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+           | dd AS (SELECT unnest(range(0, 4)) AS d),
+           | hashed AS (
+           |  SELECT t.term, dd.d,
+           |    list_reduce(list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr(md5(dd.d::VARCHAR || ':' || t.term), i::INT, 1)) - 1)::BIGINT), (a, c) -> a * 16 + c) % 64 AS bucket
+           |  FROM cm_toks t CROSS JOIN dd),
+           | cells AS (SELECT d, bucket, count(*) AS cell_n FROM hashed GROUP BY 1, 2),
+           | exact AS (SELECT term, count(*) AS exact_n FROM cm_toks GROUP BY 1),
+           | top AS (SELECT term, exact_n FROM exact ORDER BY exact_n DESC, term LIMIT 20),
+           | tb AS (
+           |  SELECT top.term, top.exact_n, dd.d,
+           |    list_reduce(list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr(md5(dd.d::VARCHAR || ':' || top.term), i::INT, 1)) - 1)::BIGINT), (a, c) -> a * 16 + c) % 64 AS bucket
+           |  FROM top CROSS JOIN dd)
+           |SELECT tb.term, tb.exact_n, min(c.cell_n) AS cms_n,
+           |  min(c.cell_n) - tb.exact_n AS overcount
+           |FROM tb JOIN cells c ON c.d = tb.d AND c.bucket = tb.bucket
+           |GROUP BY 1, 2 ORDER BY exact_n DESC, term""".stripMargin,
     "q31_quality_score" ->
       (tokensCte +
         """SELECT doc_id,
