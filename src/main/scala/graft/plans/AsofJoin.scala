@@ -41,9 +41,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *     candidate (pandas parity). The merge already holds both candidates
   *     (the buffered backward best + the right-cursor head), so nearest
   *     adds one comparison, not a second pass.
-  * Left rows with no matching right row are dropped (inner) — exactly the
-  * q80/q105 contracts, which the driver verifies against independent
-  * DuckDB oracles.
+  * Left rows with no matching right row are dropped when `leftOuter` is
+  * false (inner — the q80/q105 contracts) and kept with a null-padded
+  * right side when true (pandas merge_asof's own semantics — every left
+  * row survives, q109). Outer mode marks the right-side output attributes
+  * nullable so downstream resolution sees the truth.
   *
   * Scale shape: the planner's `EnsureRequirements` inserts the hash
   * exchanges and sorts from the DECLARED requirements below — the operator
@@ -73,9 +75,12 @@ final case class AsofJoin(
     rightTime: Expression,
     rightTie: Expression,
     tolerance: Option[Long] = None, // max |leftTime - rightTime|, in the time expressions' units
-    direction: AsofDirection = AsofDirection.Backward
+    direction: AsofDirection = AsofDirection.Backward,
+    leftOuter: Boolean = false
 ) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsofJoin =
     copy(left = l, right = r)
 }
@@ -89,7 +94,7 @@ object AsofJoinStrategy extends SparkStrategy {
     case j: AsofJoin =>
       AsofJoinExec(
         j.leftKey, j.leftTime, j.rightKey, j.rightTime, j.rightTie, j.tolerance, j.direction,
-        planLater(j.left), planLater(j.right)) :: Nil
+        j.leftOuter, planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -102,11 +107,14 @@ final case class AsofJoinExec(
     rightTie: Expression,
     tolerance: Option[Long],
     direction: AsofDirection,
+    leftOuter: Boolean,
     left: SparkPlan,
     right: SparkPlan
 ) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   // co-partition both sides on the key: EnsureRequirements inserts
   // compatible hash exchanges (or none, if the input is already bucketed)
@@ -176,6 +184,9 @@ final case class AsofJoinExec(
 
         private val forward = direction == AsofDirection.Forward
         private val nearest = direction == AsofDirection.Nearest
+        // outer mode: unmatched left rows pad the right side with nulls
+        private val nullRight =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(right.output.size)
 
         private def computeNext(): Unit = {
           out = null
@@ -183,8 +194,11 @@ final case class AsofJoinExec(
             val l     = lIter.next()
             val lKey  = asLong(lk.eval(l))
             val lTime = asLong(lt.eval(l))
+            // the matched right row for this left row, if any
+            var m: InternalRow = null
             if (lKey == NullSentinel || lTime == NullSentinel) {
-              // null key/time never matches: inner semantics drop the row
+              // null key/time never matches (join semantics); outer still
+              // keeps the left row below
             } else if (forward) {
               // advance past DEAD right rows: earlier keys, or same key
               // strictly before lTime — left times ascend, so a right row
@@ -197,37 +211,38 @@ final case class AsofJoinExec(
               }
               // the head (first eligible row: earliest time, least tie) is
               // the match — NOT consumed, it may serve later left rows
-              if (!rExhausted && rKey == lKey && rTime - lTime <= tol)
-                out = resultProj(joined(l, rRow))
+              if (!rExhausted && rKey == lKey && rTime - lTime <= tol) m = rRow
             } else {
-            if (best != null && bestKey != lKey) best = null
-            var scan = !rExhausted
-            while (scan) {
-              if (rKey < lKey) {
-                // left is sorted ascending: no remaining left row can match
-                if (!pullRight()) { rExhausted = true; scan = false }
-              } else if (rKey == lKey && rTime <= lTime) {
-                best = rRow.copy() // shuffle/sort readers reuse row objects
-                bestKey = lKey
-                bestTime = rTime
-                if (!pullRight()) { rExhausted = true; scan = false }
-              } else scan = false // right is ahead of this left row
+              if (best != null && bestKey != lKey) best = null
+              var scan = !rExhausted
+              while (scan) {
+                if (rKey < lKey) {
+                  // left is sorted ascending: no remaining left row can match
+                  if (!pullRight()) { rExhausted = true; scan = false }
+                } else if (rKey == lKey && rTime <= lTime) {
+                  best = rRow.copy() // shuffle/sort readers reuse row objects
+                  bestKey = lKey
+                  bestTime = rTime
+                  if (!pullRight()) { rExhausted = true; scan = false }
+                } else scan = false // right is ahead of this left row
+              }
+              if (nearest) {
+                // both candidates are in hand: the buffered backward best and
+                // the cursor head (the first same-key row AFTER lTime — rows
+                // AT lTime were consumed into best). Distance tie → backward.
+                val db = if (best != null) lTime - bestTime else Long.MaxValue
+                val df = if (!rExhausted && rKey == lKey) rTime - lTime else Long.MaxValue
+                if (db <= df) { if (best != null && db <= tol) m = best }
+                else if (df <= tol) m = rRow
+              } else {
+                // tolerance: the best (latest eligible) match is the only
+                // candidate that could be in range
+                if (best != null && lTime - bestTime <= tol) m = best
+              }
             }
-            if (nearest) {
-              // both candidates are in hand: the buffered backward best and
-              // the cursor head (the first same-key row AFTER lTime — rows
-              // AT lTime were consumed into best). Distance tie → backward.
-              val db = if (best != null) lTime - bestTime else Long.MaxValue
-              val df = if (!rExhausted && rKey == lKey) rTime - lTime else Long.MaxValue
-              if (db <= df) {
-                if (best != null && db <= tol) out = resultProj(joined(l, best))
-              } else if (df <= tol) out = resultProj(joined(l, rRow))
-            } else {
-              // inner: no match ⇒ skip; tolerance: the best (latest eligible)
-              // match is the only candidate that could be in range
-              if (best != null && lTime - bestTime <= tol) out = resultProj(joined(l, best))
-            }
-            }
+            if (m != null) out = resultProj(joined(l, m))
+            else if (leftOuter) out = resultProj(joined(l, nullRight))
+            // else inner: unmatched left row is dropped
           }
         }
 
@@ -267,6 +282,8 @@ object AsofJoinOps {
     * @param direction Backward (latest right at-or-before, default),
     *        Forward (earliest right at-or-after), or Nearest (closer of
     *        the two, distance ties backward) — merge_asof parity.
+    * @param leftOuter keep unmatched left rows with a null-padded right
+    *        side (pandas merge_asof's own join type); false = inner.
     */
   def asof(
       left: DataFrame,
@@ -277,7 +294,8 @@ object AsofJoinOps {
       rightTime: Column,
       rightTie: Column,
       tolerance: Option[Long] = None,
-      direction: AsofDirection = AsofDirection.Backward
+      direction: AsofDirection = AsofDirection.Backward,
+      leftOuter: Boolean = false
   ): DataFrame = {
     val spark = left.sparkSession
     install(spark)
@@ -304,7 +322,8 @@ object AsofJoinOps {
         toExpr(rightTime),
         toExpr(rightTie),
         tolerance,
-        direction
+        direction,
+        leftOuter
       )
     )
   }

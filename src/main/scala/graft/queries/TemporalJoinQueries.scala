@@ -130,6 +130,22 @@ object TemporalJoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // LEFT OUTER as-of (pandas merge_asof's own join type): every event
+    // survives; those with no prior order carry a null orderkey. The
+    // enrichment shape a feature pipeline actually ships — rows without
+    // history must reach the model with the feature absent, not vanish.
+    "q109_asof_outer" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      val o = Tables
+        .orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
+      graft.plans.AsofJoinOps
+        .asof(e, o, e.col("user_id"), e.col("ts"), o.col("o_custkey"), o.col("o_ts"), o.col("o_orderkey"),
+          leftOuter = true)
+        .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // NEAREST as-of: whichever order is closest in time to the event,
     // before or after (distance ties prefer the backward candidate —
     // pandas merge_asof direction='nearest'). The merge holds both
@@ -220,6 +236,15 @@ object TemporalJoinQueries {
         |      ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // The q80 pick as a LEFT join: unmatched events surface one null row.
+    "q109_asof_outer" ->
+      """SELECT event_id, user_id, o_orderkey AS last_orderkey FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // Independent nearest formulation: rank all same-user orders by micro-
     // second distance (event ts truncated to micros, the same coercion the

@@ -179,6 +179,30 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     assert(bounded == Map(1L -> 101L, 2L -> 102L), bounded.toString)
   }
 
+  test("left-outer keeps unmatched and null-key left rows with a null right side") {
+    val rows = AsofJoinOps
+      .asof(events, orders,
+        events.col("user_id"), events.col("ts"),
+        orders.col("o_custkey"), orders.col("o_ts"), orders.col("o_orderkey"),
+        leftOuter = true)
+      .select(col("event_id"), col("o_orderkey"))
+      .orderBy(col("event_id"))
+      .as[(Long, Option[Long])]
+      .collect()
+      .toSeq
+    // matched rows identical to inner; events 3 (no prior order) and 5 (no
+    // orders at all) survive with null
+    assert(rows == Seq(
+      1L -> Some(101L), 2L -> Some(102L), 3L -> None, 4L -> Some(202L), 5L -> None
+    ), rows.toString)
+    // the right-side output attribute is marked nullable in outer mode
+    val outerDf = AsofJoinOps.asof(events, orders,
+      events.col("user_id"), events.col("ts"),
+      orders.col("o_custkey"), orders.col("o_ts"), orders.col("o_orderkey"),
+      leftOuter = true)
+    assert(outerDf.schema("o_orderkey").nullable)
+  }
+
   test("forward parity with the composed min-struct formulation on real data") {
     val dir = "/root/testdata/sf0.001"
     val composed = {
