@@ -54,6 +54,49 @@ object StreamJoins {
   ): DataFrame =
     intervalJoinType(left, right, key, withinSeconds, watermark, "left_outer")
 
+  /** Stream–static AS-OF enrichment: each streaming row picks up the
+    * latest static row at-or-before its event time for its key, through
+    * the custom merge node ([[graft.plans.AsofJoin]]) applied per
+    * micro-batch inside `foreachBatch` — the standard way to run a
+    * batch-only operator over a stream when its semantics are per-batch
+    * (enrichment against a SLOWLY-CHANGING static side needs no
+    * cross-batch state; each row's answer depends only on itself and the
+    * static table). Returns the started query; enriched batches land in
+    * `sink` as parquet with exactly-once batch-id dedup left to the
+    * caller's sink contract (parquet append per batch here — the spec
+    * reads the result; a production run uses the transactional sink it
+    * already ships).
+    */
+  def asofEnrich(
+      stream: DataFrame,
+      static: DataFrame,
+      streamKey: String,
+      streamTime: String,
+      staticKey: String,
+      staticTime: String,
+      staticTie: String,
+      sink: String,
+      checkpoint: String,
+      leftOuter: Boolean = true
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        graft.plans.AsofJoinOps
+          .asof(b, static,
+            b.col(streamKey), b.col(streamTime),
+            static.col(staticKey), static.col(staticTime), static.col(staticTie),
+            leftOuter = leftOuter)
+          // the join key appears on both sides; drop the static one BY
+          // EXPRESSION ID (name-based drop would be ambiguous). Any other
+          // name collision is the caller's to alias, as in asof itself.
+          .drop(static.col(staticKey))
+          .write.mode("append").parquet(sink)
+        ()
+      }
+      .start()
+
   private def intervalJoinType(
       left: DataFrame,
       right: DataFrame,

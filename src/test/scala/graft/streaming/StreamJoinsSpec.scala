@@ -87,4 +87,32 @@ class StreamJoinsSpec extends AnyFunSuite with SparkSpec {
       "watermark passed u2's window — the outer row must have emitted: " + rows())
     query.stop()
   }
+
+  test("stream-static as-of enrich: latest static row at-or-before each event, per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof-enrich").toString
+    // static price history: (sym, price_ts, price_id) — two symbols, two eras
+    val static = Seq(
+      (1L, ts(0), 100L), (1L, ts(60), 101L),
+      (2L, ts(30), 200L)
+    ).toDF("sym", "price_ts", "price_id")
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val query = StreamJoins.asofEnrich(
+      input.toDF().toDF("trade_id", "sym", "ts"),
+      static,
+      streamKey = "sym", streamTime = "ts",
+      staticKey = "sym", staticTime = "price_ts", staticTie = "price_id",
+      sink = s"$tmp/out", checkpoint = s"$tmp/ckpt"
+    )
+    input.addData((10L, 1L, ts(30)), (11L, 2L, ts(10)))  // batch 1
+    query.processAllAvailable()
+    input.addData((12L, 1L, ts(90)))                     // batch 2: later era
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.read.parquet(s"$tmp/out")
+      .select("trade_id", "price_id").as[(Long, Option[Long])].collect().toMap
+    // trade 10 (t=30) -> price 100 (era ts(0)); trade 11 (t=10) precedes
+    // sym 2's first price -> outer null; trade 12 (t=90) -> price 101
+    assert(rows == Map(10L -> Some(100L), 11L -> None, 12L -> Some(101L)), rows.toString)
+  }
 }
