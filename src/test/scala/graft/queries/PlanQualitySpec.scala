@@ -176,10 +176,26 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Join"), "corpus joined instead of partition-scored:\n" + plan.take(800))
   }
 
-  test("q99/q100 candidate machinery stays bucket-row-free (no collect_list)") {
-    Seq("q99_canonical_docs", "q100_minhash_estimate").foreach { q =>
+  test("q99/q100/q107 candidate machinery stays bucket-row-free (no collect_list)") {
+    Seq("q99_canonical_docs", "q100_minhash_estimate", "q107_boilerplate_ngrams").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString
       assert(!plan.contains("collect_list"), s"$q materializes buckets:\n" + plan.take(800))
     }
+  }
+
+  test("q103 keeps full-outer semantics over pre-aggregated (dim-sized) inputs") {
+    val plan = executedPlan("q103_nation_reconciliation")
+    assert(plan.contains("FullOuter"), plan.take(800))
+    // both inputs aggregate BEFORE the outer join: two partial/final pairs
+    // feed it, so the join touches nation-key cardinality, not base rows
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(800))
+  }
+
+  test("q108 sketch cells aggregate map-side (the shuffle carries 256 cells, not tokens)") {
+    val plan = executedPlan("q108_countmin_topk")
+    // partial aggregation on (d, bucket) before the exchange — the property
+    // that makes the sketch fixed-size at any corpus scale
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan.take(800))
+    assert(!plan.contains("collect_list"), plan.take(800))
   }
 }
