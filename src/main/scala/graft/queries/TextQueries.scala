@@ -55,6 +55,48 @@ object TextQueries {
         )
         .orderBy(col("lang"))),
 
+    // KMV (k-minimum-values) DISTINCT estimation — the deterministic
+    // counterpart to q59's HLL++ (which is engine-private, so the driver
+    // can only rows-check it): keep the K smallest md5 hashes of the
+    // distinct values per group; with the k-th smallest at normalized
+    // position hk/2^60, the estimate is (K-1)·2^60/hk. Groups with fewer
+    // than K distinct values report exactly. Physical shape: the rank
+    // filter is a partial WindowGroupLimit — each partition forwards at
+    // most K rows per group, so the shuffle carries K values per
+    // (partition, lang), a fixed-size sketch merge like q108's cells.
+    // Exact distinct count rides along as the error anchor; everything is
+    // md5-deterministic, so the whole sketch hash-matches the oracle.
+    "q110_kmv_distinct" -> ((s, dir) => {
+      val K = 16 // < per-group distinct counts in the harness corpus, so the ESTIMATE branch runs
+      val hashed = Tables
+        .spread(Tables.documents(s, dir), col("doc_id"))
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+        .select(
+          col("lang"),
+          expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h")
+        )
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang")).orderBy(col("h"))
+      val sketch = hashed
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .groupBy(col("lang"))
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("k_eff"))
+      val exact = hashed.groupBy(col("lang")).agg(count(lit(1)).as("n_distinct"))
+      sketch
+        .join(exact, Seq("lang"))
+        .select(
+          col("lang"),
+          col("n_distinct"),
+          round(
+            when(col("k_eff") < K, col("k_eff").cast("double"))
+              .otherwise(lit((K - 1).toDouble * math.pow(2, 60)) / col("hk").cast("double")),
+            4
+          ).as("kmv_estimate")
+        )
+        .orderBy(col("lang"))
+    }),
+
     // COUNT-MIN SKETCH term-frequency estimation — the bounded-memory
     // frequency twin of q59's HLL distinct count. Every token occurrence
     // increments D=4 cells (md5-derived buckets, engine-portable) of a
@@ -280,6 +322,21 @@ object TextQueries {
       (tokensCte +
         "SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_stop::BIGINT AS n_stop, round(stop_ratio, 4) AS stop_ratio " +
         "FROM stats ORDER BY doc_id"),
+    "q110_kmv_distinct" ->
+      raw"""WITH kv AS (
+           |  SELECT DISTINCT lang, tok FROM (
+           |    SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)),
+           | hashed AS (
+           |  SELECT lang,
+           |    list_reduce(list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr(md5(tok), i::INT, 1)) - 1)::BIGINT), (a, c) -> a * 16 + c) AS h
+           |  FROM kv),
+           | ranked AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hashed),
+           | sk AS (SELECT lang, max(h) AS hk, count(*) AS k_eff FROM ranked WHERE rn <= 16 GROUP BY lang),
+           | ex AS (SELECT lang, count(*) AS n_distinct FROM hashed GROUP BY lang)
+           |SELECT sk.lang, ex.n_distinct,
+           |  round(CASE WHEN sk.k_eff < 16 THEN sk.k_eff::DOUBLE
+           |             ELSE 15.0 * pow(2, 60) / sk.hk::DOUBLE END, 4) AS kmv_estimate
+           |FROM sk JOIN ex USING (lang) ORDER BY lang""".stripMargin,
     "q108_countmin_topk" ->
       raw"""WITH cm_toks AS (
            |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
