@@ -87,6 +87,47 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // TIME-SERIES SIMILARITY — which users' daily activity series are
+    // closest to a reference user's (the streaming-similarity-search shape
+    // of EDBT'19, batch form)? Euclidean distance over the day-aligned
+    // count series WITHOUT a full outer join: with integer day counts,
+    // dist²(u) = Σn_u² − 2·Σ n_u·n_ref (inner join on shared days only)
+    // + Σn_ref², so each user needs one self-term aggregate and one
+    // inner-join cross term against the (broadcast-tiny) reference series
+    // — the dot-product decomposition that makes all-pairs similarity
+    // tractable at scale. Exact int64 arithmetic end to end; one sqrt +
+    // round at the finish.
+    "q111_series_similarity" -> ((s, dir) => {
+      val RefUser = 1L
+      val daily = Tables
+        .events(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val ref = daily.filter(col("user_id") === RefUser).select(col("day"), col("n").as("rn"))
+      val refSelf = ref.agg(sum(col("rn") * col("rn")).as("sr2")) // 1-row scalar
+      val userSelf = daily
+        .filter(col("user_id") =!= RefUser)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n") * col("n")).as("su2"))
+      val cross = daily
+        .filter(col("user_id") =!= RefUser)
+        .join(broadcast(ref), Seq("day"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n") * col("rn")).as("cx"))
+      userSelf
+        .join(cross, Seq("user_id"), "left") // users sharing NO day: cross term 0
+        .crossJoin(broadcast(refSelf))
+        .select(
+          col("user_id"),
+          round(
+            sqrt((col("su2") - lit(2) * coalesce(col("cx"), lit(0L)) + col("sr2")).cast("double")),
+            4
+          ).as("dist")
+        )
+        .orderBy(col("dist"), col("user_id"))
+        .limit(10)
+    }),
+
     // RETENTION COHORTS — the product-analytics staple: users grouped by
     // their first-activity week (cohort), distinct actives counted per
     // (cohort, weeks-since-cohort) cell. Both dates are week-truncated
@@ -149,6 +190,21 @@ object EventQueries {
         |FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, value FROM events)
         |GROUP BY ROLLUP (event_type, hod)
         |ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST""".stripMargin,
+    "q111_series_similarity" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        | ref AS (SELECT day, n AS rn FROM daily WHERE user_id = 1),
+        | ref_self AS (SELECT sum(rn * rn) AS sr2 FROM ref),
+        | user_self AS (
+        |  SELECT user_id, sum(n * n) AS su2 FROM daily WHERE user_id <> 1 GROUP BY 1),
+        | cx AS (
+        |  SELECT d.user_id, sum(d.n * r.rn) AS cx
+        |  FROM daily d JOIN ref r USING (day) WHERE d.user_id <> 1 GROUP BY 1)
+        |SELECT u.user_id,
+        |  round(sqrt(CAST(u.su2 - 2 * coalesce(cx.cx, 0) + rs.sr2 AS DOUBLE)), 4) AS dist
+        |FROM user_self u LEFT JOIN cx USING (user_id), ref_self rs
+        |ORDER BY dist, user_id LIMIT 10""".stripMargin,
     "q104_except_all" ->
       """SELECT user_id, count(*) AS n_surplus_clicks FROM (
         |  SELECT user_id FROM events WHERE event_type = 'click'
