@@ -32,13 +32,19 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
-    // EXCEPT — users who clicked but never purchased.
+    // EXCEPT — (user, day) pairs with a click but no purchase that day.
+    // Day granularity keeps the difference provably NON-EMPTY at every SF
+    // (user-level EXCEPT is vacuously empty on this corpus: every clicker
+    // also purchases — a 0=0 oracle match verifies nothing), so the
+    // distinct-set semantics are exercised with real surviving rows.
     "q15_except" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       e.filter(col("event_type") === "click")
-        .select(col("user_id"))
-        .except(e.filter(col("event_type") === "purchase").select(col("user_id")))
-        .orderBy(col("user_id"))
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .except(
+          e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), date_trunc("day", col("ts")).as("day")))
+        .orderBy(col("user_id"), col("day"))
     }),
 
     // Gap-based sessionization (30-minute inactivity gap) — session count
@@ -160,9 +166,12 @@ object EventQueries {
         |INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
     "q15_except" ->
-      """SELECT user_id FROM events WHERE event_type = 'click'
-        |EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase'
-        |ORDER BY user_id""".stripMargin,
+      """SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, day""".stripMargin,
     "q16_pivot" ->
       """SELECT user_id % 10 AS user_bucket,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -113,21 +113,89 @@ object TemporalJoinQueries {
         .orderBy(col("event_id"))
     }),
 
-    // FORWARD as-of through the custom node: the EARLIEST order at-or-after
-    // each event per user — the "time-to-next-purchase" feature twin of
-    // q88's backward lookup (pandas merge_asof direction='forward'). Ties
-    // resolve to the least orderkey (the merge's first-row-wins), which the
+    // FORWARD as-of through the custom node: the EARLIEST event at-or-after
+    // each order per customer — "time-to-first-activity-after-purchase"
+    // (pandas merge_asof direction='forward'). Orders-left/events-right is
+    // the NON-VACUOUS orientation on this corpus (orders 1995–2001, events
+    // 2024): the reverse direction matches nothing at any SF, and a 0=0
+    // oracle hash proves nothing. ~10% of orders have a same-customer
+    // future event (132 / 1,436 / 15,060 rows at sf0.001/0.01/0.1). Ties
+    // resolve to the least event_id (the merge's first-row-wins), which the
     // independent oracle mirrors with an ASC/ASC row_number pick.
     "q105_asof_forward" -> ((s, dir) => {
-      val e = Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
       val o = Tables
         .orders(s, dir)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
       graft.plans.AsofJoinOps
-        .asof(e, o, e.col("user_id"), e.col("ts"), o.col("o_custkey"), o.col("o_ts"), o.col("o_orderkey"),
+        .asof(o, e, o.col("o_custkey"), o.col("o_ts"), e.col("user_id"), e.col("ts"), e.col("event_id"),
           direction = graft.plans.AsofDirection.Forward)
-        .select(col("event_id"), col("user_id"), col("o_orderkey").as("next_orderkey"))
-        .orderBy(col("event_id"))
+        .select(col("o_orderkey"), col("o_custkey"), col("event_id").as("next_event_id"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // FORWARD + TOLERANCE: the next event counts only if it lands within
+    // 9,400 days of the order — a bound that demonstrably discriminates on
+    // this corpus (the forward-distance median is ~9,350–9,420 days, so
+    // roughly half the q105 matches survive at every SF). Exercises the
+    // forward branch's in-merge tolerance comparison under the driver gate
+    // (previously spec-only).
+    "q112_asof_fwd_tolerance" -> ((s, dir) => {
+      val o = Tables
+        .orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+      graft.plans.AsofJoinOps
+        .asof(o, e, o.col("o_custkey"), o.col("o_ts"), e.col("user_id"), e.col("ts"), e.col("event_id"),
+          tolerance = Some(9400L * 86400L * 1000000L), // 9,400 days in micros
+          direction = graft.plans.AsofDirection.Forward)
+        .select(col("o_orderkey"), col("o_custkey"), col("event_id").as("next_event_id"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // FORWARD + LEFT OUTER: every order survives; the ~90% with no
+    // same-customer future event carry a null event id — non-vacuous on
+    // BOTH branches (matched and null-padded) at every SF. Exercises the
+    // forward+outer combination under the driver gate (previously
+    // spec-only).
+    "q113_asof_fwd_outer" -> ((s, dir) => {
+      val o = Tables
+        .orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+      graft.plans.AsofJoinOps
+        .asof(o, e, o.col("o_custkey"), o.col("o_ts"), e.col("user_id"), e.col("ts"), e.col("event_id"),
+          direction = graft.plans.AsofDirection.Forward, leftOuter = true)
+        .select(col("o_orderkey"), col("o_custkey"), col("event_id").as("next_event_id"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // NEAREST + TOLERANCE, genuinely two-sided: each non-urgent order seeks
+    // the nearest same-customer URGENT order within 90 days, before or
+    // after. Unlike the events⋈orders orientation (where all orders precede
+    // all events, collapsing nearest to one direction), urgent orders are
+    // interleaved with the rest, so BOTH candidates compete — and the
+    // corpus contains exact two-sided distance ties (2 at sf0.01, 30 at
+    // sf0.1), putting the backward-preference rule itself under the driver
+    // gate. Self-as-of: the right side re-aliases every column (fresh
+    // attribute ids), satisfying the node's disjoint-lineage contract.
+    "q114_asof_nearest_tolerance" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+      val l = base
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
+      val r = base
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(
+          col("o_custkey").as("u_custkey"),
+          col("o_orderdate").cast("timestamp").as("u_ts"),
+          col("o_orderkey").as("u_orderkey"))
+      graft.plans.AsofJoinOps
+        .asof(l, r, l.col("o_custkey"), l.col("o_ts"), r.col("u_custkey"), r.col("u_ts"), r.col("u_orderkey"),
+          tolerance = Some(90L * 86400L * 1000000L), // 90 days in micros
+          direction = graft.plans.AsofDirection.Nearest)
+        .select(col("o_orderkey"), col("o_custkey"), col("u_orderkey").as("near_urgent_orderkey"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // LEFT OUTER as-of (pandas merge_asof's own join type): every event
@@ -228,15 +296,55 @@ object TemporalJoinQueries {
         |    AND o.o_orderdate >= e.ts - INTERVAL 9000 DAYS)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // Independent formulation of the forward contract: earliest
-    // (date, key) pick per event over the future-orders join.
+    // (ts, event_id) pick per order over the future-events join.
     "q105_asof_forward" ->
-      """SELECT event_id, user_id, o_orderkey AS next_orderkey FROM (
-        |  SELECT e.event_id, e.user_id, o.o_orderkey,
-        |    row_number() OVER (PARTITION BY e.event_id
-        |      ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
-        |  FROM events e JOIN orders o
-        |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts)
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      """SELECT o_orderkey, o_custkey, event_id AS next_event_id FROM (
+        |  SELECT o.o_orderkey, o.o_custkey, e.event_id,
+        |    row_number() OVER (PARTITION BY o.o_orderkey
+        |      ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        |  FROM orders o JOIN events e
+        |    ON o.o_custkey = e.user_id AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP))
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    // The earliest in-window match equals "earliest overall, if in window":
+    // eligible rows ordered by time have the in-window ones as a prefix.
+    "q112_asof_fwd_tolerance" ->
+      """SELECT o_orderkey, o_custkey, event_id AS next_event_id FROM (
+        |  SELECT o.o_orderkey, o.o_custkey, e.event_id,
+        |    row_number() OVER (PARTITION BY o.o_orderkey
+        |      ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        |  FROM orders o JOIN events e
+        |    ON o.o_custkey = e.user_id AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+        |    AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 9400 DAYS)
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    // The q105 pick as a LEFT join: orders with no future event surface one
+    // null row each.
+    "q113_asof_fwd_outer" ->
+      """SELECT o_orderkey, o_custkey, event_id AS next_event_id FROM (
+        |  SELECT o.o_orderkey, o.o_custkey, e.event_id,
+        |    row_number() OVER (PARTITION BY o.o_orderkey
+        |      ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        |  FROM orders o LEFT JOIN events e
+        |    ON o.o_custkey = e.user_id AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP))
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    // Independent nearest-with-tolerance formulation: rank all in-tolerance
+    // same-customer urgent orders by microsecond distance, then
+    // backward-first / greatest-backward-key / least-forward-key — exactly
+    // the merge's candidate rules (same pattern as q106's oracle, plus the
+    // tolerance predicate in the join).
+    "q114_asof_nearest_tolerance" ->
+      """SELECT o_orderkey, o_custkey, u_orderkey AS near_urgent_orderkey FROM (
+        |  SELECT l.o_orderkey, l.o_custkey, r.o_orderkey AS u_orderkey,
+        |    row_number() OVER (PARTITION BY l.o_orderkey
+        |      ORDER BY abs(epoch_us(CAST(l.o_orderdate AS TIMESTAMP)) - epoch_us(CAST(r.o_orderdate AS TIMESTAMP))) ASC,
+        |               (r.o_orderdate <= l.o_orderdate) DESC,
+        |               CASE WHEN r.o_orderdate <= l.o_orderdate
+        |                    THEN -r.o_orderkey ELSE r.o_orderkey END ASC) AS rn
+        |  FROM orders l JOIN orders r
+        |    ON l.o_custkey = r.o_custkey
+        |    AND l.o_orderpriority <> '1-URGENT' AND r.o_orderpriority = '1-URGENT'
+        |    AND abs(epoch_us(CAST(l.o_orderdate AS TIMESTAMP)) - epoch_us(CAST(r.o_orderdate AS TIMESTAMP)))
+        |        <= CAST(90 AS BIGINT) * 86400 * 1000000)
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
     // The q80 pick as a LEFT join: unmatched events surface one null row.
     "q109_asof_outer" ->
       """SELECT event_id, user_id, o_orderkey AS last_orderkey FROM (
