@@ -59,9 +59,32 @@ object MediaQueries {
         )
         .orderBy(col("media_id"), col("frame_no"))),
 
+    // REAL PIXEL PATH end to end: the corpus rows are complete PNG/BMP
+    // files (real zlib IDAT with row filters 0-4, BMP both row orders),
+    // decoded by PixelCodec (inflate + unfilter / padded BGR row reads),
+    // fit into 8px and resampled nearest-neighbor — and the RESAMPLED RGB
+    // BYTES are value-checked: the oracle replays the pixel formula through
+    // the same integer index map and hashes the identical byte sequence.
+    // A wrong unfilter branch, row order, BGR swap, or resample index
+    // changes px_hash.
+    "q115_resize_pixels" -> ((s, dir) =>
+      MediaPipeline
+        .resizePixels(MediaPipeline.mediaWithPixels(s, dir), maxSide = 8)
+        .select(
+          col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_width").cast("long").as("out_width"),
+          col("out_height").cast("long").as("out_height"),
+          col("out_len").cast("long").as("out_len"),
+          col("px_hash")
+        )
+        .orderBy(col("media_id"))),
+
     // Resize stage: REAL aspect-preserving dimension math off the REAL
     // header dims; the pixel resample is the stub byte-subsample (see
-    // MediaPipeline.resizeImages). Oracle checks the full contract.
+    // MediaPipeline.resizeImages; the real-pixel resample path is q115).
+    // Oracle checks the full contract.
     "q67_media_resize" -> ((s, dir) =>
       MediaPipeline
         .resizeImages(MediaPipeline.mediaFromDocuments(s, dir))
@@ -153,6 +176,32 @@ object MediaQueries {
         |  substr(text, CAST(frame_no * 10 + 1 AS INT), 10) AS frame_text
         |FROM f WHERE frame_no % 10 = 0
         |ORDER BY media_id, frame_no""".stripMargin,
+    // The real-pixel gate: rebuild the formula pixels, apply the SAME
+    // integer fit + nearest-neighbor index map (src = dst*srcDim//dstDim),
+    // and hash the resampled byte sequence — the Spark side must recover
+    // exactly these bytes from the real PNG/BMP containers to match.
+    "q115_resize_pixels" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 3 + doc_id % 14 AS w, 3 + (doc_id * 7) % 14 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        | s AS (SELECT media_id, w, h, greatest(w, h) AS longest FROM m),
+        | d AS (
+        |  SELECT media_id, w, h,
+        |    CASE WHEN longest <= 8 THEN w ELSE greatest(1, (w * 8 + longest - 1) // longest) END AS w2,
+        |    CASE WHEN longest <= 8 THEN h ELSE greatest(1, (h * 8 + longest - 1) // longest) END AS h2
+        |  FROM s),
+        | p AS (
+        |  SELECT media_id, w, h, w2, h2,
+        |    flatten(list_transform(range(0, h2), y2 ->
+        |      flatten(list_transform(range(0, w2), x2 ->
+        |        list_transform(range(0, 3), c ->
+        |          ((media_id * 31 + ((x2 * w) // w2) * 7 + ((y2 * h) // h2) * 13 + c * 5) % 256)::BIGINT))))) AS bl
+        |  FROM d)
+        |SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  w2::BIGINT AS out_width, h2::BIGINT AS out_height,
+        |  (w2 * h2 * 3)::BIGINT AS out_len,
+        |  list_reduce(list_prepend(0::BIGINT, bl), (a, c) -> (a * 31 + c) % 2147483647) AS px_hash
+        |FROM p ORDER BY media_id""".stripMargin,
     // Header lengths by construction: PNG 29, GIF 13, JPEG 39, BMP 50 bytes
     // (the q60 oracle's byte lists); resize math mirrors resizeImages
     // exactly (ceil divisions in integers — no float boundary anywhere).

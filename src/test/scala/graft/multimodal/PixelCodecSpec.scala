@@ -1,0 +1,175 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crafted-pixel coverage for the REAL PNG/BMP codec paths: round-trips
+  * through every PNG row filter, both BMP row orders and stride paddings,
+  * independent validation against the JDK's own ImageIO decoder, the exact
+  * nearest-neighbor index map, and the malformed-input fallbacks.
+  */
+class PixelCodecSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // deterministic but non-trivial pixels: no symmetry, all byte ranges
+  private def px(w: Int, h: Int, seed: Int): Array[Byte] =
+    Array.tabulate(w * h * 3)(i => ((i * 131 + seed * 17 + (i * i) % 97) % 256).toByte)
+
+  test("PNG round-trip recovers exact pixels through every row filter (0-4)") {
+    // h = 7 > 5: filters 0,1,2,3,4 all appear (y % 5); w = 5 exercises the
+    // left/upper-left predictors past the first pixel
+    val (w, h) = (5, 7)
+    val rgb    = px(w, h, 1)
+    val decoded = PixelCodec.decodePng(PixelCodec.encodePng(w, h, rgb))
+    assert(decoded.isDefined)
+    assert(decoded.get.width == w && decoded.get.height == h)
+    assert(decoded.get.rgb.toSeq == rgb.toSeq)
+  }
+
+  test("PNG encoder emits standards-valid files: the JDK's ImageIO decodes identical pixels") {
+    val (w, h) = (6, 9)
+    val rgb    = px(w, h, 2)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(PixelCodec.encodePng(w, h, rgb)))
+    assert(img != null, "ImageIO rejected our PNG")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val o    = (y * w + x) * 3
+      assert(((argb >> 16) & 0xff) == (rgb(o) & 0xff), s"R at ($x,$y)")
+      assert(((argb >> 8) & 0xff) == (rgb(o + 1) & 0xff), s"G at ($x,$y)")
+      assert((argb & 0xff) == (rgb(o + 2) & 0xff), s"B at ($x,$y)")
+    }
+  }
+
+  test("PNG decode handles RGBA (color type 6), dropping alpha after unfiltering") {
+    // hand-build an RGBA PNG: filter 2 (Up) on every row so the unfilter
+    // runs at the 4-byte pixel stride
+    val (w, h) = (3, 4)
+    val rgba   = Array.tabulate(w * h * 4)(i => ((i * 37 + 11) % 256).toByte)
+    val stride = w * 4
+    val raw    = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      raw(y * (1 + stride)) = 2 // Up
+      for (i <- 0 until stride) {
+        val cur = rgba(y * stride + i) & 0xff
+        val up  = if (y > 0) rgba((y - 1) * stride + i) & 0xff else 0
+        raw(y * (1 + stride) + 1 + i) = ((cur - up) & 0xff).toByte
+      }
+    }
+    def chunk(name: String, data: Array[Byte]): Array[Byte] = {
+      val tag = name.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(tag); crc.update(data)
+      def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      be(data.length) ++ tag ++ data ++ be(crc.getValue.toInt)
+    }
+    val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+    val zOut = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
+    while (!d.finished()) zOut.write(buf, 0, d.deflate(buf))
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", be(w) ++ be(h) ++ Array[Byte](8, 6, 0, 0, 0)) ++
+      chunk("IDAT", zOut.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    val decoded = PixelCodec.decodePng(png)
+    assert(decoded.isDefined)
+    val expected = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val c = i % 3; rgba(p * 4 + c)
+    }
+    assert(decoded.get.rgb.toSeq == expected.toSeq)
+  }
+
+  test("BMP round-trip: both row orders, padded (w=3) and unpadded (w=4) strides") {
+    for (topDown <- Seq(false, true); w <- Seq(3, 4)) {
+      val h   = 5
+      val rgb = px(w, h, if (topDown) 3 else 4)
+      val dec = PixelCodec.decodeBmp(PixelCodec.encodeBmp(w, h, rgb, topDown))
+      assert(dec.isDefined, s"topDown=$topDown w=$w")
+      assert(dec.get.width == w && dec.get.height == h)
+      assert(dec.get.rgb.toSeq == rgb.toSeq, s"topDown=$topDown w=$w")
+    }
+  }
+
+  test("BMP encoder emits standards-valid files: ImageIO decodes identical pixels") {
+    val (w, h) = (5, 4)
+    val rgb    = px(w, h, 5)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(PixelCodec.encodeBmp(w, h, rgb, topDown = false)))
+    assert(img != null, "ImageIO rejected our BMP")
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val o    = (y * w + x) * 3
+      assert(((argb >> 16) & 0xff) == (rgb(o) & 0xff) &&
+        ((argb >> 8) & 0xff) == (rgb(o + 1) & 0xff) && (argb & 0xff) == (rgb(o + 2) & 0xff),
+        s"pixel at ($x,$y)")
+    }
+  }
+
+  test("nearest-neighbor resample uses src = dst*srcDim/dstDim exactly") {
+    // 4x2 -> 2x1: rows pick y=0, cols pick x=0 and x=2
+    val rgb = Array.tabulate(4 * 2 * 3)(_.toByte)
+    val out = PixelCodec.resizeNearest(PixelImage(4, 2, rgb), 2, 1)
+    val expected = Seq(0, 1, 2, 6, 7, 8).map(_.toByte) // pixels (0,0) and (2,0)
+    assert(out.rgb.toSeq == expected)
+  }
+
+  test("fitNearest never upscales and preserves aspect via ceil division") {
+    val small = PixelImage(3, 5, px(3, 5, 6))
+    assert(PixelCodec.fitNearest(small, 8) eq small) // <= maxSide: untouched
+    val out = PixelCodec.fitNearest(PixelImage(16, 10, px(16, 10, 7)), 8)
+    assert(out.width == 8 && out.height == 5) // ceil(10*8/16) = 5
+  }
+
+  test("malformed inputs fall back to None, never throw") {
+    assert(PixelCodec.decodePixels("not an image".getBytes("UTF-8")).isEmpty)
+    // header-only PNG (the q60 corpus shape): no IDAT
+    assert(PixelCodec.decodePixels(MediaPipeline.pngHeader(4, 4)).isEmpty)
+    // header-only BMP: declared pixel data missing
+    assert(PixelCodec.decodePixels(MediaPipeline.bmpHeader(4, 4)).isEmpty)
+    // unsupported layout: 16-bit depth PNG
+    val deep = PixelCodec.encodePng(2, 2, px(2, 2, 8))
+    deep(8 + 8 + 8) = 16 // IHDR bit-depth byte
+    assert(PixelCodec.decodePng(deep).isEmpty)
+    // truncated IDAT: valid chunk framing, lying zlib stream
+    val good = PixelCodec.encodePng(4, 4, px(4, 4, 9))
+    assert(PixelCodec.decodePng(good.dropRight(20)).isEmpty)
+  }
+
+  test("mediaWithPixels corpus decodes back to the formula pixels (all three container paths)") {
+    for (id <- Seq(0L, 3L, 6L, 9L, 12L, 15L, 21L)) {
+      val w   = (3 + id % 14).toInt
+      val h   = (3 + (id * 7) % 14).toInt
+      val rgb = MediaPipeline.formulaPixels(id, w, h)
+      val bytes =
+        if (id % 6 == 0) PixelCodec.encodePng(w, h, rgb)
+        else if (id % 12 == 3) PixelCodec.encodeBmp(w, h, rgb, topDown = false)
+        else PixelCodec.encodeBmp(w, h, rgb, topDown = true)
+      val dec = PixelCodec.decodePixels(bytes)
+      assert(dec.isDefined && dec.get.rgb.toSeq == rgb.toSeq, s"id=$id")
+    }
+  }
+
+  test("resizePixels Spark stage matches the local codec computation") {
+    val ids = Seq(0L, 3L, 9L, 30L)
+    val recs = ids.map { id =>
+      val w   = (3 + id % 14).toInt
+      val h   = (3 + (id * 7) % 14).toInt
+      val rgb = MediaPipeline.formulaPixels(id, w, h)
+      MediaRecord(id, "image", "image/x",
+        if (id % 2 == 0) PixelCodec.encodePng(w, h, rgb)
+        else PixelCodec.encodeBmp(w, h, rgb, topDown = true))
+    }
+    val got = MediaPipeline
+      .resizePixels(recs.toDS(), maxSide = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getLong(6)))
+      .sortBy(_._1)
+    val want = recs.map { m =>
+      val img = PixelCodec.decodePixels(m.content).get
+      val out = PixelCodec.fitNearest(img, 8)
+      var hsh = 0L
+      out.rgb.foreach(b => hsh = (hsh * 31 + (b & 0xff)) % 2147483647L)
+      (m.media_id, img.width, img.height, out.width, out.height, out.rgb.length, hsh)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+}
