@@ -79,13 +79,16 @@ object PaymentOps {
     * `currency = "GBP"`, all other fields (and the record key) unchanged.
     * Reference `PaymentTopology.java:54-68`.
     *
-    * Rounding parity: `Math.round(double)` is floor(x+0.5); Spark's
-    * `round(_, 0)` is HALF_UP. They agree for all non-negative inputs and
-    * differ only at negative exact-.5 points (amounts are positive in every
-    * reference test — see PaymentOpsSpec for the boundary regression).
+    * Rounding parity is EXACT on the full double range: `Math.round(double)`
+    * is defined as floor(x + 0.5), which is what this expression computes.
+    * (Spark's `round(_, 0)` is HALF_UP — it agrees for all non-negative
+    * inputs but rounds negative exact-.5 points the other way:
+    * Math.round(-2.5) = -2, HALF_UP gives -3. Amounts are positive in every
+    * reference test, but the operator shouldn't carry that latent edge —
+    * see PaymentOpsSpec for the negative-boundary regression.)
     */
   def fxConvert(df: DataFrame, rate: Double = UsdToGbpRate): DataFrame =
-    df.withColumn("amount", round(col("amount") * lit(rate)).cast(LongType))
+    df.withColumn("amount", floor(col("amount") * lit(rate) + lit(0.5)).cast(LongType))
       .withColumn("currency", lit(Currency.GBP))
 
   /** O6 — merge (UNION ALL, order-free, no dedup). Reference

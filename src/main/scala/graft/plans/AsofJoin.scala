@@ -137,6 +137,21 @@ final case class AsofJoinExec(
   // not fail the query the way a type error does
   private val NullSentinel = Long.MinValue
 
+  /** Overflow-safe time distance for `a >= b` (guaranteed at every call
+    * site by the merge's scan invariants). A plain `a - b` wraps negative
+    * when the operands span more than 2^63 time units — unreachable for
+    * real timestamps-as-micros, but the node accepts arbitrary integral
+    * expressions — and a wrapped distance could spuriously satisfy a
+    * tolerance bound or win a nearest comparison. Saturate to
+    * Long.MaxValue instead: a saturated distance loses every bounded
+    * comparison, and under an unbounded tolerance (tol = MaxValue, where
+    * any distance qualifies by definition) still behaves correctly.
+    */
+  @inline private def dist(a: Long, b: Long): Long = {
+    val d = a - b
+    if (d < 0) Long.MaxValue else d
+  }
+
   private def asLong(v: Any): Long = v match {
     case null                 => NullSentinel
     case l: java.lang.Long    => l
@@ -211,7 +226,7 @@ final case class AsofJoinExec(
               }
               // the head (first eligible row: earliest time, least tie) is
               // the match — NOT consumed, it may serve later left rows
-              if (!rExhausted && rKey == lKey && rTime - lTime <= tol) m = rRow
+              if (!rExhausted && rKey == lKey && dist(rTime, lTime) <= tol) m = rRow
             } else {
               if (best != null && bestKey != lKey) best = null
               var scan = !rExhausted
@@ -230,14 +245,14 @@ final case class AsofJoinExec(
                 // both candidates are in hand: the buffered backward best and
                 // the cursor head (the first same-key row AFTER lTime — rows
                 // AT lTime were consumed into best). Distance tie → backward.
-                val db = if (best != null) lTime - bestTime else Long.MaxValue
-                val df = if (!rExhausted && rKey == lKey) rTime - lTime else Long.MaxValue
+                val db = if (best != null) dist(lTime, bestTime) else Long.MaxValue
+                val df = if (!rExhausted && rKey == lKey) dist(rTime, lTime) else Long.MaxValue
                 if (db <= df) { if (best != null && db <= tol) m = best }
                 else if (df <= tol) m = rRow
               } else {
                 // tolerance: the best (latest eligible) match is the only
                 // candidate that could be in range
-                if (best != null && lTime - bestTime <= tol) m = best
+                if (best != null && dist(lTime, bestTime) <= tol) m = best
               }
             }
             if (m != null) out = resultProj(joined(l, m))

@@ -40,19 +40,33 @@ object CurationQueries {
         .orderBy(col("label"))
     }),
 
-    // Stratified sample via the engine's sampler: 20% per label, seeded —
-    // demonstrates the `sampleBy` API. Engine-specific randomness, so NO
-    // oracle (driver records a rows-only check); determinism and per-stratum
-    // rates are asserted in CurationSpec. q64 is the reproducible,
-    // oracle-checked form.
-    "q63_stratified_sample" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val fractions = (0 to 9).map(l => (l: Any) -> 0.2).toMap
-      e.stat
-        .sampleBy(col("label"), fractions, seed = 42L)
-        .select(col("vec_id"), col("label"))
-        .orderBy(col("vec_id"))
-    }),
+    // STRATIFIED sample, deterministic per-stratum form — q64's
+    // md5-bucket-threshold trick with a DIFFERENT rate per (lang) stratum:
+    // downsample the dominant language to 10%, keep 30% of the rest (the
+    // "rebalance by language" curation move). The stratum key is part of
+    // the hash input, so re-stratifying cannot silently reuse the q64
+    // uniform. Membership is a pure row function — stable across engines,
+    // runs, retries, and repartitioning; a narrow filter; the exact member
+    // set is oracle-checked (unlike an engine-RNG `sampleBy`, which is the
+    // API demo in CurationSpec). Thresholds are integers (rate × 2^16) so
+    // the comparison has no float boundary.
+    "q63_stratified_sample" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          md5(concat_ws(":", lit("ss"), col("lang"), col("doc_id"))).as("h")
+        )
+        .select(
+          col("doc_id"),
+          col("lang"),
+          md5Bucket16(col("h")).as("bucket"),
+          when(col("lang") === "en", lit(6554)).otherwise(lit(19661)).as("thr") // 0.1 / 0.3 × 2^16
+        )
+        .filter(col("bucket") < col("thr"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
 
     // Deterministic hash sample: keep a row iff the first 16 bits of
     // md5("label:vec_id") fall under rate × 2^16 — ~20% per stratum with a
@@ -171,6 +185,16 @@ object CurationQueries {
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q63_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5('ss:' || lang || ':' || doc_id::VARCHAR) AS h FROM documents)
+        |SELECT doc_id, lang FROM h
+        |WHERE (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+        |    < CASE WHEN lang = 'en' THEN 6554 ELSE 19661 END
+        |ORDER BY doc_id""".stripMargin,
     "q64_hash_sample" ->
       """WITH h AS (
         |  SELECT vec_id, label, md5(label::VARCHAR || ':' || vec_id::VARCHAR) AS h FROM embeddings)

@@ -147,10 +147,20 @@ object SimilarityQueries {
                   val x = qemb(i).toDouble; val y = emb(i).toDouble
                   dot += x * y; na += x * x; nb += y * y; i += 1
                 }
-                // Spark's Round(double, 6): BigDecimal.valueOf + HALF_UP
-                val cos = BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
-                  .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
-                  .toDouble
+                // Spark's Round(double, 6): BigDecimal.valueOf + HALF_UP.
+                // Guard the degenerate vectors first: a zero-norm or
+                // NaN-containing embedding makes `raw` NaN/±Inf, which
+                // BigDecimal rejects — pass it through unrounded instead,
+                // exactly what VectorCosine and Spark's round() do (round
+                // of NaN/Inf is identity), so the two q50/q102 plans stay
+                // result-identical even on degenerate inputs.
+                val raw = dot / (math.sqrt(na) * math.sqrt(nb))
+                val cos =
+                  if (java.lang.Double.isFinite(raw))
+                    BigDecimal(raw)
+                      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                      .toDouble
+                  else raw
                 val cand = (cos, id)
                 val h = heaps(qi)
                 if (h.size < TopK) h.enqueue(cand)

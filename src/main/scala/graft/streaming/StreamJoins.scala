@@ -62,10 +62,12 @@ object StreamJoins {
     * (enrichment against a SLOWLY-CHANGING static side needs no
     * cross-batch state; each row's answer depends only on itself and the
     * static table). Returns the started query; enriched batches land in
-    * `sink` as parquet with exactly-once batch-id dedup left to the
-    * caller's sink contract (parquet append per batch here — the spec
-    * reads the result; a production run uses the transactional sink it
-    * already ships).
+    * `sink` as parquet, one `batch_id=N` partition directory per
+    * micro-batch written with OVERWRITE — a retried batch rewrites its own
+    * directory instead of appending a duplicate, so the sink is IDEMPOTENT
+    * per batch id (the standard foreachBatch exactly-once recipe; readers
+    * of the final directory see each batch once). A production run with a
+    * transactional sink uses that sink's own commit protocol instead.
     */
   def asofEnrich(
       stream: DataFrame,
@@ -81,7 +83,7 @@ object StreamJoins {
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF()
         graft.plans.AsofJoinOps
           .asof(b, static,
@@ -92,7 +94,10 @@ object StreamJoins {
           // EXPRESSION ID (name-based drop would be ambiguous). Any other
           // name collision is the caller's to alias, as in asof itself.
           .drop(static.col(staticKey))
-          .write.mode("append").parquet(sink)
+          // idempotent sink: overwrite THIS batch's partition directory —
+          // a mid-write failure + retry replaces the partial output
+          // instead of double-appending it
+          .write.mode("overwrite").parquet(s"$sink/batch_id=$batchId")
         ()
       }
       .start()

@@ -42,6 +42,23 @@ class PaymentOpsSpec extends AnyFunSuite with SparkSpec {
     assert(fx.toSeq == Seq(3L), "round-half-up expected, matching Math.round for positive values")
   }
 
+  test("fxConvert matches Math.round EXACTLY on negative exact-.5 boundaries") {
+    // Math.round is floor(x + 0.5): Math.round(-2.5) = -2 (NOT -3, which is
+    // what HALF_UP rounding would give). The operator must agree so a
+    // refund/chargeback amount converts identically to the reference JVM.
+    val amounts = Seq(-5L, -3L, -13L, 5L, 13L)
+    val df = amounts.map(a => PaymentEvent(s"n$a", a, "USD", "t", "f", "BANK_RAILS_BAR")).toDF()
+    val fx = PaymentOps
+      .fxConvert(df, rate = 0.5)
+      .select("paymentId", "amount")
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    for (a <- amounts)
+      assert(fx(s"n$a") == Math.round(a * 0.5), s"amount $a: got ${fx(s"n$a")}, want ${Math.round(a * 0.5)}")
+    assert(fx("n-5") == -2L, "Math.round(-2.5) is -2 — the HALF_UP answer (-3) would be a parity break")
+  }
+
   test("branch is first-match and drops no-match rows (SURVEY §7.4 Hard #2)") {
     // Overlapping predicates: without first-match tagging, p1 would land in both.
     val tagged = PaymentOps.branchFirstMatch(

@@ -205,15 +205,16 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
 
   test("forward parity with the composed min-struct formulation on real data") {
     val dir = "/root/testdata/sf0.001"
+    // q105's orientation: orders -> earliest same-customer event at-or-after
     val composed = {
-      val e = graft.sources.Tables.events(spark, dir).select(col("event_id"), col("ts"), col("user_id"))
       val o = graft.sources.Tables.orders(spark, dir)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
-      e.join(o, col("user_id") === col("o_custkey") && col("o_ts") >= col("ts"))
-        .groupBy(col("event_id"), col("user_id"))
-        .agg(min(struct(col("o_ts"), col("o_orderkey"))).as("m"))
-        .select(col("event_id"), col("user_id"), col("m.o_orderkey").as("next_orderkey"))
-        .orderBy(col("event_id"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
+      val e = graft.sources.Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_id"))
+      o.join(e, col("o_custkey") === col("user_id") && col("ts") >= col("o_ts"))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("o_orderkey"), col("o_custkey"), col("m.event_id").as("next_event_id"))
+        .orderBy(col("o_orderkey"))
         .as[(Long, Long, Long)]
         .collect()
         .toSeq
@@ -223,7 +224,37 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long)]
       .collect()
       .toSeq
+    assert(composed.nonEmpty, "the forward gate must be non-vacuous at sf0.001")
     assert(viaNode == composed, s"custom=${viaNode.take(5)}... composed=${composed.take(5)}...")
+  }
+
+  test("adversarial time ranges cannot overflow tolerance/nearest arithmetic") {
+    // Times spanning nearly the full Long range: rTime - lTime wraps
+    // negative without the saturating distance. Forward with a tight
+    // tolerance must NOT match (a wrapped difference would pass <= tol).
+    val l = Seq((1L, 7L, Long.MinValue + 1)).toDF("lid", "k", "lt")
+    val r = Seq((91L, 7L, Long.MaxValue - 1)).toDF("rid", "k2", "rt")
+    val fwd = AsofJoinOps
+      .asof(l, r, l.col("k"), l.col("lt"), r.col("k2"), r.col("rt"), r.col("rid"),
+        tolerance = Some(10L), direction = AsofDirection.Forward)
+      .select(col("lid"), col("rid"))
+    assert(fwd.count() == 0L, "wrapped forward distance must not satisfy the tolerance")
+    // Nearest: backward candidate at a distance that overflows, forward
+    // candidate genuinely near — the near one must win (a wrapped backward
+    // distance would spuriously look closest).
+    val l2 = Seq((1L, 7L, Long.MaxValue - 100)).toDF("lid", "k", "lt")
+    val r2 = Seq(
+      (91L, 7L, Long.MinValue + 2), // backward, true distance ~2^64: wraps
+      (92L, 7L, Long.MaxValue - 50) // forward, distance 50
+    ).toDF("rid", "k2", "rt")
+    val near = AsofJoinOps
+      .asof(l2, r2, l2.col("k"), l2.col("lt"), r2.col("k2"), r2.col("rt"), r2.col("rid"),
+        direction = AsofDirection.Nearest)
+      .select(col("rid"))
+      .as[Long]
+      .collect()
+      .toSeq
+    assert(near == Seq(92L), s"nearest must pick the true-near forward row, got $near")
   }
 
   test("parity on real data: custom node equals q80's composition at sf0.001") {
