@@ -213,6 +213,16 @@ object DedupQueries {
     )
   }
 
+  /** The un-memoized shared pipeline (shingles → narrow signatures → LSH
+    * band self-join → exact Jaccard on candidates) — the DAG [[shared]]'s
+    * build step executes once per corpus snapshot. Exposed so plan audits
+    * (graft.Plans) and PlanQualitySpec keep gating the REAL candidate
+    * machinery: the registered queries read the materialized tables, whose
+    * scan plans would trivially satisfy any gate.
+    */
+  def memoBuildPlan(s: SparkSession, dir: String): DataFrame =
+    jaccardOf(lshCandidates(minhashWide(s, dir)), shingleSet(s, dir))
+
   /** Exact Jaccard for a pair frame (ia, ib): intersection via the shingle
     * inverted index, union by inclusion–exclusion.
     */

@@ -51,16 +51,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("LSH candidate generation never materializes buckets into rows (no collect_list)") {
-    // q42/q46 (minhash bands) and q52 (SRP signatures) generate pairs via
-    // equi self-joins: a collect_list of a bucket puts an unbounded doc list
-    // into ONE row and its pair expansion into ONE task — the classic
-    // skewed-bucket OOM at 100 TB. Enforced here so a refactor can't
-    // reintroduce it.
-    Seq("q42_minhash_lsh", "q46_curated_corpus", "q52_srp_lsh").foreach { q =>
-      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString
-      assert(!plan.contains("collect_list"), s"$q materializes buckets:\n" + plan.take(800))
-    }
+    // The minhash band pipeline and q52 (SRP signatures) generate pairs
+    // via equi self-joins: a collect_list of a bucket puts an unbounded
+    // doc list into ONE row and its pair expansion into ONE task — the
+    // classic skewed-bucket OOM at 100 TB. The dedup family now reads the
+    // memoized tables, so the gate targets the MEMO BUILD pipeline (the
+    // DAG that actually computes candidates) plus q52, which stays live.
+    val build = DedupQueries.memoBuildPlan(spark, dir).queryExecution.optimizedPlan.toString
+    assert(!build.contains("collect_list"), "memo build materializes buckets:\n" + build.take(800))
+    val q52 = SparkEntry.queries("q52_srp_lsh")(spark, dir).queryExecution.optimizedPlan.toString
+    assert(!q52.contains("collect_list"), "q52 materializes buckets:\n" + q52.take(800))
   }
+
 
   test("q48 simhash blocking ships the production shape: wide bands, pair expansion via self-join") {
     val plan = SparkEntry.queries("q48_simhash_neardup")(spark, dir).queryExecution.optimizedPlan.toString
