@@ -39,6 +39,7 @@ object SimilarityQueries {
   private val NumPlanes    = 8 // SRP-LSH signature bits
   private val RangeTau     = 0.25 // q53 similarity-threshold radius
   private val QuantScale   = 16777216.0 // 2^24 — exact float-mantissa shift (q51 centroids)
+  private val KmeansIters  = 2 // q116 Lloyd refinement rounds (fixed — no driver convergence loop)
 
   /** Hyperplane p as a literal ±1 array — the identical md5-parity formula
     * the oracle evaluates in SQL, here over literals so Catalyst constant-
@@ -299,6 +300,55 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ITERATED K-MEANS (Lloyd) REFINEMENT — the clustering core of
+    // SemDeDup-style semantic dedup and IVF index builds: start from the
+    // stored label assignment (q51's coarse quantizer = iteration 0) and
+    // run KmeansIters full Lloyd iterations: per-cluster quantized-mean
+    // centroids (exact order-independent BIGINT sums, q51's 2^24 trick),
+    // then re-assign every vector to its max-cosine centroid (round 6,
+    // ties to the least cluster id). Output: each vector's initial label
+    // next to its refined cluster — the assignment table a curation run
+    // materializes before within-cluster near-dup pruning (q45's blocking
+    // with learned blocks).
+    //
+    // Scale shape per iteration: centroids are broadcast (k×Dim scalars);
+    // scoring is a fan-out over the broadcast followed by a
+    // map-side-combined struct-max groupBy — the fan-out rows for a vector
+    // collapse to ONE argmax row per vector BEFORE the exchange (partial
+    // aggregation), so each iteration shuffles n single-struct rows plus
+    // clusters×Dim centroid scalars, never n×k. The driver holds NOTHING:
+    // the iteration count is fixed (a production run adds a moved-count
+    // scalar as its convergence check, the GraphOps pattern).
+    "q116_kmeans_refine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+
+      def centroidsOf(assignment: DataFrame): DataFrame =
+        e.join(assignment, Seq("vec_id"))
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(sum(floor(col("v").cast("double") * QuantScale)).as("sq"), count(lit(1)).as("n"))
+          .withColumn("c", col("sq").cast("double") / QuantScale / col("n"))
+          .groupBy(col("cluster"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+          .select(col("cluster"), transform(col("pc"), _.getField("c")).as("centroid"))
+
+      def assign(cents: DataFrame): DataFrame =
+        Tables
+          .spread(e, col("vec_id"))
+          .crossJoin(broadcast(cents))
+          .withColumn("cos", round(cosineFast(col("embedding"), col("centroid")), 6))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("cos"), (-col("cluster")).cast("long").as("nc"))).as("m"))
+          .select(col("vec_id"), (-col("m.nc")).as("cluster"))
+
+      var asg = e.select(col("vec_id"), col("label").cast("long").as("cluster"))
+      for (_ <- 1 to KmeansIters) asg = assign(centroidsOf(asg))
+      e.select(col("vec_id"), col("label").cast("long").as("init_label"))
+        .join(asg, Seq("vec_id"))
+        .select(col("vec_id"), col("init_label"), col("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Sign-random-projection LSH near-dup: 8 deterministic ±1 hyperplanes
     // (md5-derived, engine-portable), bucket by the 8-bit sign signature,
     // verify candidates with exact cosine. This is the O(n) blocking that
@@ -348,6 +398,29 @@ object SimilarityQueries {
     s"""WITH v AS (SELECT vec_id, label, embedding,
        |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
        |""".stripMargin
+
+  /** One unrolled Lloyd iteration for q116's oracle: quantized-mean
+    * centroids from assignment `$in`, then max-cosine re-assignment into
+    * `$out` (round 6, ties to the least cluster) — the exact algorithm the
+    * Spark side iterates.
+    */
+  private def kmeansIterSql(in: String, out: String): String =
+    s""" sums_$out AS (
+       |  SELECT a.cluster, pos, sum(CAST(floor(e.embedding[pos + 1]::DOUBLE * $QuantScale) AS BIGINT)) AS sq,
+       |    count(*) AS n
+       |  FROM embeddings e JOIN $in a USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(range($Dim)) AS pos)
+       |  GROUP BY 1, 2),
+       | cent_$out AS (
+       |  SELECT cluster, centroid, sqrt(${dotSql("centroid", "centroid")}) AS cnrm FROM (
+       |    SELECT cluster, list(sq::DOUBLE / $QuantScale / n ORDER BY pos) AS centroid
+       |    FROM sums_$out GROUP BY cluster)),
+       | $out AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT v.vec_id, c.cluster,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        round(${dotSql("v.embedding", "c.centroid")} / (v.nrm * c.cnrm), 6) DESC, c.cluster) AS rnk
+       |    FROM v CROSS JOIN cent_$out c) WHERE rnk = 1)""".stripMargin
 
   /** Shared by q50 and q102: one top-k contract, two physical plans. */
   private val topkOracle: String =
@@ -446,6 +519,15 @@ object SimilarityQueries {
            |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
            |FROM cand c JOIN v a ON a.vec_id = c.ia JOIN v b ON b.vec_id = c.ib
            |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $NearDupCos
-           |ORDER BY ia, ib""".stripMargin)
+           |ORDER BY ia, ib""".stripMargin),
+    // Two unrolled Lloyd iterations, chained CTEs — identical quantized
+    // centroids + rounded-cosine argmax as the Spark loop.
+    "q116_kmeans_refine" ->
+      (vecCte +
+        s""", a0 AS (SELECT vec_id, label::BIGINT AS cluster FROM embeddings),
+           |${kmeansIterSql("a0", "a1")},
+           |${kmeansIterSql("a1", "a2")}
+           |SELECT v.vec_id, v.label::BIGINT AS init_label, a2.cluster
+           |FROM v JOIN a2 USING (vec_id) ORDER BY vec_id""".stripMargin)
   )
 }

@@ -311,13 +311,101 @@ object TextQueries {
           size(slice(col("w"), col("st") + 1, lit(ChunkSize))).cast("long").as("n_chunk"),
           md5(array_join(slice(col("w"), col("st") + 1, lit(ChunkSize)), " ")).as("chunk_md5")
         )
-        .orderBy(col("doc_id"), col("chunk_id")))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // CHAR-TRIGRAM LANGUAGE-MODEL FLUENCY SCORE — the CCNet/C4-style
+    // "train a cheap LM on the corpus, score every document" quality
+    // filter, in its exactly-portable form. Train: character-trigram
+    // counts c3 and their 2-char-prefix totals c2 over the lowercased
+    // corpus; add-one smoothing over the corpus character vocabulary V.
+    // Score: each document's average smoothed trigram probability
+    // avg((c3+1)/(c2+V)) plus its RARE-trigram ratio (c3 ≤ 2 — garbled
+    // text is dense in rare trigrams). Production scores with log-probs;
+    // the plumbing is identical, but the summand here is chosen for an
+    // EXACT cross-engine contract: one IEEE division (bit-specified in
+    // 754, unlike ln whose last ulp is libm-dependent), one power-of-two
+    // scale (exponent shift, exact), floor to BIGINT, then
+    // order-independent integer sums — so the score survives any shuffle
+    // order and both engines agree bit-for-bit.
+    //
+    // Scale shape: trigram explosion is narrow; c3/c2 are map-side
+    // combined count aggregates (trigram vocab ≪ corpus); scoring joins
+    // back on the count keys (the shuffle keys); V broadcasts as a 1-row
+    // scalar; the per-doc reduce is a map-side-combinable integer sum.
+    "q117_charlm_quality" -> ((s, dir) => {
+      val docs = Tables
+        .spread(Tables.documents(s, dir), col("doc_id"))
+        .select(col("doc_id"), lower(col("text")).as("t"))
+      val tris = docs
+        .filter(char_length(col("t")) >= 3) // sequence(1, len-2) must ascend
+        .select(
+          col("doc_id"),
+          explode(expr("transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))")).as("tri")
+        )
+      val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+      val c2 = tris
+        .select(substring(col("tri"), 1, 2).as("pre"))
+        .groupBy(col("pre"))
+        .agg(count(lit(1)).as("c2"))
+      val vsize = docs
+        .filter(char_length(col("t")) >= 1)
+        .select(explode(expr("transform(sequence(1, char_length(t)), i -> substring(t, i, 1))")).as("ch"))
+        .agg(countDistinct(col("ch")).as("v"))
+      tris
+        .withColumn("pre", substring(col("tri"), 1, 2))
+        .join(c3, Seq("tri"))
+        .join(c2, Seq("pre"))
+        .crossJoin(broadcast(vsize)) // 1-row scalar
+        .select(
+          col("doc_id"),
+          floor(
+            (col("c3") + 1).cast("double") / (col("c2") + col("v")).cast("double") * lit(PScale)
+          ).as("pq"),
+          (col("c3") <= 2).cast("long").as("rare")
+        )
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"), sum(col("pq")).as("sq"), sum(col("rare")).as("nr"))
+        .select(
+          col("doc_id"),
+          col("n_tri"),
+          round(col("nr").cast("double") / col("n_tri").cast("double"), 4).as("rare_ratio"),
+          round(col("sq").cast("double") / lit(PScale) / col("n_tri"), 6).as("avg_p")
+        )
+        .orderBy(col("doc_id"))
+    })
   )
 
   private val ChunkSize   = 64
   private val ChunkStride = 48
+  private val PScale      = 1099511627776.0 // 2^40 — exact exponent shift (q117 probability quantizer)
 
   val oracles: Map[String, String] = Map(
+    // Identical trigram model: same counts, same add-one smoothing, same
+    // 2^40 quantized probability summand (IEEE division + exponent shift +
+    // floor — bit-identical in both engines, in any order).
+    "q117_charlm_quality" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 3),
+         | tri AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, length(t) - 1), i -> substr(t, i::INT, 3))) AS tri
+         |  FROM d),
+         | c3 AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY tri),
+         | c2 AS (SELECT substr(tri, 1, 2) AS pre, count(*) AS c2 FROM tri GROUP BY 1),
+         | vs AS (
+         |  SELECT count(DISTINCT ch) AS v FROM (
+         |    SELECT unnest(list_transform(range(1, length(t) + 1), i -> substr(t, i::INT, 1))) AS ch
+         |    FROM (SELECT lower(text) AS t FROM documents WHERE length(text) >= 1))),
+         | scored AS (
+         |  SELECT t.doc_id,
+         |    CAST(floor((c3.c3 + 1)::DOUBLE / (c2.c2 + vs.v)::DOUBLE * $PScale) AS BIGINT) AS pq,
+         |    CASE WHEN c3.c3 <= 2 THEN 1 ELSE 0 END AS rare
+         |  FROM tri t
+         |  JOIN c3 USING (tri)
+         |  JOIN c2 ON substr(t.tri, 1, 2) = c2.pre
+         |  CROSS JOIN vs)
+         |SELECT doc_id, count(*) AS n_tri,
+         |  round(CAST(sum(rare) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS rare_ratio,
+         |  round(CAST(sum(pq) AS DOUBLE) / $PScale / count(*), 6) AS avg_p
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q30_token_stats" ->
       (tokensCte +
         "SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_stop::BIGINT AS n_stop, round(stop_ratio, 4) AS stop_ratio " +

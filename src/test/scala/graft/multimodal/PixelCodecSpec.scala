@@ -148,6 +148,44 @@ class PixelCodecSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: PNG and BMP round-trip ANY pixel content at ANY dimension (seeded ScalaCheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genImg: Gen[(Int, Int, Array[Byte])] = for {
+      w     <- Gen.chooseNum(1, 24)
+      h     <- Gen.chooseNum(1, 24)
+      bytes <- Gen.listOfN(w * h * 3, Gen.chooseNum(0, 255))
+    } yield (w, h, bytes.map(_.toByte).toArray)
+    for (seed <- 1L to 40L) {
+      val (w, h, rgb) = genImg.pureApply(Gen.Parameters.default, Seed(seed))
+      assert(PixelCodec.decodePng(PixelCodec.encodePng(w, h, rgb)).get.rgb.toSeq == rgb.toSeq,
+        s"PNG seed=$seed ${w}x$h")
+      for (topDown <- Seq(false, true))
+        assert(PixelCodec.decodeBmp(PixelCodec.encodeBmp(w, h, rgb, topDown)).get.rgb.toSeq == rgb.toSeq,
+          s"BMP topDown=$topDown seed=$seed ${w}x$h")
+    }
+  }
+
+  test("property: nearest-neighbor resample picks an existing source pixel for every output pixel") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      w  <- Gen.chooseNum(1, 24); h <- Gen.chooseNum(1, 24)
+      w2 <- Gen.chooseNum(1, 24); h2 <- Gen.chooseNum(1, 24)
+    } yield (w, h, w2, h2)
+    for (seed <- 1L to 40L) {
+      val (w, h, w2, h2) = gen.pureApply(Gen.Parameters.default, Seed(seed))
+      val img = PixelImage(w, h, px(w, h, seed.toInt))
+      val out = PixelCodec.resizeNearest(img, w2, h2)
+      assert(out.rgb.length == w2 * h2 * 3)
+      for (y2 <- 0 until h2; x2 <- 0 until w2; c <- 0 until 3) {
+        val sx = (x2.toLong * w / w2).toInt; val sy = (y2.toLong * h / h2).toInt
+        assert(out.rgb((y2 * w2 + x2) * 3 + c) == img.rgb((sy * w + sx) * 3 + c),
+          s"seed=$seed out($x2,$y2,$c) != src($sx,$sy,$c)")
+      }
+    }
+  }
+
   test("resizePixels Spark stage matches the local codec computation") {
     val ids = Seq(0L, 3L, 9L, 30L)
     val recs = ids.map { id =>
