@@ -281,10 +281,48 @@ object PixelCodec {
     Some(PixelImage(w, h, rgb))
   }
 
+  /** JPEG pixels via the JDK's OWN ImageIO decoder — `javax.imageio`
+    * ships a baseline+progressive JPEG codec in every JDK, so this path is
+    * still genuinely codec-library-free. A lossy codec's output cannot be
+    * replayed by a SQL oracle (the driver gate stays on the PNG/BMP
+    * paths); this path is SPEC-verified instead: decoding a JDK-encoded
+    * JPEG recovers the source pixels within quantization tolerance
+    * (PixelCodecSpec), and the resize stage treats the decoded raster
+    * identically to the lossless formats. Returns None on malformed
+    * input or a non-JPEG signature.
+    */
+  def decodeJpeg(b: Array[Byte]): Option[PixelImage] =
+    if (b.length < 3 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) None
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null) None
+        else {
+          val w   = img.getWidth
+          val h   = img.getHeight
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val argb = img.getRGB(x, y)
+              val d    = (y * w + x) * 3
+              rgb(d) = ((argb >> 16) & 0xff).toByte
+              rgb(d + 1) = ((argb >> 8) & 0xff).toByte
+              rgb(d + 2) = (argb & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some(PixelImage(w, h, rgb))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Container dispatch on the magic bytes. */
   def decodePixels(b: Array[Byte]): Option[PixelImage] =
     if (b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P') decodePng(b)
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) decodeJpeg(b)
     else None
 
   /** REAL nearest-neighbor resample to exact target dimensions: source

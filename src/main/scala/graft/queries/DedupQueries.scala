@@ -391,6 +391,22 @@ object DedupQueries {
     // convergence scalar on the driver) and materializes the result.
     "q47_dedup_components" -> ((s, dir) => shared(s, dir).comp.orderBy(col("doc_id"))),
 
+    // DUP-CLUSTER SIZE HISTOGRAM — the summary a curation run reads before
+    // acting on the components table: how many near-dup clusters exist at
+    // each size (size 1 = unique documents). Two map-side-combined
+    // aggregates over the materialized components — component sizes, then
+    // counts per size — so the report touches component cardinality, not
+    // corpus rows. Doc mass per size (size × count) lets the report answer
+    // "what fraction of the corpus sits in clusters of size ≥ k" directly.
+    "q118_component_sizes" -> ((s, dir) =>
+      shared(s, dir).comp
+        .groupBy(col("rep_id"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_components"))
+        .select(col("sz"), col("n_components"), (col("sz") * col("n_components")).as("n_docs"))
+        .orderBy(col("sz"))),
+
     // Same transitive-closure dedup, but components by LARGE-STAR/SMALL-STAR
     // contraction (GraphOps.connectedComponentsStars) — the O(log²)-round
     // deep-graph algorithm, oracle-checked against the SAME recursive-CTE
@@ -692,6 +708,12 @@ object DedupQueries {
     // q49 computes the identical ground truth through a different
     // distributed algorithm — same oracle on purpose
     "q49_dedup_components_stars" -> componentsOracle,
+    // Histogram over the same recursive-CTE ground truth.
+    "q118_component_sizes" ->
+      (componentsCte +
+        """SELECT sz, count(*) AS n_components, sz * count(*) AS n_docs FROM (
+          |  SELECT rep_id, count(*) AS sz FROM comp GROUP BY rep_id)
+          |GROUP BY sz ORDER BY sz""".stripMargin),
     "q68_decontaminate" ->
       (shingleCte +
         raw""", ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0),

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Batch write-side layout control — where 100 TB pipelines win or lose:
   *
@@ -12,9 +13,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     shuffle was paid once at write time, amortized over every
   *     subsequent query). The metastore records the bucketing, so Catalyst
   *     drops the Exchange automatically.
+  *   - [[writeZOrdered]]: MULTI-DIMENSIONAL clustering via a Morton
+  *     (Z-order) key — range-partition + sort on the bit-interleaving of
+  *     two columns, so every output file covers a small rectangle in BOTH
+  *     dimensions and file/row-group min-max stats prune selective
+  *     predicates on EITHER column (a linear sort clusters only its
+  *     leading column). The Delta/Iceberg OPTIMIZE ZORDER technique,
+  *     expressed with stock Spark operators.
   *
-  * Both are thin wrappers — the value is the documented, tested contract
-  * (SinksSpec asserts the pruned scan and the exchange-free join plan).
+  * All are thin wrappers — the value is the documented, tested contract
+  * (SinksSpec asserts the pruned scan, the exchange-free join plan, and
+  * the measured file-skipping win of the Z-order layout).
   */
 object Sinks {
 
@@ -38,4 +47,42 @@ object Sinks {
       .saveAsTable(table)
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Morton (Z-order) key: interleave the low `bits` bits of two
+    * non-negative long columns (a in the even positions, b in the odd) —
+    * a pure bit-op column expression, fully codegen'd. Callers normalize
+    * skewed domains first (e.g. rank or bucketize); 21 bits per dimension
+    * fills a positive long.
+    */
+  def zorderKey(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, "1..31 interleaved bits per dimension")
+    (0 until bits)
+      .map { i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` clustered on the Z-order of (`colA`, `colB`): range
+    * partition into `numFiles` contiguous Z-ranges (one task → one file),
+    * sort within each. Every file then spans a bounded rectangle in the
+    * (a, b) space instead of a full-width stripe, which is what makes
+    * min-max file skipping effective on both columns at once.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      numFiles: Int,
+      bits: Int = 21
+  ): Unit =
+    df.withColumn("_zkey", zorderKey(col(colA), col(colB), bits))
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+      .write
+      .mode("overwrite")
+      .parquet(path)
 }

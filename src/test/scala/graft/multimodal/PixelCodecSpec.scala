@@ -186,6 +186,31 @@ class PixelCodecSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("JPEG pixels decode via the JDK's ImageIO codec within quantization tolerance") {
+    // A smooth gradient (JPEG's best case) round-tripped through the JDK's
+    // own encoder: dimensions must be exact, pixels within lossy-codec
+    // tolerance. Proves the JPEG pixel path needs no external codec.
+    val (w, h) = (16, 12)
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val x = (i / 3) % w; val y = i / (3 * w)
+      (((x * 255) / (w - 1) + (y * 255) / (h - 1)) / 2).toByte
+    }
+    val src = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      src.setRGB(x, y, ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", out))
+    val dec = PixelCodec.decodePixels(out.toByteArray) // dispatches on the SOI magic
+    assert(dec.isDefined, "JPEG failed to decode")
+    assert(dec.get.width == w && dec.get.height == h)
+    val meanErr = dec.get.rgb.zip(rgb).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble / rgb.length
+    assert(meanErr < 8.0, s"lossy round-trip error too high: $meanErr")
+    // malformed JPEG: SOI magic but garbage body -> None, never a throw
+    assert(PixelCodec.decodeJpeg(Array(0xff, 0xd8, 0x00, 0x01, 0x02).map(_.toByte)).isEmpty)
+  }
+
   test("resizePixels Spark stage matches the local codec computation") {
     val ids = Seq(0L, 3L, 9L, 30L)
     val recs = ids.map { id =>

@@ -63,4 +63,43 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
+
+  test("zorderKey interleaves bits exactly (Morton order)") {
+    // a=0b101 (5), b=0b011 (3) -> even bits from a, odd from b:
+    // positions 0..5 = a0,b0,a1,b1,a2,b2 = 1,1,0,1,1,0 -> 0b011011 = 27
+    val r = Seq((5L, 3L)).toDF("a", "b")
+      .select(Sinks.zorderKey(col("a"), col("b"), bits = 3).as("z"))
+      .as[Long].head()
+    assert(r == 27L, s"got $r")
+  }
+
+  test("Z-order layout skips files on BOTH dimensions; a linear sort only on its leading column") {
+    val tmp = Files.createTempDirectory("graft-zorder").toString
+    // uniform 128x128 grid — every (a, b) combination once
+    val grid = spark.range(128L * 128L)
+      .select((col("id") / 128).cast("long").as("a"), (col("id") % 128).cast("long").as("b"))
+
+    Sinks.writeZOrdered(grid, s"$tmp/z", "a", "b", numFiles = 16, bits = 7)
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(s"$tmp/linear")
+
+    // per-FILE min/max stats — the information min-max file skipping uses
+    def overlapping(path: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
+        .filter(col("mx") >= lo && col("mn") <= hi)
+        .count()
+
+    val zHit   = overlapping(s"$tmp/z", 0, 7)       // narrow window on the SECOND dim
+    val linHit = overlapping(s"$tmp/linear", 0, 7)
+    // 16 z-files tile the space ~4x4: only the b-quartile containing the
+    // window overlaps (~4 files); every a-sorted file spans all of b (16)
+    assert(linHit >= 15, s"linear layout should overlap nearly all files, got $linHit")
+    assert(zHit * 2 <= linHit, s"z-order must at least halve the candidate files: z=$zHit linear=$linHit")
+    // same data, both layouts
+    assert(spark.read.parquet(s"$tmp/z").count() == 128L * 128L)
+    val qz = spark.read.parquet(s"$tmp/z").filter(col("b") <= 7).count()
+    assert(qz == spark.read.parquet(s"$tmp/linear").filter(col("b") <= 7).count() && qz == 128L * 8L)
+  }
 }
