@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.TextFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-curation queries combining modalities — the selection/statistics
@@ -22,6 +23,8 @@ object CurationQueries {
           * lit(math.pow(16, 3 - i).toLong)
       )
       .reduce(_ + _)
+
+  private val SourceCap = 5 // q121: max docs kept per source
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-modal: join documents to their embedding rows (doc_id = vec_id)
@@ -151,6 +154,23 @@ object CurationQueries {
         .orderBy(col("source"))
     }),
 
+    // PER-SOURCE CAP — "at most N documents per source, best quality
+    // first": the anti-domination rule a web-scale mixture applies so one
+    // crawl cannot flood the corpus. A per-source top-N window (partial
+    // top-k: WindowGroupLimit discards below-rank rows before the full
+    // sort at scale), quality ties broken by doc_id for determinism.
+    // Composes with q69's mixture weights (cap first, reweight after).
+    "q121_source_cap" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), col("source"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .withColumn(
+          "rnk",
+          row_number().over(Window.partitionBy(col("source")).orderBy(col("quality").desc, col("doc_id"))))
+        .filter(col("rnk") <= SourceCap)
+        .select(col("source"), col("doc_id"), col("quality"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("source"), col("rnk"))),
+
     // Exact interpolated percentiles per event type (Spark `percentile` ==
     // DuckDB `quantile_cont`, both linear interpolation over sorted values).
     "q36_percentiles" -> ((s, dir) =>
@@ -211,6 +231,21 @@ object CurationQueries {
         |  round(least(1.0, CAST(n_total AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE)), 6) AS weight,
         |  round(n_docs * round(least(1.0, CAST(n_total AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE)), 6), 2) AS expected_n
         |FROM s, t ORDER BY source""".stripMargin,
+    "q121_source_cap" ->
+      raw"""WITH q AS (
+           |  SELECT doc_id, source,
+           |    round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
+           |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+           |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
+           |            THEN 0.5 ELSE 1.0 END)
+           |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+           |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4) AS quality
+           |  FROM documents)
+           |SELECT source, doc_id, quality, rnk FROM (
+           |  SELECT source, doc_id, quality,
+           |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
+           |  FROM q)
+           |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "q66_weighted_sample" ->
       raw"""WITH q AS (
            |  SELECT doc_id, lang, source,

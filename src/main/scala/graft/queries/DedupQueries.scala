@@ -46,6 +46,13 @@ object DedupQueries {
     * lossless for the bound at ANY band width (proven by q48's brute-force
     * all-pairs oracle).
     */
+  /** q119 exact-substring parameters: gram length, anchor-hash window, and
+    * anchor modulus (expected sampling rate 1/AnchorMod).
+    */
+  private val SubstrLen = 40
+  private val AnchorWin = 8
+  private val AnchorMod = 8
+
   private val SimHashBits     = 60
   private val SimHashBands    = 4
   private val SimHashBandBits = SimHashBits / SimHashBands // 15 → 32,768 buckets/band
@@ -422,6 +429,51 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT-SUBSTRING OVERLAP — the Lee-et-al.-style "duplicated training
+    // text" detector (suffix-array substring dedup), in its scalable
+    // content-defined form: fixed-length 40-char grams sampled at
+    // CONTENT-DEFINED ANCHORS (positions where the md5 of the local 8-char
+    // window ≡ 0 mod 8 — the rsync/CDC trick), so two documents sharing a
+    // duplicated run sample IDENTICAL grams regardless of where the run
+    // sits in each document (absolute-stride sampling would mis-align).
+    // ~1/8 of positions anchor; a duplicated run of length 40 + 8k escapes
+    // detection with probability ~(7/8)^(8k·…) — vanishing for the long
+    // runs the technique targets. Output: doc pairs with the count of
+    // shared sampled grams — the report that catches verbatim boilerplate
+    // and wholesale copying that word-shingle Jaccard (q42/q43) dilutes
+    // away on long documents.
+    //
+    // Scale shape: position explode + anchor filter are narrow (the filter
+    // runs BEFORE any exchange, discarding ~7/8 of rows); the gram
+    // self-join shuffles ~len/8 rows per doc and grams are near-unique
+    // outside true duplication, so Σ bucket² stays linear-ish; the pair
+    // aggregate is map-side combined.
+    "q119_substring_overlap" -> ((s, dir) => {
+      val d = Tables
+        .spread(Tables.documents(s, dir), col("doc_id"))
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .filter(char_length(col("t")) >= SubstrLen)
+      val grams = d
+        .select(
+          col("doc_id"),
+          col("t"),
+          explode(sequence(lit(1), char_length(col("t")) - lit(SubstrLen - 1))).as("p")
+        )
+        // portable 60-bit md5 fold (the q108 formula) anchors the position
+        .filter(
+          expr(s"CAST(conv(substr(md5(substring(t, p, $AnchorWin)), 1, 15), 16, 10) AS BIGINT) % $AnchorMod = 0"))
+        .select(col("doc_id"), expr(s"substring(t, p, $SubstrLen)").as("gram"))
+        .distinct()
+        .persist()
+      grams
+        .select(col("gram"), col("doc_id").as("ia"))
+        .join(grams.select(col("gram"), col("doc_id").as("ib")), Seq("gram"))
+        .filter(col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
     // SimHash (60-bit, md5 bit source, term-frequency weighted) — near-dup
     // fingerprint whose Hamming distance approximates cosine similarity.
     // Width/band parameters documented at [[SimHashBits]].
@@ -660,6 +712,20 @@ object DedupQueries {
         s"SELECT j.ia, j.ib, j.jac FROM jac j JOIN cand USING (ia, ib) WHERE j.jac >= $JaccardThreshold ORDER BY ia, ib"),
     "q43_ngram_jaccard" ->
       (shingleCte + s"SELECT ia, ib, jac FROM jac WHERE jac >= $JaccardThreshold ORDER BY ia, ib"),
+    // Identical content-defined anchoring: same 60-bit md5 fold, same
+    // modulus, same gram extraction.
+    "q119_substring_overlap" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= $SubstrLen),
+         | pos AS (SELECT doc_id, t, unnest(range(1, length(t) - ${SubstrLen - 2})) AS p FROM d),
+         | anch AS (
+         |  SELECT DISTINCT doc_id, substr(t, p::INT, $SubstrLen) AS gram
+         |  FROM pos
+         |  WHERE (list_reduce(list_transform(range(1, 16),
+         |           i -> (strpos('0123456789abcdef', substr(md5(substr(t, p::INT, $AnchorWin)), i::INT, 1)) - 1)::BIGINT),
+         |         (a, c) -> a * 16 + c)) % $AnchorMod = 0)
+         |SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_shared
+         |FROM anch a JOIN anch b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY ia, ib""".stripMargin,
     "q46_curated_corpus" ->
       (shingleCte +
         raw""", losers AS (

@@ -300,6 +300,27 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // HARD-NEGATIVE MINING — the contrastive-training data op: for each
+    // query, the most-similar corpus vectors with a DIFFERENT label
+    // (similar-but-wrong examples are what trains a discriminative
+    // embedding). Same broadcast + narrow-scoring + partial-top-k shape as
+    // q50; the label inequality rides the broadcast join condition, so
+    // negatives are filtered before scoring ever shuffles.
+    "q120_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e
+        .filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("label").as("q_label"))
+      Tables
+        .spread(e, col("vec_id"))
+        .join(broadcast(qs), col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+        .withColumn("cos", round(cosineFast(col("q_emb"), col("embedding")), 6))
+        .withColumn("rnk", topkRank)
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ITERATED K-MEANS (Lloyd) REFINEMENT — the clustering core of
     // SemDeDup-style semantic dedup and IVF index builds: start from the
     // stored label assignment (q51's coarse quantizer = iteration 0) and
@@ -520,6 +541,16 @@ object SimilarityQueries {
            |FROM cand c JOIN v a ON a.vec_id = c.ia JOIN v b ON b.vec_id = c.ib
            |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $NearDupCos
            |ORDER BY ia, ib""".stripMargin),
+    "q120_hard_negatives" ->
+      (vecCte +
+        s""", scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos
+           |  FROM v q JOIN v c ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id
+           |    AND c.label <> q.label)
+           |SELECT query_id, neighbor_id, cos, rnk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM scored) WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin),
     // Two unrolled Lloyd iterations, chained CTEs — identical quantized
     // centroids + rounded-cosine argmax as the Spark loop.
     "q116_kmeans_refine" ->
