@@ -81,6 +81,7 @@ object PixelCodec {
   }
 
   private def inflate(z: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    if (expected < 0) return None // caller's size math overflowed: malformed header
     val inf = new Inflater()
     inf.setInput(z)
     val out = new Array[Byte](expected)
@@ -88,7 +89,10 @@ object PixelCodec {
       var done = 0
       while (done < expected && !inf.finished()) {
         val n = inf.inflate(out, done, expected - done)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // n == 0 without progress: truncated stream (needsInput) or a
+        // preset-dictionary stream (needsDictionary — inflate would return
+        // 0 forever; PNG forbids FDICT, so treat it as malformed)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
         done += n
       }
       if (done == expected) Some(out) else None
@@ -147,7 +151,9 @@ object PixelCodec {
     while (!done && off + 8 <= b.length) {
       val len  = beIntAt(b, off)
       val name = new String(b, off + 4, 4, "US-ASCII")
-      if (len < 0 || off + 12 + len > b.length) return None // lying length
+      // Long arithmetic: a crafted len near Int.MaxValue must not wrap the
+      // bound check and reach idat.write with an out-of-range length
+      if (len < 0 || off.toLong + 12L + len > b.length) return None // lying length
       name match {
         case "IHDR" =>
           if (len != 13) return None
@@ -165,7 +171,11 @@ object PixelCodec {
       off += 12 + len
     }
     if (!sawIhdr || w <= 0 || h <= 0 || idat.size == 0) return None
-    val bpp    = if (colorType == 2) 3 else 4
+    val bpp = if (colorType == 2) 3 else 4
+    // raster-size math in Long: crafted dims like w=2^29 pass the sign
+    // checks but overflow Int in h*(1+w*bpp), which would reach a negative
+    // array allocation — cap the raster at the sane decode bound instead
+    if (h.toLong * (1L + w.toLong * bpp) > Int.MaxValue || w.toLong * h * 3 > Int.MaxValue) return None
     val stride = w * bpp
     inflate(idat.toByteArray, h * (1 + stride)).flatMap { raw =>
       val px    = new Array[Byte](h * stride) // unfiltered, at file bpp
@@ -260,8 +270,11 @@ object PixelCodec {
     val w    = leInt(b, 18)
     val rawH = leInt(b, 22)
     val topDown = rawH < 0
-    val h       = math.abs(rawH)
-    if (w <= 0 || h == 0) return None
+    val h       = math.abs(rawH) // abs(Int.MinValue) stays negative — caught below
+    if (w <= 0 || h <= 0) return None
+    // raster/stride math in Long: crafted dims must not wrap Int and reach
+    // a negative allocation or a false bounds pass
+    if (w.toLong * 3 + 3 > Int.MaxValue || w.toLong * h * 3 > Int.MaxValue) return None
     if (leShort(b, 26) != 1 || leShort(b, 28) != 24 || leInt(b, 30) != 0) return None
     val stride = bmpStride(w)
     if (dataOff < 54 || dataOff.toLong + stride.toLong * h > b.length) return None

@@ -80,16 +80,27 @@ object PaymentOps {
     * Reference `PaymentTopology.java:54-68`.
     *
     * Rounding parity is EXACT on the full double range: `Math.round(double)`
-    * is defined as floor(x + 0.5), which is what this expression computes.
-    * (Spark's `round(_, 0)` is HALF_UP — it agrees for all non-negative
-    * inputs but rounds negative exact-.5 points the other way:
-    * Math.round(-2.5) = -2, HALF_UP gives -3. Amounts are positive in every
-    * reference test, but the operator shouldn't carry that latent edge —
-    * see PaymentOpsSpec for the negative-boundary regression.)
+    * is floor(x + 0.5) in EXACT real arithmetic, which the naive IEEE
+    * `floor(x + 0.5)` does NOT compute — the addition itself rounds, so
+    * x = 0.49999999999999994 gives floor(1.0) = 1 while Math.round
+    * (post-JDK-6430675) correctly returns 0, and odd integers in
+    * [2^52, 2^53) bump to even. The exact form used here is
+    * `floor(x) + [x - floor(x) >= 0.5]`: for |x| < 2^52 the fractional
+    * part `x - floor(x)` is computed exactly in IEEE (both operands
+    * representable, difference < 1), and for |x| >= 2^52 x is already an
+    * integer so the correction term is 0 — Math.round semantics at every
+    * double. (Spark's `round(_, 0)` HALF_UP additionally disagrees at
+    * negative exact-.5 points: Math.round(-2.5) = -2, HALF_UP gives -3.
+    * See PaymentOpsSpec for both boundary regressions.)
     */
-  def fxConvert(df: DataFrame, rate: Double = UsdToGbpRate): DataFrame =
-    df.withColumn("amount", floor(col("amount") * lit(rate) + lit(0.5)).cast(LongType))
+  def fxConvert(df: DataFrame, rate: Double = UsdToGbpRate): DataFrame = {
+    val x = col("amount") * lit(rate)
+    val f = floor(x) // LongType
+    df.withColumn(
+        "amount",
+        (f + when(x - f.cast("double") >= 0.5, lit(1L)).otherwise(lit(0L))).cast(LongType))
       .withColumn("currency", lit(Currency.GBP))
+  }
 
   /** O6 — merge (UNION ALL, order-free, no dedup). Reference
     * `PaymentTopology.java:70-72`. `unionByName` so column order in the

@@ -150,9 +150,10 @@ object DedupQueries {
 
   /** SESSION-SCOPED MATERIALIZATION of the shared dedup sub-DAG.
     *
-    * Seven queries (q42/q43/q46/q47/q49/q58/q68/q99/q100/q107) consume the
-    * same pipeline prefix — shingle index → MinHash signatures → LSH
-    * candidates → exact-Jaccard scores → connected components. Re-deriving
+    * Eleven queries (q42/q43/q46/q47/q49/q58/q68/q99/q100/q107/q118)
+    * consume the same pipeline prefix — shingle index → MinHash signatures
+    * → LSH candidates → exact-Jaccard scores → connected components.
+    * Re-deriving
     * it per query is what per-query isolation would force, but it is NOT
     * the production shape: a curation run materializes the shingle index,
     * the verified candidate pairs, and the components table ONCE per
@@ -184,11 +185,26 @@ object DedupQueries {
 
   private val memoDirs = scala.collection.mutable.Map[(String, String), String]()
 
+  /** Delete a memo directory tree on JVM exit — the session-temp artifacts
+    * must not accumulate across runs (the PRODUCTION analog keeps its
+    * materialized tables on purpose; a session memo must not).
+    */
+  private def deleteOnExit(root: java.nio.file.Path): Unit =
+    sys.addShutdownHook {
+      import java.nio.file._
+      try
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      catch { case scala.util.control.NonFatal(_) => () } // best-effort cleanup
+    }
+
   private def shared(s: SparkSession, dir: String): SharedDedup = {
     val base = memoDirs.synchronized {
       memoDirs.getOrElseUpdate(
         (s.sparkContext.applicationId, dir), {
-          val b = java.nio.file.Files.createTempDirectory("graft-dedup-memo-").toString
+          val path = java.nio.file.Files.createTempDirectory("graft-dedup-memo-")
+          deleteOnExit(path)
+          val b = path.toString
           val sh   = shingleSet(s, dir).persist()
           val wide = minhashWide(s, dir).persist()
           sh.write.parquet(s"$b/sh")

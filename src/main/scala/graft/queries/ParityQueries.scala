@@ -56,7 +56,9 @@ object ParityQueries {
       |              ELSE 'BANK_RAILS_XXX' END AS rails
       |  FROM events),
       | supported AS (SELECT * FROM payments WHERE rails IN ('BANK_RAILS_FOO','BANK_RAILS_BAR')),
-      | fx AS (SELECT payment_id, CAST(floor(amount * 0.8 + 0.5) AS BIGINT) AS amount,
+      | fx AS (SELECT payment_id,
+      |               CAST(floor(amount * 0.8) +
+      |                    (CASE WHEN amount * 0.8 - floor(amount * 0.8) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS amount,
       |               'GBP' AS currency, to_account, from_account, rails
       |        FROM supported WHERE currency = 'USD'),
       | merged AS (SELECT * FROM supported WHERE currency = 'GBP'

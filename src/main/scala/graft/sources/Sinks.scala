@@ -77,7 +77,8 @@ object Sinks {
       colB: String,
       numFiles: Int,
       bits: Int = 21
-  ): Unit =
+  ): Unit = {
+    require(!df.columns.contains("_zkey"), "input already has a _zkey column — rename it first")
     df.withColumn("_zkey", zorderKey(col(colA), col(colB), bits))
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))
@@ -85,4 +86,5 @@ object Sinks {
       .write
       .mode("overwrite")
       .parquet(path)
+  }
 }

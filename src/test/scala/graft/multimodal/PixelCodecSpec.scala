@@ -134,6 +134,38 @@ class PixelCodecSpec extends AnyFunSuite with SparkSpec {
     assert(PixelCodec.decodePng(good.dropRight(20)).isEmpty)
   }
 
+  test("adversarial containers return None: FDICT zlib, overflowing dims, Int.MinValue BMP height") {
+    // 1) zlib stream with the (PNG-forbidden) FDICT flag: Inflater returns
+    // 0 forever with needsDictionary — must be detected, not spin.
+    def chunk(name: String, data: Array[Byte]): Array[Byte] = {
+      val tag = name.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(tag); crc.update(data)
+      def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      be(data.length) ++ tag ++ data ++ be(crc.getValue.toInt)
+    }
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    // CMF=0x78, FLG=0x20: FDICT bit set and (0x7820 % 31) == 0 (valid check)
+    val fdictIdat = Array(0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8).map(_.toByte)
+    val fdictPng = sig ++ chunk("IHDR", be(1) ++ be(1) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", fdictIdat) ++ chunk("IEND", Array.emptyByteArray)
+    assert(PixelCodec.decodePng(fdictPng).isEmpty, "FDICT stream must fail, not hang")
+    // 2) IHDR dims whose raster size overflows Int: w=2^29, h=4
+    val overflow = PixelCodec.encodePng(2, 2, px(2, 2, 11))
+    overflow(16) = 0x20; overflow(17) = 0; overflow(18) = 0; overflow(19) = 0 // w = 0x20000000
+    overflow(20) = 0; overflow(21) = 0; overflow(22) = 0; overflow(23) = 4   // h = 4
+    assert(PixelCodec.decodePng(overflow).isEmpty, "overflowing raster must fail, not allocate negative")
+    // 3) chunk length near Int.MaxValue: the bounds check must not wrap
+    val hugeLen = sig ++ Array(0x7f, 0xff, 0xff, 0xf0).map(_.toByte) ++ "IHDR".getBytes("US-ASCII") ++
+      Array.fill[Byte](20)(0)
+    assert(PixelCodec.decodePng(hugeLen).isEmpty)
+    // 4) BMP height = Int.MinValue: abs() stays negative — must reject
+    val bmp = PixelCodec.encodeBmp(2, 2, px(2, 2, 12), topDown = false)
+    bmp(22) = 0; bmp(23) = 0; bmp(24) = 0; bmp(25) = 0x80.toByte
+    assert(PixelCodec.decodeBmp(bmp).isEmpty, "Int.MinValue height must fail, not allocate negative")
+  }
+
   test("mediaWithPixels corpus decodes back to the formula pixels (all three container paths)") {
     for (id <- Seq(0L, 3L, 6L, 9L, 12L, 15L, 21L)) {
       val w   = (3 + id % 14).toInt

@@ -59,6 +59,25 @@ class PaymentOpsSpec extends AnyFunSuite with SparkSpec {
     assert(fx("n-5") == -2L, "Math.round(-2.5) is -2 — the HALF_UP answer (-3) would be a parity break")
   }
 
+  test("fxConvert matches Math.round on the double-rounding boundary (JDK-6430675)") {
+    // rate such that amount*rate = 0.49999999999999994: naive IEEE
+    // floor(x + 0.5) computes floor(1.0) = 1, but Math.round returns 0 —
+    // the exact floor(x) + [frac >= 0.5] form must agree with Math.round.
+    val boundary = 0.49999999999999994
+    assert(Math.round(boundary) == 0L, "JDK contract under test")
+    assert(math.floor(boundary + 0.5).toLong == 1L, "the naive form really does differ here")
+    val df = Seq(PaymentEvent("b", 1L, "USD", "t", "f", "BANK_RAILS_BAR")).toDF()
+    val fx = PaymentOps.fxConvert(df, rate = boundary).select("amount").as[Long].collect()
+    assert(fx.toSeq == Seq(0L), s"got ${fx.toSeq}, want Seq(0) = Math.round($boundary)")
+    // and a huge odd integer in [2^52, 2^53): x + 0.5 would round-half-even
+    // up to x+1; Math.round keeps x
+    val bigOdd = (1L << 52) + 1L
+    val fx2 = PaymentOps
+      .fxConvert(Seq(PaymentEvent("c", bigOdd, "USD", "t", "f", "BANK_RAILS_BAR")).toDF(), rate = 1.0)
+      .select("amount").as[Long].collect()
+    assert(fx2.toSeq == Seq(Math.round(bigOdd * 1.0)) && fx2.head == bigOdd)
+  }
+
   test("branch is first-match and drops no-match rows (SURVEY §7.4 Hard #2)") {
     // Overlapping predicates: without first-match tagging, p1 would land in both.
     val tagged = PaymentOps.branchFirstMatch(
