@@ -329,9 +329,14 @@ object TextQueries {
     // order and both engines agree bit-for-bit.
     //
     // Scale shape: trigram explosion is narrow; c3/c2 are map-side
-    // combined count aggregates (trigram vocab ≪ corpus); scoring joins
-    // back on the count keys (the shuffle keys); V broadcasts as a 1-row
-    // scalar; the per-doc reduce is a map-side-combinable integer sum.
+    // combined count aggregates over a vocabulary bounded by charset³ —
+    // dimension-sized, so they BROADCAST back to the trigram stream (the
+    // stream itself never shuffles for the joins; a corpus whose trigram
+    // vocab outgrows the broadcast limit switches these two joins to
+    // shuffle joins and nothing else changes); V broadcasts as a 1-row
+    // scalar; the per-doc reduce is map-side combined — a document's
+    // trigrams sit in one partition (narrow explode), so each doc
+    // collapses to a single partial row before the only exchange.
     "q117_charlm_quality" -> ((s, dir) => {
       val docs = Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
@@ -342,19 +347,25 @@ object TextQueries {
           col("doc_id"),
           explode(expr("transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))")).as("tri")
         )
+        .persist() // feeds c3, c2 AND the scoring pass — one explode, not three
       val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
-      val c2 = tris
-        .select(substring(col("tri"), 1, 2).as("pre"))
-        .groupBy(col("pre"))
-        .agg(count(lit(1)).as("c2"))
+      // prefix totals derive from the c3 DIMENSION (vocab-sized), not from
+      // a second pass over the corpus-sized trigram stream
+      val c2 = c3
+        .groupBy(substring(col("tri"), 1, 2).as("pre"))
+        .agg(sum(col("c3")).as("c2"))
+      // vocabulary size: per-doc DISTINCT chars first (narrow, ≤ charset
+      // rows per doc) so the explode carries docs×charset rows, not every
+      // character occurrence in the corpus
       val vsize = docs
         .filter(char_length(col("t")) >= 1)
-        .select(explode(expr("transform(sequence(1, char_length(t)), i -> substring(t, i, 1))")).as("ch"))
+        .select(explode(array_distinct(expr("split(t, '')"))).as("ch"))
+        .filter(col("ch") =!= "")
         .agg(countDistinct(col("ch")).as("v"))
       tris
         .withColumn("pre", substring(col("tri"), 1, 2))
-        .join(c3, Seq("tri"))
-        .join(c2, Seq("pre"))
+        .join(broadcast(c3), Seq("tri"))
+        .join(broadcast(c2), Seq("pre"))
         .crossJoin(broadcast(vsize)) // 1-row scalar
         .select(
           col("doc_id"),
