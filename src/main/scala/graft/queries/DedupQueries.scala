@@ -490,6 +490,47 @@ object DedupQueries {
         .orderBy(col("ia"), col("ib"))
     }),
 
+    // FUZZY ENTITY MATCHING (record linkage) — near-identical customer
+    // names by bounded edit distance, blocked with the FastSS DELETION
+    // NEIGHBORHOOD: each name emits its identity signature plus one
+    // signature per dropped character position. Two strings within
+    // Levenshtein 1 ALWAYS share a signature (substitution → both drop
+    // the differing position; insert/delete → the shorter string IS the
+    // longer one's drop signature), so the equi self-join on the
+    // signature finds every candidate without an all-pairs scan —
+    // signatures fan out L+1 rows per name (narrow), buckets are
+    // tiny (names agreeing everywhere but one position), Σ bucket²
+    // stays linear-ish, and exact `levenshtein` verifies candidates
+    // (the join can also surface distance-2 pairs via mismatched drop
+    // positions — the verify is the contract, blocking is the recall
+    // guarantee). Output: per-customer fuzzy-match counts — the "which
+    // records need human/merge review" entity-resolution report.
+    "q122_fuzzy_names" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+      val sigs = Tables
+        .spread(c, col("c_custkey"))
+        .select(
+          col("c_custkey"),
+          col("c_name"),
+          explode(
+            expr(
+              "concat(array(c_name), transform(sequence(1, char_length(c_name)), " +
+                "i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1, char_length(c_name)))))"
+            )).as("sig")
+        )
+      val cand = sigs
+        .select(col("sig"), col("c_custkey").as("ia"), col("c_name").as("na"))
+        .join(sigs.select(col("sig"), col("c_custkey").as("ib"), col("c_name").as("nb")), Seq("sig"))
+        .filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"), col("na"), col("nb"))
+        .distinct()
+      cand
+        .filter(levenshtein(col("na"), col("nb")) <= 1)
+        .groupBy(col("ia"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("ia"))
+    }),
+
     // SimHash (60-bit, md5 bit source, term-frequency weighted) — near-dup
     // fingerprint whose Hamming distance approximates cosine similarity.
     // Width/band parameters documented at [[SimHashBits]].
@@ -728,6 +769,22 @@ object DedupQueries {
         s"SELECT j.ia, j.ib, j.jac FROM jac j JOIN cand USING (ia, ib) WHERE j.jac >= $JaccardThreshold ORDER BY ia, ib"),
     "q43_ngram_jaccard" ->
       (shingleCte + s"SELECT ia, ib, jac FROM jac WHERE jac >= $JaccardThreshold ORDER BY ia, ib"),
+    // Identical deletion-neighborhood signatures + exact levenshtein
+    // verify (DuckDB's levenshtein is the same standard edit distance).
+    "q122_fuzzy_names" ->
+      """WITH c AS (SELECT c_custkey, c_name, length(c_name) AS len FROM customer),
+        | sig AS (
+        |  SELECT c_custkey, c_name, c_name AS sig FROM c
+        |  UNION ALL
+        |  SELECT c_custkey, c_name,
+        |    substr(c_name, 1, i::INT - 1) || substr(c_name, i::INT + 1, len) AS sig
+        |  FROM c, (SELECT unnest(range(1, (SELECT max(len) + 1 FROM c))) AS i) WHERE i <= len),
+        | cand AS (
+        |  SELECT DISTINCT a.c_custkey AS ia, b.c_custkey AS ib, a.c_name AS na, b.c_name AS nb
+        |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.c_custkey < b.c_custkey)
+        |SELECT ia, count(*) AS n_matches FROM cand
+        |WHERE levenshtein(na, nb) <= 1
+        |GROUP BY ia ORDER BY ia""".stripMargin,
     // Identical content-defined anchoring: same 60-bit md5 fold, same
     // modulus, same gram extraction.
     "q119_substring_overlap" ->
