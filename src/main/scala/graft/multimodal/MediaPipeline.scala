@@ -377,6 +377,60 @@ object MediaPipeline {
     }
   }
 
+  /** SIGNAL-LEVEL AUDIO FEATURES — windowed RMS energy and zero-crossing
+    * rate over the 16-bit PCM sample stream of each WAV row (the cheap
+    * "is this silence / noise / speech-like" triage a corpus pipeline runs
+    * before an expensive audio model). The channel-interleaved stream is
+    * treated as a flat sample sequence (standard for corpus-stat triage).
+    * All window aggregates are EXACT integers — sum of squared samples
+    * (BIGINT) and crossing counts — so the whole stage is SQL-oracle-able;
+    * the only float is the final `sqrt`, which IEEE specifies correctly
+    * rounded, so both engines agree bit-for-bit. Rows without the
+    * canonical PCM layout are dropped (same contract as [[resizePixels]]).
+    * Batched mapPartitions, embarrassingly parallel — the decode-stage
+    * scale shape.
+    */
+  def audioFeatures(media: Dataset[MediaRecord], windowSamples: Int = 100): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .filter(_.kind == "audio")
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap {
+          _.flatMap { m =>
+            val b = m.content
+            if (!isWav(b)) Iterator.empty
+            else {
+              val dataSize = leInt(b, 40)
+              val nBytes   = math.max(0, math.min(dataSize, b.length - 44))
+              val n        = nBytes / 2 // 16-bit samples
+              def sample(j: Int): Int = {
+                val raw = (b(44 + 2 * j) & 0xff) | ((b(44 + 2 * j + 1) & 0xff) << 8)
+                if (raw >= 32768) raw - 65536 else raw
+              }
+              val nWin = (n + windowSamples - 1) / windowSamples
+              (0 until nWin).iterator.map { w =>
+                val lo = w * windowSamples
+                val hi = math.min(n, lo + windowSamples)
+                var ssq = 0L
+                var zc  = 0L
+                var j   = lo
+                while (j < hi) {
+                  val s = sample(j)
+                  ssq += s.toLong * s
+                  // crossing = sign change between adjacent samples of the
+                  // SAME window (zero counts as non-negative)
+                  if (j > lo && ((sample(j - 1) >= 0) != (s >= 0))) zc += 1
+                  j += 1
+                }
+                (m.media_id, w, hi - lo, ssq, zc)
+              }
+            }
+          }
+        }
+      }
+      .toDF("media_id", "window_no", "n_samples", "sum_sq", "n_crossings")
+  }
+
   /** Frame sampling for video content: the byte stream is cut into
     * fixed-size "frames" (STUB for container parsing, same boundary as
     * [[decodeOne]]) and every `everyN`-th frame is kept; returns

@@ -81,6 +81,23 @@ object MediaQueries {
         )
         .orderBy(col("media_id"))),
 
+    // Windowed PCM features off the REAL WAV parse: per-window exact sum
+    // of squared samples + zero-crossing count, and the RMS via IEEE-exact
+    // sqrt. The oracle rebuilds the identical little-endian signed-16
+    // samples from the synthetic payload bytes.
+    "q123_audio_energy" -> ((s, dir) =>
+      MediaPipeline
+        .audioFeatures(MediaPipeline.mediaFromDocuments(s, dir))
+        .select(
+          col("media_id"),
+          col("window_no").cast("long").as("window_no"),
+          col("n_samples").cast("long").as("n_samples"),
+          col("sum_sq"),
+          col("n_crossings"),
+          round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 4).as("rms")
+        )
+        .orderBy(col("media_id"), col("window_no"))),
+
     // Resize stage: REAL aspect-preserving dimension math off the REAL
     // header dims; the pixel resample is the stub byte-subsample (see
     // MediaPipeline.resizeImages; the real-pixel resample path is q115).
@@ -202,6 +219,29 @@ object MediaQueries {
         |  (w2 * h2 * 3)::BIGINT AS out_len,
         |  list_reduce(list_prepend(0::BIGINT, bl), (a, c) -> (a * 31 + c) % 2147483647) AS px_hash
         |FROM p ORDER BY media_id""".stripMargin,
+    // The same LE signed-16 sample reconstruction, windowing, and exact
+    // integer aggregates; rms via the IEEE-correctly-rounded sqrt.
+    "q123_audio_energy" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, text, strlen(text) // 2 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        | idx AS (SELECT media_id, text, unnest(range(n)) AS j FROM a),
+        | sg AS (
+        |  SELECT media_id, j, j // 100 AS wno,
+        |    (SELECT CASE WHEN r >= 32768 THEN r - 65536 ELSE r END FROM (
+        |      SELECT ord(substr(text, (2*j+1)::INT, 1)) + 256 * ord(substr(text, (2*j+2)::INT, 1)) AS r)) AS smp
+        |  FROM idx),
+        | lagd AS (
+        |  SELECT media_id, wno, j, smp,
+        |    lag(smp) OVER (PARTITION BY media_id ORDER BY j) AS prev,
+        |    lag(j) OVER (PARTITION BY media_id ORDER BY j) AS prevj
+        |  FROM sg)
+        |SELECT media_id, wno AS window_no, count(*) AS n_samples,
+        |  CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN prevj IS NOT NULL AND prevj // 100 = wno
+        |                AND ((prev >= 0) <> (smp >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
+        |  round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)), 4) AS rms
+        |FROM lagd GROUP BY media_id, wno ORDER BY media_id, window_no""".stripMargin,
     // Header lengths by construction: PNG 29, GIF 13, JPEG 39, BMP 50 bytes
     // (the q60 oracle's byte lists); resize math mirrors resizeImages
     // exactly (ceil divisions in integers — no float boundary anywhere).
