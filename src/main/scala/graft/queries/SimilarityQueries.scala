@@ -40,6 +40,7 @@ object SimilarityQueries {
   private val RangeTau     = 0.25 // q53 similarity-threshold radius
   private val QuantScale   = 16777216.0 // 2^24 — exact float-mantissa shift (q51 centroids)
   private val KmeansIters  = 2 // q116 Lloyd refinement rounds (fixed — no driver convergence loop)
+  private val SemDedupCos  = 0.35 // q124 within-cluster semantic-dup threshold
 
   /** Hyperplane p as a literal ±1 array — the identical md5-parity formula
     * the oracle evaluates in SQL, here over literals so Catalyst constant-
@@ -370,6 +371,32 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // SEMANTIC DEDUP end-to-end (SemDeDup): q116's REFINED clusters as the
+    // blocking structure, exact within-cluster cosine, drop the higher
+    // vec_id of every pair above threshold — the keep-list a semantic
+    // pruning run materializes. Composes the learned-cluster assignment
+    // (not the stored label — the refinement is the point: vectors that
+    // moved now block with their true neighbors) with q45's bounded
+    // Σ cluster² pair scan.
+    "q124_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val asg = queries("q116_kmeans_refine")(s, dir).select(col("vec_id"), col("cluster"))
+      val withC = e.join(asg, Seq("vec_id")).select(col("cluster"), col("vec_id"), col("embedding"))
+      val losers = withC
+        .select(col("cluster"), col("vec_id").as("ia"), col("embedding").as("ea"))
+        .join(
+          withC.select(col("cluster"), col("vec_id").as("ib"), col("embedding").as("eb")),
+          Seq("cluster"))
+        .filter(col("ia") < col("ib"))
+        .repartition(col("ia"), col("ib")) // spread pair scoring beyond n_clusters partitions
+        .filter(round(cosineFast(col("ea"), col("eb")), 6) >= SemDedupCos)
+        .select(col("ib").as("vec_id"))
+        .distinct()
+      e.select(col("vec_id"), col("label"))
+        .join(losers, Seq("vec_id"), "left_anti")
+        .orderBy(col("vec_id"))
+    }),
+
     // Sign-random-projection LSH near-dup: 8 deterministic ±1 hyperplanes
     // (md5-derived, engine-portable), bucket by the 8-bit sign signature,
     // verify candidates with exact cosine. This is the O(n) blocking that
@@ -551,6 +578,22 @@ object SimilarityQueries {
            |SELECT query_id, neighbor_id, cos, rnk FROM (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
            |  FROM scored) WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin),
+    // The q116 CTE chain plus the within-cluster pair prune — losers are
+    // the higher vec_id of every above-threshold same-cluster pair.
+    "q124_semantic_dedup" ->
+      (vecCte +
+        s""", a0 AS (SELECT vec_id, label::BIGINT AS cluster FROM embeddings),
+           |${kmeansIterSql("a0", "a1")},
+           |${kmeansIterSql("a1", "a2")},
+           | losers AS (
+           |  SELECT DISTINCT b.vec_id FROM v a
+           |  JOIN a2 ca ON ca.vec_id = a.vec_id
+           |  JOIN a2 cb ON cb.cluster = ca.cluster
+           |  JOIN v b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+           |  WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $SemDedupCos)
+           |SELECT vec_id, label FROM v
+           |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+           |ORDER BY vec_id""".stripMargin),
     // Two unrolled Lloyd iterations, chained CTEs — identical quantized
     // centroids + rounded-cosine argmax as the Spark loop.
     "q116_kmeans_refine" ->
