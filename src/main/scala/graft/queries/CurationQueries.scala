@@ -171,6 +171,22 @@ object CurationQueries {
         .select(col("source"), col("doc_id"), col("quality"), col("rnk").cast("long").as("rnk"))
         .orderBy(col("source"), col("rnk"))),
 
+    // GLOBAL QUALITY RANKING at scale — every document's corpus-wide rank
+    // by quality, via [[graft.operators.RankOps.globalRowNumber]]: range
+    // partition + parallel per-partition windows + bounded offset collect,
+    // NEVER the single-task empty-partition window (the ordering includes
+    // doc_id, so it is total and the rank deterministic). The "take the
+    // global top-X% of the corpus" curation primitive.
+    "q125_global_rank" -> ((s, dir) =>
+      graft.operators.RankOps
+        .globalRowNumber(
+          Tables
+            .documents(s, dir)
+            .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality")),
+          Seq(col("quality").desc, col("doc_id")))
+        .select(col("doc_id"), col("quality"), col("rank"))
+        .orderBy(col("rank"))),
+
     // Exact interpolated percentiles per event type (Spark `percentile` ==
     // DuckDB `quantile_cont`, both linear interpolation over sorted values).
     "q36_percentiles" -> ((s, dir) =>
@@ -231,6 +247,19 @@ object CurationQueries {
         |  round(least(1.0, CAST(n_total AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE)), 6) AS weight,
         |  round(n_docs * round(least(1.0, CAST(n_total AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE)), 6), 2) AS expected_n
         |FROM s, t ORDER BY source""".stripMargin,
+    "q125_global_rank" ->
+      raw"""WITH q AS (
+           |  SELECT doc_id,
+           |    round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
+           |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+           |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
+           |            THEN 0.5 ELSE 1.0 END)
+           |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+           |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4) AS quality
+           |  FROM documents)
+           |SELECT doc_id, quality,
+           |  row_number() OVER (ORDER BY quality DESC, doc_id) AS rank
+           |FROM q ORDER BY rank""".stripMargin,
     "q121_source_cap" ->
       raw"""WITH q AS (
            |  SELECT doc_id, source,

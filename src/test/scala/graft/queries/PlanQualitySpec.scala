@@ -181,6 +181,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(joins.isEmpty, "corpus joined instead of partition-scored:\n" + joins.mkString("\n"))
   }
 
+  test("q125 global rank never funnels rows through a single-partition window") {
+    // the scalable two-phase rank: every Window node in the plan must be
+    // partitioned (by the range-partition id) — an empty partition spec
+    // would mean all rows in one task. Asserted on the plan text because
+    // AdaptiveSparkPlanExec does not expose its inner tree to collect().
+    val plan = SparkEntry.queries("q125_global_rank")(spark, dir).queryExecution.executedPlan.toString
+    val windowLines = plan.split('\n').filter(_.contains("Window ["))
+    assert(windowLines.nonEmpty, "expected the per-partition numbering window:\n" + plan.take(600))
+    windowLines.foreach { l =>
+      assert(l.contains("], [_pid"),
+        "window without the _pid partition spec = single-task global window:\n" + l.take(400))
+    }
+  }
+
   test("q99/q100/q107 candidate machinery stays bucket-row-free (no collect_list)") {
     Seq("q99_canonical_docs", "q100_minhash_estimate", "q107_boilerplate_ngrams").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString
