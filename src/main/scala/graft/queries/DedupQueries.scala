@@ -507,24 +507,38 @@ object DedupQueries {
     // records need human/merge review" entity-resolution report.
     "q122_fuzzy_names" -> ((s, dir) => {
       val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+      // signatures carry a 64-bit HASH, not the string: the self-join
+      // shuffles 8-byte keys instead of ~L-char strings, and a hash
+      // collision merely adds a candidate the exact verify rejects —
+      // recall is untouched (equal signatures hash equal)
       val sigs = Tables
         .spread(c, col("c_custkey"))
         .select(
           col("c_custkey"),
-          col("c_name"),
           explode(
             expr(
               "concat(array(c_name), transform(sequence(1, char_length(c_name)), " +
                 "i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1, char_length(c_name)))))"
             )).as("sig")
         )
+        .select(col("c_custkey"), xxhash64(col("sig")).as("h"))
+        // a char RUN collapses its drop signatures to one string (dropping
+        // any char of "0000" yields "000"), so a name emits the same
+        // signature many times — dedup BEFORE the self-join, or bucket
+        // multiplicity multiplies the join output quadratically
+        .distinct()
+        .persist() // feeds BOTH self-join sides — one signature build, not two
+      // dedup BARE id pairs first (ints only), THEN attach names via two
+      // broadcast joins — the distinct never touches strings
       val cand = sigs
-        .select(col("sig"), col("c_custkey").as("ia"), col("c_name").as("na"))
-        .join(sigs.select(col("sig"), col("c_custkey").as("ib"), col("c_name").as("nb")), Seq("sig"))
+        .select(col("h"), col("c_custkey").as("ia"))
+        .join(sigs.select(col("h"), col("c_custkey").as("ib")), Seq("h"))
         .filter(col("ia") < col("ib"))
-        .select(col("ia"), col("ib"), col("na"), col("nb"))
+        .select(col("ia"), col("ib"))
         .distinct()
       cand
+        .join(broadcast(c.select(col("c_custkey").as("ia"), col("c_name").as("na"))), Seq("ia"))
+        .join(broadcast(c.select(col("c_custkey").as("ib"), col("c_name").as("nb"))), Seq("ib"))
         .filter(levenshtein(col("na"), col("nb")) <= 1)
         .groupBy(col("ia"))
         .agg(count(lit(1)).as("n_matches"))

@@ -84,4 +84,51 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     val ddl    = orders.schema.toDDL
     assert(StructType.fromDDL(ddl) == orders.schema)
   }
+
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    // generation 1 writes (id, a); generation 2 adds column b — the
+    // additive-evolution shape a long-lived table accumulates. A merged
+    // read must surface the union schema with nulls for the missing
+    // column, and a plain read must still work pinned to either file.
+    val tmp = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a").write.parquet(s"$tmp/t/gen=1")
+    Seq((3L, "z", 30L), (4L, "w", 40L)).toDF("id", "a", "b").write.parquet(s"$tmp/t/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+    assert(merged.columns.toSet == Set("id", "a", "b", "gen"))
+    val rows = merged.select("id", "b").as[(Long, Option[Long])].collect().toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(30L), 4L -> Some(40L)))
+    // schema evolution must not silently coerce: a type CONFLICT on the
+    // same column name fails the merged read instead of guessing
+    Seq((5L, 9.5)).toDF("id", "b").write.parquet(s"$tmp/t/gen=3") // b: double vs long
+    val conflict = intercept[Exception] {
+      spark.read.option("mergeSchema", "true").parquet(s"$tmp/t").collect()
+    }
+    assert(conflict.getMessage.toLowerCase.contains("merge") ||
+      conflict.getCause != null, "incompatible column types must fail loudly")
+  }
+
+  test("malformed JSON records: PERMISSIVE quarantines to _corrupt_record, FAILFAST throws") {
+    val tmp  = Files.createTempDirectory("graft-corrupt").toString
+    val path = s"$tmp/events.json"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path),
+      "{\"id\": 1, \"v\": 10}\nnot json at all\n{\"id\": 2, \"v\": 20}\n".getBytes("UTF-8"))
+    val schema = StructType.fromDDL("id BIGINT, v BIGINT, _corrupt_record STRING")
+    // PERMISSIVE (the ingest default a pipeline ships): bad rows land in
+    // the corrupt-record column instead of poisoning the batch
+    val permissive = spark.read.schema(schema).json(path)
+    // cache: Spark forbids filtering on _corrupt_record alone off a raw scan
+    val rows = permissive.cache().collect()
+    assert(rows.length == 3)
+    val bad = permissive.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getString(2).contains("not json"))
+    assert(permissive.filter(col("id").isNotNull).count() == 2)
+    permissive.unpersist()
+    // FAILFAST: the validation-gate mode — the batch dies on first bad row
+    val strict = intercept[Exception] {
+      spark.read.schema(StructType.fromDDL("id BIGINT, v BIGINT"))
+        .option("mode", "FAILFAST").json(path).collect()
+    }
+    assert(strict.getMessage.toLowerCase.contains("malformed") || strict.getCause != null)
+  }
 }
