@@ -48,6 +48,35 @@ object Sinks {
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** SMALL-FILE COMPACTION — the operational rewrite every long-lived
+    * table needs: streaming sinks and fine-grained partitions accumulate
+    * files far below the row-group sweet spot, and scan parallelism
+    * degrades into per-file task overhead while the driver chokes on file
+    * listings. Rewrites `path` into `ceil(totalBytes / targetFileBytes)`
+    * files via a round-robin repartition (not coalesce: coalesce merges
+    * without a shuffle and would inherit the skew of the input files).
+    * Returns (filesBefore, filesAfter). Writes to a temp sibling then
+    * swaps, so a crashed compaction never leaves the table half-rewritten.
+    */
+  def compactFiles(spark: SparkSession, path: String, targetFileBytes: Long): (Int, Int) = {
+    val dir    = new java.io.File(path)
+    def parquetFiles(d: java.io.File): Array[java.io.File] =
+      d.listFiles((_, n) => n.endsWith(".parquet"))
+    val before = parquetFiles(dir)
+    val total  = before.map(_.length).sum
+    val n      = math.max(1, ((total + targetFileBytes - 1) / targetFileBytes).toInt)
+    val tmp    = path.stripSuffix("/") + ".compact-tmp"
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp)
+    // swap: remove originals, move compacted files in
+    before.foreach(_.delete())
+    new java.io.File(tmp).listFiles().foreach { f =>
+      java.nio.file.Files.move(f.toPath, new java.io.File(dir, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(tmp).delete()
+    (before.length, parquetFiles(dir).length)
+  }
+
   /** Morton (Z-order) key: interleave the low `bits` bits of two
     * non-negative long columns (a in the even positions, b in the odd) —
     * a pure bit-op column expression, fully codegen'd. Callers normalize

@@ -45,6 +45,37 @@ object CurationStream {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
 
+  /** INCREMENTAL corpus building — dedup the incoming stream against the
+    * EXISTING corpus, not just against itself: a stream-static LEFT ANTI
+    * join on content fingerprints drops any document whose normalized text
+    * already exists in the historical fingerprint table, then [[curate]]'s
+    * within-stream machinery (quality gate + watermarked first-wins)
+    * handles duplicates that arrive twice inside the same run. This is the
+    * nightly-crawl shape: yesterday's corpus is a static parquet of
+    * fingerprints (broadcast when it fits; a shuffled stream-static join
+    * otherwise — Spark re-plans per micro-batch, so the static side can be
+    * swapped between runs without touching the stream), today's crawl is
+    * the stream, and the output appends only genuinely new content.
+    *
+    * @param docs  streaming frame with (doc_id LONG, ts TIMESTAMP,
+    *              text STRING) columns
+    * @param seen  STATIC frame with an `fp` column (md5 of the normalized
+    *              text) — the historical fingerprint table
+    */
+  def curateIncremental(
+      docs: DataFrame,
+      seen: DataFrame,
+      lateness: java.time.Duration,
+      minQuality: Double = 0.5
+  ): DataFrame =
+    curate(
+      docs
+        .withColumn("fp", md5(lower(trim(col("text")))))
+        .join(seen.select(col("fp")), Seq("fp"), "left_anti")
+        .drop("fp"),
+      lateness,
+      minQuality)
+
   /** NEAR-dup streaming curation — the ingest-time twin of the batch
     * MinHash-LSH pipeline (q42): a document is dropped when ANY of its LSH
     * band signatures was already seen within the watermark horizon

@@ -64,6 +64,20 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
 
+  test("compactFiles bin-packs a shattered table without changing its contents") {
+    val tmp  = Files.createTempDirectory("graft-compact").toString
+    val path = s"$tmp/events"
+    val src  = Tables.events(spark, "/root/testdata/sf0.001")
+    src.repartition(32).write.parquet(path) // the streaming-sink shatter shape
+    val checksumBefore = spark.read.parquet(path).agg(sum(col("event_id"))).head.getLong(0)
+    val total = new java.io.File(path).listFiles((_, n) => n.endsWith(".parquet")).map(_.length).sum
+    val (before, after) = Sinks.compactFiles(spark, path, targetFileBytes = total / 4)
+    assert(before == 32 && after <= 8, s"expected ~4-8 files, got $before -> $after")
+    val compacted = spark.read.parquet(path)
+    assert(compacted.count() == src.count())
+    assert(compacted.agg(sum(col("event_id"))).head.getLong(0) == checksumBefore)
+  }
+
   test("zorderKey interleaves bits exactly (Morton order)") {
     // a=0b101 (5), b=0b011 (3) -> even bits from a, odd from b:
     // positions 0..5 = a0,b0,a1,b1,a2,b2 = 1,1,0,1,1,0 -> 0b011011 = 27

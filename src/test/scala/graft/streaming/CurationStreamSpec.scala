@@ -48,6 +48,40 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
     query.stop()
   }
 
+  test("incremental curation: stream dedups against the static historical corpus AND itself") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-incr").toString
+    // yesterday's corpus: the fingerprint table of already-kept content
+    import org.apache.spark.sql.functions.{col, lower, md5, trim}
+    val historic = goodText
+    Seq(historic).toDF("text")
+      .select(md5(lower(trim(col("text")))).as("fp"))
+      .write.parquet(s"$tmp/seen")
+    val seen  = spark.read.parquet(s"$tmp/seen")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = CurationStream
+      .curateIncremental(
+        input.toDF().toDF("doc_id", "ts", "text"), seen, java.time.Duration.ofMinutes(10))
+      .writeStream
+      .queryName("incremental_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory")
+      .start()
+    // 10: already in the historical corpus -> dropped by the anti join;
+    // 11: new content -> kept; 12: same-run duplicate of 11 -> dropped by
+    // the within-stream watermark dedup; 13: junk -> quality gate
+    input.addData(
+      doc(10, 10, historic),
+      doc(11, 11, goodText + " fresh"),
+      doc(12, 12, goodText + " fresh"),
+      doc(13, 13, junkText))
+    query.processAllAvailable()
+    query.stop()
+    val kept = spark.table("incremental_stream").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L), s"got $kept")
+  }
+
   test("streaming NEAR-dup curation: LSH band collisions drop within the watermark, pass outside it") {
     implicit val sqlCtx = spark.sqlContext
     val base   = goodText                                      // 50 tokens, 5 distinct shingles
