@@ -313,6 +313,79 @@ object TextQueries {
         )
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // PORTABLE HYPERLOGLOG — the hash-checked twin of q59's engine-private
+    // HLL++: the SAME sketch algorithm with every ingredient explicit and
+    // engine-portable, so the driver verifies the registers AND the
+    // estimate by value. Per (lang): 64 registers over the distinct-token
+    // stream — bucket = h mod 64, register = max rho where rho counts the
+    // leading zeros of the remaining 54 hash bits (via the binary-string
+    // length, identical in both engines; empty buckets register 0). The
+    // harmonic-mean denominator Σ 2^(-M_j) is computed as the EXACT
+    // integer Σ 2^(55-M_j) over 2^55 — order-independent BIGINT sums, one
+    // IEEE cast + division at the end — so even the float estimate is
+    // bit-portable (the q117 trick applied to HLL). Register table shape =
+    // q108's bounded sketch: 64 cells per group regardless of corpus
+    // size, map-side combined max.
+    "q126_hll_registers" -> ((s, dir) => {
+      val M = 64 // registers (b = 6 bucket bits)
+      val hashed = Tables
+        .spread(Tables.documents(s, dir), col("doc_id"))
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .distinct() // HLL is over the distinct stream; dedup keeps rho exact
+        .select(
+          col("lang"),
+          expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h")
+        )
+        .select(
+          col("lang"),
+          (col("h") % M).cast("int").as("bucket"),
+          // integer division: h exceeds 2^53, a double `/` would round
+          expr(s"h div $M").as("w") // remaining 54 bits
+        )
+        .select(
+          col("lang"),
+          col("bucket"),
+          when(col("w") === 0, lit(55)).otherwise(lit(55) - length(bin(col("w")))).as("rho")
+        )
+        .groupBy(col("lang"), col("bucket"))
+        .agg(max(col("rho")).cast("long").as("m"))
+      // dense 64-register table: every (lang, bucket) cell exists, empty = 0
+      val langs = hashed.select(col("lang")).distinct()
+      val cells = langs
+        .crossJoin(broadcast(
+          Tables.documents(s, dir).sparkSession.range(M).select(col("id").cast("int").as("bucket"))))
+        .join(hashed, Seq("lang", "bucket"), "left")
+        .select(col("lang"), col("bucket"), coalesce(col("m"), lit(0L)).as("register"))
+      // exact integer harmonic denominator: q = Σ 2^(55 - M_j); V = zero
+      // registers for the SMALL-RANGE correction — raw HLL is biased when
+      // n ≪ m, and the algorithm switches to linear counting m·ln(m/V)
+      // (ln has only 64 possible arguments here; all 64 verified to agree
+      // across engines at 4 decimals)
+      val est = cells
+        .groupBy(col("lang"))
+        .agg(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - register AS INT))")).as("q"),
+          sum(when(col("register") === 0, 1L).otherwise(0L)).as("v")
+        )
+        .select(
+          col("lang"),
+          (lit(0.709) * M * M * lit(36028797018963968.0) / col("q").cast("double")).as("raw"), // 2^55
+          col("v")
+        )
+        .select(
+          col("lang"),
+          round(
+            when(col("raw") <= 2.5 * M && col("v") > 0, lit(M.toDouble) * log(lit(M.toDouble) / col("v")))
+              .otherwise(col("raw")),
+            4
+          ).as("hll_estimate")
+        )
+      cells
+        .join(est, Seq("lang"))
+        .select(col("lang"), col("bucket").cast("long").as("bucket"), col("register"), col("hll_estimate"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // CHAR-TRIGRAM LANGUAGE-MODEL FLUENCY SCORE — the CCNet/C4-style
     // "train a cheap LM on the corpus, score every document" quality
     // filter, in its exactly-portable form. Train: character-trigram
@@ -391,6 +464,43 @@ object TextQueries {
   private val PScale      = 1099511627776.0 // 2^40 — exact exponent shift (q117 probability quantizer)
 
   val oracles: Map[String, String] = Map(
+    // The same explicit HLL: identical md5 fold, bucket split, rho via
+    // binary-string length, dense register table, exact-integer harmonic
+    // denominator (pow(2, k) is exact for k ≤ 55), one IEEE cast+division.
+    "q126_hll_registers" ->
+      raw"""WITH toks AS (
+           |  SELECT DISTINCT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           |  FROM documents),
+           | h AS (
+           |  SELECT lang, CAST(list_reduce(list_transform(range(1, 16),
+           |    i -> (strpos('0123456789abcdef', substr(md5(tok), i::INT, 1)) - 1)::BIGINT),
+           |    (a, c) -> a * 16 + c) AS BIGINT) AS h
+           |  FROM toks),
+           | rb AS (SELECT lang, (h % 64)::INT AS bucket, h // 64 AS w FROM h),
+           | reg AS (
+           |  SELECT lang, bucket,
+           |    max(CASE WHEN w = 0 THEN 55 ELSE 55 - strlen(bin(w)) END) AS m
+           |  FROM rb GROUP BY 1, 2),
+           | cells AS (
+           |  SELECT l.lang, b.bucket, coalesce(reg.m, 0) AS register
+           |  FROM (SELECT DISTINCT lang FROM toks) l
+           |  CROSS JOIN (SELECT unnest(range(64))::INT AS bucket) b
+           |  LEFT JOIN reg ON reg.lang = l.lang AND reg.bucket = b.bucket),
+           | agg AS (
+           |  SELECT lang,
+           |    0.709::DOUBLE * 64 * 64 * 36028797018963968.0::DOUBLE /
+           |      CAST(sum(CAST(pow(2, 55 - register) AS BIGINT)) AS DOUBLE) AS raw,
+           |    sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS v
+           |  FROM cells GROUP BY lang),
+           | est AS (
+           |  SELECT lang,
+           |    round(CASE WHEN raw <= 2.5 * 64 AND v > 0
+           |               THEN 64.0::DOUBLE * ln(64.0::DOUBLE / v)
+           |               ELSE raw END, 4) AS hll_estimate
+           |  FROM agg)
+           |SELECT c.lang, c.bucket::BIGINT AS bucket, c.register::BIGINT AS register, e.hll_estimate
+           |FROM cells c JOIN est e USING (lang)
+           |ORDER BY lang, bucket""".stripMargin,
     // Identical trigram model: same counts, same add-one smoothing, same
     // 2^40 quantized probability summand (IEEE division + exponent shift +
     // floor — bit-identical in both engines, in any order).

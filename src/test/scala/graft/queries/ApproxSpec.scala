@@ -54,6 +54,32 @@ class ApproxSpec extends AnyFunSuite with SparkSpec {
     assert(run() == approx, "sketch merge is commutative -> deterministic result")
   }
 
+  test("q126 portable HLL estimate lands within the sketch's error bound of the exact count") {
+    // 64 registers -> standard error 1.04/sqrt(64) = 13%; assert 3 sigma
+    import org.apache.spark.sql.functions.{col, countDistinct, explode}
+    val dir = "/root/testdata/sf0.01"
+    val est = graft.SparkEntry
+      .queries("q126_hll_registers")(spark, dir)
+      .select(col("lang"), col("hll_estimate"))
+      .distinct()
+      .as[(String, Double)]
+      .collect()
+      .toMap
+    val exact = graft.sources.Tables
+      .documents(spark, dir)
+      .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("n"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(est.keySet == exact.keySet)
+    for ((lang, e) <- est) {
+      val n = exact(lang).toDouble
+      assert(math.abs(e - n) / n < 0.39, s"$lang: estimate $e vs exact $n exceeds 3x the 13% bound")
+    }
+  }
+
   test("approx_percentile brackets the exact interpolated percentile") {
     val exact = Tables
       .events(spark, dir)
