@@ -411,15 +411,17 @@ object MediaPipeline {
               (0 until nWin).iterator.map { w =>
                 val lo = w * windowSamples
                 val hi = math.min(n, lo + windowSamples)
-                var ssq = 0L
-                var zc  = 0L
-                var j   = lo
+                var ssq  = 0L
+                var zc   = 0L
+                var j    = lo
+                var prev = 0 // carried: each sample decodes exactly once
                 while (j < hi) {
                   val s = sample(j)
                   ssq += s.toLong * s
                   // crossing = sign change between adjacent samples of the
                   // SAME window (zero counts as non-negative)
-                  if (j > lo && ((sample(j - 1) >= 0) != (s >= 0))) zc += 1
+                  if (j > lo && ((prev >= 0) != (s >= 0))) zc += 1
+                  prev = s
                   j += 1
                 }
                 (m.media_id, w, hi - lo, ssq, zc)

@@ -201,20 +201,26 @@ object CurationQueries {
         .orderBy(col("event_type")))
   )
 
+  /** The DuckDB twin of [[TextFunctions.qualityScore]] — ONE definition
+    * for every oracle that rates text quality (q62/q66/q121/q125), so the
+    * formula cannot drift between them when the Spark side evolves.
+    */
+  private val qualitySql: String =
+    raw"""round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
+         |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+         |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
+         |            THEN 0.5 ELSE 1.0 END)
+         |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+         |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q62_crossmodal_quality" ->
-      raw"""WITH q AS (
-           |  SELECT doc_id,
-           |    round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
-           |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-           |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
-           |            THEN 0.5 ELSE 1.0 END)
-           |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-           |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4) AS q
-           |  FROM documents)
-           |SELECT label, count(*) AS n, round(avg(q.q), 4) AS avg_quality
-           |FROM embeddings JOIN q ON vec_id = doc_id
-           |GROUP BY label ORDER BY label""".stripMargin,
+      s"""WITH q AS (
+         |  SELECT doc_id, $qualitySql AS q
+         |  FROM documents)
+         |SELECT label, count(*) AS n, round(avg(q.q), 4) AS avg_quality
+         |FROM embeddings JOIN q ON vec_id = doc_id
+         |GROUP BY label ORDER BY label""".stripMargin,
     "q36_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 4) AS p50,
@@ -248,44 +254,26 @@ object CurationQueries {
         |  round(n_docs * round(least(1.0, CAST(n_total AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE)), 6), 2) AS expected_n
         |FROM s, t ORDER BY source""".stripMargin,
     "q125_global_rank" ->
-      raw"""WITH q AS (
-           |  SELECT doc_id,
-           |    round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
-           |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-           |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
-           |            THEN 0.5 ELSE 1.0 END)
-           |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-           |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4) AS quality
-           |  FROM documents)
-           |SELECT doc_id, quality,
-           |  row_number() OVER (ORDER BY quality DESC, doc_id) AS rank
-           |FROM q ORDER BY rank""".stripMargin,
+      s"""WITH q AS (
+         |  SELECT doc_id, $qualitySql AS quality
+         |  FROM documents)
+         |SELECT doc_id, quality,
+         |  row_number() OVER (ORDER BY quality DESC, doc_id) AS rank
+         |FROM q ORDER BY rank""".stripMargin,
     "q121_source_cap" ->
-      raw"""WITH q AS (
-           |  SELECT doc_id, source,
-           |    round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
-           |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-           |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
-           |            THEN 0.5 ELSE 1.0 END)
-           |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-           |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4) AS quality
-           |  FROM documents)
-           |SELECT source, doc_id, quality, rnk FROM (
-           |  SELECT source, doc_id, quality,
-           |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
-           |  FROM q)
-           |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+      s"""WITH q AS (
+         |  SELECT doc_id, source, $qualitySql AS quality
+         |  FROM documents)
+         |SELECT source, doc_id, quality, rnk FROM (
+         |  SELECT source, doc_id, quality,
+         |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
+         |  FROM q)
+         |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "q66_weighted_sample" ->
-      raw"""WITH q AS (
-           |  SELECT doc_id, lang, source,
-           |    round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
-           |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-           |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
-           |            THEN 0.5 ELSE 1.0 END)
-           |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-           |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4) AS quality,
-           |    md5('ws:' || doc_id::VARCHAR) AS h
-           |  FROM documents)
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, source, $qualitySql AS quality,
+         |    md5('ws:' || doc_id::VARCHAR) AS h
+         |  FROM documents)
            |SELECT doc_id, lang, source, quality FROM q
            |WHERE (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
            |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256

@@ -349,6 +349,7 @@ object TextQueries {
         )
         .groupBy(col("lang"), col("bucket"))
         .agg(max(col("rho")).cast("long").as("m"))
+        .persist() // feeds the lang list AND the cell join — one token scan
       // dense 64-register table: every (lang, bucket) cell exists, empty = 0
       val langs = hashed.select(col("lang")).distinct()
       val cells = langs
@@ -356,6 +357,7 @@ object TextQueries {
           Tables.documents(s, dir).sparkSession.range(M).select(col("id").cast("int").as("bucket"))))
         .join(hashed, Seq("lang", "bucket"), "left")
         .select(col("lang"), col("bucket"), coalesce(col("m"), lit(0L)).as("register"))
+        .persist() // feeds the estimate aggregate AND the final join
       // exact integer harmonic denominator: q = Σ 2^(55 - M_j); V = zero
       // registers for the SMALL-RANGE correction — raw HLL is biased when
       // n ≪ m, and the algorithm switches to linear counting m·ln(m/V)

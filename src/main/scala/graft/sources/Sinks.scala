@@ -55,25 +55,50 @@ object Sinks {
     * listings. Rewrites `path` into `ceil(totalBytes / targetFileBytes)`
     * files via a round-robin repartition (not coalesce: coalesce merges
     * without a shuffle and would inherit the skew of the input files).
-    * Returns (filesBefore, filesAfter). Writes to a temp sibling then
-    * swaps, so a crashed compaction never leaves the table half-rewritten.
+    * Returns (filesBefore, filesAfter).
+    *
+    * Operates on ONE FLAT LEAF DIRECTORY and refuses a hive-partitioned
+    * root (compacting the root would rewrite every partition's rows —
+    * partition column inlined — into unpartitioned files NEXT TO the
+    * untouched `k=v` directories: duplicate data and a broken layout).
+    * Run it per leaf directory instead.
+    *
+    * Crash behavior (a plain filesystem has no atomic multi-file swap):
+    * the rewrite lands in a `.compact-tmp` sibling first, and originals
+    * move to a `.compact-trash` sibling BEFORE the new files move in — a
+    * crash at any point leaves every original byte recoverable from one
+    * of the two siblings; only the final step deletes the trash. A table
+    * format with a transaction log does this swap as a metadata commit.
     */
   def compactFiles(spark: SparkSession, path: String, targetFileBytes: Long): (Int, Int) = {
-    val dir    = new java.io.File(path)
+    val dir = new java.io.File(path)
+    require(
+      dir.listFiles().forall(!_.isDirectory),
+      s"$path contains subdirectories — compact each hive-partition leaf directory, not the root")
     def parquetFiles(d: java.io.File): Array[java.io.File] =
       d.listFiles((_, n) => n.endsWith(".parquet"))
     val before = parquetFiles(dir)
-    val total  = before.map(_.length).sum
-    val n      = math.max(1, ((total + targetFileBytes - 1) / targetFileBytes).toInt)
-    val tmp    = path.stripSuffix("/") + ".compact-tmp"
-    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp)
-    // swap: remove originals, move compacted files in
-    before.foreach(_.delete())
-    new java.io.File(tmp).listFiles().foreach { f =>
-      java.nio.file.Files.move(f.toPath, new java.io.File(dir, f.getName).toPath,
+    require(before.nonEmpty, s"$path holds no parquet files to compact")
+    val total = before.map(_.length).sum
+    val n     = math.max(1, ((total + targetFileBytes - 1) / targetFileBytes).toInt)
+    val tmp   = new java.io.File(path.stripSuffix("/") + ".compact-tmp")
+    val trash = new java.io.File(path.stripSuffix("/") + ".compact-trash")
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp.toString)
+    trash.mkdirs()
+    def moveInto(f: java.io.File, d: java.io.File): Unit =
+      java.nio.file.Files.move(f.toPath, new java.io.File(d, f.getName).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // originals out of the way first (with their LocalFileSystem .crc
+    // sidecars — leaving them orphaned would re-grow the listing forever)
+    before.foreach { f =>
+      val crc = new java.io.File(dir, "." + f.getName + ".crc")
+      if (crc.exists()) crc.delete()
+      moveInto(f, trash)
     }
-    new java.io.File(tmp).delete()
+    tmp.listFiles().foreach(moveInto(_, dir))
+    tmp.delete()
+    trash.listFiles().foreach(_.delete())
+    trash.delete()
     (before.length, parquetFiles(dir).length)
   }
 

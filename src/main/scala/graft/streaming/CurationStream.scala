@@ -33,6 +33,14 @@ object CurationStream {
     *                 text STRING) columns
     * @param lateness watermark delay = the dedup horizon
     */
+  /** The content fingerprint — ONE definition shared by the within-stream
+    * dedup, the incremental anti join, and (by contract) the producers of
+    * any historical `seen` table: the anti join only works if every party
+    * normalizes identically.
+    */
+  def fingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(lower(trim(text)))
+
   def curate(
       docs: DataFrame,
       lateness: java.time.Duration,
@@ -40,7 +48,7 @@ object CurationStream {
   ): DataFrame =
     docs
       .filter(qualityScore(col("text")) >= minQuality)
-      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("fp", fingerprint(col("text")))
       .withWatermark("ts", s"${lateness.toMillis} milliseconds")
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
@@ -70,7 +78,7 @@ object CurationStream {
   ): DataFrame =
     curate(
       docs
-        .withColumn("fp", md5(lower(trim(col("text")))))
+        .withColumn("fp", fingerprint(col("text")))
         .join(seen.select(col("fp")), Seq("fp"), "left_anti")
         .drop("fp"),
       lateness,

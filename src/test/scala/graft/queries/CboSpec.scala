@@ -29,23 +29,34 @@ class CboSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("ANALYZE statistics surface exact row counts to the optimizer") {
+  /** Each test builds (and tears down) its own analyzed tables, so the
+    * suite has no inter-test order dependency and a failed run cannot
+    * leave stale tables whose stats poison the next run.
+    */
+  private def withAnalyzedTables[T](body: => T): T = {
     for (t <- Seq("cbo_li", "cbo_ord", "cbo_cust")) spark.sql(s"DROP TABLE IF EXISTS $t")
     Tables.lineitem(spark, dir).write.mode("overwrite").saveAsTable("cbo_li")
     Tables.orders(spark, dir).write.mode("overwrite").saveAsTable("cbo_ord")
     Tables.customer(spark, dir).write.mode("overwrite").saveAsTable("cbo_cust")
     for (t <- Seq("cbo_li", "cbo_ord", "cbo_cust"))
       spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+    try body
+    finally for (t <- Seq("cbo_li", "cbo_ord", "cbo_cust")) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 
-    withConf("spark.sql.cbo.enabled" -> "true") {
-      val expected = Tables.lineitem(spark, dir).count()
-      val stats    = spark.table("cbo_li").queryExecution.optimizedPlan.stats
-      assert(stats.rowCount.contains(BigInt(expected)),
-        s"ANALYZE row count should reach the plan: got ${stats.rowCount}")
+  test("ANALYZE statistics surface exact row counts to the optimizer") {
+    withAnalyzedTables {
+      withConf("spark.sql.cbo.enabled" -> "true") {
+        val expected = Tables.lineitem(spark, dir).count()
+        val stats    = spark.table("cbo_li").queryExecution.optimizedPlan.stats
+        assert(stats.rowCount.contains(BigInt(expected)),
+          s"ANALYZE row count should reach the plan: got ${stats.rowCount}")
+      }
     }
   }
 
   test("CBO join reorder rewrites a bad syntactic order to reduce through the small side first") {
+    withAnalyzedTables {
     // syntactically: (lineitem ⋈ orders) first — the two largest tables —
     // with the tiny filtered customer set joined LAST
     def query = spark
@@ -82,7 +93,6 @@ class CboSpec extends AnyFunSuite with SparkSpec {
     val r2 = withConf("spark.sql.cbo.enabled" -> "true", "spark.sql.cbo.joinReorder.enabled" -> "true")(
       query.orderBy(col("c_custkey")).collect().toSeq)
     assert(r1 == r2)
-
-    for (t <- Seq("cbo_li", "cbo_ord", "cbo_cust")) spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
   }
 }

@@ -103,8 +103,14 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     val conflict = intercept[Exception] {
       spark.read.option("mergeSchema", "true").parquet(s"$tmp/t").collect()
     }
-    assert(conflict.getMessage.toLowerCase.contains("merge") ||
-      conflict.getCause != null, "incompatible column types must fail loudly")
+    // the failure must be the SCHEMA MERGE itself, not some unrelated
+    // wrapped error — assert on the merge-failure text through the chain
+    val messages = Iterator
+      .iterate(conflict: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("").toLowerCase)
+      .mkString(" | ")
+    assert(messages.contains("merg"), s"expected a schema-merge failure, got: $messages")
   }
 
   test("malformed JSON records: PERMISSIVE quarantines to _corrupt_record, FAILFAST throws") {
