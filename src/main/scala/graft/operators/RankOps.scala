@@ -34,12 +34,19 @@ object RankOps {
       numPartitions: Option[Int] = None
   ): DataFrame = {
     val n = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
-    // persist pins the range partitioning: repartitionByRange SAMPLES its
-    // boundaries per job, so without materialization the count job and the
-    // numbering job could see different partition assignments and the
-    // offsets would be wrong. (A production run checkpoints the ranged
-    // table for the same reason.)
-    val ranged = df.repartitionByRange(n, order: _*).withColumn("_pid", spark_partition_id()).persist()
+    // localCheckpoint (eager) pins the range partitioning: repartitionByRange
+    // SAMPLES its boundaries per job, so without materialization the count
+    // job and the numbering job could see different partition assignments
+    // and the offsets would be wrong. Checkpoint beats persist here on both
+    // counts the review raised: (a) no CacheManager entry to leak — the
+    // blocks are freed by the ContextCleaner when the frame goes
+    // unreferenced, so repeated calls don't accumulate cached tables; and
+    // (b) an executor loss between the count collect and the numbering job
+    // FAILS the job loudly (checkpointed partitions can't be recomputed)
+    // instead of silently re-sampling boundaries into wrong offsets. A
+    // cluster run swaps in a reliable `checkpoint()` for fault tolerance.
+    val ranged = df.repartitionByRange(n, order: _*).withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     // phase 1: bounded driver state — one (pid, count) row per partition
     val counts = ranged.groupBy(col("_pid")).count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

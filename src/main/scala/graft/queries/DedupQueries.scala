@@ -131,7 +131,10 @@ object DedupQueries {
     * persisted: it is O(docs × bands) — tiny next to the corpus — and feeds
     * both join sides without recomputing the signatures.
     */
-  private def lshCandidates(wide: DataFrame): DataFrame = {
+  private def lshCandidates(
+      wide: DataFrame,
+      captureBands: DataFrame => Unit = _ => ()
+  ): DataFrame = {
     val bands = (0 until NumHashes / RowsPerBand).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("|", cols: _*).as("sig"))
@@ -140,6 +143,10 @@ object DedupQueries {
       .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .persist()
+    // hand the persisted frame to callers that materialize the result and
+    // can therefore release the cache entry afterwards (the memo build —
+    // a long-lived session must not accumulate cached tables)
+    captureBands(bandRows)
     bandRows
       .select(col("band"), col("sig"), col("doc_id").as("ia"))
       .join(bandRows.select(col("band"), col("sig"), col("doc_id").as("ib")), Seq("band", "sig"))
@@ -183,49 +190,34 @@ object DedupQueries {
       comp: DataFrame    // min-label components (doc_id, rep_id)
   )
 
-  private val memoDirs = scala.collection.mutable.Map[(String, String), String]()
-
-  /** Delete a memo directory tree on JVM exit — the session-temp artifacts
-    * must not accumulate across runs (the PRODUCTION analog keeps its
-    * materialized tables on purpose; a session memo must not).
-    */
-  private def deleteOnExit(root: java.nio.file.Path): Unit =
-    sys.addShutdownHook {
-      import java.nio.file._
-      try
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-      catch { case scala.util.control.NonFatal(_) => () } // best-effort cleanup
-    }
-
+  // NOTE: the first consumer of a (session, corpus) pair pays the full
+  // memo build — including explain-only consumers (a parquet read needs
+  // the files on disk before a plan exists). Plan audits that want the
+  // real candidate machinery without materializing anything use
+  // [[memoBuildPlan]] instead. Locking is per key (see SessionMemo), so
+  // building this corpus never blocks another corpus's builder.
   private def shared(s: SparkSession, dir: String): SharedDedup = {
-    val base = memoDirs.synchronized {
-      memoDirs.getOrElseUpdate(
-        (s.sparkContext.applicationId, dir), {
-          val path = java.nio.file.Files.createTempDirectory("graft-dedup-memo-")
-          deleteOnExit(path)
-          val b = path.toString
-          val sh   = shingleSet(s, dir).persist()
-          val wide = minhashWide(s, dir).persist()
-          sh.write.parquet(s"$b/sh")
-          wide.write.parquet(s"$b/wide")
-          lshCandidates(wide).write.parquet(s"$b/cand")
-          val shR   = s.read.parquet(s"$b/sh")
-          val candR = s.read.parquet(s"$b/cand")
-          jaccardOf(candR, shR).write.parquet(s"$b/scored")
-          val edges = s.read
-            .parquet(s"$b/scored")
-            .filter(col("jac") >= JaccardThreshold)
-            .select(col("ia").as("src"), col("ib").as("dst"))
-          graft.operators.GraphOps
-            .connectedComponents(Tables.documents(s, dir).select(col("doc_id").as("id")), edges)
-            .select(col("id").as("doc_id"), col("comp").as("rep_id"))
-            .write.parquet(s"$b/comp")
-          sh.unpersist()
-          wide.unpersist()
-          b
-        }
-      )
+    val base = graft.sources.SessionMemo.dir(s, "dedup", dir) { b =>
+      val sh   = shingleSet(s, dir).persist()
+      val wide = minhashWide(s, dir).persist()
+      sh.write.parquet(s"$b/sh")
+      wide.write.parquet(s"$b/wide")
+      var bandRows: Option[DataFrame] = None
+      lshCandidates(wide, br => bandRows = Some(br)).write.parquet(s"$b/cand")
+      bandRows.foreach(_.unpersist())
+      val shR   = s.read.parquet(s"$b/sh")
+      val candR = s.read.parquet(s"$b/cand")
+      jaccardOf(candR, shR).write.parquet(s"$b/scored")
+      val edges = s.read
+        .parquet(s"$b/scored")
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      graft.operators.GraphOps
+        .connectedComponents(Tables.documents(s, dir).select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("comp").as("rep_id"))
+        .write.parquet(s"$b/comp")
+      sh.unpersist()
+      wide.unpersist()
     }
     SharedDedup(
       s.read.parquet(s"$base/sh"),

@@ -65,6 +65,56 @@ object SimilarityQueries {
       Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     )
 
+  /** The FULL Lloyd refinement DAG — q116's algorithm, un-memoized: label
+    * init, then [[KmeansIters]] rounds of quantized-mean centroids + max-
+    * cosine reassignment. Public so plan audits gate the real iterative
+    * machinery (the registered q116 reads the memoized table, whose scan
+    * plan would trivially satisfy any gate) — the dedup family's
+    * `memoBuildPlan` pattern.
+    */
+  def refineBuildPlan(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+
+    def centroidsOf(assignment: DataFrame): DataFrame =
+      e.join(assignment, Seq("vec_id"))
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(floor(col("v").cast("double") * QuantScale)).as("sq"), count(lit(1)).as("n"))
+        .withColumn("c", col("sq").cast("double") / QuantScale / col("n"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cluster"), transform(col("pc"), _.getField("c")).as("centroid"))
+
+    def assign(cents: DataFrame): DataFrame =
+      Tables
+        .spread(e, col("vec_id"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cos", round(cosineFast(col("embedding"), col("centroid")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("cluster")).cast("long").as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("cluster"))
+
+    var asg = e.select(col("vec_id"), col("label").cast("long").as("cluster"))
+    for (_ <- 1 to KmeansIters) asg = assign(centroidsOf(asg))
+    e.select(col("vec_id"), col("label").cast("long").as("init_label"))
+      .join(asg, Seq("vec_id"))
+      .select(col("vec_id"), col("init_label"), col("cluster"))
+  }
+
+  /** SESSION MEMO of the refined assignment table (vec_id, init_label,
+    * cluster) — the table a curation run materializes once per corpus
+    * snapshot and every downstream consumer (q116's report, q124's
+    * SemDeDup prune) reads, instead of re-running the full Lloyd
+    * iteration inline per consumer (the dedup family's memo treatment;
+    * see [[graft.sources.SessionMemo]]).
+    */
+  private def refinedAssignment(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.sources.SessionMemo.dir(s, "kmeans", dir) { b =>
+      refineBuildPlan(s, dir).write.parquet(s"$b/asg")
+    }
+    s.read.parquet(s"$base/asg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding near-dup pairs: exact cosine within cluster blocks.
     "q45_embedding_neardup" -> ((s, dir) => {
@@ -341,35 +391,8 @@ object SimilarityQueries {
     // clusters×Dim centroid scalars, never n×k. The driver holds NOTHING:
     // the iteration count is fixed (a production run adds a moved-count
     // scalar as its convergence check, the GraphOps pattern).
-    "q116_kmeans_refine" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"), col("embedding"))
-
-      def centroidsOf(assignment: DataFrame): DataFrame =
-        e.join(assignment, Seq("vec_id"))
-          .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("cluster"), col("pos"))
-          .agg(sum(floor(col("v").cast("double") * QuantScale)).as("sq"), count(lit(1)).as("n"))
-          .withColumn("c", col("sq").cast("double") / QuantScale / col("n"))
-          .groupBy(col("cluster"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-          .select(col("cluster"), transform(col("pc"), _.getField("c")).as("centroid"))
-
-      def assign(cents: DataFrame): DataFrame =
-        Tables
-          .spread(e, col("vec_id"))
-          .crossJoin(broadcast(cents))
-          .withColumn("cos", round(cosineFast(col("embedding"), col("centroid")), 6))
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("cos"), (-col("cluster")).cast("long").as("nc"))).as("m"))
-          .select(col("vec_id"), (-col("m.nc")).as("cluster"))
-
-      var asg = e.select(col("vec_id"), col("label").cast("long").as("cluster"))
-      for (_ <- 1 to KmeansIters) asg = assign(centroidsOf(asg))
-      e.select(col("vec_id"), col("label").cast("long").as("init_label"))
-        .join(asg, Seq("vec_id"))
-        .select(col("vec_id"), col("init_label"), col("cluster"))
-        .orderBy(col("vec_id"))
-    }),
+    "q116_kmeans_refine" -> ((s, dir) =>
+      refinedAssignment(s, dir).orderBy(col("vec_id"))),
 
     // SEMANTIC DEDUP end-to-end (SemDeDup): q116's REFINED clusters as the
     // blocking structure, exact within-cluster cosine, drop the higher
@@ -380,7 +403,7 @@ object SimilarityQueries {
     // Σ cluster² pair scan.
     "q124_semantic_dedup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val asg = queries("q116_kmeans_refine")(s, dir).select(col("vec_id"), col("cluster"))
+      val asg = refinedAssignment(s, dir).select(col("vec_id"), col("cluster"))
       val withC = e.join(asg, Seq("vec_id")).select(col("cluster"), col("vec_id"), col("embedding"))
       val losers = withC
         .select(col("cluster"), col("vec_id").as("ia"), col("embedding").as("ea"))

@@ -117,6 +117,7 @@ object TextQueries {
       val toks = Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(explode(tokens(col("text"))).as("term"))
+        .persist() // feeds the sketch cells AND the exact top-20 — one tokenize pass, not two (the q117 rework)
       val cells = toks
         .select(explode(array((0 until D).map(d =>
           struct(lit(d).as("d"), bucket(d).as("bucket"))): _*)).as("db"))

@@ -69,9 +69,24 @@ object Sinks {
     * crash at any point leaves every original byte recoverable from one
     * of the two siblings; only the final step deletes the trash. A table
     * format with a transaction log does this swap as a metadata commit.
+    *
+    * RERUN SAFETY: a leftover `.compact-tmp` or `.compact-trash` sibling
+    * means a previous run died mid-swap and some original rows may live
+    * ONLY in those siblings. Re-compacting over that state would compact
+    * just the surviving files and then delete the trash — silently
+    * destroying the stranded rows. So entry REFUSES while either sibling
+    * exists: an operator must inspect and restore (move trash files back,
+    * remove the siblings) before compaction runs again.
     */
   def compactFiles(spark: SparkSession, path: String, targetFileBytes: Long): (Int, Int) = {
     val dir = new java.io.File(path)
+    require(dir.isDirectory, s"$path is not a directory — nothing to compact")
+    val tmp   = new java.io.File(path.stripSuffix("/") + ".compact-tmp")
+    val trash = new java.io.File(path.stripSuffix("/") + ".compact-trash")
+    require(
+      !tmp.exists() && !trash.exists(),
+      s"found leftover ${tmp.getName} or ${trash.getName} from an interrupted compaction — " +
+        "recover those files (originals may exist ONLY there) and remove the siblings before rerunning")
     require(
       dir.listFiles().forall(!_.isDirectory),
       s"$path contains subdirectories — compact each hive-partition leaf directory, not the root")
@@ -81,8 +96,6 @@ object Sinks {
     require(before.nonEmpty, s"$path holds no parquet files to compact")
     val total = before.map(_.length).sum
     val n     = math.max(1, ((total + targetFileBytes - 1) / targetFileBytes).toInt)
-    val tmp   = new java.io.File(path.stripSuffix("/") + ".compact-tmp")
-    val trash = new java.io.File(path.stripSuffix("/") + ".compact-trash")
     spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp.toString)
     trash.mkdirs()
     def moveInto(f: java.io.File, d: java.io.File): Unit =

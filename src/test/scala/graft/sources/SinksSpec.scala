@@ -78,6 +78,44 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(compacted.agg(sum(col("event_id"))).head.getLong(0) == checksumBefore)
   }
 
+  test("compactFiles refuses to run over an interrupted compaction's leftovers") {
+    val tmp  = Files.createTempDirectory("graft-compact-rerun").toString
+    val path = s"$tmp/events"
+    Tables.events(spark, "/root/testdata/sf0.001").limit(100).repartition(4).write.parquet(path)
+    // simulate a crash mid-swap: originals stranded in .compact-trash
+    val trash = new java.io.File(s"$path.compact-trash")
+    trash.mkdirs()
+    val stranded = new java.io.File(path).listFiles((_, n) => n.endsWith(".parquet")).head
+    Files.move(stranded.toPath, new java.io.File(trash, stranded.getName).toPath)
+    // a rerun must refuse — compacting the surviving files and deleting the
+    // trash would permanently destroy the stranded rows
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compactFiles(spark, path, targetFileBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("interrupted compaction"), e.getMessage)
+    assert(trash.listFiles().nonEmpty, "refusal must leave the recoverable files untouched")
+    // same refusal for a leftover .compact-tmp
+    Files.move(new java.io.File(trash, stranded.getName).toPath, stranded.toPath)
+    trash.delete()
+    val tmpSibling = new java.io.File(s"$path.compact-tmp")
+    tmpSibling.mkdirs()
+    intercept[IllegalArgumentException] {
+      Sinks.compactFiles(spark, path, targetFileBytes = 1L << 20)
+    }
+    tmpSibling.delete()
+    // with the siblings cleared, compaction proceeds and the data is intact
+    val (before, after) = Sinks.compactFiles(spark, path, targetFileBytes = 1L << 20)
+    assert(before == 4 && after >= 1, s"$before -> $after")
+    assert(spark.read.parquet(path).count() == 100)
+  }
+
+  test("compactFiles rejects a missing path with a clear precondition failure") {
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compactFiles(spark, "/nonexistent/graft-compact-nowhere", 1L << 20)
+    }
+    assert(e.getMessage.contains("not a directory"), e.getMessage)
+  }
+
   test("zorderKey interleaves bits exactly (Morton order)") {
     // a=0b101 (5), b=0b011 (3) -> even bits from a, odd from b:
     // positions 0..5 = a0,b0,a1,b1,a2,b2 = 1,1,0,1,1,0 -> 0b011011 = 27
