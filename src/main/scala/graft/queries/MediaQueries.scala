@@ -28,6 +28,7 @@ object MediaQueries {
           col("sample_rate").cast("long").as("sample_rate"),
           col("n_channels").cast("long").as("n_channels"),
           col("n_frames").cast("long").as("n_frames"),
+          col("duration_ms"),
           col("feature_hash")
         )
         .orderBy(col("media_id"))),
@@ -98,22 +99,34 @@ object MediaQueries {
         )
         .orderBy(col("media_id"), col("window_no"))),
 
-    // Resize stage: REAL aspect-preserving dimension math off the REAL
-    // header dims; the pixel resample is the stub byte-subsample (see
-    // MediaPipeline.resizeImages; the real-pixel resample path is q115).
-    // Oracle checks the full contract.
+    // UNIFIED resize stage, BOTH paths gated BY VALUE: the corpus mixes
+    // complete real-pixel files (mediaWithPixels — PNG/BMP rows that
+    // decode, fit, and resample through PixelCodec; real_decode=1) with
+    // header-only containers (mediaFromDocuments images — no pixel data,
+    // so the stage falls back to the every-k-th-byte stub; real_decode=0).
+    // The oracle replays the pixel formula through the same fit+resample
+    // index map for the real rows AND the header byte lists through the
+    // same subsample for the stub rows, hashing both payloads. maxSide=10
+    // (not q115's 8) so the real rows exercise a DIFFERENT resample grid
+    // than q115.
     "q67_media_resize" -> ((s, dir) =>
       MediaPipeline
-        .resizeImages(MediaPipeline.mediaFromDocuments(s, dir))
+        .resizeImages(
+          MediaPipeline
+            .mediaWithPixels(s, dir)
+            .union(MediaPipeline.mediaFromDocuments(s, dir).filter(_.kind == "image")),
+          maxSide = 10)
         .select(
           col("media_id"),
+          col("real_decode"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("out_width").cast("long").as("out_width"),
           col("out_height").cast("long").as("out_height"),
-          col("out_bytes")
+          col("out_bytes"),
+          col("px_hash")
         )
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"), col("real_decode")))
   )
 
   // The oracle rebuilds the exact bytes the Spark side synthesizes —
@@ -131,10 +144,12 @@ object MediaQueries {
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |    text, 1 + doc_id % 512 AS w, 1 + (doc_id * 7) % 512 AS h,
         |    (doc_id % 12 = 0) AS is_png, (doc_id % 12 = 6) AS is_gif, (doc_id % 12 = 3) AS is_jpeg,
-        |    8000 + (doc_id % 8) * 1000 AS rate, 1 + doc_id % 2 AS ch, strlen(text) AS ds
+        |    8000 + (doc_id % 8) * 1000 AS rate, 1 + doc_id % 2 AS ch, strlen(text) AS ds,
+        |    16 * (1 + doc_id % 40) AS vw, 16 * (1 + (doc_id * 3) % 40) AS vh,
+        |    1000 + doc_id % 9000 AS dur, 10 + doc_id % 290 AS ns
         |  FROM documents),
         | b AS (
-        |  SELECT media_id, kind, w, h, rate, ch, ds,
+        |  SELECT media_id, kind, w, h, rate, ch, ds, vw, vh, dur, ns,
         |    CASE
         |      WHEN kind = 'image' AND is_png THEN
         |        [137,80,78,71,13,10,26,10, 0,0,0,13, 73,72,68,82,
@@ -160,16 +175,45 @@ object MediaQueries {
         |         (ch*2) % 256, (ch*2) // 256 % 256, 16,0, 100,97,116,97,
         |         ds % 256, ds // 256 % 256, ds // 65536 % 256, ds // 16777216 % 256]
         |        || list_transform(range(1, length(text)+1), i -> ord(substr(text, i::INT, 1))::BIGINT)
-        |      ELSE list_transform(range(1, length(text)+1), i -> ord(substr(text, i::INT, 1))::BIGINT)
+        |      ELSE
+        |        [0,0,0,16, 102,116,121,112, 105,115,111,109, 0,0,2,0,
+        |         0,0,1,73, 109,111,111,118,
+        |         0,0,0,108, 109,118,104,100, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,3,232,
+        |         dur // 16777216 % 256, dur // 65536 % 256, dur // 256 % 256, dur % 256,
+        |         0,1,0,0, 1,0,0,0, 0,0,0,0,0,0,0,0,
+        |         0,1,0,0, 0,0,0,0,0,0,0,0,0,0,0,0, 0,1,0,0, 0,0,0,0,0,0,0,0,0,0,0,0, 64,0,0,0,
+        |         0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0, 0,0,0,2,
+        |         0,0,0,213, 116,114,97,107,
+        |         0,0,0,92, 116,107,104,100, 0,0,0,7, 0,0,0,0, 0,0,0,0, 0,0,0,1, 0,0,0,0,
+        |         dur // 16777216 % 256, dur // 65536 % 256, dur // 256 % 256, dur % 256,
+        |         0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+        |         0,1,0,0, 0,0,0,0,0,0,0,0,0,0,0,0, 0,1,0,0, 0,0,0,0,0,0,0,0,0,0,0,0, 64,0,0,0,
+        |         vw // 256 % 256, vw % 256, 0, 0, vh // 256 % 256, vh % 256, 0, 0,
+        |         0,0,0,113, 109,100,105,97,
+        |         0,0,0,32, 109,100,104,100, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,3,232,
+        |         dur // 16777216 % 256, dur // 65536 % 256, dur // 256 % 256, dur % 256,
+        |         85,196,0,0,
+        |         0,0,0,33, 104,100,108,114, 0,0,0,0, 0,0,0,0, 118,105,100,101,
+        |         0,0,0,0,0,0,0,0,0,0,0,0, 0,
+        |         0,0,0,40, 109,105,110,102,
+        |         0,0,0,32, 115,116,98,108,
+        |         0,0,0,24, 115,116,116,115, 0,0,0,0, 0,0,0,1,
+        |         ns // 16777216 % 256, ns // 65536 % 256, ns // 256 % 256, ns % 256,
+        |         0,0,0,100,
+        |         (8+ds) // 16777216 % 256, (8+ds) // 65536 % 256, (8+ds) // 256 % 256, (8+ds) % 256,
+        |         109,100,97,116]
+        |        || list_transform(range(1, length(text)+1), i -> ord(substr(text, i::INT, 1))::BIGINT)
         |    END AS bl
         |  FROM m)
         |SELECT media_id, kind, len(bl)::BIGINT AS n_bytes,
-        |  (CASE WHEN kind = 'image' THEN w WHEN kind = 'audio' THEN 0 ELSE 64 + bl[1] % 64 END)::BIGINT AS width,
-        |  (CASE WHEN kind = 'image' THEN h WHEN kind = 'audio' THEN 0 ELSE 64 + bl[len(bl)] % 64 END)::BIGINT AS height,
+        |  (CASE WHEN kind = 'image' THEN w WHEN kind = 'audio' THEN 0 ELSE vw END)::BIGINT AS width,
+        |  (CASE WHEN kind = 'image' THEN h WHEN kind = 'audio' THEN 0 ELSE vh END)::BIGINT AS height,
         |  (CASE WHEN kind = 'audio' THEN rate ELSE 0 END)::BIGINT AS sample_rate,
         |  (CASE WHEN kind = 'audio' THEN ch ELSE 0 END)::BIGINT AS n_channels,
-        |  (CASE WHEN kind = 'video' THEN 1 + len(bl) % 30
+        |  (CASE WHEN kind = 'video' THEN ns
         |        WHEN kind = 'audio' THEN ds // (ch*2) ELSE 1 END)::BIGINT AS n_frames,
+        |  (CASE WHEN kind = 'video' THEN dur
+        |        WHEN kind = 'audio' THEN (ds // (ch*2)) * 1000 // rate ELSE 0 END)::BIGINT AS duration_ms,
         |  list_reduce(list_prepend(0::BIGINT, list_transform(bl, x -> x::BIGINT)),
         |              (a, c) -> (a * 31 + c) % 2147483647) AS feature_hash
         |FROM b ORDER BY media_id""".stripMargin,
@@ -242,25 +286,75 @@ object MediaQueries {
         |                AND ((prev >= 0) <> (smp >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
         |  round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)), 4) AS rms
         |FROM lagd GROUP BY media_id, wno ORDER BY media_id, window_no""".stripMargin,
-    // Header lengths by construction: PNG 29, GIF 13, JPEG 39, BMP 50 bytes
-    // (the q60 oracle's byte lists); resize math mirrors resizeImages
-    // exactly (ceil divisions in integers — no float boundary anywhere).
+    // Real rows: the q115 formula-pixel replay at maxSide=10. Stub rows:
+    // the q60 header byte lists (PNG 29, GIF 13, JPEG 39, BMP 50 bytes)
+    // subsampled every k-th byte; both payloads hashed with the shared
+    // polynomial fold. All math is integer — no float boundary anywhere.
     "q67_media_resize" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id, 1 + doc_id % 512 AS w, 1 + (doc_id * 7) % 512 AS h,
-        |    CASE WHEN doc_id % 12 = 0 THEN 29 WHEN doc_id % 12 = 6 THEN 13
-        |         WHEN doc_id % 12 = 3 THEN 39 ELSE 50 END AS n
+      """WITH rm AS (
+        |  SELECT doc_id AS media_id, 3 + doc_id % 14 AS w, 3 + (doc_id * 7) % 14 AS h
         |  FROM documents WHERE doc_id % 3 = 0),
-        | r AS (SELECT media_id, w, h, n, greatest(w, h) AS longest FROM m),
-        | s AS (
-        |  SELECT media_id, w, h, n,
-        |    CASE WHEN longest <= 64 THEN w ELSE greatest(1, (w * 64 + longest - 1) // longest) END AS w2,
-        |    CASE WHEN longest <= 64 THEN h ELSE greatest(1, (h * 64 + longest - 1) // longest) END AS h2
-        |  FROM r),
-        | k AS (SELECT media_id, w, h, w2, h2, n, greatest(1, (w * h) // (w2 * h2)) AS kk FROM s)
-        |SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
-        |  w2::BIGINT AS out_width, h2::BIGINT AS out_height,
-        |  ((n + kk - 1) // kk)::BIGINT AS out_bytes
-        |FROM k ORDER BY media_id""".stripMargin
+        | rs AS (SELECT media_id, w, h, greatest(w, h) AS longest FROM rm),
+        | rd AS (
+        |  SELECT media_id, w, h,
+        |    CASE WHEN longest <= 10 THEN w ELSE greatest(1, (w * 10 + longest - 1) // longest) END AS w2,
+        |    CASE WHEN longest <= 10 THEN h ELSE greatest(1, (h * 10 + longest - 1) // longest) END AS h2
+        |  FROM rs),
+        | rp AS (
+        |  SELECT media_id, w, h, w2, h2,
+        |    flatten(list_transform(range(0, h2), y2 ->
+        |      flatten(list_transform(range(0, w2), x2 ->
+        |        list_transform(range(0, 3), c ->
+        |          ((media_id * 31 + ((x2 * w) // w2) * 7 + ((y2 * h) // h2) * 13 + c * 5) % 256)::BIGINT))))) AS bl
+        |  FROM rd),
+        | realrows AS (
+        |  SELECT media_id, 1::BIGINT AS real_decode, w::BIGINT AS width, h::BIGINT AS height,
+        |    w2::BIGINT AS out_width, h2::BIGINT AS out_height, (w2 * h2 * 3)::BIGINT AS out_bytes,
+        |    list_reduce(list_prepend(0::BIGINT, bl), (a, c) -> (a * 31 + c) % 2147483647) AS px_hash
+        |  FROM rp),
+        | hm AS (
+        |  SELECT doc_id AS media_id, 1 + doc_id % 512 AS w, 1 + (doc_id * 7) % 512 AS h,
+        |    (doc_id % 12 = 0) AS is_png, (doc_id % 12 = 6) AS is_gif, (doc_id % 12 = 3) AS is_jpeg
+        |  FROM documents WHERE doc_id % 3 = 0),
+        | hb AS (
+        |  SELECT media_id, w, h,
+        |    CASE
+        |      WHEN is_png THEN
+        |        [137,80,78,71,13,10,26,10, 0,0,0,13, 73,72,68,82,
+        |         w // 16777216 % 256, w // 65536 % 256, w // 256 % 256, w % 256,
+        |         h // 16777216 % 256, h // 65536 % 256, h // 256 % 256, h % 256,
+        |         8,2,0,0,0]
+        |      WHEN is_gif THEN
+        |        [71,73,70,56,57,97, w % 256, w // 256 % 256, h % 256, h // 256 % 256, 247,0,0]
+        |      WHEN is_jpeg THEN
+        |        [255,216, 255,224,0,16, 74,70,73,70,0, 1,1, 0, 0,1, 0,1, 0,0,
+        |         255,192,0,17,8, h // 256 % 256, h % 256, w // 256 % 256, w % 256,
+        |         3, 1,34,0, 2,17,1, 3,17,1]
+        |      ELSE
+        |        [66,77, 54,0,0,0, 0,0,0,0, 54,0,0,0, 40,0,0,0,
+        |         w % 256, w // 256 % 256, 0, 0,
+        |         h % 256, h // 256 % 256, 0, 0,
+        |         1,0,24,0] || [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0]
+        |    END AS bl
+        |  FROM hm),
+        | hs AS (SELECT media_id, w, h, bl, greatest(w, h) AS longest FROM hb),
+        | hf AS (
+        |  SELECT media_id, w, h, bl,
+        |    CASE WHEN longest <= 10 THEN w ELSE greatest(1, (w * 10 + longest - 1) // longest) END AS w2,
+        |    CASE WHEN longest <= 10 THEN h ELSE greatest(1, (h * 10 + longest - 1) // longest) END AS h2
+        |  FROM hs),
+        | hk AS (SELECT media_id, w, h, w2, h2, bl,
+        |          greatest(1, (w * h) // (w2 * h2)) AS kk FROM hf),
+        | hsub AS (
+        |  SELECT media_id, w, h, w2, h2,
+        |    list_transform(range(0, (len(bl) + kk - 1) // kk), j -> bl[(1 + j * kk)::INT]::BIGINT) AS sb
+        |  FROM hk),
+        | stubrows AS (
+        |  SELECT media_id, 0::BIGINT AS real_decode, w::BIGINT AS width, h::BIGINT AS height,
+        |    w2::BIGINT AS out_width, h2::BIGINT AS out_height, len(sb)::BIGINT AS out_bytes,
+        |    list_reduce(list_prepend(0::BIGINT, sb), (a, c) -> (a * 31 + c) % 2147483647) AS px_hash
+        |  FROM hsub)
+        |SELECT * FROM (SELECT * FROM realrows UNION ALL SELECT * FROM stubrows)
+        |ORDER BY media_id, real_decode""".stripMargin
   )
 }
