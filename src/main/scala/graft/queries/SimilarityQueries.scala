@@ -351,6 +351,34 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // IVF RECALL AUDIT — the report a production ANN deployment ships
+    // with: per query vector, how many of the EXACT top-k (q50's
+    // brute-force baseline) the centroid-probe search (q51's IVF path)
+    // actually returned — i.e. recall@k as a function of nprobe. Both
+    // sides are fully deterministic (quantized centroids, rounded cosines,
+    // id tie-breaks), so the recall table itself is hash-checked. The
+    // exact side is the expensive one — at 100 TB this audit runs on a
+    // sampled query set, which is precisely what QuerySetSize models.
+    "q127_ivf_recall" -> ((s, dir) => {
+      val exact = queries("q50_cosine_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = queries("q51_ann_ivf")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val ks = exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      val hits = exact
+        .join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      ks.join(hits, Seq("query_id"), "left")
+        .select(
+          col("query_id"),
+          col("k"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("k"), 4).as("recall")
+        )
+        .orderBy(col("query_id"))
+    }),
+
     // HARD-NEGATIVE MINING — the contrastive-training data op: for each
     // query, the most-similar corpus vectors with a DIFFERENT label
     // (similar-but-wrong examples are what trains a discriminative
@@ -591,6 +619,51 @@ object SimilarityQueries {
            |FROM cand c JOIN v a ON a.vec_id = c.ia JOIN v b ON b.vec_id = c.ib
            |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $NearDupCos
            |ORDER BY ia, ib""".stripMargin),
+    // The q50 and q51 pipelines replayed side by side, then set-intersected
+    // per query — recall@k of the probe search against the exact baseline.
+    "q127_ivf_recall" ->
+      (vecCte +
+        s""", exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rnk
+           |    FROM v q JOIN v c ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id)
+           |  WHERE rnk <= $TopK),
+           | expl AS (
+           |  SELECT label, i AS pos, embedding[i + 1]::DOUBLE AS v
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range($Dim)) AS i)),
+           | dimsum AS (
+           |  SELECT label, pos, sum(CAST(floor(v * $QuantScale) AS BIGINT)) AS sq, count(*) AS n
+           |  FROM expl GROUP BY 1, 2),
+           | cent AS (
+           |  SELECT label, list(sq::DOUBLE / $QuantScale / n ORDER BY pos) AS centroid
+           |  FROM dimsum GROUP BY label),
+           | cn AS (SELECT label, centroid, sqrt(${dotSql("centroid", "centroid")}) AS cnrm FROM cent),
+           | probes AS (
+           |  SELECT query_id, label FROM (
+           |    SELECT q.vec_id AS query_id, cn.label,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        round(${dotSql("q.embedding", "cn.centroid")} / (q.nrm * cn.cnrm), 6) DESC, cn.label) AS crnk
+           |    FROM v q CROSS JOIN cn WHERE q.vec_id < $QuerySetSize)
+           |  WHERE crnk <= $NProbe),
+           | ann AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT p.query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+           |        round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rnk
+           |    FROM probes p JOIN v c ON c.label = p.label AND c.vec_id <> p.query_id
+           |    JOIN v q ON q.vec_id = p.query_id)
+           |  WHERE rnk <= $TopK),
+           | ks AS (SELECT query_id, count(*) AS k FROM exact GROUP BY 1),
+           | hits AS (
+           |  SELECT e.query_id, count(*) AS n_hit
+           |  FROM exact e JOIN ann a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |  GROUP BY 1)
+           |SELECT ks.query_id, ks.k, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+           |  round(coalesce(h.n_hit, 0)::DOUBLE / ks.k, 4) AS recall
+           |FROM ks LEFT JOIN hits h ON ks.query_id = h.query_id
+           |ORDER BY ks.query_id""".stripMargin),
     "q120_hard_negatives" ->
       (vecCte +
         s""", scored AS (
