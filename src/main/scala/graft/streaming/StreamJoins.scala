@@ -68,10 +68,25 @@ object StreamJoins {
     * per batch id (the standard foreachBatch exactly-once recipe; readers
     * of the final directory see each batch once). A production run with a
     * transactional sink uses that sink's own commit protocol instead.
+    *
+    * CROSS-BATCH / WATERMARK CONTRACT (spec-pinned): there is NO watermark
+    * and no cross-batch state — each stream row's answer is a pure
+    * function of (row, static snapshot), so stream rows arriving LATE
+    * (event times older than rows already processed in earlier batches)
+    * still enrich correctly whenever they arrive; nothing is dropped for
+    * lateness. `static` is BY-NAME and re-resolved at every batch, so a
+    * slowly-changing static side (new history files landing between
+    * batches) takes effect from the next batch onward — pass
+    * `spark.read.parquet(dir)` and each batch re-lists the directory.
+    * Already-written batches are never retroactively updated; note the
+    * flip side: a batch REPLAYED from the checkpoint after a static
+    * update recomputes against the current snapshot (per-batch-id
+    * overwrite keeps the sink consistent either way). A run that needs
+    * frozen history passes an immutable snapshot instead.
     */
   def asofEnrich(
       stream: DataFrame,
-      static: DataFrame,
+      static: => DataFrame,
       streamKey: String,
       streamTime: String,
       staticKey: String,
@@ -84,16 +99,17 @@ object StreamJoins {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val b = batch.toDF()
+        val b  = batch.toDF()
+        val st = static // re-resolve the slowly-changing side once per batch
         graft.plans.AsofJoinOps
-          .asof(b, static,
+          .asof(b, st,
             b.col(streamKey), b.col(streamTime),
-            static.col(staticKey), static.col(staticTime), static.col(staticTie),
+            st.col(staticKey), st.col(staticTime), st.col(staticTie),
             leftOuter = leftOuter)
           // the join key appears on both sides; drop the static one BY
           // EXPRESSION ID (name-based drop would be ambiguous). Any other
           // name collision is the caller's to alias, as in asof itself.
-          .drop(static.col(staticKey))
+          .drop(st.col(staticKey))
           // idempotent sink: overwrite THIS batch's partition directory —
           // a mid-write failure + retry replaces the partial output
           // instead of double-appending it

@@ -115,4 +115,40 @@ class StreamJoinsSpec extends AnyFunSuite with SparkSpec {
     // sym 2's first price -> outer null; trade 12 (t=90) -> price 101
     assert(rows == Map(10L -> Some(100L), 11L -> None, 12L -> Some(101L)), rows.toString)
   }
+
+  test("as-of enrich across batch boundaries: late static rows apply from the next batch; late stream rows always enrich") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp       = java.nio.file.Files.createTempDirectory("graft-asof-late").toString
+    val staticDir = s"$tmp/prices"
+    // era 1 on disk before the stream starts
+    Seq((1L, ts(0), 100L)).toDF("sym", "price_ts", "price_id")
+      .write.parquet(staticDir)
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val query = StreamJoins.asofEnrich(
+      input.toDF().toDF("trade_id", "sym", "ts"),
+      spark.read.parquet(staticDir), // by-name: re-resolved (re-listed) per batch
+      streamKey = "sym", streamTime = "ts",
+      staticKey = "sym", staticTime = "price_ts", staticTie = "price_id",
+      sink = s"$tmp/out", checkpoint = s"$tmp/ckpt"
+    )
+    input.addData((10L, 1L, ts(90)))
+    query.processAllAvailable() // batch 1: only era 1 exists -> price 100
+    // a LATE static row lands between batches: a newer price era at ts(60)
+    // that (retroactively) precedes trade 10's event time
+    Seq((1L, ts(60), 101L)).toDF("sym", "price_ts", "price_id")
+      .write.mode("append").parquet(staticDir)
+    // batch 2 carries a LATE stream row — event time OLDER than batch 1's —
+    // plus a replay-shaped twin of trade 10's event time
+    input.addData((11L, 1L, ts(30)), (12L, 1L, ts(90)))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.read.parquet(s"$tmp/out")
+      .select("trade_id", "price_id").as[(Long, Option[Long])].collect().toMap
+    // trade 10 keeps its batch-1 answer (era 2 had not landed; already-
+    // written batches are never retroactively updated); trade 11's late
+    // event time enriches fine (no watermark drops it) against era 1;
+    // trade 12 — same event time as trade 10, processed after the late
+    // static row — sees era 2: the snapshot is per BATCH, not per stream
+    assert(rows == Map(10L -> Some(100L), 11L -> Some(100L), 12L -> Some(101L)), rows.toString)
+  }
 }
