@@ -99,6 +99,31 @@ object MediaQueries {
         )
         .orderBy(col("media_id"), col("window_no"))),
 
+    // REAL VIDEO-PIXEL PATH end to end: the corpus rows are complete
+    // raw-DIB RIFF/AVI files (real avih/strh/strf headers, bottom-up
+    // padded BGR frame chunks), container-walked and frame-decoded by
+    // AviCodec, each frame fit into 8px and resampled nearest-neighbor —
+    // and the RESAMPLED FRAME BYTES are value-checked: the oracle replays
+    // the per-frame pixel formula through the same integer index map and
+    // hashes the identical byte sequence. A wrong stride unpad, row order,
+    // BGR swap, frame order, or avih cadence changes the output.
+    "q128_video_pixels" -> ((s, dir) =>
+      MediaPipeline
+        .videoFramePixels(MediaPipeline.mediaWithVideoFrames(s, dir), maxSide = 8)
+        .select(
+          col("media_id"),
+          col("frame_no").cast("long").as("frame_no"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("us_per_frame").cast("long").as("us_per_frame"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_width").cast("long").as("out_width"),
+          col("out_height").cast("long").as("out_height"),
+          col("out_len").cast("long").as("out_len"),
+          col("px_hash")
+        )
+        .orderBy(col("media_id"), col("frame_no"))),
+
     // UNIFIED resize stage, BOTH paths gated BY VALUE: the corpus mixes
     // complete real-pixel files (mediaWithPixels — PNG/BMP rows that
     // decode, fit, and resample through PixelCodec; real_decode=1) with
@@ -286,6 +311,37 @@ object MediaQueries {
         |                AND ((prev >= 0) <> (smp >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
         |  round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)), 4) AS rms
         |FROM lagd GROUP BY media_id, wno ORDER BY media_id, window_no""".stripMargin,
+    // The video gate: rebuild each frame's formula pixels, apply the SAME
+    // integer fit + nearest-neighbor index map as q115, and hash the
+    // resampled byte sequence per frame — the Spark side must recover
+    // exactly these bytes from the real AVI containers (stride unpad, BGR
+    // swap, bottom-up flip, frame-chunk order) to match.
+    "q128_video_pixels" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 3 + doc_id % 14 AS w, 3 + (doc_id * 5) % 14 AS h,
+        |         2 + doc_id % 4 AS nf, 1000000 // (5 + doc_id % 10) AS uspf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        | s AS (SELECT media_id, w, h, nf, uspf, greatest(w, h) AS longest FROM m),
+        | d AS (
+        |  SELECT media_id, w, h, nf, uspf,
+        |    CASE WHEN longest <= 8 THEN w ELSE greatest(1, (w * 8 + longest - 1) // longest) END AS w2,
+        |    CASE WHEN longest <= 8 THEN h ELSE greatest(1, (h * 8 + longest - 1) // longest) END AS h2
+        |  FROM s),
+        | f AS (SELECT media_id, w, h, nf, uspf, w2, h2, unnest(range(0, nf)) AS fno FROM d),
+        | p AS (
+        |  SELECT media_id, fno, nf, uspf, w, h, w2, h2,
+        |    flatten(list_transform(range(0, h2), y2 ->
+        |      flatten(list_transform(range(0, w2), x2 ->
+        |        list_transform(range(0, 3), c ->
+        |          ((media_id * 31 + fno * 17 + ((x2 * w) // w2) * 7 + ((y2 * h) // h2) * 13 + c * 5) % 256)::BIGINT))))) AS bl
+        |  FROM f)
+        |SELECT media_id, fno::BIGINT AS frame_no, nf::BIGINT AS n_frames,
+        |  uspf::BIGINT AS us_per_frame,
+        |  w::BIGINT AS width, h::BIGINT AS height,
+        |  w2::BIGINT AS out_width, h2::BIGINT AS out_height,
+        |  (w2 * h2 * 3)::BIGINT AS out_len,
+        |  list_reduce(list_prepend(0::BIGINT, bl), (a, c) -> (a * 31 + c) % 2147483647) AS px_hash
+        |FROM p ORDER BY media_id, frame_no""".stripMargin,
     // Real rows: the q115 formula-pixel replay at maxSide=10. Stub rows:
     // the q60 header byte lists (PNG 29, GIF 13, JPEG 39, BMP 50 bytes)
     // subsampled every k-th byte; both payloads hashed with the shared
