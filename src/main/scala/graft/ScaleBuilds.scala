@@ -34,6 +34,10 @@ object ScaleBuilds {
         graft.queries.DedupQueries.memoBuildPlan(spark, sfDir).count()),
       "kmeans_refine_build" -> (() =>
         graft.queries.SimilarityQueries.refineBuildPlan(spark, sfDir).count()),
+      "kmeans_adaptive_build" -> (() =>
+        // q129's k ∝ n refinement — the build whose cluster count grows
+        // with the corpus, keeping the downstream pair scan linear
+        graft.queries.SimilarityQueries.adaptiveBuildPlan(spark, sfDir).count()),
       "cc_min_label" -> { () =>
         // the full edge derivation + iterative CC, un-memoized (q47's machinery)
         val scored = graft.queries.DedupQueries.memoBuildPlan(spark, sfDir)

@@ -41,6 +41,7 @@ object SimilarityQueries {
   private val QuantScale   = 16777216.0 // 2^24 — exact float-mantissa shift (q51 centroids)
   private val KmeansIters  = 2 // q116 Lloyd refinement rounds (fixed — no driver convergence loop)
   private val SemDedupCos  = 0.35 // q124 within-cluster semantic-dup threshold
+  private val AdaptiveBlock = 50 // q129 target rows per learned cluster (k = ceil(n/B))
 
   /** Hyperplane p as a literal ±1 array — the identical md5-parity formula
     * the oracle evaluates in SQL, here over literals so Catalyst constant-
@@ -72,33 +73,63 @@ object SimilarityQueries {
     * plan would trivially satisfy any gate) — the dedup family's
     * `memoBuildPlan` pattern.
     */
+  /** Quantized-mean centroids of `assignment` over `e` — exact
+    * order-independent BIGINT sums (the 2^24 mantissa shift) so both
+    * engines accumulate identically.
+    */
+  private def centroidsOf(e: DataFrame, assignment: DataFrame): DataFrame =
+    e.join(assignment, Seq("vec_id"))
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * QuantScale)).as("sq"), count(lit(1)).as("n"))
+      .withColumn("c", col("sq").cast("double") / QuantScale / col("n"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cluster"), transform(col("pc"), _.getField("c")).as("centroid"))
+
+  /** Max-cosine re-assignment of every vector to the broadcast centroid
+    * set (ties to the least cluster id) — one argmax row per vector BEFORE
+    * the exchange, so the fan-out collapses map-side.
+    */
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
+    Tables
+      .spread(e, col("vec_id"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", round(cosineFast(col("embedding"), col("centroid")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cluster")).cast("long").as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster"))
+
+  /** `iters` Lloyd rounds from `init` (vec_id, cluster). */
+  private def lloyd(e: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var asg = init
+    for (_ <- 1 to iters) asg = assignTo(e, centroidsOf(e, asg))
+    asg
+  }
+
   def refineBuildPlan(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"), col("embedding"))
-
-    def centroidsOf(assignment: DataFrame): DataFrame =
-      e.join(assignment, Seq("vec_id"))
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(floor(col("v").cast("double") * QuantScale)).as("sq"), count(lit(1)).as("n"))
-        .withColumn("c", col("sq").cast("double") / QuantScale / col("n"))
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("cluster"), transform(col("pc"), _.getField("c")).as("centroid"))
-
-    def assign(cents: DataFrame): DataFrame =
-      Tables
-        .spread(e, col("vec_id"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cos", round(cosineFast(col("embedding"), col("centroid")), 6))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("cos"), (-col("cluster")).cast("long").as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("cluster"))
-
-    var asg = e.select(col("vec_id"), col("label").cast("long").as("cluster"))
-    for (_ <- 1 to KmeansIters) asg = assign(centroidsOf(asg))
+    val e   = Tables.embeddings(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+    val asg = lloyd(e, e.select(col("vec_id"), col("label").cast("long").as("cluster")), KmeansIters)
     e.select(col("vec_id"), col("label").cast("long").as("init_label"))
       .join(asg, Seq("vec_id"))
       .select(col("vec_id"), col("init_label"), col("cluster"))
+  }
+
+  /** The SCALE-ADAPTIVE refinement DAG — the production remedy for the
+    * fixed-k quadratic SCALE.md documents on q124/q45: those block on the
+    * corpus's FIXED label set, so 10× rows means 10× per block and ~100×
+    * candidate pairs. Here k = ⌈n / [[AdaptiveBlock]]⌉ GROWS with the
+    * corpus (init: vec_id mod k — deterministic, oracle-replayable), then
+    * the same Lloyd rounds learn real cluster structure, so within-cluster
+    * pair cost stays Σ block² ≈ n · B — linear in n at every scale. The
+    * single driver touchpoint is one bounded `count()` scalar (the RankOps
+    * pattern); everything else is the q116 machinery unchanged.
+    */
+  def adaptiveBuildPlan(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+    val n = e.count() // bounded driver scalar: one long, any corpus size
+    val k = math.max(1L, (n + AdaptiveBlock - 1) / AdaptiveBlock)
+    lloyd(e, e.select(col("vec_id"), (col("vec_id") % k).cast("long").as("cluster")), KmeansIters)
   }
 
   /** SESSION MEMO of the refined assignment table (vec_id, init_label,
@@ -113,6 +144,37 @@ object SimilarityQueries {
       refineBuildPlan(s, dir).write.parquet(s"$b/asg")
     }
     s.read.parquet(s"$base/asg")
+  }
+
+  /** Session memo of [[adaptiveBuildPlan]]'s (vec_id, cluster) table —
+    * same treatment as the label-seeded refinement.
+    */
+  private def adaptiveAssignment(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.sources.SessionMemo.dir(s, "kmeans_adaptive", dir) { b =>
+      adaptiveBuildPlan(s, dir).write.parquet(s"$b/asg")
+    }
+    s.read.parquet(s"$base/asg")
+  }
+
+  /** The SemDeDup prune shared by q124/q129: exact within-cluster cosine
+    * over `asg`'s blocks, drop the higher vec_id of every pair above
+    * threshold, return the keep-list.
+    */
+  private def semanticPrune(e: DataFrame, asg: DataFrame): DataFrame = {
+    val withC = e.join(asg, Seq("vec_id")).select(col("cluster"), col("vec_id"), col("embedding"))
+    val losers = withC
+      .select(col("cluster"), col("vec_id").as("ia"), col("embedding").as("ea"))
+      .join(
+        withC.select(col("cluster"), col("vec_id").as("ib"), col("embedding").as("eb")),
+        Seq("cluster"))
+      .filter(col("ia") < col("ib"))
+      .repartition(col("ia"), col("ib")) // spread pair scoring beyond n_clusters partitions
+      .filter(round(cosineFast(col("ea"), col("eb")), 6) >= SemDedupCos)
+      .select(col("ib").as("vec_id"))
+      .distinct()
+    e.select(col("vec_id"), col("label"))
+      .join(losers, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -429,24 +491,21 @@ object SimilarityQueries {
     // (not the stored label — the refinement is the point: vectors that
     // moved now block with their true neighbors) with q45's bounded
     // Σ cluster² pair scan.
-    "q124_semantic_dedup" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val asg = refinedAssignment(s, dir).select(col("vec_id"), col("cluster"))
-      val withC = e.join(asg, Seq("vec_id")).select(col("cluster"), col("vec_id"), col("embedding"))
-      val losers = withC
-        .select(col("cluster"), col("vec_id").as("ia"), col("embedding").as("ea"))
-        .join(
-          withC.select(col("cluster"), col("vec_id").as("ib"), col("embedding").as("eb")),
-          Seq("cluster"))
-        .filter(col("ia") < col("ib"))
-        .repartition(col("ia"), col("ib")) // spread pair scoring beyond n_clusters partitions
-        .filter(round(cosineFast(col("ea"), col("eb")), 6) >= SemDedupCos)
-        .select(col("ib").as("vec_id"))
-        .distinct()
-      e.select(col("vec_id"), col("label"))
-        .join(losers, Seq("vec_id"), "left_anti")
-        .orderBy(col("vec_id"))
-    }),
+    "q124_semantic_dedup" -> ((s, dir) =>
+      semanticPrune(
+        Tables.embeddings(s, dir),
+        refinedAssignment(s, dir).select(col("vec_id"), col("cluster")))),
+
+    // SCALE-ADAPTIVE SemDeDup — the k ∝ n remedy for the fixed-k
+    // quadratic (SCALE.md findings): cluster count grows as ⌈n/B⌉, so the
+    // within-cluster pair scan stays linear in corpus size while the
+    // Lloyd rounds still learn real structure from the hash-seeded init.
+    // Same prune, same output contract as q124 — only the blocking
+    // structure scales.
+    "q129_semantic_dedup_adaptive" -> ((s, dir) =>
+      semanticPrune(
+        Tables.embeddings(s, dir),
+        adaptiveAssignment(s, dir).select(col("vec_id"), col("cluster")))),
 
     // Sign-random-projection LSH near-dup: 8 deterministic ±1 hyperplanes
     // (md5-derived, engine-portable), bucket by the 8-bit sign signature,
@@ -679,6 +738,27 @@ object SimilarityQueries {
     "q124_semantic_dedup" ->
       (vecCte +
         s""", a0 AS (SELECT vec_id, label::BIGINT AS cluster FROM embeddings),
+           |${kmeansIterSql("a0", "a1")},
+           |${kmeansIterSql("a1", "a2")},
+           | losers AS (
+           |  SELECT DISTINCT b.vec_id FROM v a
+           |  JOIN a2 ca ON ca.vec_id = a.vec_id
+           |  JOIN a2 cb ON cb.cluster = ca.cluster
+           |  JOIN v b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+           |  WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $SemDedupCos)
+           |SELECT vec_id, label FROM v
+           |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+           |ORDER BY vec_id""".stripMargin),
+    // The adaptive chain: k computed from the corpus size in SQL exactly
+    // as the Spark side's bounded count() scalar, mod-k init, then the
+    // same two unrolled Lloyd iterations and pair prune as q124.
+    "q129_semantic_dedup_adaptive" ->
+      (vecCte +
+        s""", a0 AS (
+           |  SELECT vec_id,
+           |    vec_id % (SELECT greatest(1, (count(*) + ${AdaptiveBlock - 1}) // $AdaptiveBlock)
+           |              FROM embeddings) AS cluster
+           |  FROM embeddings),
            |${kmeansIterSql("a0", "a1")},
            |${kmeansIterSql("a1", "a2")},
            | losers AS (

@@ -217,4 +217,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan.take(800))
     assert(!plan.contains("collect_list"), plan.take(800))
   }
+
+  test("q129 adaptive SemDeDup prunes via equi joins only (no all-pairs anywhere)") {
+    // the registered query (memoized assignment + pair prune): candidate
+    // pairs come from an equi self-join on the learned cluster — a
+    // cartesian/NL join here would be the quadratic this query exists to
+    // avoid
+    val plan = executedPlan("q129_semantic_dedup_adaptive")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("adaptive k-means build: the only nested-loop is the broadcast centroid table") {
+    // the build DAG crossJoins each vector against the BROADCAST k-row
+    // centroid set (k = ceil(n/B) — bounded rows, never the corpus); any
+    // other NL/cartesian join would pair corpus against corpus
+    val plan = SimilarityQueries
+      .adaptiveBuildPlan(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    val nl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nl >= 1, "expected the broadcast centroid crossJoin:\n" + plan.take(800))
+    // every nested-loop input is a broadcast exchange (centroids), so the
+    // stream side scans the corpus exactly once per Lloyd round
+    assert("BroadcastExchange".r.findAllIn(plan).size >= nl, plan.take(800))
+  }
 }
