@@ -186,4 +186,58 @@ object GraphOps {
       )
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
+
+  /** PageRank-style link centrality with EXACT integer arithmetic — ranks
+    * are maintained as `scale`-scaled BIGINTs and every step uses integer
+    * division (`div` here, `//` in the DuckDB oracle), so two engines
+    * iterating independently land on bit-identical ranks: the sketch-family
+    * treatment (exact-twin) applied to an iterative graph operator.
+    *
+    * Per round, every vertex's rank splits evenly across its out-edges and
+    * `r' = (15·scale)/(100·n) + (85·Σ contrib)/100` — the standard 0.85
+    * damping as an integer ratio. Dangling mass is NOT redistributed (both
+    * engines agree; documented deviation from the canonical eigenvector —
+    * this is a centrality SIGNAL, not a stochastic matrix solve).
+    *
+    * Scale shape: each round is one equi join (ranks→edges on src) + one
+    * shuffled sum on dst + one left join back to vertices — all key-
+    * partitioned, nothing driver-side except the one bounded `count()`
+    * scalar for n. Fixed `iters` keeps the plan finite; a production run
+    * adds the convergence-scalar loop of [[connectedComponents]].
+    *
+    * @param vertices one column `id`
+    * @param edges    columns `src`, `dst` — DIRECTED; pass both directions
+    *                 for an undirected graph
+    * @return (`id`, `rank`) — rank in units of 1/`scale`
+    */
+  def pageRank(
+      vertices: DataFrame,
+      edges: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L
+  ): DataFrame = {
+    val n = vertices.count() // bounded driver scalar, any graph size
+    require(n > 0, "pageRank needs at least one vertex")
+    require(iters >= 0 && iters <= 20, s"iters=$iters out of the fixed-unroll range")
+    val base = (15L * scale) / (100L * n)
+    // out-degree rides WITH each edge so the per-round contribution is a
+    // narrow projection after one join (no second deg join per round).
+    // No persist: callers feed materialized (memo/parquet) edges, and
+    // identical deg subtrees reuse their exchange within one job — keeping
+    // this operator cache-neutral (CacheHygieneSpec's contract).
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val out = edges.join(deg, Seq("src"))
+    var pr  = vertices.select(col("id"), lit(scale / n).as("r"))
+    for (_ <- 1 to iters) {
+      val in = out
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+      pr = vertices
+        .join(in.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+    }
+    pr.select(col("id"), col("r").as("rank"))
+  }
 }

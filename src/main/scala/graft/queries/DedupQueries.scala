@@ -28,6 +28,8 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   private val JaccardThreshold = 0.5
+  private val PrScale          = 1000000000000L // q131 rank units (1/scale) — exact BIGINT arithmetic
+  private val PrIters          = 3 // q131 fixed PageRank rounds (oracle unrolls the same chain)
   private val NumHashes        = 8 // MinHash signature length
   private val RowsPerBand      = 2 // → 4 bands; P(candidate | j=0.9) ≈ 0.999
   private val HammingMax       = 3 // q48 near-dup bound on fingerprint Hamming distance
@@ -405,6 +407,25 @@ object DedupQueries {
     // min-label propagation; distributed joins per round, only the
     // convergence scalar on the driver) and materializes the result.
     "q47_dedup_components" -> ((s, dir) => shared(s, dir).comp.orderBy(col("doc_id"))),
+
+    // LINK CENTRALITY over the near-dup graph — PageRank with EXACT
+    // integer arithmetic (GraphOps.pageRank: scale-scaled BIGINT ranks,
+    // integer division at every step), so the iterative operator itself is
+    // hash-checked against an independently-unrolled DuckDB chain — the
+    // exact-twin treatment the sketch family gets, applied to a graph
+    // algorithm. The signal: documents central to large duplication
+    // clusters (template hubs) stand out from chain peripheries, a
+    // canonical-selection input alongside q99's quality struct-max.
+    "q131_dedup_pagerank" -> ((s, dir) => {
+      val e1 = shared(s, dir).scored
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      val edges = e1.union(e1.select(col("dst"), col("src")).toDF("src", "dst"))
+      graft.operators.GraphOps
+        .pageRank(Tables.documents(s, dir).select(col("doc_id").as("id")), edges, PrIters, PrScale)
+        .select(col("id").as("doc_id"), col("rank"))
+        .orderBy(col("doc_id"))
+    }),
 
     // DUP-CLUSTER SIZE HISTOGRAM — the summary a curation run reads before
     // acting on the components table: how many near-dup clusters exist at
@@ -850,6 +871,20 @@ object DedupQueries {
            |  round(abs(e.est_jac - coalesce(j.jac, 0.0)), 4) AS err
            |FROM est e LEFT JOIN jac j USING (ia, ib) ORDER BY ia, ib""".stripMargin),
     "q47_dedup_components" -> componentsOracle,
+    // The same verified edge set, then 3 PageRank rounds unrolled with
+    // IDENTICAL integer arithmetic (// here, div on the Spark side) —
+    // bit-identical BIGINT ranks or the hash gate fails.
+    "q131_dedup_pagerank" ->
+      (shingleCte +
+        s""", dup AS (SELECT j.ia, j.ib FROM jac j JOIN cand USING (ia, ib) WHERE j.jac >= $JaccardThreshold),
+           | e2 AS (SELECT ia AS src, ib AS dst FROM dup UNION ALL SELECT ib, ia FROM dup),
+           | nn AS (SELECT count(*) AS n FROM documents),
+           | deg AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
+           | pr0 AS (SELECT doc_id, (SELECT $PrScale // n FROM nn) AS r FROM documents),
+           |${prIterSql("pr0", "pr1")},
+           |${prIterSql("pr1", "pr2")},
+           |${prIterSql("pr2", "pr3")}
+           |SELECT doc_id, r AS rank FROM pr3 ORDER BY doc_id""".stripMargin),
     // q49 computes the identical ground truth through a different
     // distributed algorithm — same oracle on purpose
     "q49_dedup_components_stars" -> componentsOracle,
@@ -904,6 +939,21 @@ object DedupQueries {
          |            THEN 0.5 ELSE 1.0 END)
          |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
          |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4)""".stripMargin
+
+  /** One unrolled PageRank round for q131's oracle: per-vertex
+    * contribution `r // deg` summed over incoming edges, then
+    * `base + (85·Σ) // 100` — the exact integer chain
+    * [[graft.operators.GraphOps.pageRank]] iterates.
+    */
+  private def prIterSql(in: String, out: String): String =
+    s""" $out AS (
+       |  SELECT d.doc_id,
+       |    CAST((SELECT (15 * $PrScale) // (100 * n) FROM nn)
+       |         + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+       |  FROM documents d LEFT JOIN (
+       |    SELECT e2.dst, sum(p.r // g.deg) AS c
+       |    FROM $in p JOIN deg g ON g.src = p.doc_id JOIN e2 ON e2.src = p.doc_id
+       |    GROUP BY e2.dst) s ON s.dst = d.doc_id)""".stripMargin
 
   /** Shared transitive-closure CTE ending in `comp(doc_id, rep_id)` —
     * DuckDB recursive reachability over the verified near-dup pairs, min

@@ -110,4 +110,50 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(err.getMessage.contains("connectedComponentsStars"), err.getMessage)
   }
+
+  /** Reference PageRank: the identical integer recurrence computed locally
+    * — hubs, dangling nodes, and asymmetric degrees all exercised, so the
+    * distributed joins are checked where the corpus graph (mostly
+    * symmetric pairs) cannot reach.
+    */
+  private def localPageRank(
+      nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int, scale: Long): Map[Long, Long] = {
+    val n    = nodes.size
+    val base = (15L * scale) / (100L * n)
+    val deg  = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r    = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges
+        .groupBy(_._2)
+        .map { case (d, es) => d -> es.map { case (s, _) => r(s) / deg(s) }.sum }
+      r = nodes.map(v => v -> (base + (85L * in.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the exact integer recurrence on a hub/dangling/asymmetric graph") {
+    // 1 is a hub (out-deg 3), 5 is dangling (no out-edges), 4 receives from
+    // two different-degree sources, 6 is isolated — every formula branch
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L), (3L, 1L), (4L, 5L))
+    val got = GraphOps
+      .pageRank(nodes.toDF("id"), edges.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val want = localPageRank(nodes, edges, 3, 1000000000000L)
+    assert(got == want, s"got $got\nwant $want")
+    // non-vacuous: the graph produces at least 4 distinct ranks
+    assert(got.values.toSet.size >= 4)
+  }
+
+  test("pageRank on an empty edge set gives every vertex the damped base rank") {
+    val got = GraphOps
+      .pageRank((1L to 4L).toDF("id"), Seq.empty[(Long, Long)].toDF("src", "dst"), iters = 2)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val base = (15L * 1000000000000L) / (100L * 4)
+    assert(got == Map(1L -> base, 2L -> base, 3L -> base, 4L -> base))
+  }
 }
