@@ -27,6 +27,9 @@ import org.apache.spark.sql.functions._
 object TemporalJoinQueries {
 
   private val RangeDays = 7
+  private val HeavyQty           = 45 // q130 left-side selectivity (~12% of lineitem)
+  private val OverlapWindowDays  = 14 // q130 urgent-order attention window
+  private val OverlapBucketDays  = 32 // q130 blocking width (~typical interval length)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: latest order at-or-before each event, per user.
@@ -250,6 +253,42 @@ object TemporalJoinQueries {
           (sum(round(col("p2") * 100).cast("long")).cast("double") / 100.0).as("followup_total")
         )
         .orderBy(col("ck"))
+    }),
+
+    // UNKEYED interval-overlap join at scale: heavy-quantity shipments in
+    // transit [shipdate, receiptdate] × urgent-order attention windows
+    // [orderdate, +14d] — no shared key, so a naive plan is the full cross
+    // product under a range predicate (nested loop). IntervalOps buckets
+    // both interval sets into 32-day blocks and equi-joins on the block
+    // id, counting each overlapping pair exactly once in the bucket where
+    // the overlap starts (no distinct). Output: per urgent order, how many
+    // heavy shipments were in transit during its window and the summed
+    // overlap days — the "what was competing for logistics attention"
+    // report.
+    "q130_interval_overlap_join" -> ((s, dir) => {
+      val li = Tables
+        .lineitem(s, dir)
+        .filter(col("l_quantity") >= HeavyQty)
+        .select(
+          unix_date(to_date(col("l_shipdate"))).cast("long").as("ls"),
+          // the harness lineitem carries no receiptdate — transit length is
+          // a deterministic linenumber formula (5–29 days), oracle-mirrored
+          (unix_date(to_date(col("l_shipdate"))) + lit(1) + col("l_linenumber") * 4)
+            .cast("long").as("le"))
+      val ord = Tables
+        .orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(
+          col("o_orderkey"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("rs"),
+          (unix_date(to_date(col("o_orderdate"))) + OverlapWindowDays).cast("long").as("re"))
+      graft.operators.IntervalOps
+        .overlapJoin(li, "ls", "le", ord, "rs", "re", width = OverlapBucketDays)
+        .groupBy(col("o_orderkey"))
+        .agg(
+          count(lit(1)).as("n_transit"),
+          sum(least(col("le"), col("re")) - greatest(col("ls"), col("rs")) + 1).as("overlap_days"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -375,6 +414,23 @@ object TemporalJoinQueries {
          |  ON a.o_custkey = b.o_custkey
          |  AND b.o_orderdate > a.o_orderdate
          |  AND b.o_orderdate <= a.o_orderdate + INTERVAL $RangeDays DAYS
-         |GROUP BY a.o_custkey ORDER BY ck""".stripMargin
+         |GROUP BY a.o_custkey ORDER BY ck""".stripMargin,
+    // Independent formulation: the plain overlap predicate join (DuckDB
+    // plans it as an IEJoin) — the bucketed Spark plan must reproduce the
+    // exactly-once pair semantics or counts drift.
+    "q130_interval_overlap_join" ->
+      s"""WITH l AS (
+         |  SELECT (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS ls,
+         |         (l_shipdate::DATE - DATE '1970-01-01')::BIGINT + 1 + l_linenumber * 4 AS le
+         |  FROM lineitem WHERE l_quantity >= $HeavyQty),
+         | r AS (
+         |  SELECT o_orderkey,
+         |         (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS rs,
+         |         (o_orderdate::DATE - DATE '1970-01-01')::BIGINT + $OverlapWindowDays AS re
+         |  FROM orders WHERE o_orderpriority = '1-URGENT')
+         |SELECT o_orderkey, count(*) AS n_transit,
+         |  CAST(sum(least(le, re) - greatest(ls, rs) + 1) AS BIGINT) AS overlap_days
+         |FROM l JOIN r ON ls <= re AND rs <= le
+         |GROUP BY 1 ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -218,6 +218,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("collect_list"), plan.take(800))
   }
 
+  test("q130 interval overlap joins on the bucket id (equi join, never a nested loop)") {
+    // the raw overlap predicate has no equi key — an unbucketed plan would
+    // be BroadcastNestedLoopJoin/CartesianProduct over |L|x|R|; the bucket
+    // blocking must surface as a hash/sort-merge equi join
+    val plan = executedPlan("q130_interval_overlap_join")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(plan.contains("_bucket"), "bucket key missing from the join:\n" + plan.take(800))
+  }
+
   test("q129 adaptive SemDeDup prunes via equi joins only (no all-pairs anywhere)") {
     // the registered query (memoized assignment + pair prune): candidate
     // pairs come from an equi self-join on the learned cluster — a
