@@ -187,6 +187,18 @@ object CurationQueries {
         .select(col("doc_id"), col("quality"), col("rank"))
         .orderBy(col("rank"))),
 
+    // ONE-PASS COLUMN PROFILING (ProfileOps) — the ingestion health report:
+    // per column, rows / nulls / EXACT distincts / lexicographic min-max /
+    // total value length, all from one scan and two keyed exchanges
+    // regardless of column count. `lang_non_en` (nullif) puts real nulls
+    // under the gate — the base corpus is null-free.
+    "q132_profile" -> ((s, dir) =>
+      graft.operators.ProfileOps.profile(
+        Tables
+          .documents(s, dir)
+          .withColumn("lang_non_en", when(col("lang") =!= "en", col("lang"))),
+        Seq("doc_id", "lang", "source", "n_chars", "lang_non_en"))),
+
     // Exact interpolated percentiles per event type (Spark `percentile` ==
     // DuckDB `quantile_cont`, both linear interpolation over sorted values).
     "q36_percentiles" -> ((s, dir) =>
@@ -213,7 +225,27 @@ object CurationQueries {
          |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
          |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4)""".stripMargin
 
+  /** One profile row in DuckDB for `expr` labeled `name` — the q132 twin
+    * of a [[graft.operators.ProfileOps.profile]] column.
+    */
+  private def profileColSql(name: String, expr: String): String =
+    s"""SELECT '$name' AS column_name, count(*)::BIGINT AS n_rows,
+       |  (count(*) - count(v))::BIGINT AS n_null,
+       |  count(DISTINCT v)::BIGINT AS n_distinct,
+       |  min(v) AS min_v, max(v) AS max_v,
+       |  coalesce(CAST(sum(length(v)) AS BIGINT), 0) AS total_len
+       |FROM (SELECT CAST($expr AS VARCHAR) AS v FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q132_profile" ->
+      (Seq(
+        "doc_id"      -> "doc_id",
+        "lang"        -> "lang",
+        "source"      -> "source",
+        "n_chars"     -> "n_chars",
+        "lang_non_en" -> "nullif(lang, 'en')"
+      ).map { case (n, e) => profileColSql(n, e) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")),
     "q62_crossmodal_quality" ->
       s"""WITH q AS (
          |  SELECT doc_id, $qualitySql AS q
