@@ -199,6 +199,51 @@ object CurationQueries {
           .withColumn("lang_non_en", when(col("lang") =!= "en", col("lang"))),
         Seq("doc_id", "lang", "source", "n_chars", "lang_non_en"))),
 
+    // MERGEABLE QUANTILE SKETCH — the missing member of the sketch family
+    // (count-min q108, HLL q59/q126, KMV q110): per group, keep the
+    // bottom-K rows by a uniform content hash (md5 of the unique event id)
+    // — an order-invariant, union-mergeable sample, unlike KLL whose
+    // compactions depend on merge order — and read quantiles off the
+    // sorted sample by integer rank ceil(p·n) (no engine percentile
+    // semantics in play). The estimate sits NEXT TO the exact rank pick
+    // from the full data, q100's estimate-vs-exact audit shape, so the
+    // "is K big enough" report ships with the sketch. Deterministic end
+    // to end ⇒ fully hash-checked (the family's engine-private member,
+    // q59, stays rows-only; this one needn't).
+    "q133_quantile_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64 // sample size per group — est error O(1/sqrt(k)) per rank
+      val ev = Tables
+        .events(s, dir)
+        .select(col("event_type"), col("value"),
+          md5(col("event_id").cast("string").cast("binary")).as("h"))
+      val byHash = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val byVal  = Window.partitionBy(col("event_type")).orderBy(col("value"), col("h"))
+      // rank over the bounded sample (≤ K rows per group)
+      val samp = ev
+        .withColumn("rn", row_number().over(byHash))
+        .filter(col("rn") <= k)
+        .withColumn("sr", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      // rank over the full data (the exact side of the audit)
+      val full = ev
+        .withColumn("sr", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      def pick(df: DataFrame, num: Int, den: Int, as: String) =
+        df.filter(col("sr") === expr(s"(($num * n) + $den - 1) div $den"))
+          .groupBy(col("event_type"))
+          .agg(round(min(col("value")), 4).as(as), min(col("n")).as(s"_n_$as"))
+      Seq(
+        pick(samp, 1, 2, "est_p50"), pick(samp, 9, 10, "est_p90"), pick(samp, 99, 100, "est_p99"),
+        pick(full, 1, 2, "ex_p50"), pick(full, 9, 10, "ex_p90"), pick(full, 99, 100, "ex_p99"))
+        .reduce(_.join(_, Seq("event_type")))
+        .select(
+          col("event_type"), col("_n_ex_p50").as("n"), col("_n_est_p50").as("n_samp"),
+          col("est_p50"), col("est_p90"), col("est_p99"),
+          col("ex_p50"), col("ex_p90"), col("ex_p99"))
+        .orderBy(col("event_type"))
+    }),
+
     // Exact interpolated percentiles per event type (Spark `percentile` ==
     // DuckDB `quantile_cont`, both linear interpolation over sorted values).
     "q36_percentiles" -> ((s, dir) =>
@@ -237,6 +282,41 @@ object CurationQueries {
        |FROM (SELECT CAST($expr AS VARCHAR) AS v FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Identical bottom-K-by-md5 sample and integer rank picks, joined wide.
+    "q133_quantile_sketch" -> {
+      def pickSql(src: String, num: Int, den: Int, as: String): String =
+        s""" $as AS (
+           |  SELECT event_type, round(min(value), 4) AS $as, min(n)::BIGINT AS n_$as
+           |  FROM $src WHERE sr = ($num * n + $den - 1) // $den GROUP BY 1)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT event_type, value, md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+         | samp AS (
+         |  SELECT event_type, value, h FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM ev)
+         |  WHERE rn <= 64),
+         | sr AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value, h) AS sr,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM samp),
+         | fr AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value, h) AS sr,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM ev),
+         |${pickSql("sr", 1, 2, "est_p50")},
+         |${pickSql("sr", 9, 10, "est_p90")},
+         |${pickSql("sr", 99, 100, "est_p99")},
+         |${pickSql("fr", 1, 2, "ex_p50")},
+         |${pickSql("fr", 9, 10, "ex_p90")},
+         |${pickSql("fr", 99, 100, "ex_p99")}
+         |SELECT event_type, n_ex_p50 AS n, n_est_p50 AS n_samp,
+         |  est_p50, est_p90, est_p99, ex_p50, ex_p90, ex_p99
+         |FROM est_p50 JOIN est_p90 USING (event_type) JOIN est_p99 USING (event_type)
+         |  JOIN ex_p50 USING (event_type) JOIN ex_p90 USING (event_type)
+         |  JOIN ex_p99 USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
     "q132_profile" ->
       (Seq(
         "doc_id"      -> "doc_id",
