@@ -153,6 +153,40 @@ object EventQueries {
         )
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy(col("cohort_wk"), col("week_no"))
+    }),
+
+    // PER-GROUP OLS REGRESSION (value-vs-day trend per event type) from
+    // EXACT integer sufficient statistics: x centered at the corpus epoch
+    // (2024-01-01 = day 19723 — keeps n·Σxy far from Long range), y
+    // scaled to 1e-4 ticks, and the five sums (n, Σx, Σy, Σx², Σxy)
+    // accumulated as BIGINTs — order-independent, so both engines reach
+    // bit-identical statistics; slope/intercept then derive through an
+    // IDENTICALLY-WRITTEN double expression. One map-side-combined
+    // aggregate: the regression costs what a count(*) costs at any scale.
+    "q134_group_regression" -> ((s, dir) => {
+      val e = Tables
+        .events(s, dir)
+        .select(
+          col("event_type"),
+          (unix_date(to_date(col("ts"))) - lit(19723)).cast("long").as("x"),
+          floor(col("value") * 10000).cast("long").as("ys"))
+      val agg = e
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("ys")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("ys")).as("sxy"))
+      val num      = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val den      = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val slopeRaw = num / den
+      agg
+        .select(
+          col("event_type"),
+          col("n"),
+          round(slopeRaw / 10000.0, 6).as("slope"),
+          round(
+            (col("sy").cast("double") / col("n") - slopeRaw * (col("sx").cast("double") / col("n"))) / 10000.0,
+            6).as("intercept"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -228,6 +262,24 @@ object EventQueries {
         |  date_diff('day', cohort_wk, wk) // 7 AS week_no,
         |  count(DISTINCT e.user_id) AS n_active
         |FROM e JOIN cohort USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_wk, week_no""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort_wk, week_no""".stripMargin,
+    // Identical integer sufficient statistics, identically-written double
+    // derivation — bit-equal slope/intercept or the hash gate fails.
+    "q134_group_regression" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (ts::DATE - DATE '1970-01-01')::BIGINT - 19723 AS x,
+        |    CAST(floor(value * 10000) AS BIGINT) AS ys
+        |  FROM events),
+        | a AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(ys) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * ys) AS BIGINT) AS sxy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) / 10000.0, 6) AS slope,
+        |  round((sy::DOUBLE / n - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)
+        |         * (sx::DOUBLE / n)) / 10000.0, 6) AS intercept
+        |FROM a ORDER BY event_type""".stripMargin
   )
 }
