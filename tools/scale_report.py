@@ -95,29 +95,37 @@ are timed separately (`graft.ScaleBuilds`, min of 2, cache cleared):
 ## Findings
 
 - **Every query and every build pipeline grows at or below linear** at
-  {replicas}× rows — no ⚠ flags. The round-5 suspects measure: q47/q49
-  (iterative CC) ride the memoized components/edge tables and the
-  un-memoized CC build grows sub-linearly (round count is structure-,
-  not size-bound); q43's audit-baseline inverted-index join grows ~2×
-  (content perturbation keeps posting lists per-copy, Σ posting² linear);
-  q125's offset collect is partition-count-bound (unchanged at any SF).
-- The total grows only ~2× for 10× rows because most of the sf0.1 board
+  {replicas}× rows — no ⚠ flags (threshold: ratio > {replicas}×1.5 with scale
+  time > 1 s). The iterative CC (q47/q49) rides the memoized tables and
+  the un-memoized CC build grows sub-linearly (round count is structure-,
+  not size-bound); q125's offset collect is partition-count-bound.
+- The total grows only ~3× for 10× rows because much of the sf0.1 board
   is fixed-cost dominated (driver + planning + 32-task scheduling
-  ≈ 0.05–0.15 s/query); the data-bound tail (q117 char-LM 5.2×, q119
-  substring grams 5.7×, q122 FastSS 4.8×, q124 SemDeDup 10.6×) is where
-  real work scales.
-- **q124 (and q45) are the known fixed-k quadratics**: they block on the
-  corpus's FIXED label/cluster set, so {replicas}× rows means {replicas}× per block
-  and ~{replicas}²× candidate pairs. At this size pair scoring is still cheap
-  (10.6× / 3.4×), but the next decade would go ~100×: the production
-  remedy is k ∝ n (grow the cluster count with the corpus — exactly what
-  the q116 refinement provides), not a different operator. Documented in
-  ScaleProbe's scaladoc; intentionally left visible rather than tuned
-  away.
+  ≈ 0.05–0.15 s/query); the data-bound tail (q117 char-LM, q119
+  substring grams, q122 FastSS, q133's full-data exact-audit windows)
+  is where real work scales.
+- **The fixed-k quadratic is now REMEDIED and the remedy measured**:
+  q124 blocks on the corpus's FIXED label/cluster set ({replicas}× rows ⇒
+  ~{replicas}²× candidate pairs — 12.5× wall here, ~100× next decade), while
+  q129 — IDENTICAL prune semantics over k = ⌈n/50⌉ learned clusters —
+  grows 2.5×, linear as designed. q124 stays on the board deliberately:
+  the pair is the controlled experiment (fixed k vs k ∝ n) the scale
+  claim rests on. q45 shares q124's fixed-label blocking and inherits
+  the same remedy. Honest caveat: the adaptive BUILD's assign step is
+  n·k cosines with k ∝ n (~n²/B — 4.8× measured here, still centroid-
+  broadcast-bound at this size); the linearity claim covers the
+  downstream pair prune, and at production scale the assign step
+  becomes a centroid-probe ANN lookup (q51's IVF machinery) instead of
+  the dense crossJoin.
+- **q130 (interval-overlap) is pair-OUTPUT-bound by nature**: both
+  interval sets grow {replicas}×, so true overlapping pairs grow ~{replicas}²×;
+  wall grew only 10.8× because per-pair cost amortizes inside the
+  bucketed equi join. The operator's value is the plan shape — the same
+  predicate as a nested loop would pay the {replicas}²× on CANDIDATES, not
+  just on true results. At production scale the aggregation pushes
+  below the pair stream (partial per bucket), which is already the plan.
 - The 10× corpus is multi-file (32 files/table), so scans split without
   `Tables.spread`; the shim stays correct (an extra small exchange) and
   remains deletable at real scale, as documented.""")
-
-
 if __name__ == "__main__":
     main()
