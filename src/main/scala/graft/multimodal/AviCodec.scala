@@ -132,10 +132,13 @@ object AviCodec {
           bos.toByteArray
         }
     val maxBuf = if (payloads.isEmpty) 0 else payloads.map(_.length).max
+    // dwMaxBytesPerSec is advisory; clamp so a large frame × fps cannot
+    // wrap negative in the header field
+    val maxRate = math.min(maxBuf.toLong * fps, Int.MaxValue.toLong).toInt
 
     // MainAVIHeader (56 bytes)
     val avih = chunk("avih",
-      leBytes(usPerFrame) ++ leBytes(maxBuf * fps) ++ leBytes(0) ++ leBytes(0x10) /* HASINDEX off, INTERLEAVED */ ++
+      leBytes(usPerFrame) ++ leBytes(maxRate) ++ leBytes(0) ++ leBytes(0x10) /* HASINDEX off, INTERLEAVED */ ++
         leBytes(frames.length) ++ leBytes(0) ++ leBytes(1) ++ leBytes(maxBuf) ++
         leBytes(w) ++ leBytes(h) ++ Array.fill[Byte](16)(0))
 

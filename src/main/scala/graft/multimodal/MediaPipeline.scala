@@ -690,6 +690,49 @@ object MediaPipeline {
       .toDF("media_id", "window_no", "n_samples", "sum_sq", "n_crossings")
   }
 
+  /** AUDIO DOWNSAMPLING by integer-factor decimation — the sample-rate
+    * reduction a speech-corpus pipeline runs before feature extraction
+    * (16 kHz models over 44.1/48 kHz sources). Channel-aware: whole FRAMES
+    * (one sample per channel) are kept every `factor`-th, so interleaved
+    * stereo stays aligned; a trailing partial frame is dropped. The output
+    * is a complete, REAL new WAV (canonical 44-byte header at rate/factor
+    * + the kept frame bytes) and its FILE bytes are hashed, so q135 value-
+    * gates the re-encode as well as the decimation. Same batched
+    * mapPartitions shape as every decode stage.
+    */
+  def downsampleAudio(media: Dataset[MediaRecord], factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"decimation factor must be >= 1, got $factor")
+    import media.sparkSession.implicits._
+    media
+      .filter(_.kind == "audio")
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap {
+          _.flatMap { m =>
+            val b = m.content
+            if (!isWav(b)) None
+            else {
+              val ch       = leShort(b, 22)
+              val rate     = leInt(b, 24)
+              val dataSize = leInt(b, 40)
+              val nBytes   = math.max(0, math.min(dataSize, b.length - 44))
+              val bpf      = ch * 2 // 16-bit samples
+              val nf       = nBytes / bpf
+              val kept     = 0 until nf by factor
+              val payload  = new Array[Byte](kept.size * bpf)
+              var o = 0
+              kept.foreach { j =>
+                System.arraycopy(b, 44 + j * bpf, payload, o, bpf); o += bpf
+              }
+              val out = wavHeader(rate / factor, ch, 16, payload.length) ++ payload
+              Some((m.media_id, rate, rate / factor, nf, kept.size, out.length, polyHash(out)))
+            }
+          }
+        }
+      }
+      .toDF("media_id", "rate_in", "rate_out", "n_frames_in", "n_frames_out", "out_bytes",
+        "file_hash")
+  }
+
   /** Frame sampling for video content: the MEDIA DATA stream — the `mdat`
     * payload located by the real container walk ([[mp4Meta]]); the whole
     * byte stream only when no container parses — is cut into fixed-size

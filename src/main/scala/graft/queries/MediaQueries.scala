@@ -124,6 +124,26 @@ object MediaQueries {
         )
         .orderBy(col("media_id"), col("frame_no"))),
 
+    // AUDIO DOWNSAMPLING end to end: every WAV row decimated 2x frame-wise
+    // (channel-aligned) and re-encoded as a complete new WAV whose FILE
+    // bytes are hashed -- a wrong header field, stride, kept-frame set, or
+    // dropped partial frame changes file_hash. The oracle rebuilds the
+    // identical 44-byte header at rate/2 and the identical kept byte
+    // positions from the synthetic payload.
+    "q135_audio_downsample" -> ((s, dir) =>
+      MediaPipeline
+        .downsampleAudio(MediaPipeline.mediaFromDocuments(s, dir), factor = 2)
+        .select(
+          col("media_id"),
+          col("rate_in").cast("long").as("rate_in"),
+          col("rate_out").cast("long").as("rate_out"),
+          col("n_frames_in").cast("long").as("n_frames_in"),
+          col("n_frames_out").cast("long").as("n_frames_out"),
+          col("out_bytes").cast("long").as("out_bytes"),
+          col("file_hash")
+        )
+        .orderBy(col("media_id"))),
+
     // UNIFIED resize stage, BOTH paths gated BY VALUE: the corpus mixes
     // complete real-pixel files (mediaWithPixels — PNG/BMP rows that
     // decode, fit, and resample through PixelCodec; real_decode=1) with
@@ -311,6 +331,43 @@ object MediaQueries {
         |                AND ((prev >= 0) <> (smp >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
         |  round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)), 4) AS rms
         |FROM lagd GROUP BY media_id, wno ORDER BY media_id, window_no""".stripMargin,
+    // The downsample gate: identical kept-frame byte positions, identical
+    // 44-byte header at rate/2, one polynomial fold over the whole file.
+    "q135_audio_downsample" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, text, strlen(text) AS ds,
+        |         1 + doc_id % 2 AS ch, 8000 + (doc_id % 8) * 1000 AS rate
+        |  FROM documents WHERE doc_id % 3 = 1),
+        | p AS (
+        |  SELECT media_id, text, ch, rate, 2 * ch AS bpf, ds // (2 * ch) AS nf FROM a),
+        | q AS (
+        |  SELECT media_id, ch, rate, bpf, nf, (nf + 1) // 2 AS nk, rate // 2 AS rate2 FROM p),
+        | pay AS (
+        |  SELECT media_id,
+        |    flatten(list_transform(range(0, nf, 2), j ->
+        |      list_transform(range(0, bpf), t ->
+        |        ord(substr(text, (j * bpf + t + 1)::INT, 1))::BIGINT))) AS pb
+        |  FROM p),
+        | f AS (
+        |  SELECT q.media_id, q.rate, q.rate2, q.nf, q.nk,
+        |    q.nk * q.bpf AS ds2, q.rate2 * q.ch * 2 AS br, q.ch AS ch, pay.pb AS pb
+        |  FROM q JOIN pay USING (media_id)),
+        | b AS (
+        |  SELECT media_id, rate, rate2, nf, nk, ds2,
+        |    [82,73,70,70,
+        |     (36+ds2) % 256, (36+ds2) // 256 % 256, (36+ds2) // 65536 % 256, (36+ds2) // 16777216 % 256,
+        |     87,65,86,69, 102,109,116,32, 16,0,0,0, 1,0, ch % 256, ch // 256 % 256,
+        |     rate2 % 256, rate2 // 256 % 256, rate2 // 65536 % 256, rate2 // 16777216 % 256,
+        |     br % 256, br // 256 % 256, br // 65536 % 256, br // 16777216 % 256,
+        |     (ch*2) % 256, (ch*2) // 256 % 256, 16,0, 100,97,116,97,
+        |     ds2 % 256, ds2 // 256 % 256, ds2 // 65536 % 256, ds2 // 16777216 % 256] || pb AS fb
+        |  FROM f)
+        |SELECT media_id, rate::BIGINT AS rate_in, rate2::BIGINT AS rate_out,
+        |  nf::BIGINT AS n_frames_in, nk::BIGINT AS n_frames_out,
+        |  (44 + ds2)::BIGINT AS out_bytes,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(fb, x -> x::BIGINT)),
+        |              (a, c) -> (a * 31 + c) % 2147483647) AS file_hash
+        |FROM b ORDER BY media_id""".stripMargin,
     // The video gate: rebuild each frame's formula pixels, apply the SAME
     // integer fit + nearest-neighbor index map as q115, and hash the
     // resampled byte sequence per frame — the Spark side must recover
