@@ -459,14 +459,102 @@ object TextQueries {
           round(col("sq").cast("double") / lit(PScale) / col("n_tri"), 6).as("avg_p")
         )
         .orderBy(col("doc_id"))
+    }),
+
+    // BM25 TOP-K RETRIEVAL — the IR scoring baseline a corpus pipeline
+    // runs for retrieval-based filtering and eval-set mining. Okapi BM25
+    // (k1=1.2, b=0.75) over the whitespace-token index, 5 fixed queries,
+    // top-10 docs each. Portability engineering (the q117 treatment): the
+    // per-(query,doc,term) summand is QUANTIZED to a 2^40-scaled BIGINT
+    // before the Σ-over-terms shuffle — order-independent integer sums,
+    // so libm ln() ulp variance and float re-association never enter the
+    // ranking; idf itself is pre-quantized to 2^20 so both engines feed
+    // the identical double into the product chain. The doc-length
+    // normalizer rides one broadcast 1-row stats frame (N, total tokens).
+    "q136_bm25_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qterms = {
+        import s.implicits._
+        Bm25Queries.flatMap { case (qid, text) => text.split(" ").map(t => (qid, t)) }
+          .toDF("query_id", "term")
+      }
+      val toks = Tables
+        .spread(Tables.documents(s, dir), col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf  = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl  = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val st = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(toks.agg(count(lit(1)).as("n_toks")))
+      val avgdl = col("n_toks").cast("double") / col("n_docs")
+      val idfQ = floor(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1048576.0)
+      ).cast("long")
+      val tfn = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      val scored = broadcast(qterms)
+        .join(tf, Seq("term"))
+        .join(dfx, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(st))
+        .select(col("query_id"), col("doc_id"),
+          floor((idfQ.cast("double") / lit(1048576.0)) * tfn * lit(PScale)).cast("long").as("sq"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("sq")).as("sq"))
+      scored
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy(col("query_id")).orderBy(col("sq").desc, col("doc_id"))))
+        .filter(col("rnk") <= Bm25TopK)
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+          round(col("sq").cast("double") / lit(PScale), 4).as("score"))
+        .orderBy(col("query_id"), col("rnk"))
     })
   )
+
+  /** q136's fixed retrieval queries — the Scala source of truth the SQL
+    * oracle's VALUES list is generated from (no drift possible).
+    */
+  private val Bm25Queries = Seq(
+    1L -> "hash join order",
+    2L -> "spark window merge",
+    3L -> "slow query filter",
+    4L -> "vector table scan",
+    5L -> "data stream batch"
+  )
+  private val Bm25TopK = 10
 
   private val ChunkSize   = 64
   private val ChunkStride = 48
   private val PScale      = 1099511627776.0 // 2^40 — exact exponent shift (q117 probability quantizer)
 
   val oracles: Map[String, String] = Map(
+    // The same quantized-summand BM25: idf floored at 2^20 so both engines
+    // feed identical doubles into the product chain, per-term summands
+    // floored at 2^40 into an order-independent BIGINT sum.
+    "q136_bm25_topk" -> {
+      val valuesSql = Bm25Queries
+        .flatMap { case (q, t) => t.split(" ").map(w => s"($q, '$w')") }
+        .mkString(", ")
+      raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+           | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+           | dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           | st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT count(*) FROM toks) AS n_toks),
+           | qt(query_id, term) AS (SELECT * FROM (VALUES $valuesSql)),
+           | scored AS (
+           |  SELECT qt.query_id, tf.doc_id,
+           |    CAST(sum(CAST(floor(
+           |      (CAST(floor(ln(1.0 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * 1048576.0) AS BIGINT) / 1048576.0)
+           |      * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (CAST(st.n_toks AS DOUBLE) / st.n_docs))))
+           |      * 1099511627776.0) AS BIGINT)) AS BIGINT) AS sq
+           |  FROM qt JOIN tf USING (term) JOIN dfx USING (term)
+           |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+           |  GROUP BY 1, 2)
+           |SELECT query_id::BIGINT AS query_id, rnk::BIGINT AS rnk, doc_id,
+           |  round(CAST(sq AS DOUBLE) / 1099511627776.0, 4) AS score FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) AS rnk FROM scored)
+           |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    },
     // The same explicit HLL: identical md5 fold, bucket split, rho via
     // binary-string length, dense register table, exact-integer harmonic
     // denominator (pow(2, k) is exact for k ≤ 55), one IEEE cast+division.
