@@ -185,16 +185,20 @@ object AviCodec {
 
   private final case class StreamInfo(
       width: Int, height: Int, usPerFrame: Long, nFrames: Int,
-      bitCount: Int, compression: Int, isVids: Boolean)
+      bitCount: Int, compression: Int, streamNo: Int)
 
   /** Parse `hdrl` for the main header + the FIRST 'vids' stream's
-    * strh/strf. Returns (avih dims/cadence/frame-count, stream format).
+    * strh/strf — remembering that stream's ORDINAL: movi chunk tags carry
+    * the two-digit stream number ('01db' belongs to stream 1), so a
+    * video stream listed after an audio one must not claim stream 0's
+    * frames.
     */
   private def parseHdrl(b: Array[Byte], s: Int, e: Int): Option[StreamInfo] = {
-    var usPf  = 0L
-    var total = 0
-    var w     = 0
-    var h     = 0
+    var usPf    = 0L
+    var total   = 0
+    var w       = 0
+    var h       = 0
+    var strlIdx = -1
     var found: Option[StreamInfo] = None
     val ok = chunks(b, s, e) { (t, cs, ce) =>
       if (t == "avih" && ce - cs >= 40) {
@@ -203,18 +207,21 @@ object AviCodec {
         w = leInt(b, cs + 32)
         h = leInt(b, cs + 36)
       }
-      if (t == "LIST" && ce - cs >= 4 && fourcc(b, cs) == "strl" && found.isEmpty) {
-        var vids  = false
-        var bits  = 0
-        var compr = 0
-        chunks(b, cs + 4, ce) { (t2, s2, e2) =>
-          if (t2 == "strh" && e2 - s2 >= 8) vids = fourcc(b, s2) == "vids"
-          if (t2 == "strf" && e2 - s2 >= 20) {
-            bits = (b(s2 + 14) & 0xff) | ((b(s2 + 15) & 0xff) << 8)
-            compr = leInt(b, s2 + 16)
+      if (t == "LIST" && ce - cs >= 4 && fourcc(b, cs) == "strl") {
+        strlIdx += 1 // every stream advances the ordinal, vids or not
+        if (found.isEmpty) {
+          var vids  = false
+          var bits  = 0
+          var compr = 0
+          chunks(b, cs + 4, ce) { (t2, s2, e2) =>
+            if (t2 == "strh" && e2 - s2 >= 8) vids = fourcc(b, s2) == "vids"
+            if (t2 == "strf" && e2 - s2 >= 20) {
+              bits = (b(s2 + 14) & 0xff) | ((b(s2 + 15) & 0xff) << 8)
+              compr = leInt(b, s2 + 16)
+            }
           }
+          if (vids) found = Some(StreamInfo(w, h, usPf, total, bits, compr, strlIdx))
         }
-        if (vids) found = Some(StreamInfo(w, h, usPf, total, bits, compr, vids))
       }
     }
     if (!ok) None else found.filter(si => si.width > 0 && si.height > 0)
@@ -265,26 +272,42 @@ object AviCodec {
     Some(PixelImage(w, h, rgb))
   }
 
-  /** Full decode: every '##db'/'##dc' frame in stream order. DIB chunks
-    * read as padded bottom-up BGR; chunks starting with the JPEG SOI
-    * marker go through ImageIO. A frame that fails to decode drops the
-    * whole container to None — a half-decoded video must not pass as
-    * complete.
+  /** Full decode: the selected stream's '##db'/'##dc' frames in stream
+    * order, including frames nested inside LIST('rec ') interleave groups
+    * (common muxer output). Dispatch is by CHUNK TAG, not payload
+    * sniffing: '##db' is uncompressed by definition and always reads as
+    * DIB (a raw frame whose first bytes happen to be FF D8 must not be
+    * misrouted to ImageIO); only '##dc' sniffs the JPEG SOI marker.
+    * Chunks of OTHER streams (different two-digit prefix) are skipped. A
+    * frame that fails to decode — or a container whose declared frame
+    * count has no frames at all — drops the whole container to None: a
+    * half-decoded video must not pass as complete.
     */
   def decodeAvi(b: Array[Byte]): Option[AviVideo] = header(b).flatMap { case (si, ms, me) =>
-    val frames = Vector.newBuilder[Option[PixelImage]]
-    val ok = chunks(b, ms, me) { (t, s, e) =>
-      val kind = t.substring(2)
-      if (kind == "db" || kind == "dc") {
-        val isJpeg = e - s >= 2 && (b(s) & 0xff) == 0xff && (b(s + 1) & 0xff) == 0xd8
-        frames += (if (isJpeg) PixelCodec.decodeJpeg(java.util.Arrays.copyOfRange(b, s, e))
-                   else if (si.compression == 0 && si.bitCount == 24)
-                     dibFrame(b, s, e, si.width, si.height)
-                   else None)
+    val tagPrefix = f"${si.streamNo}%02d"
+    val frames    = Vector.newBuilder[Option[PixelImage]]
+    var recOk     = true
+    def walk(s0: Int, e0: Int): Boolean = chunks(b, s0, e0) { (t, s, e) =>
+      if (t == "LIST" && e - s >= 4 && fourcc(b, s) == "rec ") {
+        if (!walk(s + 4, e)) recOk = false
+      } else if (t.startsWith(tagPrefix)) {
+        val dib = si.compression == 0 && si.bitCount == 24
+        t.substring(2) match {
+          case "db" =>
+            frames += (if (dib) dibFrame(b, s, e, si.width, si.height) else None)
+          case "dc" =>
+            val isJpeg = e - s >= 2 && (b(s) & 0xff) == 0xff && (b(s + 1) & 0xff) == 0xd8
+            frames += (if (isJpeg) PixelCodec.decodeJpeg(java.util.Arrays.copyOfRange(b, s, e))
+                       else if (dib) dibFrame(b, s, e, si.width, si.height)
+                       else None)
+          case _ => () // e.g. '00tx' subtitles, '00wb' audio of a same-numbered stream
+        }
       }
     }
+    val ok = walk(ms, me) && recOk
     val fs = frames.result()
     if (!ok || fs.exists(_.isEmpty)) None
+    else if (fs.isEmpty && si.nFrames > 0) None // declared frames, none found
     else Some(AviVideo(si.width, si.height, si.usPerFrame, fs.flatten))
   }
 }

@@ -709,7 +709,9 @@ object MediaPipeline {
         it.grouped(DecodeBatchSize).flatMap {
           _.flatMap { m =>
             val b = m.content
-            if (!isWav(b)) None
+            // a lying header (0 channels / 0 rate) must fall back like
+            // every other decode path, not crash the task on div-by-zero
+            if (!isWav(b) || leShort(b, 22) <= 0 || leInt(b, 24) <= 0) None
             else {
               val ch       = leShort(b, 22)
               val rate     = leInt(b, 24)

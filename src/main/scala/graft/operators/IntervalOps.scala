@@ -33,6 +33,13 @@ object IntervalOps {
       width: Long
   ): DataFrame = {
     require(width > 0, s"bucket width must be positive, got $width")
+    // fail loudly up front instead of deep inside Catalyst: shared column
+    // names across the two sides make the post-join overlap filter
+    // ambiguous, and a pre-existing _bucket column corrupts the join key
+    val shared = left.columns.toSet intersect right.columns.toSet
+    require(shared.isEmpty, s"left/right share column names $shared — alias one side first")
+    require(!(left.columns ++ right.columns).contains("_bucket"),
+      "inputs must not carry a _bucket column (internal join key)")
     def buckets(df: DataFrame, s: String, e: String): DataFrame = {
       // closed intervals: an interval covers floor(s/w)..floor(e/w); an
       // empty/inverted interval (e < s) covers nothing and drops here,

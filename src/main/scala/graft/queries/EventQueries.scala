@@ -175,17 +175,21 @@ object EventQueries {
         .agg(
           count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("ys")).as("sy"),
           sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("ys")).as("sxy"))
+      val denI     = col("n") * col("sxx") - col("sx") * col("sx")
       val num      = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-      val den      = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-      val slopeRaw = num / den
+      val slopeRaw = num / denI.cast("double")
+      // a degenerate group (all events on one day) has zero x-variance:
+      // pin the contract to NULL on both engines instead of letting
+      // Spark's Infinity/NaN race DuckDB's div-by-zero representation
       agg
         .select(
           col("event_type"),
           col("n"),
-          round(slopeRaw / 10000.0, 6).as("slope"),
-          round(
-            (col("sy").cast("double") / col("n") - slopeRaw * (col("sx").cast("double") / col("n"))) / 10000.0,
-            6).as("intercept"))
+          when(denI =!= 0, round(slopeRaw / 10000.0, 6)).as("slope"),
+          when(denI =!= 0,
+            round(
+              (col("sy").cast("double") / col("n") - slopeRaw * (col("sx").cast("double") / col("n"))) / 10000.0,
+              6)).as("intercept"))
         .orderBy(col("event_type"))
     })
   )
@@ -277,9 +281,13 @@ object EventQueries {
         |    CAST(sum(x * ys) AS BIGINT) AS sxy
         |  FROM e GROUP BY 1)
         |SELECT event_type, n,
-        |  round(((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) / 10000.0, 6) AS slope,
-        |  round((sy::DOUBLE / n - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)
-        |         * (sx::DOUBLE / n)) / 10000.0, 6) AS intercept
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+        |    round(((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) / 10000.0, 6)
+        |  END AS slope,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+        |    round((sy::DOUBLE / n - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)
+        |           * (sx::DOUBLE / n)) / 10000.0, 6)
+        |  END AS intercept
         |FROM a ORDER BY event_type""".stripMargin
   )
 }

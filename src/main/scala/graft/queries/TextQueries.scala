@@ -478,14 +478,19 @@ object TextQueries {
         Bm25Queries.flatMap { case (qid, text) => text.split(" ").map(t => (qid, t)) }
           .toDF("query_id", "term")
       }
-      val toks = Tables
+      // ONE tokenize pass: doc length is the sum of its term frequencies
+      // and the corpus token total is the sum of doc lengths, so dl and
+      // the stats frame derive from tf instead of re-exploding the corpus
+      // (the q117/q108 single-scan rework, applied from the start)
+      val tf = Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val tf  = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dl  = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dl  = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val st = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-        .crossJoin(toks.agg(count(lit(1)).as("n_toks")))
+        .crossJoin(dl.agg(sum(col("dl")).as("n_toks")))
       val avgdl = col("n_toks").cast("double") / col("n_docs")
       val idfQ = floor(
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1048576.0)

@@ -64,6 +64,19 @@ class AviCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("a raw-DIB frame whose payload starts FF D8 decodes as DIB, not JPEG") {
+    // bottom-left pixel B=0xFF, G=0xD8 puts the JPEG SOI marker at the
+    // start of the DIB payload — tag dispatch ('db' = uncompressed by
+    // definition) must not payload-sniff it into ImageIO
+    val (w, h) = (4, 3)
+    val rgb    = px(w, h, 9)
+    rgb((h - 1) * w * 3 + 2) = 0xff.toByte // B of bottom-left (first payload byte)
+    rgb((h - 1) * w * 3 + 1) = 0xd8.toByte // G (second payload byte)
+    val v = AviCodec.decodeAvi(AviCodec.encodeAvi(w, h, 10, Seq(rgb)))
+    assert(v.isDefined, "valid raw AVI rejected")
+    assert(v.get.frames.head.rgb.toSeq == rgb.toSeq, "DIB frame misrouted or corrupted")
+  }
+
   test("meta reads avih without touching frame payloads") {
     val avi = AviCodec.encodeAvi(6, 9, fps = 4, (0 until 5).map(f => px(6, 9, f)))
     val m   = AviCodec.meta(avi)

@@ -91,11 +91,20 @@ are timed separately (`graft.ScaleBuilds`, min of 2, cache cleared):
         for n, b, s, r in builds:
             print(f"| {n} | {b:.3f} | {s:.3f} | {r:.1f}× |")
 
+    def ratio_of(name):
+        return f"{sq[name] / bq[name]:.1f}" if name in bq and name in sq and bq[name] > 0 else "n/a"
+    r124, r129, r130 = ratio_of("q124_semantic_dedup"), ratio_of("q129_semantic_dedup_adaptive"), ratio_of("q130_interval_overlap_join")
+    radapt = next((f"{r:.1f}" for (n, b2, s2, r) in (builds or []) if n == "kmeans_adaptive_build"), "n/a")
+    flag_line = (
+        "- **Every query and every build pipeline grows at or below linear** at"
+        if not flagged else
+        f"- **FLAGGED worse-than-linear growers this run: {', '.join(flagged)}** at"
+    )
     print(f"""
 ## Findings
 
-- **Every query and every build pipeline grows at or below linear** at
-  {replicas}× rows — no ⚠ flags (threshold: ratio > {replicas}×1.5 with scale
+{flag_line}
+  {replicas}× rows (threshold: ratio > {replicas}×1.5 with scale
   time > 1 s). The iterative CC (q47/q49) rides the memoized tables and
   the un-memoized CC build grows sub-linearly (round count is structure-,
   not size-bound); q125's offset collect is partition-count-bound.
@@ -108,18 +117,18 @@ are timed separately (`graft.ScaleBuilds`, min of 2, cache cleared):
   q124 blocks on the corpus's FIXED label/cluster set ({replicas}× rows ⇒
   ~{replicas}²× candidate pairs — 12.5× wall here, ~100× next decade), while
   q129 — IDENTICAL prune semantics over k = ⌈n/50⌉ learned clusters —
-  grows 2.5×, linear as designed. q124 stays on the board deliberately:
+  grows {r129}×, linear as designed. q124 stays on the board deliberately:
   the pair is the controlled experiment (fixed k vs k ∝ n) the scale
   claim rests on. q45 shares q124's fixed-label blocking and inherits
   the same remedy. Honest caveat: the adaptive BUILD's assign step is
-  n·k cosines with k ∝ n (~n²/B — 4.8× measured here, still centroid-
+  n·k cosines with k ∝ n (~n²/B — {radapt}× measured here, still centroid-
   broadcast-bound at this size); the linearity claim covers the
   downstream pair prune, and at production scale the assign step
   becomes a centroid-probe ANN lookup (q51's IVF machinery) instead of
   the dense crossJoin.
 - **q130 (interval-overlap) is pair-OUTPUT-bound by nature**: both
   interval sets grow {replicas}×, so true overlapping pairs grow ~{replicas}²×;
-  wall grew only 10.8× because per-pair cost amortizes inside the
+  wall grew only {r130}× because per-pair cost amortizes inside the
   bucketed equi join. The operator's value is the plan shape — the same
   predicate as a nested loop would pay the {replicas}²× on CANDIDATES, not
   just on true results. At production scale the aggregation pushes
