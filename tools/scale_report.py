@@ -115,7 +115,7 @@ are timed separately (`graft.ScaleBuilds`, min of 2, cache cleared):
   is where real work scales.
 - **The fixed-k quadratic is now REMEDIED and the remedy measured**:
   q124 blocks on the corpus's FIXED label/cluster set ({replicas}× rows ⇒
-  ~{replicas}²× candidate pairs — 12.5× wall here, ~100× next decade), while
+  ~{replicas}²× candidate pairs — {r124}× wall here, ~100× next decade), while
   q129 — IDENTICAL prune semantics over k = ⌈n/50⌉ learned clusters —
   grows {r129}×, linear as designed. q124 stays on the board deliberately:
   the pair is the controlled experiment (fixed k vs k ∝ n) the scale
