@@ -563,6 +563,137 @@ object MediaPipeline {
     None
   }
 
+  /** JPEG + EXIF APP1 segment: SOI, then an APP1 carrying a REAL TIFF
+    * block — byte-order mark (II little-endian or MM big-endian), 42
+    * magic, IFD0 with an Orientation SHORT entry (tag 0x0112, inline
+    * value) and a Make ASCII entry (tag 0x010F, value stored at an offset
+    * past the IFD, NUL-terminated — the out-of-line layout every camera
+    * uses for strings), then the standard JFIF APP0 + SOF0 tail so the
+    * dimension walk ([[jpegDims]]) must skip the EXIF segment by its
+    * declared length on the way to the frame header.
+    */
+  def exifHeader(w: Int, h: Int, orientation: Int, make: String, bigEndian: Boolean): Array[Byte] = {
+    def u16(v: Int): Array[Byte] =
+      if (bigEndian) Array((v >>> 8).toByte, v.toByte) else Array(v.toByte, (v >>> 8).toByte)
+    def u32(v: Int): Array[Byte] =
+      if (bigEndian) Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      else Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    val makeBytes = make.getBytes("US-ASCII") :+ 0.toByte
+    // TIFF value rule: a value that fits the 4-byte field is stored
+    // INLINE (zero-padded); otherwise the field holds an offset from the
+    // TIFF base. header(8) + count(2) + 2 entries(24) + next-IFD(4) = 38.
+    val bom    = if (bigEndian) Array[Byte](0x4d, 0x4d) else Array[Byte](0x49, 0x49)
+    val inline = makeBytes.length <= 4
+    val makeField =
+      if (inline) makeBytes ++ Array.fill[Byte](4 - makeBytes.length)(0) else u32(38)
+    val tiff = bom ++ u16(42) ++ u32(8) ++
+      u16(2) ++
+      (u16(0x010f) ++ u16(2) ++ u32(makeBytes.length) ++ makeField) ++
+      (u16(0x0112) ++ u16(3) ++ u32(1) ++ (u16(orientation) ++ Array[Byte](0, 0))) ++
+      u32(0) ++ (if (inline) Array.emptyByteArray else makeBytes)
+    val exifBody = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val app1 = Array(0xff.toByte, 0xe1.toByte,
+      (((exifBody.length + 2) >>> 8) & 0xff).toByte, ((exifBody.length + 2) & 0xff).toByte) ++ exifBody
+    // SOI + APP1 + the standard JFIF/SOF0 tail (jpegHeader minus its SOI)
+    Array(0xff.toByte, 0xd8.toByte) ++ app1 ++ jpegHeader(w, h).drop(2)
+  }
+
+  /** REAL EXIF walk — the TIFF IFD traversal every metadata tool performs,
+    * JDK-only and endian-correct: locate the APP1/Exif segment via the
+    * standard marker walk, honor the II/MM byte-order mark and 42 magic,
+    * follow the IFD0 offset, and read Orientation (SHORT, inline value)
+    * and Make (ASCII, inline when count ≤ 4 else offset-addressed,
+    * trailing NUL dropped). Returns None — callers fall back — on
+    * anything malformed: no APP1, wrong BOM/magic, an entry or string
+    * overrunning the segment.
+    */
+  private[multimodal] def jpegExif(b: Array[Byte]): Option[(Int, String)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    // marker walk to APP1 "Exif\0\0"
+    var i = 2
+    var tOff = -1; var tEnd = -1
+    while (i + 3 < b.length && tOff < 0) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val m   = b(i + 1) & 0xff
+      if (m == 0xda || m == 0xd9) return None // image data / end: no EXIF
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      if (i + 2 + len > b.length) return None
+      if (m == 0xe1 && len >= 16 &&
+        b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' && b(i + 7) == 'f' &&
+        b(i + 8) == 0 && b(i + 9) == 0) { tOff = i + 10; tEnd = i + 2 + len }
+      i += 2 + len
+    }
+    if (tOff < 0) return None
+    val be = (b(tOff) & 0xff) == 0x4d && (b(tOff + 1) & 0xff) == 0x4d
+    if (!be && !((b(tOff) & 0xff) == 0x49 && (b(tOff + 1) & 0xff) == 0x49)) return None
+    def r16(o: Int): Int =
+      if (be) ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      else ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+    def r32(o: Int): Int =
+      if (be) ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      else ((b(o + 3) & 0xff) << 24) | ((b(o + 2) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+    if (r16(tOff + 2) != 42) return None
+    val ifd0 = tOff + r32(tOff + 4)
+    if (ifd0 + 2 > tEnd) return None
+    val n = r16(ifd0)
+    var orientation = -1
+    var make: String = null
+    var e = 0
+    while (e < n) {
+      val o = ifd0 + 2 + 12 * e
+      if (o + 12 > tEnd) return None
+      val tag = r16(o)
+      if (tag == 0x0112 && r16(o + 2) == 3) orientation = r16(o + 8)
+      if (tag == 0x010f && r16(o + 2) == 2) {
+        val cnt = r32(o + 4)
+        val s   = if (cnt <= 4) o + 8 else tOff + r32(o + 8)
+        if (cnt < 1 || s + cnt > tEnd) return None
+        make = new String(b, s, cnt - 1, "US-ASCII") // drop the trailing NUL
+      }
+      e += 1
+    }
+    if (orientation < 0 || make == null) None else Some((orientation, make))
+  }
+
+  /** A JPEG+EXIF corpus (image ids): real APP1/TIFF blocks, BOTH byte
+    * orders (even ids MM, odd II), formula-derived orientation/make the
+    * q138 oracle replays.
+    */
+  def mediaWithExif(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"))
+      .as[Long]
+      .filter(_ % 3 == 0)
+      .map { id =>
+        val w = (8 + id % 64).toInt
+        val h = (8 + (id * 3) % 64).toInt
+        MediaRecord(id, "image", "image/jpeg",
+          exifHeader(w, h, (1 + id % 8).toInt, s"cam${id % 5}", bigEndian = id % 2 == 0))
+      }
+  }
+
+  /** EXIF extraction stage: real marker walk + TIFF IFD read per record,
+    * dims via the independent [[jpegDims]] walk (which must skip the EXIF
+    * segment correctly to reach SOF0). Undecodable rows drop (flatMap).
+    */
+  def exifMeta(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap {
+          _.flatMap { m =>
+            for {
+              (ori, make) <- jpegExif(m.content)
+              (ww, hh)    <- jpegDims(m.content) // jpegDims yields (width, height)
+            } yield (m.media_id, ww, hh, ori, make)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "orientation", "make")
+  }
+
   /** Decode one record. Image dimensions, WAV PCM parameters, AND MP4
     * container metadata are REAL header reads (PNG IHDR big-endian, BMP
     * info-header little-endian with top-down negative-height handling,

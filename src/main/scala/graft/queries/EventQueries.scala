@@ -155,6 +155,33 @@ object EventQueries {
         .orderBy(col("cohort_wk"), col("week_no"))
     }),
 
+    // UNPIVOT/MELT — q16's inverse reshape, through Spark's native
+    // `Dataset.unpivot` (one scan + an Expand operator, never N
+    // self-unions). Wide lineitem metrics melt to (flag, metric, value)
+    // rows and aggregate as exact scaled-integer sums; the oracle is the
+    // UNION ALL formulation, so the reshape semantics — row multiplicity,
+    // column naming, value pairing — are what the hash checks.
+    "q137_unpivot_metrics" -> ((s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        .select(
+          col("l_returnflag"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "metric",
+          "value")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
     // PER-GROUP OLS REGRESSION (value-vs-day trend per event type) from
     // EXACT integer sufficient statistics: x centered at the corpus epoch
     // (2024-01-01 = day 19723 — keeps n·Σxy far from Long range), y
@@ -267,6 +294,17 @@ object EventQueries {
         |  count(DISTINCT e.user_id) AS n_active
         |FROM e JOIN cohort USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_wk, week_no""".stripMargin,
+    // The UNION ALL formulation of the same melt — independent of any
+    // unpivot machinery, so the reshape itself is under the gate.
+    "q137_unpivot_metrics" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, 'quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, metric, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM u GROUP BY 1, 2 ORDER BY l_returnflag, metric""".stripMargin,
     // Identical integer sufficient statistics, identically-written double
     // derivation — bit-equal slope/intercept or the hash gate fails.
     "q134_group_regression" ->

@@ -124,6 +124,24 @@ object MediaQueries {
         )
         .orderBy(col("media_id"), col("frame_no"))),
 
+    // EXIF METADATA EXTRACTION end to end: real APP1/TIFF blocks in BOTH
+    // byte orders (even ids MM big-endian, odd II little-endian), the
+    // Make string offset-addressed past the IFD the way cameras write it,
+    // and dims read by the INDEPENDENT SOF walk, which must skip the EXIF
+    // segment by declared length to reach the frame header. A wrong
+    // endian read, offset deref, or segment skip changes the output.
+    "q138_exif_meta" -> ((s, dir) =>
+      MediaPipeline
+        .exifMeta(MediaPipeline.mediaWithExif(s, dir))
+        .select(
+          col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("orientation").cast("long").as("orientation"),
+          col("make")
+        )
+        .orderBy(col("media_id"))),
+
     // AUDIO DOWNSAMPLING end to end: every WAV row decimated 2x frame-wise
     // (channel-aligned) and re-encoded as a complete new WAV whose FILE
     // bytes are hashed -- a wrong header field, stride, kept-frame set, or
@@ -331,6 +349,16 @@ object MediaQueries {
         |                AND ((prev >= 0) <> (smp >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
         |  round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)), 4) AS rms
         |FROM lagd GROUP BY media_id, wno ORDER BY media_id, window_no""".stripMargin,
+    // The EXIF gate: the parsed fields must equal the formula the
+    // synthesizer wrote into the TIFF block (trust model of q60/q115:
+    // Spark REALLY parses bytes; the oracle replays the formula).
+    "q138_exif_meta" ->
+      """SELECT doc_id AS media_id,
+        |  (8 + doc_id % 64)::BIGINT AS width,
+        |  (8 + (doc_id * 3) % 64)::BIGINT AS height,
+        |  (1 + doc_id % 8)::BIGINT AS orientation,
+        |  'cam' || CAST(doc_id % 5 AS VARCHAR) AS make
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
     // The downsample gate: identical kept-frame byte positions, identical
     // 44-byte header at rate/2, one polynomial fold over the whole file.
     "q135_audio_downsample" ->
