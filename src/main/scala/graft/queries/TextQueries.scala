@@ -97,6 +97,81 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // KMV SET ALGEBRA — the operation sketches exist for: estimate the
+    // distinct-token UNION and INTERSECTION of two corpora slices without
+    // touching the full sets (audience-overlap / vocabulary-share at
+    // 100 TB: ship one K-row sketch per slice, never the token streams).
+    // Union sketch = bottom-K of the merged bottom-Ks (a valid KMV of
+    // A∪B); intersection via the standard rho estimator — the fraction of
+    // the union sketch present in BOTH input sketches, scaled by the
+    // union estimate. en × each other lang, with EXACT union/intersection
+    // alongside (the estimate-vs-exact audit shape). Everything is
+    // md5-order-invariant ⇒ fully hash-checked.
+    "q139_kmv_setops" -> ((s, dir) => {
+      val K = 64 // rho granularity 1/K: K=64 resolves the ~0.92 trigram Jaccard
+      val w = org.apache.spark.sql.expressions.Window
+      // TRIGRAM sets (not unigrams): the synthetic corpus shares one
+      // unigram vocabulary across langs — unigram (and even bigram) sets
+      // are near-identical and rho degenerates to 1; trigram sets differ
+      // per slice (Jaccard ≈ 0.92 at sf0.1), so the rho estimator is
+      // genuinely exercised
+      val kv = Tables
+        .spread(Tables.documents(s, dir), col("doc_id"))
+        .select(col("lang"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("lang"),
+          explode(expr(
+            "transform(sequence(1, size(t)-2), i -> concat(element_at(t, i), ' ', element_at(t, i+1), ' ', element_at(t, i+2)))"))
+            .as("tok"))
+        .distinct()
+      val hashed = kv.select(col("lang"), col("tok"),
+        expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      val sk = hashed
+        .withColumn("rn", row_number().over(w.partitionBy(col("lang")).orderBy(col("h"))))
+        .filter(col("rn") <= K)
+      val a = sk.filter(col("lang") === "en").select(col("h").as("ha"))
+      val b = sk.filter(col("lang") =!= "en").select(col("lang").as("lang_b"), col("h").as("hb"))
+      // merged bottom-K per pair (distinct: a shared token hashes equally)
+      val merged = b
+        .select(col("lang_b"), col("hb").as("h"))
+        .union(b.select(col("lang_b")).distinct().crossJoin(broadcast(a)).select(col("lang_b"), col("ha").as("h")))
+        .distinct()
+        .withColumn("rn", row_number().over(w.partitionBy(col("lang_b")).orderBy(col("h"))))
+        .filter(col("rn") <= K)
+      val uk = merged
+        .groupBy(col("lang_b"))
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("k_eff"))
+      val rho = merged
+        .join(broadcast(a), merged("h") === col("ha"))
+        .join(b.withColumnRenamed("lang_b", "lb2"),
+          merged("lang_b") === col("lb2") && merged("h") === col("hb"))
+        .groupBy(col("lang_b"))
+        .agg(count(lit(1)).as("n_both"))
+      // exact side: distinct-token set sizes and true intersections
+      val enToks = kv.filter(col("lang") === "en").select(col("tok"))
+      val nA     = enToks.agg(count(lit(1)).as("n_a"))
+      val nB     = kv.filter(col("lang") =!= "en").groupBy(col("lang").as("lang_b")).agg(count(lit(1)).as("n_b"))
+      val inter = kv
+        .filter(col("lang") =!= "en")
+        .join(enToks.withColumnRenamed("tok", "tok2"), col("tok") === col("tok2"))
+        .groupBy(col("lang").as("lang_b"))
+        .agg(count(lit(1)).as("inter_exact"))
+      val unionEst = when(col("k_eff") < K, col("k_eff").cast("double"))
+        .otherwise(lit((K - 1).toDouble * math.pow(2, 60)) / col("hk").cast("double"))
+      uk.join(rho, Seq("lang_b"), "left")
+        .join(nB, Seq("lang_b"))
+        .join(inter, Seq("lang_b"), "left")
+        .crossJoin(broadcast(nA))
+        .select(
+          col("lang_b"),
+          round(unionEst, 4).as("union_est"),
+          round((coalesce(col("n_both"), lit(0L)).cast("double") / col("k_eff")) * unionEst, 4)
+            .as("inter_est"),
+          (col("n_a") + col("n_b") - coalesce(col("inter_exact"), lit(0L))).as("union_exact"),
+          coalesce(col("inter_exact"), lit(0L)).as("inter_exact"))
+        .orderBy(col("lang_b"))
+    }),
+
     // COUNT-MIN SKETCH term-frequency estimation — the bounded-memory
     // frequency twin of q59's HLL distinct count. Every token occurrence
     // increments D=4 cells (md5-derived buckets, engine-portable) of a
@@ -627,6 +702,54 @@ object TextQueries {
       (tokensCte +
         "SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_stop::BIGINT AS n_stop, round(stop_ratio, 4) AS stop_ratio " +
         "FROM stats ORDER BY doc_id"),
+    // Same bottom-K machinery, same 60-bit md5 fold; the union sketch,
+    // rho intersection estimator, and exact set sizes all replayed.
+    "q139_kmv_setops" ->
+      raw"""WITH kv AS (
+           |  SELECT DISTINCT lang, tok FROM (
+           |    SELECT lang, unnest(list_transform(range(1, len(ws)-1), i -> ws[i::INT] || ' ' || ws[(i+1)::INT] || ' ' || ws[(i+2)::INT])) AS tok
+           |    FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+           |    WHERE len(ws) >= 3)),
+           | hashed AS (
+           |  SELECT lang, tok,
+           |    list_reduce(list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr(md5(tok), i::INT, 1)) - 1)::BIGINT), (a, c) -> a * 16 + c) AS h
+           |  FROM kv),
+           | sk AS (SELECT lang, h FROM (
+           |    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hashed)
+           |  WHERE rn <= 64),
+           | a AS (SELECT h AS ha FROM sk WHERE lang = 'en'),
+           | b AS (SELECT lang AS lang_b, h AS hb FROM sk WHERE lang <> 'en'),
+           | mergedall AS (
+           |  SELECT DISTINCT lang_b, h FROM (
+           |    SELECT lang_b, hb AS h FROM b
+           |    UNION ALL
+           |    SELECT b2.lang_b, a.ha AS h FROM (SELECT DISTINCT lang_b FROM b) b2 CROSS JOIN a)),
+           | merged AS (SELECT lang_b, h FROM (
+           |    SELECT lang_b, h, row_number() OVER (PARTITION BY lang_b ORDER BY h) AS rn FROM mergedall)
+           |  WHERE rn <= 64),
+           | uk AS (SELECT lang_b, max(h) AS hk, count(*) AS k_eff FROM merged GROUP BY 1),
+           | rho AS (
+           |  SELECT m.lang_b, count(*) AS n_both FROM merged m
+           |  JOIN a ON m.h = a.ha
+           |  JOIN b ON b.lang_b = m.lang_b AND b.hb = m.h
+           |  GROUP BY 1),
+           | ena AS (SELECT count(*) AS n_a FROM kv WHERE lang = 'en'),
+           | nb AS (SELECT lang AS lang_b, count(*) AS n_b FROM kv WHERE lang <> 'en' GROUP BY 1),
+           | inter AS (
+           |  SELECT k1.lang AS lang_b, count(*) AS inter_exact
+           |  FROM kv k1 JOIN kv k2 ON k2.lang = 'en' AND k1.tok = k2.tok
+           |  WHERE k1.lang <> 'en' GROUP BY 1)
+           |SELECT uk.lang_b,
+           |  round(CASE WHEN uk.k_eff < 64 THEN uk.k_eff::DOUBLE
+           |             ELSE 63.0 * pow(2, 60) / uk.hk::DOUBLE END, 4) AS union_est,
+           |  round((coalesce(rho.n_both, 0)::DOUBLE / uk.k_eff)
+           |        * (CASE WHEN uk.k_eff < 64 THEN uk.k_eff::DOUBLE
+           |                ELSE 63.0 * pow(2, 60) / uk.hk::DOUBLE END), 4) AS inter_est,
+           |  (ena.n_a + nb.n_b - coalesce(inter.inter_exact, 0))::BIGINT AS union_exact,
+           |  coalesce(inter.inter_exact, 0)::BIGINT AS inter_exact
+           |FROM uk LEFT JOIN rho USING (lang_b) JOIN nb USING (lang_b)
+           |  LEFT JOIN inter USING (lang_b) CROSS JOIN ena
+           |ORDER BY lang_b""".stripMargin,
     "q110_kmv_distinct" ->
       raw"""WITH kv AS (
            |  SELECT DISTINCT lang, tok FROM (
