@@ -289,6 +289,42 @@ object DedupQueries {
     // Exact n-gram Jaccard near-dup pairs (the audit baseline for q42).
     // The inverted-index self-join yields intersection counts directly
     // (groupBy pair + count) — no separate candidate pass.
+    // PREFIX-FILTER exact set-similarity join (AllPairs/PPJoin family,
+    // Bayardo et al. WWW'07) — the EXACT scalable alternative to q42's
+    // LSH: order every doc's shingles by a global (df, shingle) total
+    // order; two sets with Jaccard ≥ t MUST share an element within their
+    // first n − ⌈t·n⌉ + 1 entries (the prefix-filter theorem — rarest
+    // shingles first, so prefixes are small AND selective), so candidates
+    // come from an equi self-join on PREFIX entries only, then exact
+    // verification. LOSSLESS by theorem, unlike LSH's probabilistic
+    // recall — proven by hash-matching q43's brute-force oracle (the
+    // q47/q49 two-algorithms-one-oracle treatment). No global rank is
+    // materialized: the (df, shingle) pair IS the order, ranked per-doc
+    // by a keyed window — nothing single-partition anywhere.
+    "q140_prefix_filter_join" -> ((s, dir) => {
+      val w   = org.apache.spark.sql.expressions.Window
+      val shd = shared(s, dir).sh
+      val dfx = shd.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val ranked = shd
+        .join(dfx, Seq("shingle"))
+        .withColumn("rn",
+          row_number().over(w.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+        .withColumn("n", count(lit(1)).over(w.partitionBy(col("doc_id"))))
+      // prefix length for J >= 1/2: n - ceil(n/2) + 1 = n - (n+1) div 2 + 1
+      val prefix = ranked
+        .filter(col("rn") <= col("n") - expr("(n + 1) div 2") + 1)
+        .select(col("doc_id"), col("shingle"))
+      val cand = prefix
+        .select(col("doc_id").as("ia"), col("shingle"))
+        .join(prefix.select(col("doc_id").as("ib"), col("shingle")), Seq("shingle"))
+        .filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"))
+        .distinct()
+      jaccardOf(cand, shd)
+        .filter(col("jac") >= JaccardThreshold)
+        .orderBy(col("ia"), col("ib"))
+    }),
+
     "q43_ngram_jaccard" -> ((s, dir) => {
       val sh = shared(s, dir).sh
       val inter = sh
@@ -795,6 +831,14 @@ object DedupQueries {
       (shingleCte +
         s"SELECT j.ia, j.ib, j.jac FROM jac j JOIN cand USING (ia, ib) WHERE j.jac >= $JaccardThreshold ORDER BY ia, ib"),
     "q43_ngram_jaccard" ->
+      (shingleCte + s"SELECT ia, ib, jac FROM jac WHERE jac >= $JaccardThreshold ORDER BY ia, ib"),
+    // q140 computes the identical exact result through prefix-filter
+    // blocking — same oracle on purpose (lossless-by-theorem, so the two
+    // independent algorithms must agree pair-for-pair; the q47/q49 twin
+    // treatment). NOTE: the oracle scores ALL pairs brute-force, so a
+    // prefix filter that silently dropped a qualifying pair fails the
+    // hash, not just a spec.
+    "q140_prefix_filter_join" ->
       (shingleCte + s"SELECT ia, ib, jac FROM jac WHERE jac >= $JaccardThreshold ORDER BY ia, ib"),
     // Identical deletion-neighborhood signatures + exact levenshtein
     // verify (DuckDB's levenshtein is the same standard edit distance).

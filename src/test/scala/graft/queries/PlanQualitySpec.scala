@@ -228,6 +228,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("_bucket"), "bucket key missing from the join:\n" + plan.take(800))
   }
 
+  test("q140 prefix-filter join: candidates via shingle equi join, never all-pairs") {
+    val plan = executedPlan("q140_prefix_filter_join")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // the per-doc prefix windows must stay keyed (no single-task window)
+    val windowLines = plan.split('\n').filter(_.contains("Window ["))
+    windowLines.foreach { l =>
+      assert(l.contains("doc_id"), "window without doc_id partitioning:\n" + l.take(300))
+    }
+  }
+
   test("q129 adaptive SemDeDup prunes via equi joins only (no all-pairs anywhere)") {
     // the registered query (memoized assignment + pair prune): candidate
     // pairs come from an equi self-join on the learned cluster — a
