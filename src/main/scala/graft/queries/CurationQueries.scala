@@ -199,6 +199,43 @@ object CurationQueries {
           .withColumn("lang_non_en", when(col("lang") =!= "en", col("lang"))),
         Seq("doc_id", "lang", "source", "n_chars", "lang_non_en"))),
 
+    // ORDER-INVARIANT TABLE CHECKSUMS — the anti-entropy primitive for
+    // replica/version reconciliation at 100 TB: one (n_rows, checksum)
+    // row per table, where the checksum is an additive fold of per-row
+    // 60-bit md5 digests of a CANONICAL row serialization (dates as
+    // ISO strings, money as exact cents, text by content digest) — a
+    // commutative sum, so partition order, file order, and shuffle
+    // nondeterminism cannot change it, and two replicas compare whole
+    // tables by exchanging three numbers. Digests ride mod 2^31−1 so the
+    // running Long sum stays exact to ~4e9 rows (a production combine
+    // folds the modulus into the partial merge).
+    "q141_table_checksum" -> ((s, dir) => {
+      val M = 2147483647L
+      def sums(df: DataFrame, name: String): DataFrame =
+        df.select(
+            (expr("CAST(conv(substr(md5(_c), 1, 15), 16, 10) AS BIGINT)") % M).as("h"))
+          .select(lit(name).as("table_name"), col("h"))
+          .groupBy(col("table_name"))
+          .agg(count(lit(1)).as("n_rows"), (sum(col("h")) % M).as("checksum"))
+      val o = Tables.orders(s, dir).select(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd"),
+        col("o_orderpriority")).as("_c"))
+      val l = Tables.lineitem(s, dir).select(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity") * 100).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_returnflag"),
+        date_format(to_date(col("l_shipdate")), "yyyy-MM-dd")).as("_c"))
+      val d = Tables.documents(s, dir).select(concat_ws("|",
+        col("doc_id"), col("lang"), col("source"), col("n_chars"), md5(col("text"))).as("_c"))
+      sums(o, "orders")
+        .union(sums(l, "lineitem"))
+        .union(sums(d, "documents"))
+        .orderBy(col("table_name"))
+    }),
+
     // MERGEABLE QUANTILE SKETCH — the missing member of the sketch family
     // (count-min q108, HLL q59/q126, KMV q110): per group, keep the
     // bottom-K rows by a uniform content hash (md5 of the unique event id)
@@ -282,6 +319,35 @@ object CurationQueries {
        |FROM (SELECT CAST($expr AS VARCHAR) AS v FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Identical canonical serialization, 60-bit md5 fold, and commutative
+    // mod-sum — three numbers per table, same on any engine.
+    "q141_table_checksum" -> {
+      val h60 =
+        "list_reduce(list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr(md5(c), i::INT, 1)) - 1)::BIGINT), (a, x) -> a * 16 + x)"
+      raw"""WITH co AS (
+           |  SELECT CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+           |         o_orderstatus || '|' || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+           |         CAST(o_orderdate::DATE AS VARCHAR) || '|' || o_orderpriority AS c
+           |  FROM orders),
+           | cl AS (
+           |  SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
+           |         CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR) || '|' ||
+           |         CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR) || '|' ||
+           |         CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+           |         l_returnflag || '|' || CAST(l_shipdate::DATE AS VARCHAR) AS c
+           |  FROM lineitem),
+           | cd AS (
+           |  SELECT CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' ||
+           |         CAST(n_chars AS VARCHAR) || '|' || md5(text) AS c
+           |  FROM documents)
+           |SELECT 'documents' AS table_name, count(*)::BIGINT AS n_rows,
+           |  CAST(sum($h60 % 2147483647) % 2147483647 AS BIGINT) AS checksum FROM cd
+           |UNION ALL
+           |SELECT 'lineitem', count(*)::BIGINT, CAST(sum($h60 % 2147483647) % 2147483647 AS BIGINT) FROM cl
+           |UNION ALL
+           |SELECT 'orders', count(*)::BIGINT, CAST(sum($h60 % 2147483647) % 2147483647 AS BIGINT) FROM co
+           |ORDER BY table_name""".stripMargin
+    },
     // Identical bottom-K-by-md5 sample and integer rank picks, joined wide.
     "q133_quantile_sketch" -> {
       def pickSql(src: String, num: Int, den: Int, as: String): String =
