@@ -94,6 +94,7 @@ are timed separately (`graft.ScaleBuilds`, min of 2, cache cleared):
     def ratio_of(name):
         return f"{sq[name] / bq[name]:.1f}" if name in bq and name in sq and bq[name] > 0 else "n/a"
     r124, r129, r130 = ratio_of("q124_semantic_dedup"), ratio_of("q129_semantic_dedup_adaptive"), ratio_of("q130_interval_overlap_join")
+    r140 = ratio_of("q140_prefix_filter_join")
     radapt = next((f"{r:.1f}" for (n, b2, s2, r) in (builds or []) if n == "kmeans_adaptive_build"), "n/a")
     flag_line = (
         "- **Every query and every build pipeline grows at or below linear** at"
@@ -133,6 +134,14 @@ are timed separately (`graft.ScaleBuilds`, min of 2, cache cleared):
   predicate as a nested loop would pay the {replicas}²× on CANDIDATES, not
   just on true results. At production scale the aggregation pushes
   below the pair stream (partial per bucket), which is already the plan.
+- **q140 (prefix-filter join) is the exactness price tag**: lossless
+  candidates cost {r140}× here — the content-perturbed copies spread the
+  shingle df distribution, so prefixes admit more candidates at 10× and
+  every candidate pays an exact-Jaccard verification. That is the
+  documented trade against q42's LSH (probabilistic recall, flat
+  growth): the engine ships BOTH, and the blocking is still an equi
+  join — the nested-loop alternative would pay this on |L|·|R|, not on
+  true candidates.
 - The 10× corpus is multi-file (32 files/table), so scans split without
   `Tables.spread`; the shim stays correct (an extra small exchange) and
   remains deletable at real scale, as documented.""")
