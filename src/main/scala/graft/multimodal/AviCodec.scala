@@ -199,6 +199,7 @@ object AviCodec {
     var w       = 0
     var h       = 0
     var strlIdx = -1
+    var strlOk  = true
     var found: Option[StreamInfo] = None
     val ok = chunks(b, s, e) { (t, cs, ce) =>
       if (t == "avih" && ce - cs >= 40) {
@@ -213,18 +214,22 @@ object AviCodec {
           var vids  = false
           var bits  = 0
           var compr = 0
-          chunks(b, cs + 4, ce) { (t2, s2, e2) =>
+          // a structurally corrupt strl body must fail the whole parse:
+          // a partially-read strh/strf would report bogus dims/cadence as
+          // real metadata even though frame decode would later reject it
+          val inner = chunks(b, cs + 4, ce) { (t2, s2, e2) =>
             if (t2 == "strh" && e2 - s2 >= 8) vids = fourcc(b, s2) == "vids"
             if (t2 == "strf" && e2 - s2 >= 20) {
               bits = (b(s2 + 14) & 0xff) | ((b(s2 + 15) & 0xff) << 8)
               compr = leInt(b, s2 + 16)
             }
           }
+          if (!inner) strlOk = false
           if (vids) found = Some(StreamInfo(w, h, usPf, total, bits, compr, strlIdx))
         }
       }
     }
-    if (!ok) None else found.filter(si => si.width > 0 && si.height > 0)
+    if (!ok || !strlOk) None else found.filter(si => si.width > 0 && si.height > 0)
   }
 
   /** Container metadata only — no frame payloads touched. */

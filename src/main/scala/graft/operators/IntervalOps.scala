@@ -40,19 +40,27 @@ object IntervalOps {
     require(shared.isEmpty, s"left/right share column names $shared — alias one side first")
     require(!(left.columns ++ right.columns).contains("_bucket"),
       "inputs must not carry a _bucket column (internal join key)")
+    // floor(x / width) computed entirely in the INTEGER domain: Spark's
+    // `/` on longs divides in DOUBLE, which silently loses the bucket id
+    // (and the exactly-once dedup bucket) for |endpoint| beyond 2^53.
+    // `x - pmod(x, w)` is an exact multiple of w (pmod is non-negative),
+    // so integral `div` equals floor division at every long magnitude —
+    // exact up to |endpoint| ≤ Long.MaxValue − width (the pmod subtraction
+    // cannot underflow before that bound).
+    def floorDivSql(x: String): String =
+      s"(CAST($x AS BIGINT) - pmod(CAST($x AS BIGINT), ${width}L)) div ${width}L"
     def buckets(df: DataFrame, s: String, e: String): DataFrame = {
       // closed intervals: an interval covers floor(s/w)..floor(e/w); an
       // empty/inverted interval (e < s) covers nothing and drops here,
       // matching the overlap predicate which can never hold for it
       df.filter(col(e) >= col(s))
-        .withColumn("_bucket",
-          explode(sequence(floor(col(s).cast("long") / width), floor(col(e).cast("long") / width))))
+        .withColumn("_bucket", explode(sequence(expr(floorDivSql(s)), expr(floorDivSql(e)))))
     }
     buckets(left, lStart, lEnd)
       .join(buckets(right, rStart, rEnd), Seq("_bucket"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)) // true overlap
       // exactly-once: only the bucket holding the overlap start reports
-      .filter(col("_bucket") === floor(greatest(col(lStart), col(rStart)).cast("long") / width))
+      .filter(col("_bucket") === expr(floorDivSql(s"greatest($lStart, $rStart)")))
       .drop("_bucket")
   }
 }

@@ -211,6 +211,12 @@ object CurationQueries {
     // folds the modulus into the partial merge).
     "q141_table_checksum" -> ((s, dir) => {
       val M = 2147483647L
+      // every field rides through coalesce to a sentinel: concat_ws would
+      // silently SKIP a NULL field (row still hashed, differently) while
+      // the oracle's || chain would NULL the whole row out of the checksum
+      // but not n_rows — the sentinel makes NULL-bearing rows serialize
+      // identically in both formulations (the anti-entropy contract)
+      def f(c: org.apache.spark.sql.Column) = coalesce(c.cast("string"), lit("␀"))
       def sums(df: DataFrame, name: String): DataFrame =
         df.select(
             (expr("CAST(conv(substr(md5(_c), 1, 15), 16, 10) AS BIGINT)") % M).as("h"))
@@ -218,18 +224,18 @@ object CurationQueries {
           .groupBy(col("table_name"))
           .agg(count(lit(1)).as("n_rows"), (sum(col("h")) % M).as("checksum"))
       val o = Tables.orders(s, dir).select(concat_ws("|",
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        round(col("o_totalprice") * 100).cast("long"),
-        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd"),
-        col("o_orderpriority")).as("_c"))
+        f(col("o_orderkey")), f(col("o_custkey")), f(col("o_orderstatus")),
+        f(round(col("o_totalprice") * 100).cast("long")),
+        f(date_format(to_date(col("o_orderdate")), "yyyy-MM-dd")),
+        f(col("o_orderpriority"))).as("_c"))
       val l = Tables.lineitem(s, dir).select(concat_ws("|",
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        round(col("l_quantity") * 100).cast("long"),
-        round(col("l_extendedprice") * 100).cast("long"),
-        col("l_returnflag"),
-        date_format(to_date(col("l_shipdate")), "yyyy-MM-dd")).as("_c"))
+        f(col("l_orderkey")), f(col("l_linenumber")), f(col("l_partkey")), f(col("l_suppkey")),
+        f(round(col("l_quantity") * 100).cast("long")),
+        f(round(col("l_extendedprice") * 100).cast("long")),
+        f(col("l_returnflag")),
+        f(date_format(to_date(col("l_shipdate")), "yyyy-MM-dd"))).as("_c"))
       val d = Tables.documents(s, dir).select(concat_ws("|",
-        col("doc_id"), col("lang"), col("source"), col("n_chars"), md5(col("text"))).as("_c"))
+        f(col("doc_id")), f(col("lang")), f(col("source")), f(col("n_chars")), f(md5(col("text")))).as("_c"))
       sums(o, "orders")
         .union(sums(l, "lineitem"))
         .union(sums(d, "documents"))
@@ -324,21 +330,25 @@ object CurationQueries {
     "q141_table_checksum" -> {
       val h60 =
         "list_reduce(list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr(md5(c), i::INT, 1)) - 1)::BIGINT), (a, x) -> a * 16 + x)"
+      // each field coalesces to the Spark side's sentinel so NULL-bearing
+      // rows are covered identically by both serializations (|| would
+      // otherwise NULL the row out of the checksum but not n_rows)
+      def nz(x: String) = s"coalesce(CAST($x AS VARCHAR), '␀')"
       raw"""WITH co AS (
-           |  SELECT CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
-           |         o_orderstatus || '|' || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
-           |         CAST(o_orderdate::DATE AS VARCHAR) || '|' || o_orderpriority AS c
+           |  SELECT ${nz("o_orderkey")} || '|' || ${nz("o_custkey")} || '|' ||
+           |         ${nz("o_orderstatus")} || '|' || ${nz("CAST(round(o_totalprice * 100) AS BIGINT)")} || '|' ||
+           |         ${nz("o_orderdate::DATE")} || '|' || ${nz("o_orderpriority")} AS c
            |  FROM orders),
            | cl AS (
-           |  SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
-           |         CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR) || '|' ||
-           |         CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR) || '|' ||
-           |         CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
-           |         l_returnflag || '|' || CAST(l_shipdate::DATE AS VARCHAR) AS c
+           |  SELECT ${nz("l_orderkey")} || '|' || ${nz("l_linenumber")} || '|' ||
+           |         ${nz("l_partkey")} || '|' || ${nz("l_suppkey")} || '|' ||
+           |         ${nz("CAST(round(l_quantity * 100) AS BIGINT)")} || '|' ||
+           |         ${nz("CAST(round(l_extendedprice * 100) AS BIGINT)")} || '|' ||
+           |         ${nz("l_returnflag")} || '|' || ${nz("l_shipdate::DATE")} AS c
            |  FROM lineitem),
            | cd AS (
-           |  SELECT CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' ||
-           |         CAST(n_chars AS VARCHAR) || '|' || md5(text) AS c
+           |  SELECT ${nz("doc_id")} || '|' || ${nz("lang")} || '|' || ${nz("source")} || '|' ||
+           |         ${nz("n_chars")} || '|' || ${nz("md5(text)")} AS c
            |  FROM documents)
            |SELECT 'documents' AS table_name, count(*)::BIGINT AS n_rows,
            |  CAST(sum($h60 % 2147483647) % 2147483647 AS BIGINT) AS checksum FROM cd

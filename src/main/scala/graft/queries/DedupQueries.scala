@@ -296,11 +296,23 @@ object DedupQueries {
     // first n − ⌈t·n⌉ + 1 entries (the prefix-filter theorem — rarest
     // shingles first, so prefixes are small AND selective), so candidates
     // come from an equi self-join on PREFIX entries only, then exact
-    // verification. LOSSLESS by theorem, unlike LSH's probabilistic
-    // recall — proven by hash-matching q43's brute-force oracle (the
-    // q47/q49 two-algorithms-one-oracle treatment). No global rank is
-    // materialized: the (df, shingle) pair IS the order, ranked per-doc
-    // by a keyed window — nothing single-partition anywhere.
+    // verification. The FULL PPJoin candidate pruning rides the join:
+    //   - length filter: J ≥ t ⟹ 2·min(|x|,|y|) ≥ max(|x|,|y|) at t=1/2
+    //     (overlap c ≥ t(|x|+|y|)/(1+t) and c ≤ min);
+    //   - positional filter: for the FIRST shared prefix entry, at sorted
+    //     positions (i, j), no shared element precedes it in either list
+    //     (the global total order pins this), so c ≤ 1 + min(|x|−i, |y|−j)
+    //     — require that bound to reach minoverlap = ⌈(|x|+|y|)/3⌉. A pair
+    //     is kept when ANY matched prefix entry passes; the first shared
+    //     entry of a true match always does, so both filters are LOSSLESS
+    //     at t = 1/2 — proven by hash-matching q43's brute-force oracle
+    //     (the q47/q49 two-algorithms-one-oracle treatment). (Contract
+    //     bound: exactness is stated against J ≥ 1/2; the verifier's
+    //     4-dp rounding could only admit a sub-threshold pair at set
+    //     sizes ≥ ~5000 shingles — far outside the document contract.)
+    // No global rank is materialized: the (df, shingle) pair IS the
+    // order, ranked per-doc by a keyed window — nothing single-partition
+    // anywhere.
     "q140_prefix_filter_join" -> ((s, dir) => {
       val w   = org.apache.spark.sql.expressions.Window
       val shd = shared(s, dir).sh
@@ -313,11 +325,20 @@ object DedupQueries {
       // prefix length for J >= 1/2: n - ceil(n/2) + 1 = n - (n+1) div 2 + 1
       val prefix = ranked
         .filter(col("rn") <= col("n") - expr("(n + 1) div 2") + 1)
-        .select(col("doc_id"), col("shingle"))
+        .select(col("doc_id"), col("shingle"), col("rn"), col("n"))
       val cand = prefix
-        .select(col("doc_id").as("ia"), col("shingle"))
-        .join(prefix.select(col("doc_id").as("ib"), col("shingle")), Seq("shingle"))
+        .select(col("doc_id").as("ia"), col("shingle"), col("rn").as("ra"), col("n").as("na"))
+        .join(
+          prefix.select(col("doc_id").as("ib"), col("shingle"), col("rn").as("rb"), col("n").as("nb")),
+          Seq("shingle"))
         .filter(col("ia") < col("ib"))
+        // length filter (t = 1/2): 2·min ≥ max, or no pair can qualify
+        .filter(least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+        // positional filter: remaining-suffix upper bound must reach the
+        // required overlap ⌈(na+nb)/3⌉ (c ≥ t(na+nb)/(1+t) at t=1/2)
+        .filter(
+          lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+            expr("(na + nb + 2) div 3")) // integer ⌈(na+nb)/3⌉
         .select(col("ia"), col("ib"))
         .distinct()
       jaccardOf(cand, shd)

@@ -202,8 +202,15 @@ object EventQueries {
         .agg(
           count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("ys")).as("sy"),
           sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("ys")).as("sxy"))
-      val denI     = col("n") * col("sxx") - col("sx") * col("sx")
-      val num      = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      // the derived products (n·Σxy, Σx·Σy) outgrow BIGINT around n ~ 1e6
+      // with this corpus's |x|/|y| ranges — and Spark would wrap silently
+      // where DuckDB raises. Form them in DECIMAL(38,0) (exact integer
+      // arithmetic, mirrored by HUGEINT in the oracle); the double
+      // conversion of an exact integer is the same IEEE round-to-nearest
+      // on both engines, so the derivation stays bit-identical.
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val denI     = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+      val num      = (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))).cast("double")
       val slopeRaw = num / denI.cast("double")
       // a degenerate group (all events on one day) has zero x-variance:
       // pin the contract to NULL on both engines instead of letting
@@ -306,7 +313,9 @@ object EventQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM u GROUP BY 1, 2 ORDER BY l_returnflag, metric""".stripMargin,
     // Identical integer sufficient statistics, identically-written double
-    // derivation — bit-equal slope/intercept or the hash gate fails.
+    // derivation — bit-equal slope/intercept or the hash gate fails. The
+    // determinant/numerator products form in HUGEINT (the Spark side's
+    // DECIMAL(38,0)) so neither engine wraps or raises at large n.
     "q134_group_regression" ->
       """WITH e AS (
         |  SELECT event_type,
@@ -317,15 +326,20 @@ object EventQueries {
         |  SELECT event_type, count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS sx,
         |    CAST(sum(ys) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
         |    CAST(sum(x * ys) AS BIGINT) AS sxy
-        |  FROM e GROUP BY 1)
+        |  FROM e GROUP BY 1),
+        | d AS (
+        |  SELECT event_type, n, sx, sy,
+        |    n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT AS den,
+        |    n::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT AS num
+        |  FROM a)
         |SELECT event_type, n,
-        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
-        |    round(((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) / 10000.0, 6)
+        |  CASE WHEN den = 0 THEN NULL ELSE
+        |    round((num::DOUBLE / den::DOUBLE) / 10000.0, 6)
         |  END AS slope,
-        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
-        |    round((sy::DOUBLE / n - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)
+        |  CASE WHEN den = 0 THEN NULL ELSE
+        |    round((sy::DOUBLE / n - (num::DOUBLE / den::DOUBLE)
         |           * (sx::DOUBLE / n)) / 10000.0, 6)
         |  END AS intercept
-        |FROM a ORDER BY event_type""".stripMargin
+        |FROM d ORDER BY event_type""".stripMargin
   )
 }
