@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *     (partial top-k per partition via the window rank would become a
   *     `mapPartitions` heap at the physical layer; Catalyst's WindowExec
   *     already does partial filtering through the rank predicate).
-  *   - q45 blocks the quadratic near-dup join by cluster (`label` stands in
-  *     for the IVF/k-means assignment a production pipeline maintains) —
-  *     Σ cluster² pairs instead of n².
+  *   - q45 blocks the quadratic near-dup join by LEARNED cluster — the
+  *     adaptive assignment memo (q129's build, k = ⌈n/B⌉) is the blocking
+  *     structure, so Σ block² ≈ n·B pairs instead of n² at every corpus
+  *     size (q124 keeps the fixed-label blocking as the measured control).
   *   - q51 is the real ANN path: centroids (here: per-label means, the
   *     k-means E-step output) are broadcast-sized; each query probes its
   *     `nprobe` nearest centroids and scores only those clusters.
@@ -109,6 +110,83 @@ object SimilarityQueries {
     asg
   }
 
+  /** The CELL TABLE of a centroid set — the coarse structure the adaptive
+    * assign probes instead of scoring all k centroids per vector. Centroids
+    * bucket by `nbits` SRP sign bits (q52's engine-portable md5-parity
+    * planes — nearby centroids share signs, so buckets are spatially
+    * coherent), then each bucket sub-splits into ≤`bcap`-member cells by a
+    * keyed row_number. The sub-split is what makes the fan-in BOUNDED BY
+    * CONSTRUCTION: even when the geometry degenerates (iteration 1 of the
+    * mod-k init has near-identical centroids, so every centroid lands in
+    * ONE bucket), no cell ever exceeds bcap members — the probe can never
+    * silently fall back to dense n×k work.
+    */
+  private def centroidCells(cents: DataFrame, bcap: Long, nbits: Int): DataFrame =
+    cents
+      .withColumn(
+        "_bkt",
+        concat((0 until nbits).map { p =>
+          when(dotFast(col("centroid"), planeLit(p)) >= 0, lit("1")).otherwise(lit("0"))
+        }: _*))
+      .withColumn(
+        "_rn",
+        row_number().over(Window.partitionBy(col("_bkt")).orderBy(col("cluster"))) - 1)
+      .withColumn("_cell", concat(col("_bkt"), lit("#"), expr(s"CAST(_rn div ${bcap}L AS STRING)")))
+      .select(col("_cell"), col("cluster"), col("centroid"))
+
+  /** Max-cosine re-assignment through the TWO-LEVEL probe — the IVF-assign
+    * shape that replaces the dense n×k crossJoin when k ∝ n: quantized-mean
+    * cell centroids (≤ ~2·⌈k/bcap⌉ rows — broadcast-sized two decades past
+    * the point where k itself is not), each vector ranks the cells and keeps
+    * its top-[[AdaptiveProbe]] (WindowGroupLimit collapses the fan-out to
+    * p rows per vector map-side), then candidates come from an EQUI join on
+    * the cell id — the centroid table shuffles by cell, never broadcasts,
+    * so the join scales past broadcast-able k. Exact argmax (round 6, ties
+    * to the least cluster id) within the ≤ p·bcap candidates. Per-vector
+    * work: m cell scores + p·bcap candidate scores ≈ (1+p)·√k instead of k.
+    */
+  private def probeAssign(e: DataFrame, cents: DataFrame, bcap: Long, nbits: Int): DataFrame = {
+    val cells = centroidCells(cents, bcap, nbits)
+    val cellCents = cells
+      .select(col("_cell"), posexplode(col("centroid")).as(Seq("pos", "v")))
+      .groupBy(col("_cell"), col("pos"))
+      .agg(sum(floor(col("v") * QuantScale)).as("sq"), count(lit(1)).as("n"))
+      .withColumn("c", col("sq").cast("double") / QuantScale / col("n"))
+      .groupBy(col("_cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("_cell"), transform(col("pc"), _.getField("c")).as("ccent"))
+    val probes = Tables
+      .spread(e.select(col("vec_id"), col("embedding")), col("vec_id"))
+      .crossJoin(broadcast(cellCents))
+      .withColumn("pcos", round(cosineFast(col("embedding"), col("ccent")), 6))
+      .withColumn(
+        "crnk",
+        row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("_cell"))))
+      .filter(col("crnk") <= AdaptiveProbe)
+      .select(col("vec_id"), col("embedding"), col("_cell"))
+    probes
+      .join(cells.select(col("_cell"), col("cluster"), col("centroid")), Seq("_cell"))
+      .withColumn("cos", round(cosineFast(col("embedding"), col("centroid")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cluster")).cast("long").as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster"))
+  }
+
+  /** `iters` probe-assigned Lloyd rounds — the adaptive (k ∝ n) path.
+    * bcap = ⌈√k⌉ balances the two levels (probe cost m ≈ √k vs candidate
+    * cost p·bcap ≈ p·√k), so assign work is Θ(n·√k) instead of Θ(n·k); the
+    * third level arrives when √k itself outgrows a broadcast, with the same
+    * construction applied to the cell centroids.
+    */
+  private def adaptiveLloyd(e: DataFrame, init: DataFrame, iters: Int, k: Long): DataFrame = {
+    val bcap  = math.ceil(math.sqrt(k.toDouble)).toLong
+    val m     = (k + bcap - 1) / bcap
+    val nbits = math.max(1L, 64L - java.lang.Long.numberOfLeadingZeros(math.max(1L, m - 1))).toInt
+    var asg   = init
+    for (_ <- 1 to iters) asg = probeAssign(e, centroidsOf(e, asg), bcap, nbits)
+    asg
+  }
+
   def refineBuildPlan(s: SparkSession, dir: String): DataFrame = {
     val e   = Tables.embeddings(s, dir).select(col("vec_id"), col("label"), col("embedding"))
     val asg = lloyd(e, e.select(col("vec_id"), col("label").cast("long").as("cluster")), KmeansIters)
@@ -125,13 +203,17 @@ object SimilarityQueries {
     * the same Lloyd rounds learn real cluster structure, so within-cluster
     * pair cost stays Σ block² ≈ n · B — linear in n at every scale. The
     * single driver touchpoint is one bounded `count()` scalar (the RankOps
-    * pattern); everything else is the q116 machinery unchanged.
+    * pattern). The assign step itself rides [[probeAssign]]'s two-level
+    * probe — with k ∝ n a dense n×k assign would be ~n²/B cosines, the
+    * very quadratic this build exists to remove downstream; the probe
+    * bounds it at Θ(n·√k).
     */
   def adaptiveBuildPlan(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"), col("embedding"))
     val n = e.count() // bounded driver scalar: one long, any corpus size
     val k = math.max(1L, (n + AdaptiveBlock - 1) / AdaptiveBlock)
-    lloyd(e, e.select(col("vec_id"), (col("vec_id") % k).cast("long").as("cluster")), KmeansIters)
+    adaptiveLloyd(
+      e, e.select(col("vec_id"), (col("vec_id") % k).cast("long").as("cluster")), KmeansIters, k)
   }
 
   /** SESSION MEMO of the refined assignment table (vec_id, init_label,
@@ -180,14 +262,25 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Embedding near-dup pairs: exact cosine within cluster blocks.
+    // Embedding near-dup pairs: exact cosine within LEARNED cluster blocks
+    // — the adaptive assignment memo (q129's build) is the blocking
+    // structure, so block count grows as ⌈n/B⌉ and the pair scan stays
+    // Σ block² ≈ n·B at every corpus size. (Through round 6 this blocked
+    // on the FIXED stored label — the same quadratic as q124, which
+    // remains on the board as the deliberate control; the learned-block
+    // routing is the production shape.)
     "q45_embedding_neardup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val a = e.select(col("label"), col("vec_id").as("ia"), col("embedding").as("ea"))
-      val b = e.select(col("label"), col("vec_id").as("ib"), col("embedding").as("eb"))
-      a.join(b, Seq("label"))
+      val withC = e
+        .join(adaptiveAssignment(s, dir).select(col("vec_id"), col("cluster")), Seq("vec_id"))
+        .select(col("cluster"), col("vec_id"), col("embedding"))
+      withC
+        .select(col("cluster"), col("vec_id").as("ia"), col("embedding").as("ea"))
+        .join(
+          withC.select(col("cluster"), col("vec_id").as("ib"), col("embedding").as("eb")),
+          Seq("cluster"))
         .filter(col("ia") < col("ib"))
-        // the label join leaves ≤ n_clusters partitions busy; spread the
+        // the cluster join leaves ≤ n_clusters partitions busy; spread the
         // pair-scoring (the expensive part) across all cores — needed at
         // ANY scale when clusters ≪ cores, unlike the scan-side spreads
         .repartition(col("ia"), col("ib"))
@@ -582,6 +675,74 @@ object SimilarityQueries {
        |        round(${dotSql("v.embedding", "c.centroid")} / (v.nrm * c.cnrm), 6) DESC, c.cluster) AS rnk
        |    FROM v CROSS JOIN cent_$out c) WHERE rnk = 1)""".stripMargin
 
+  /** One probe-assigned Lloyd iteration for the adaptive oracle — the exact
+    * algorithm [[probeAssign]] runs: centroids from `$in`, SRP-bucketed
+    * ≤bcap-member cells, quantized-mean cell centroids, top-p cell probe
+    * per vector, exact argmax within candidate members. Requires the `kb`
+    * (k, bcap, nbits) and `aplanes` CTEs in scope.
+    */
+  private def adaptiveIterSql(in: String, out: String): String =
+    s""" sums_$out AS (
+       |  SELECT a.cluster, pos, sum(CAST(floor(e.embedding[pos + 1]::DOUBLE * $QuantScale) AS BIGINT)) AS sq,
+       |    count(*) AS n
+       |  FROM embeddings e JOIN $in a USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(range($Dim)) AS pos)
+       |  GROUP BY 1, 2),
+       | cent_$out AS (
+       |  SELECT cluster, centroid, sqrt(${dotSql("centroid", "centroid")}) AS cnrm FROM (
+       |    SELECT cluster, list(sq::DOUBLE / $QuantScale / n ORDER BY pos) AS centroid
+       |    FROM sums_$out GROUP BY cluster)),
+       | cbkt_$out AS (
+       |  SELECT c.cluster,
+       |    coalesce(string_agg(CASE WHEN ${dotSql("c.centroid", "pl.warr")} >= 0 THEN '1' ELSE '0' END, '' ORDER BY pl.p), '') AS bkt
+       |  FROM cent_$out c CROSS JOIN aplanes pl GROUP BY c.cluster),
+       | cells_$out AS (
+       |  SELECT c.cluster, c.centroid, c.cnrm,
+       |    b.bkt || '#' || CAST(((row_number() OVER (PARTITION BY b.bkt ORDER BY c.cluster)) - 1) // (SELECT bcap FROM kb) AS VARCHAR) AS cell
+       |  FROM cent_$out c JOIN cbkt_$out b USING (cluster)),
+       | csum_$out AS (
+       |  SELECT cell, pos, sum(CAST(floor(centroid[pos + 1] * $QuantScale) AS BIGINT)) AS sq, count(*) AS n
+       |  FROM cells_$out CROSS JOIN (SELECT unnest(range($Dim)) AS pos)
+       |  GROUP BY 1, 2),
+       | ccent_$out AS (
+       |  SELECT cell, ccent, sqrt(${dotSql("ccent", "ccent")}) AS ccnrm FROM (
+       |    SELECT cell, list(sq::DOUBLE / $QuantScale / n ORDER BY pos) AS ccent
+       |    FROM csum_$out GROUP BY cell)),
+       | probe_$out AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, cc.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        round(${dotSql("v.embedding", "cc.ccent")} / (v.nrm * cc.ccnrm), 6) DESC, cc.cell) AS crnk
+       |    FROM v CROSS JOIN ccent_$out cc) WHERE crnk <= $AdaptiveProbe),
+       | $out AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT v.vec_id, ce.cluster,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        round(${dotSql("v.embedding", "ce.centroid")} / (v.nrm * ce.cnrm), 6) DESC, ce.cluster) AS rnk
+       |    FROM v JOIN probe_$out p ON p.vec_id = v.vec_id
+       |    JOIN cells_$out ce ON ce.cell = p.cell) WHERE rnk = 1)""".stripMargin
+
+  /** The full adaptive-assignment CTE chain (a2 = final (vec_id, cluster)):
+    * k/bcap/nbits from the corpus size exactly as the Spark driver scalars,
+    * SRP planes, mod-k init, two probe-assigned Lloyd iterations. Shared by
+    * the q45 pair miner and the q129 keep-list.
+    */
+  private def adaptiveChainSql: String =
+    s""" kb AS (
+       |  SELECT k, bcap,
+       |    greatest(1, (SELECT min(i) FROM (SELECT unnest(range(0, 63)) AS i)
+       |                 WHERE (1::BIGINT << CAST(i AS INT)) >= (k + bcap - 1) // bcap)) AS nbits
+       |  FROM (SELECT k, CAST(ceil(sqrt(k::DOUBLE)) AS BIGINT) AS bcap
+       |        FROM (SELECT greatest(1, (count(*) + ${AdaptiveBlock - 1}) // $AdaptiveBlock) AS k FROM embeddings))),
+       | aplanes AS (
+       |  SELECT p, list_transform(range(0, $Dim),
+       |    i -> (((strpos('0123456789abcdef', substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 1)) - 1) % 2) * 2 - 1)::DOUBLE) AS warr
+       |  FROM (SELECT unnest(range(0, (SELECT nbits FROM kb))) AS p)),
+       | a0 AS (
+       |  SELECT vec_id, vec_id % (SELECT k FROM kb) AS cluster FROM embeddings),
+       |${adaptiveIterSql("a0", "a1")},
+       |${adaptiveIterSql("a1", "a2")}""".stripMargin
+
   /** Shared by q50 and q102: one top-k contract, two physical plans. */
   private val topkOracle: String =
     vecCte +
@@ -594,11 +755,17 @@ object SimilarityQueries {
          |  FROM scored) WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The adaptive chain replayed, then exact cosine pairs within the
+    // learned blocks — q45's blocking is the a2 assignment, not the label.
     "q45_embedding_neardup" ->
-      (vecCte +
-        s"""SELECT a.vec_id AS ia, b.vec_id AS ib,
+      (vecCte + "," + adaptiveChainSql +
+        s"""
+           |SELECT a.vec_id AS ia, b.vec_id AS ib,
            |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
-           |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+           |FROM v a
+           |JOIN a2 ca ON ca.vec_id = a.vec_id
+           |JOIN a2 cb ON cb.cluster = ca.cluster
+           |JOIN v b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
            |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $NearDupCos
            |ORDER BY ia, ib""".stripMargin),
     "q50_cosine_topk" -> topkOracle,
@@ -751,18 +918,13 @@ object SimilarityQueries {
            |SELECT vec_id, label FROM v
            |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
            |ORDER BY vec_id""".stripMargin),
-    // The adaptive chain: k computed from the corpus size in SQL exactly
-    // as the Spark side's bounded count() scalar, mod-k init, then the
-    // same two unrolled Lloyd iterations and pair prune as q124.
+    // The adaptive chain: k/bcap/nbits computed from the corpus size in
+    // SQL exactly as the Spark side's bounded driver scalars, mod-k init,
+    // then two PROBE-ASSIGNED Lloyd iterations (the two-level IVF assign
+    // [[probeAssign]] runs) and the same pair prune as q124.
     "q129_semantic_dedup_adaptive" ->
-      (vecCte +
-        s""", a0 AS (
-           |  SELECT vec_id,
-           |    vec_id % (SELECT greatest(1, (count(*) + ${AdaptiveBlock - 1}) // $AdaptiveBlock)
-           |              FROM embeddings) AS cluster
-           |  FROM embeddings),
-           |${kmeansIterSql("a0", "a1")},
-           |${kmeansIterSql("a1", "a2")},
+      (vecCte + "," + adaptiveChainSql +
+        s""",
            | losers AS (
            |  SELECT DISTINCT b.vec_id FROM v a
            |  JOIN a2 ca ON ca.vec_id = a.vec_id

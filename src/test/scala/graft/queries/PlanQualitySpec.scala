@@ -249,18 +249,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
-  test("adaptive k-means build: the only nested-loop is the broadcast centroid table") {
-    // the build DAG crossJoins each vector against the BROADCAST k-row
-    // centroid set (k = ceil(n/B) — bounded rows, never the corpus); any
-    // other NL/cartesian join would pair corpus against corpus
+  test("adaptive k-means build: probe assign — broadcast CELL table, equi candidate join") {
+    // the assign step must never be the dense n×k crossJoin (k = ceil(n/B)
+    // grows with the corpus): each vector crossJoins only the BROADCAST
+    // cell-centroid table (~√k rows), and the candidate step is an EQUI
+    // join on the cell id — shuffle-able by key, never corpus × centroids
     val plan = SimilarityQueries
       .adaptiveBuildPlan(spark, dir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     val nl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    assert(nl >= 1, "expected the broadcast centroid crossJoin:\n" + plan.take(800))
-    // every nested-loop input is a broadcast exchange (centroids), so the
-    // stream side scans the corpus exactly once per Lloyd round
+    assert(nl >= 1, "expected the broadcast cell-centroid crossJoin:\n" + plan.take(800))
+    // every nested-loop input is a broadcast exchange (cell centroids), so
+    // the stream side scans the corpus exactly once per Lloyd round
     assert("BroadcastExchange".r.findAllIn(plan).size >= nl, plan.take(800))
+    // the probe-candidate join is keyed on _cell (equi, not nested-loop)
+    val equiCellJoin = plan.split('\n').exists { l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) && l.contains("_cell")
+    }
+    assert(equiCellJoin, "probe-candidate equi join on _cell missing:\n" + plan.take(1200))
+    // the top-p cell probe survives as a keyed window (WindowGroupLimit
+    // collapses the fan-out map-side before any exchange)
+    assert(plan.contains("WindowGroupLimit"), "probe top-p not group-limited:\n" + plan.take(1200))
   }
 }
