@@ -43,8 +43,7 @@ object SimilarityQueries {
   private val KmeansIters  = 2 // q116 Lloyd refinement rounds (fixed — no driver convergence loop)
   private val SemDedupCos  = 0.35 // q124 within-cluster semantic-dup threshold
   private val AdaptiveBlock = 50 // q129 target rows per learned cluster (k = ceil(n/B))
-  private val AdaptiveProbe = 2 // probe top-p meta-cells per vector (the IVF-assign fan-in)
-  private val AuditSet      = 64 // q142 sampled audit set (vec_id < AuditSet), q127's bounded-sample shape
+  private val AdaptiveProbe = 2 // probe top-p cells per vector (the IVF-assign fan-in)
 
   /** Hyperplane p as a literal ±1 array — the identical md5-parity formula
     * the oracle evaluates in SQL, here over literals so Catalyst constant-

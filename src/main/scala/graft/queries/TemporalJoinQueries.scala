@@ -289,6 +289,38 @@ object TemporalJoinQueries {
           count(lit(1)).as("n_transit"),
           sum(least(col("le"), col("re")) - greatest(col("ls"), col("rs")) + 1).as("overlap_days"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // The SECOND aggregate consumer of the interval join — a carried
+    // MEASURE (revenue cents) instead of a derived overlap length, proving
+    // the aggregation-below-pairs shape holds for arbitrary payload
+    // columns riding through IntervalOps: per urgent order, the exact
+    // revenue of heavy shipments in transit during its window. Same plan
+    // contract as q130 (partial agg inside the join stage — pairs never
+    // cross an exchange as rows), gated in PlanQualitySpec.
+    "q142_interval_transit_revenue" -> ((s, dir) => {
+      val li = Tables
+        .lineitem(s, dir)
+        .filter(col("l_quantity") >= HeavyQty)
+        .select(
+          unix_date(to_date(col("l_shipdate"))).cast("long").as("ls"),
+          (unix_date(to_date(col("l_shipdate"))) + lit(1) + col("l_linenumber") * 4)
+            .cast("long").as("le"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val ord = Tables
+        .orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(
+          col("o_orderkey"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("rs"),
+          (unix_date(to_date(col("o_orderdate"))) + OverlapWindowDays).cast("long").as("re"))
+      graft.operators.IntervalOps
+        .overlapJoin(li, "ls", "le", ord, "rs", "re", width = OverlapBucketDays)
+        .groupBy(col("o_orderkey"))
+        .agg(
+          count(lit(1)).as("n_transit"),
+          (sum(col("cents")).cast("double") / 100.0).as("transit_revenue"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -430,6 +462,22 @@ object TemporalJoinQueries {
          |  FROM orders WHERE o_orderpriority = '1-URGENT')
          |SELECT o_orderkey, count(*) AS n_transit,
          |  CAST(sum(least(le, re) - greatest(ls, rs) + 1) AS BIGINT) AS overlap_days
+         |FROM l JOIN r ON ls <= re AND rs <= le
+         |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
+    // Same independent plain-predicate formulation, carried-measure form.
+    "q142_interval_transit_revenue" ->
+      s"""WITH l AS (
+         |  SELECT (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS ls,
+         |         (l_shipdate::DATE - DATE '1970-01-01')::BIGINT + 1 + l_linenumber * 4 AS le,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         |  FROM lineitem WHERE l_quantity >= $HeavyQty),
+         | r AS (
+         |  SELECT o_orderkey,
+         |         (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS rs,
+         |         (o_orderdate::DATE - DATE '1970-01-01')::BIGINT + $OverlapWindowDays AS re
+         |  FROM orders WHERE o_orderpriority = '1-URGENT')
+         |SELECT o_orderkey, count(*) AS n_transit,
+         |  CAST(sum(cents) AS BIGINT)::DOUBLE / 100 AS transit_revenue
          |FROM l JOIN r ON ls <= re AND rs <= le
          |GROUP BY 1 ORDER BY o_orderkey""".stripMargin
   )

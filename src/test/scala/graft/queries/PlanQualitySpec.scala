@@ -228,6 +228,34 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("_bucket"), "bucket key missing from the join:\n" + plan.take(800))
   }
 
+  test("q130 aggregation sits BELOW the pair stream (partial agg before the key exchange)") {
+    // the scale claim: the overlap join is output-bound (true pairs grow
+    // ~quadratically when both sides grow), but an aggregate consumer
+    // never materializes the pair stream across an exchange — pairs
+    // collapse to per-order partials INSIDE the join stage, and only the
+    // partials cross the hashpartitioning(o_orderkey) shuffle. The plan
+    // prints root-first, so "deeper" means a LARGER string index.
+    for (q <- Seq("q130_interval_overlap_join", "q142_interval_transit_revenue")) {
+      val plan = executedPlan(q)
+      val finalExchange = plan.indexOf("Exchange hashpartitioning(o_orderkey")
+      val partialAgg    = plan.indexOf("partial_count")
+      val joinIdx = plan.split('\n').indexWhere(l => l.contains("Join") && l.contains("_bucket"))
+      assert(finalExchange >= 0, s"$q: no o_orderkey exchange:\n" + plan.take(800))
+      assert(partialAgg >= 0, s"$q: no partial aggregation:\n" + plan.take(800))
+      assert(joinIdx >= 0, s"$q: no bucket join:\n" + plan.take(800))
+      // partial agg is deeper than the key exchange…
+      assert(partialAgg > finalExchange,
+        s"$q: partial aggregation not below the o_orderkey exchange:\n" + plan.take(1200))
+      // …and the pair-producing bucket join is deeper than the partial agg
+      val partialLine = plan.split('\n').indexWhere(_.contains("partial_count"))
+      assert(joinIdx > partialLine,
+        s"$q: bucket join not below the partial aggregation:\n" + plan.take(1200))
+      // the partial agg aggregates the measure itself (pairs never survive
+      // to the exchange as rows)
+      assert(plan.contains("partial_sum"), s"$q:\n" + plan.take(1200))
+    }
+  }
+
   test("q140 prefix-filter join: candidates via shingle equi join, never all-pairs") {
     val plan = executedPlan("q140_prefix_filter_join")
     assert(!plan.contains("CartesianProduct"), plan.take(800))
