@@ -39,15 +39,18 @@ final case class MediaFeatures(
   * Scala analogue of `mapInPandas` (records stream through in bounded
   * batches; a real decoder would hand each batch to native code).
   *
-  * ===== STUB BOUNDARY (shrunk twice in round 6: MP4/ISO-BMFF container
-  * METADATA is REAL via [[mp4Meta]]'s box walk — video dims, duration,
-  * stts frame count, mdat payload span — the resize stage dispatches real
-  * pixels through [[PixelCodec]], and VIDEO PIXELS are now REAL too via
-  * [[AviCodec]]: RIFF/AVI container walk + lossless raw-DIB frame decode
-  * (value-gated by q128) + MJPEG frames through the JDK's own ImageIO
-  * codec. What remains stubbed is inter-frame codec territory only —
-  * H.264/VP9 SAMPLE decode inside MP4, which needs a codec library by any
-  * standard — plus the dims fallback for container-less bytes) =====
+  * ===== STUB BOUNDARY (shrunk again in round 7: MP4 SAMPLE decode is
+  * REAL now too — [[Mp4Codec]] recovers per-sample byte spans through the
+  * full stsd/stsc/stsz/stco tables and decodes MJPEG samples through the
+  * JDK ImageIO codec, value-gated by q143 on flat-gray DC-only frames;
+  * MP4/ISO-BMFF container METADATA was already REAL via [[mp4Meta]]'s box
+  * walk — video dims, duration, stts frame count, mdat payload span — the
+  * resize stage dispatches real pixels through [[PixelCodec]], and AVI
+  * VIDEO PIXELS are REAL via [[AviCodec]]: RIFF/AVI container walk +
+  * lossless raw-DIB frame decode (value-gated by q128) + MJPEG frames.
+  * What remains stubbed is inter-frame codec territory only — H.264/VP9
+  * SAMPLE decode, which needs a codec library by any standard — plus the
+  * dims fallback for container-less bytes) =====
   * IMAGE dimensions are decoded FOR REAL: [[decodeOne]] dispatches on the
   * container magic and reads PNG IHDR width/height (big-endian at offsets
   * 16/20 after the 8-byte signature + IHDR chunk header), BMP
@@ -67,10 +70,13 @@ final case class MediaFeatures(
   * tree ([[mp4Header]]) and [[mp4Meta]] walks ftyp/moov/mvhd/trak/tkhd/
   * mdia/hdlr/stbl/stts — both box versions, vide-handler track selection,
   * 16.16 dims, timescale-normalized duration, stts sample count, mdat
-  * span — and AVI rows decode to real FRAMES ([[AviCodec.decodeAvi]]).
-  * What REMAINS stubbed: MP4 sample extraction (fixed-size mdat windows
-  * stand in for stsz/stco sample boundaries — the payloads are text bytes,
-  * not codec data) and the dims fallback for container-less bytes.
+  * span — and BOTH video containers decode to real FRAMES:
+  * [[AviCodec.decodeAvi]] for RIFF/AVI and [[Mp4Codec.decodeMp4]] for
+  * MJPEG samples addressed through the real stsc/stsz/stco tables (the
+  * q60 corpus keeps header-only MP4s, so q65's fixed-size mdat windows
+  * remain the documented fallback for containers WITHOUT sample tables).
+  * What REMAINS stubbed: inter-frame codec samples (H.264/VP9) and the
+  * dims fallback for container-less bytes.
   * Everything around the boundary —
   * schema, encoders, batching shape, partition parallelism, the query
   * surface — is real, and every path is a pure byte function so the driver
@@ -213,8 +219,44 @@ object MediaPipeline {
       }
   }
 
-  /** REAL video-pixel path, end to end: container walk + frame decode
-    * ([[AviCodec.decodeAvi]] — DIB rows or ImageIO MJPEG), per-frame
+  /** A VIDEO corpus whose rows are COMPLETE, REAL MP4 files — MJPEG
+    * samples addressed through FULL sample tables
+    * ([[Mp4Codec.encodeMp4Mjpeg]]: stsd 'jpeg' entry, stts, run-length
+    * stsc, per-sample stsz, absolute stco offsets). Frames are FLAT
+    * grayscale — gray `(doc_id·31 + f·17) % 256` — because a flat 8×8
+    * block is DC-only and survives the lossy JPEG round-trip bit-exactly
+    * (Mp4CodecSpec proves it at all 256 levels), which is what lets q143
+    * value-check DECODED MJPEG sample pixels in SQL: a wrong stsc/stsz/
+    * stco walk slices a non-JPEG byte span (row drops ⇒ count mismatch), a
+    * wrong decode or resample changes the hash. `samplesPerChunk` varies
+    * by row so single-chunk, uniform, and short-last-chunk stsc maps all
+    * occur in the corpus.
+    */
+  def mediaWithMp4Frames(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"))
+      .as[Long]
+      .filter(_ % 3 == 1)
+      .map { id =>
+        val w   = (3 + id % 14).toInt
+        val h   = (3 + (id * 5) % 14).toInt
+        val nf  = (2 + id % 4).toInt
+        val fps = (5 + id % 10).toInt
+        val spc = (1 + id % 3).toInt
+        val samples = (0 until nf).map { f =>
+          val g = ((id * 31 + f * 17) % 256).toByte
+          PixelCodec.encodeGrayJpeg(w, h, Array.fill(w * h)(g))
+        }
+        MediaRecord(id, "video", "video/mp4", Mp4Codec.encodeMp4Mjpeg(w, h, fps, samples, spc))
+      }
+  }
+
+  /** REAL video-pixel path, end to end: container walk + frame decode —
+    * dispatched on the container magic to [[AviCodec.decodeAvi]] (DIB rows
+    * or ImageIO MJPEG) or [[Mp4Codec.decodeMp4]] (MJPEG samples addressed
+    * through the real stsc/stsz/stco tables) — then per-frame
     * aspect-preserving fit + nearest resample, and the polynomial hash of
     * each frame's resampled RGB bytes. Rows that don't decode are DROPPED
     * (flatMap) so a lost container surfaces as an oracle row-count
@@ -227,10 +269,16 @@ object MediaPipeline {
       .mapPartitions { it =>
         it.grouped(DecodeBatchSize).flatMap {
           _.flatMap { m =>
-            AviCodec.decodeAvi(m.content).toSeq.flatMap { v =>
-              v.frames.zipWithIndex.map { case (img, f) =>
+            val video: Option[(Long, Vector[PixelImage])] =
+              if (AviCodec.isAvi(m.content))
+                AviCodec.decodeAvi(m.content).map(v => (v.usPerFrame, v.frames))
+              else if (Mp4Codec.isMp4(m.content))
+                Mp4Codec.decodeMp4(m.content).map(v => (v.usPerFrame, v.frames))
+              else None
+            video.toSeq.flatMap { case (uspf, frames) =>
+              frames.zipWithIndex.map { case (img, f) =>
                 val out = PixelCodec.fitNearest(img, maxSide)
-                (m.media_id, f, v.frames.size, v.usPerFrame, img.width, img.height,
+                (m.media_id, f, frames.size, uspf, img.width, img.height,
                   out.width, out.height, out.rgb.length, polyHash(out.rgb))
               }
             }
@@ -869,9 +917,10 @@ object MediaPipeline {
   /** Frame sampling for video content: the MEDIA DATA stream — the `mdat`
     * payload located by the real container walk ([[mp4Meta]]); the whole
     * byte stream only when no container parses — is cut into fixed-size
-    * "frames" (fixed-size windows stand in for sample-table boundaries:
-    * per-sample stsz/stco extraction and frame PIXEL decode are the
-    * remaining ===== STUB ===== territory) and every `everyN`-th frame is
+    * "frames" (fixed-size windows — the documented ===== STUB ===== shape
+    * for containers WITHOUT sample tables, like the q60 header-only
+    * corpus; containers WITH them get real per-sample extraction + pixel
+    * decode via [[Mp4Codec]]/q143) and every `everyN`-th frame is
     * kept; returns (media_id, frame_no, frame_bytes) with `frame_no` the
     * original frame index.
     *

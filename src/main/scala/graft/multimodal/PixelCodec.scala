@@ -296,13 +296,17 @@ object PixelCodec {
 
   /** JPEG pixels via the JDK's OWN ImageIO decoder — `javax.imageio`
     * ships a baseline+progressive JPEG codec in every JDK, so this path is
-    * still genuinely codec-library-free. A lossy codec's output cannot be
-    * replayed by a SQL oracle (the driver gate stays on the PNG/BMP
-    * paths); this path is SPEC-verified instead: decoding a JDK-encoded
-    * JPEG recovers the source pixels within quantization tolerance
-    * (PixelCodecSpec), and the resize stage treats the decoded raster
-    * identically to the lossless formats. Returns None on malformed
-    * input or a non-JPEG signature.
+    * still genuinely codec-library-free. A lossy codec's output cannot in
+    * general be replayed by a SQL oracle; color JPEG is SPEC-verified
+    * instead (decoding a JDK-encoded JPEG recovers the source pixels
+    * within quantization tolerance — PixelCodecSpec), while flat-block
+    * GRAYSCALE JPEG round-trips bit-exactly (DC-only blocks), which q143
+    * exploits for a SQL value gate on MP4 sample decode. A single-component
+    * (grayscale) JPEG is read off the raster directly — gray g maps to
+    * (g,g,g), the convention every mainstream tool follows — NOT through
+    * `getRGB`, whose linear-gray→sRGB color management would distort the
+    * sample values (1 → 13). Returns None on malformed input or a non-JPEG
+    * signature.
     */
   def decodeJpeg(b: Array[Byte]): Option[PixelImage] =
     if (b.length < 3 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) None
@@ -314,22 +318,62 @@ object PixelCodec {
           val w   = img.getWidth
           val h   = img.getHeight
           val rgb = new Array[Byte](w * h * 3)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val argb = img.getRGB(x, y)
-              val d    = (y * w + x) * 3
-              rgb(d) = ((argb >> 16) & 0xff).toByte
-              rgb(d + 1) = ((argb >> 8) & 0xff).toByte
-              rgb(d + 2) = (argb & 0xff).toByte
-              x += 1
+          if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val g = raster.getSample(x, y, 0).toByte
+                val d = (y * w + x) * 3
+                rgb(d) = g; rgb(d + 1) = g; rgb(d + 2) = g
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+          } else {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val argb = img.getRGB(x, y)
+                val d    = (y * w + x) * 3
+                rgb(d) = ((argb >> 16) & 0xff).toByte
+                rgb(d + 1) = ((argb >> 8) & 0xff).toByte
+                rgb(d + 2) = (argb & 0xff).toByte
+                x += 1
+              }
+              y += 1
+            }
           }
           Some(PixelImage(w, h, rgb))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Encode a GRAYSCALE baseline JPEG through the JDK's ImageIO writer —
+    * deterministic bytes for a given raster (same encoder tables every
+    * run), and, for FLAT images, bit-exact on round-trip: a flat 8×8 block
+    * has only a DC coefficient, which survives quantize→dequantize→IDCT
+    * unchanged at every level 0–255 (verified exhaustively by
+    * Mp4CodecSpec). `gray` is a top-down w×h raster, one byte per pixel.
+    */
+  def encodeGrayJpeg(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == w * h, s"gray raster must be w*h bytes, got ${gray.length}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.getRaster.setSample(x, y, 0, gray(y * w + x) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
 
   /** Container dispatch on the magic bytes. */
   def decodePixels(b: Array[Byte]): Option[PixelImage] =

@@ -124,6 +124,33 @@ object MediaQueries {
         )
         .orderBy(col("media_id"), col("frame_no"))),
 
+    // MP4 SAMPLE DECODE end to end: the corpus rows are complete MJPEG
+    // MP4s with FULL sample tables (stsd 'jpeg', stts, run-length stsc,
+    // per-sample stsz, absolute stco). Each sample span is recovered by
+    // the real ISO-BMFF table walk, Huffman-decoded by the JDK JPEG codec,
+    // fit into 8px — and the RESAMPLED PIXELS are value-checked: frames
+    // are flat grayscale (DC-only blocks round-trip JPEG bit-exactly), so
+    // the oracle replays the gray formula through the same index map. A
+    // wrong stsc expansion, stco offset, or stsz size slices a non-JPEG
+    // span and the row DROPS (count mismatch); a wrong decode or gray→RGB
+    // mapping changes px_hash.
+    "q143_mp4_frames" -> ((s, dir) =>
+      MediaPipeline
+        .videoFramePixels(MediaPipeline.mediaWithMp4Frames(s, dir), maxSide = 8)
+        .select(
+          col("media_id"),
+          col("frame_no").cast("long").as("frame_no"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("us_per_frame").cast("long").as("us_per_frame"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_width").cast("long").as("out_width"),
+          col("out_height").cast("long").as("out_height"),
+          col("out_len").cast("long").as("out_len"),
+          col("px_hash")
+        )
+        .orderBy(col("media_id"), col("frame_no"))),
+
     // EXIF METADATA EXTRACTION end to end: real APP1/TIFF blocks in BOTH
     // byte orders (even ids MM big-endian, odd II little-endian), the
     // Make string offset-addressed past the IFD the way cameras write it,
@@ -419,6 +446,34 @@ object MediaQueries {
         |      flatten(list_transform(range(0, w2), x2 ->
         |        list_transform(range(0, 3), c ->
         |          ((media_id * 31 + fno * 17 + ((x2 * w) // w2) * 7 + ((y2 * h) // h2) * 13 + c * 5) % 256)::BIGINT))))) AS bl
+        |  FROM f)
+        |SELECT media_id, fno::BIGINT AS frame_no, nf::BIGINT AS n_frames,
+        |  uspf::BIGINT AS us_per_frame,
+        |  w::BIGINT AS width, h::BIGINT AS height,
+        |  w2::BIGINT AS out_width, h2::BIGINT AS out_height,
+        |  (w2 * h2 * 3)::BIGINT AS out_len,
+        |  list_reduce(list_prepend(0::BIGINT, bl), (a, c) -> (a * 31 + c) % 2147483647) AS px_hash
+        |FROM p ORDER BY media_id, frame_no""".stripMargin,
+    // Decoded MP4-MJPEG frames are FLAT gray (doc_id*31 + f*17) % 256, so
+    // the resampled raster is that byte repeated out_w*out_h*3 times and
+    // the polynomial fold is replayable without any pixel formula — the
+    // exactness comes from DC-only JPEG blocks, proven by Mp4CodecSpec.
+    "q143_mp4_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 3 + doc_id % 14 AS w, 3 + (doc_id * 5) % 14 AS h,
+        |         2 + doc_id % 4 AS nf, 1000000 // (5 + doc_id % 10) AS uspf
+        |  FROM documents WHERE doc_id % 3 = 1),
+        | s AS (SELECT media_id, w, h, nf, uspf, greatest(w, h) AS longest FROM m),
+        | d AS (
+        |  SELECT media_id, w, h, nf, uspf,
+        |    CASE WHEN longest <= 8 THEN w ELSE greatest(1, (w * 8 + longest - 1) // longest) END AS w2,
+        |    CASE WHEN longest <= 8 THEN h ELSE greatest(1, (h * 8 + longest - 1) // longest) END AS h2
+        |  FROM s),
+        | f AS (SELECT media_id, w, h, nf, uspf, w2, h2, unnest(range(0, nf)) AS fno FROM d),
+        | p AS (
+        |  SELECT media_id, fno, nf, uspf, w, h, w2, h2,
+        |    list_transform(range(0, w2 * h2 * 3), i ->
+        |      ((media_id * 31 + fno * 17) % 256)::BIGINT) AS bl
         |  FROM f)
         |SELECT media_id, fno::BIGINT AS frame_no, nf::BIGINT AS n_frames,
         |  uspf::BIGINT AS us_per_frame,
