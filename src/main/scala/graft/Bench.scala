@@ -23,8 +23,21 @@ object Bench {
       val w = "/root/testdata/sf0.001"
       if (new java.io.File(w).isDirectory) w else sfDir
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    // SPARK_GRAFT_BENCH_QUERIES narrows the board to a comma-separated
+    // subset (full names or qNN short ids) — the 30x tail probe runs only
+    // the data-bound queries, where a full-board pass would be wall-clock
+    // prohibitive at that corpus size.
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq
+      sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+        case Some(list) if list.trim.nonEmpty =>
+          val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          all.filter(n => want.contains(n) || want.contains(n.takeWhile(_ != '_')))
+        case _ => all
+      }
+    }
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir).count() catch { case _: Throwable => () }
     }
     spark.catalog.clearCache() // drop warm-up persists; keep JIT/codegen
 
@@ -38,10 +51,14 @@ object Bench {
     // A rep that THROWS contributes no time: folding a fast failure into the
     // min would silently deflate the total, so failed queries are excluded
     // from `queries`/total and reported by name in `failed` instead.
-    val names = SparkEntry.queries.keys.toSeq
-    val timed: Seq[Map[String, Double]] = (1 to 2).map { _ =>
+    // SPARK_GRAFT_BENCH_ROUNDS/REPS shrink the protocol for deep-scale
+    // probes (30x+), where per-query times are 10-300 s — large enough to
+    // dwarf rep noise — and the full 2x2 protocol would cost hours.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
+    val reps   = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val timed: Seq[Map[String, Double]] = (1 to rounds).map { _ =>
       names.flatMap { name =>
-        val okReps = (1 to 2).flatMap { _ =>
+        val okReps = (1 to reps).flatMap { _ =>
           val t0 = System.nanoTime()
           val ok =
             try { SparkEntry.queries(name)(spark, sfDir).count(); true }

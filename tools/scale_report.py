@@ -23,6 +23,19 @@ def main() -> None:
         with open(sys.argv[5]) as f:
             sb = json.load(f)["builds"]
         builds = [(n, bb[n], sb[n], sb[n] / bb[n]) for n in bb if n in sb]
+    # optional deeper probe on the data-bound tail:
+    #   argv[6] = tail replicas (e.g. 30), argv[7] = tail bench json,
+    #   argv[8] = tail ScaleBuilds json (optional)
+    tail = None
+    if len(sys.argv) > 7:
+        tail_reps = int(sys.argv[6])
+        with open(sys.argv[7]) as f:
+            tail_bench = json.load(f)
+        tail_builds = None
+        if len(sys.argv) > 8:
+            with open(sys.argv[8]) as f:
+                tail_builds = json.load(f)["builds"]
+        tail = (tail_reps, tail_bench, tail_builds)
     with open(base_path) as f:
         base = json.load(f)
     with open(scale_path) as f:
@@ -91,6 +104,69 @@ are timed separately (`graft.ScaleBuilds`, min of 2, cache cleared):
         for n, b, s, r in builds:
             print(f"| {n} | {b:.3f} | {s:.3f} | {r:.1f}× |")
 
+    if tail:
+        tail_reps, tail_bench, tail_builds = tail
+        tq = tail_bench["queries"]
+        tail_names = sorted(set(bq) & set(tq), key=lambda n: (len(n.split("_")[0]), n))
+        tail_flagged = [
+            n for n in tail_names
+            if bq[n] > 0 and tq[n] / bq[n] > tail_reps * slack and tq[n] > 1.0
+        ]
+        print(f"""
+## {tail_reps}× tail probe — the next decade
+
+The data-bound tail (plus the quadratic CONTROL q124) re-measured on a
+**{tail_reps}× corpus** — the decade where candidate-inflation curves
+actually bend. Same protocol; ratio is vs the same sf0.1 baseline.
+⚠ marks ratio > {tail_reps}×{slack} with a scale time > 1 s.
+
+| query | sf0.1 (s) | {tail_reps}× (s) | ratio |
+|---|---|---|---|""")
+        for n in tail_names:
+            r = tq[n] / bq[n] if bq[n] > 0 else float("inf")
+            mark = " ⚠" if n in tail_flagged else ""
+            print(f"| {n}{mark} | {bq[n]:.3f} | {tq[n]:.3f} | {r:.1f}× |")
+        if tail_builds and builds:
+            bb_map = {n: b for (n, b, _, _) in builds}
+            print(f"""
+| build | sf0.1 (s) | {tail_reps}× (s) | ratio |
+|---|---|---|---|""")
+            for n, t in tail_builds.items():
+                if n in bb_map:
+                    print(f"| {n} | {bb_map[n]:.3f} | {t:.3f} | {t / bb_map[n]:.1f}× |")
+        def tr(name):
+            return f"{tq[name] / bq[name]:.1f}" if name in tq and bq.get(name, 0) > 0 else "n/a"
+        expected = {
+            "q124_semantic_dedup":
+                f"the deliberate fixed-k CONTROL — {tr('q124_semantic_dedup')}× tracks the "
+                f"(replicas/10)²-quadratic prediction; its remedy q129 reads "
+                f"{tr('q129_semantic_dedup_adaptive')}× on identical semantics",
+            "q130_interval_overlap_join":
+                f"output-bound — true pairs grow ~{tail_reps}²×≈{tail_reps * tail_reps}×, wall grew "
+                f"only {tr('q130_interval_overlap_join')}× (per-pair cost keeps amortizing in the "
+                "bucketed equi join)",
+            "q142_interval_transit_revenue":
+                f"same pair stream as q130 ({tr('q142_interval_transit_revenue')}×); its partial "
+                "aggregation sits below the exchange, so the output rows themselves never shuffle",
+            "q140_prefix_filter_join":
+                f"the exactness price bending as predicted — {tr('q140_prefix_filter_join')}× from "
+                "candidate inflation even with all three PPJoin filters; the scale-safe twin q42 "
+                f"(LSH) reads {tr('q42_minhash_lsh')}× on the same corpus",
+        }
+        unexpected = [n for n in tail_flagged if n not in expected]
+        lines = [f"- **{n}** {tail_reps}× ratio {tr(n)}: {expected[n]}."
+                 for n in tail_flagged if n in expected]
+        if unexpected:
+            lines.append(f"- **UNEXPLAINED flags: {', '.join(unexpected)}** — investigate.")
+        memo_note = ("\n- Single-rep protocol note: session-memo builds fold into their FIRST "
+                     "consumer at this scale factor (no second rep to absorb them) — e.g. q45's "
+                     "wall includes the adaptive-assign build; subtract the builds table's "
+                     "kmeans_adaptive_build time for its own cost.")
+        print(f"""
+Flag reading (threshold {tail_reps}×{slack} — every flag below is an
+EXPECTED curve, each with its scale-safe counterpart on the board):
+{chr(10).join(lines)}{memo_note}""")
+
     def ratio_of(name):
         return f"{sq[name] / bq[name]:.1f}" if name in bq and name in sq and bq[name] > 0 else "n/a"
     r124, r129, r130 = ratio_of("q124_semantic_dedup"), ratio_of("q129_semantic_dedup_adaptive"), ratio_of("q130_interval_overlap_join")
@@ -114,34 +190,38 @@ are timed separately (`graft.ScaleBuilds`, min of 2, cache cleared):
   ≈ 0.05–0.15 s/query); the data-bound tail (q117 char-LM, q119
   substring grams, q122 FastSS, q133's full-data exact-audit windows)
   is where real work scales.
-- **The fixed-k quadratic is now REMEDIED and the remedy measured**:
-  q124 blocks on the corpus's FIXED label/cluster set ({replicas}× rows ⇒
-  ~{replicas}²× candidate pairs — {r124}× wall here, ~100× next decade), while
-  q129 — IDENTICAL prune semantics over k = ⌈n/50⌉ learned clusters —
-  grows {r129}×, linear as designed. q124 stays on the board deliberately:
-  the pair is the controlled experiment (fixed k vs k ∝ n) the scale
-  claim rests on. q45 shares q124's fixed-label blocking and inherits
-  the same remedy. Honest caveat: the adaptive BUILD's assign step is
-  n·k cosines with k ∝ n (~n²/B — {radapt}× measured here, still centroid-
-  broadcast-bound at this size); the linearity claim covers the
-  downstream pair prune, and at production scale the assign step
-  becomes a centroid-probe ANN lookup (q51's IVF machinery) instead of
-  the dense crossJoin.
+- **The fixed-k quadratic is REMEDIED, the remedy measured, and the
+  remedy's own build now sub-quadratic**: q124 blocks on the corpus's
+  FIXED label/cluster set ({replicas}× rows ⇒ ~{replicas}²× candidate pairs —
+  {r124}× wall here, ~100× next decade), while q129 — IDENTICAL prune
+  semantics over k = ⌈n/50⌉ learned clusters — grows {r129}×, linear as
+  designed. q124 stays on the board deliberately: the pair is the
+  controlled experiment (fixed k vs k ∝ n) the scale claim rests on;
+  q45 now BLOCKS ON THE LEARNED assignment (the adaptive memo), so the
+  control is the only fixed-label consumer left. The adaptive BUILD's
+  assign step is no longer the dense n×k crossJoin: a two-level IVF
+  probe (SRP-bucketed ≤⌈√k⌉-member cells, broadcast cell centroids,
+  top-2 probe, equi candidate join) makes it Θ(n·√k) —
+  kmeans_adaptive_build measured {radapt}× at {replicas}× rows.
 - **q130 (interval-overlap) is pair-OUTPUT-bound by nature**: both
   interval sets grow {replicas}×, so true overlapping pairs grow ~{replicas}²×;
   wall grew only {r130}× because per-pair cost amortizes inside the
   bucketed equi join. The operator's value is the plan shape — the same
   predicate as a nested loop would pay the {replicas}²× on CANDIDATES, not
   just on true results. At production scale the aggregation pushes
-  below the pair stream (partial per bucket), which is already the plan.
-- **q140 (prefix-filter join) is the exactness price tag**: lossless
-  candidates cost {r140}× here — the content-perturbed copies spread the
-  shingle df distribution, so prefixes admit more candidates at 10× and
-  every candidate pays an exact-Jaccard verification. That is the
-  documented trade against q42's LSH (probabilistic recall, flat
-  growth): the engine ships BOTH, and the blocking is still an equi
-  join — the nested-loop alternative would pay this on |L|·|R|, not on
-  true candidates.
+  below the pair stream (partial per bucket) — now REGISTERED and
+  GATED: q142 aggregates a carried measure with its partial
+  HashAggregate below the o_orderkey exchange, above the bucket join
+  (PlanQualitySpec pins the executed plan).
+- **q140 (full-PPJoin prefix-filter join) is the exactness price tag**:
+  lossless candidates cost {r140}× here even with all three filters
+  (prefix + Bayardo length + positional bound) — the content-perturbed
+  copies spread the shingle df distribution, so prefixes admit more
+  candidates at 10× and every candidate pays an exact-Jaccard
+  verification. That is the documented trade against q42's LSH
+  (probabilistic recall, flat growth): the engine ships BOTH, and the
+  blocking is still an equi join — the nested-loop alternative would
+  pay this on |L|·|R|, not on true candidates.
 - The 10× corpus is multi-file (32 files/table), so scans split without
   `Tables.spread`; the shim stays correct (an extra small exchange) and
   remains deletable at real scale, as documented.""")
