@@ -18,26 +18,38 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"${sfDir.stripSuffix("/")}/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy conf) and
-    * floor-convert to a microsecond TimestampType — the same truncation
-    * DuckDB applies when it reads TIMESTAMP_NS, so oracle results agree.
+  /** `events.ts` has shipped in two physical encodings across corpus
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * only accepts as a raw long under `spark.sql.legacy.parquet.nanosAsLong`)
+    * and plain TIMESTAMP(MICROS). Dispatch on the dtype the scan actually
+    * produced so both read to the same microsecond TimestampType — the
+    * nanos branch floor-converts exactly as DuckDB truncates TIMESTAMP_NS,
+    * so oracle results agree either way.
     *
-    * The conf is a SESSION setting the caller must own (set it in the
-    * `SparkSession.builder`, as `Verify`/`Bench`/the test harness do): it is
-    * consulted again at execution time when the scan builds its readers, so
-    * a set-and-restore around this call would still break the query later —
-    * and a library silently mutating session state behind the caller's back
-    * is worse than failing fast with instructions.
+    * For nanos-era files the legacy conf is a SESSION setting the caller
+    * must own (set it in the `SparkSession.builder`, as `Verify`/`Bench`/
+    * the test harness do): it is consulted again at execution time when the
+    * scan builds its readers, so a set-and-restore around this call would
+    * still break the query later. Micros-era files need no conf at all.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.ts is parquet TIMESTAMP(NANOS): build the session with " +
-        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")"
-    )
-    load(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) read as raw long
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _: org.apache.spark.sql.types.TimestampType =>
+        raw
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): under the UTC
+        // session every query runs with, NTZ->TIMESTAMP is the identity on
+        // the stored micros, matching both the old nanos path and DuckDB's
+        // naive-timestamp oracle read.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as $other; expected LongType (nanos under " +
+            "spark.sql.legacy.parquet.nanosAsLong=true), TimestampType, or TimestampNTZType")
+    }
   }
 
   /** Spread a small scan across all cores before heavy narrow work
