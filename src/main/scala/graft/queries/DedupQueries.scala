@@ -133,18 +133,25 @@ object DedupQueries {
     * persisted: it is O(docs × bands) — tiny next to the corpus — and feeds
     * both join sides without recomputing the signatures.
     */
-  private def lshCandidates(
-      wide: DataFrame,
-      captureBands: DataFrame => Unit = _ => ()
-  ): DataFrame = {
+  /** LSH band rows (doc_id, band, sig) derived NARROW from the wide
+    * one-row-per-doc signature frame — shared by the corpus self-join
+    * ([[lshCandidates]]) and the incremental new-vs-corpus join (q145).
+    */
+  private def bandRowsOf(wide: DataFrame): DataFrame = {
     val bands = (0 until NumHashes / RowsPerBand).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("|", cols: _*).as("sig"))
     }
-    val bandRows = wide
+    wide
       .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .persist()
+  }
+
+  private def lshCandidates(
+      wide: DataFrame,
+      captureBands: DataFrame => Unit = _ => ()
+  ): DataFrame = {
+    val bandRows = bandRowsOf(wide).persist()
     // hand the persisted frame to callers that materialize the result and
     // can therefore release the cache entry afterwards (the memo build —
     // a long-lived session must not accumulate cached tables)
@@ -415,6 +422,87 @@ object DedupQueries {
         .agg(max(struct(col("jac"), col("eval_id"))).as("m"))
         .select(col("doc_id"), col("m.eval_id").as("eval_id"), col("m.jac").as("jac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BLOOM-FILTER DECONTAMINATION — q68's contamination check restructured
+    // the way a 100 TB corpus actually runs it: the eval/benchmark n-gram
+    // set is compacted into a Bloom filter (distributed build: Catalyst's
+    // own BloomFilterAggregate merges per-partition blooms — the exact
+    // machinery Spark's runtime-filter injection uses), then the CORPUS
+    // side is pruned by a codegen'd `might_contain` probe BEFORE any
+    // exchange — only candidate (doc, shingle) rows transit the shuffle to
+    // the exact semi-join verify. Bloom FPs are killed by the verify; Bloom
+    // has NO false negatives, so the final answer is exactly the plain
+    // join's — the oracle computes it with no bloom at all, and the hash
+    // gate proves prune + verify ≡ exact. The driver-side bloom is bounded
+    // by construction: sized to the eval shingle count (benchmark suites,
+    // not the corpus — ~9 MB for 10M eval n-grams), the same
+    // broadcast-a-compact-structure shape as the IVF centroid table.
+    "q144_bloom_decontaminate" -> ((s, dir) => {
+      import org.apache.spark.sql.GraftInterop
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val sh    = shared(s, dir).sh
+      val evalS = sh.filter(col("doc_id") % 10 === 0).select(col("shingle")).distinct()
+      val corp  = sh.filter(col("doc_id") % 10 =!= 0)
+      val nEval = math.max(evalS.count(), 1L)
+      val bloomCol = GraftInterop.column(
+        new BloomFilterAggregate(GraftInterop.expression(xxhash64(col("shingle"))), nEval)
+          .toAggregateExpression())
+      val bloomBytes = evalS.select(bloomCol.as("bf")).head().getAs[Array[Byte]](0)
+      val might = GraftInterop.column(
+        BloomFilterMightContain(
+          Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+          GraftInterop.expression(xxhash64(col("shingle")))))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      corp
+        .filter(might)                           // bloom prune: no FNs, scan-side
+        .join(evalS, Seq("shingle"), "left_semi") // exact verify: kills bloom FPs
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bad"))
+        .join(sizes, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          col("n_bad"),
+          col("n_shingles"),
+          round(col("n_bad").cast("double") / col("n_shingles"), 4).as("bad_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // INCREMENTAL NEAR-DUP INGEST — the "a new crawl increment arrived"
+    // shape: signatures for the NEW batch are computed fresh and narrow
+    // (the ingest path), the CORPUS side reads the memoized signature
+    // snapshot, and candidates come from an equi band join of new × old —
+    // no corpus self-join, no corpus recompute, nothing proportional to
+    // |corpus|² or even |corpus| beyond the one materialized-table read.
+    // This is how dedup keeps running once the corpus is 100 TB: the
+    // snapshot tables are maintained, each increment joins against them.
+    // Exact-Jaccard verification runs only on the cross candidates.
+    "q145_incremental_neardup" -> ((s, dir) => {
+      val sd      = shared(s, dir)
+      val isNew   = col("doc_id") % 7 === 3
+      val newB    = bandRowsOf(minhashWide(s, dir).filter(isNew))
+      val oldB    = bandRowsOf(sd.wide.filter(!isNew))
+      val cand = newB
+        .select(col("band"), col("sig"), col("doc_id").as("new_id"))
+        .join(oldB.select(col("band"), col("sig"), col("doc_id").as("old_id")), Seq("band", "sig"))
+        .select(col("new_id"), col("old_id"))
+        .distinct()
+      val sh    = sd.sh
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      cand
+        .join(sh.select(col("doc_id").as("new_id"), col("shingle")), Seq("new_id"))
+        .join(sh.select(col("doc_id").as("old_id"), col("shingle")), Seq("old_id", "shingle"))
+        .groupBy(col("new_id"), col("old_id"))
+        .agg(count(lit(1)).as("c"))
+        .join(sizes.select(col("doc_id").as("new_id"), col("n").as("na")), Seq("new_id"))
+        .join(sizes.select(col("doc_id").as("old_id"), col("n").as("nb")), Seq("old_id"))
+        .select(
+          col("new_id"),
+          col("old_id"),
+          round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4).as("jac"))
+        .filter(col("jac") >= JaccardThreshold)
+        .orderBy(col("new_id"), col("old_id"))
     }),
 
     // Dedup AUDIT report: near-dup rate per source — the "which crawl is
@@ -861,6 +949,35 @@ object DedupQueries {
     // hash, not just a spec.
     "q140_prefix_filter_join" ->
       (shingleCte + s"SELECT ia, ib, jac FROM jac WHERE jac >= $JaccardThreshold ORDER BY ia, ib"),
+    // The oracle knows NOTHING about the bloom filter: it computes the
+    // plain exact contamination join. Bloom prune + exact verify must
+    // reproduce it bit-for-bit (no false negatives by construction, false
+    // positives killed by the verify) — the hash gate IS the no-FN proof.
+    "q144_bloom_decontaminate" ->
+      (shingleCte +
+        raw""", ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+             | x AS (SELECT s.doc_id, count(*) AS n_bad
+             |       FROM sh s JOIN ev USING (shingle) WHERE s.doc_id % 10 <> 0 GROUP BY 1)
+             |SELECT x.doc_id, x.n_bad, z.n AS n_shingles,
+             |  round(x.n_bad * 1.0 / z.n, 4) AS bad_ratio
+             |FROM x JOIN sizes z ON x.doc_id = z.doc_id ORDER BY x.doc_id""".stripMargin),
+    // Identical band candidates restricted to new × old, then exact
+    // Jaccard — the incremental ingest must find exactly the pairs the
+    // full-corpus algorithm would report between the two slices.
+    "q145_incremental_neardup" ->
+      (shingleCte +
+        raw""", nb AS (SELECT doc_id, band, s FROM bands WHERE doc_id % 7 = 3),
+             | ob AS (SELECT doc_id, band, s FROM bands WHERE doc_id % 7 <> 3),
+             | icand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+             |           FROM nb n JOIN ob o ON n.band = o.band AND n.s = o.s),
+             | ii AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS c
+             |        FROM sh a JOIN sh b ON a.shingle = b.shingle
+             |        WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3 GROUP BY 1, 2),
+             | ij AS (SELECT new_id, old_id, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jac
+             |        FROM ii JOIN sizes sa ON new_id = sa.doc_id
+             |                JOIN sizes sb ON old_id = sb.doc_id)
+             |SELECT j.new_id, j.old_id, j.jac FROM ij j JOIN icand USING (new_id, old_id)
+             |WHERE j.jac >= $JaccardThreshold ORDER BY new_id, old_id""".stripMargin),
     // Identical deletion-neighborhood signatures + exact levenshtein
     // verify (DuckDB's levenshtein is the same standard edit distance).
     "q122_fuzzy_names" ->

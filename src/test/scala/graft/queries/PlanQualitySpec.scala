@@ -300,4 +300,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     // collapses the fan-out map-side before any exchange)
     assert(plan.contains("WindowGroupLimit"), "probe top-p not group-limited:\n" + plan.take(1200))
   }
+
+  test("q144 bloom prune runs below the exact-verify semi join") {
+    val plan = executedPlan("q144_bloom_decontaminate")
+    // the codegen'd probe is in the plan at all…
+    val might = plan.indexOf("might_contain")
+    assert(might >= 0, "bloom might_contain probe missing:\n" + plan.take(1200))
+    // …and the exact verify is a semi join (bloom FPs die there)
+    val semi = plan.indexOf("LeftSemi")
+    assert(semi >= 0, "exact-verify semi join missing:\n" + plan.take(1200))
+    // root-first print: the prune must be DEEPER than the semi join — the
+    // corpus is filtered before rows reach the join's exchange, which is
+    // the entire point of the bloom at 100 TB
+    assert(might > semi, "bloom probe not below the semi join:\n" + plan.take(1600))
+  }
+
+  test("q145 incremental ingest recomputes signatures for the increment only") {
+    val plan = executedPlan("q145_incremental_neardup")
+    // exactly ONE scan of the raw documents table (the new batch); the
+    // corpus side must ride the memoized signature/shingle snapshots
+    val docScans = plan.split('\n').count(l =>
+      l.contains("documents.parquet") && l.contains("Scan"))
+    assert(docScans == 1,
+      s"expected 1 documents scan (increment only), got $docScans:\n" + plan.take(1600))
+    // candidates via the equi band join — never any all-pairs shape
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
 }
