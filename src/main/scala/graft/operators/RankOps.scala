@@ -62,4 +62,53 @@ object RankOps {
       .withColumn(outCol, (col("_local") + offsetExpr).cast("long"))
       .drop("_pid", "_local")
   }
+
+  /** Scalable GLOBAL inclusive running sums — the prefix-sum twin of
+    * [[globalRowNumber]], same two-phase shape: range partition on the
+    * order keys (localCheckpoint pins the sampled boundaries), per-
+    * partition TOTALS of each sum column collected to the driver (bounded
+    * by the partition count, not the data), prefix-summed into per-
+    * partition offsets, then a parallel per-partition running-sum window
+    * plus the broadcast offset. Never a single-task empty-partition
+    * window.
+    *
+    * Contract: `sumCols` must be LongType (exact integer prefix sums —
+    * double accumulation would make the result order-dependent), and
+    * `order` must be a TOTAL order over the rows (the default window
+    * frame is RANGE-to-current, so duplicate keys would each absorb all
+    * their ties; callers cumulating per-key aggregates — one row per key
+    * — satisfy this by construction). Output adds `cum_<col>` per sum
+    * column.
+    */
+  def globalRunningSums(
+      df: DataFrame,
+      order: Seq[Column],
+      sumCols: Seq[String],
+      numPartitions: Option[Int] = None
+  ): DataFrame = {
+    require(sumCols.nonEmpty, "need at least one column to cumulate")
+    val n = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = df.repartitionByRange(n, order: _*).withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val aggCols = sumCols.map(c => sum(col(c)).as(c))
+    // phase 1: bounded driver state — one totals row per partition
+    val totals = ranged.groupBy(col("_pid")).agg(aggCols.head, aggCols.tail: _*).collect()
+      .map(r => r.getInt(0) ->
+        sumCols.indices.map(i => if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)).toSeq)
+      .sortBy(_._1)
+    val zero = sumCols.map(_ => 0L)
+    val prefixes = totals.map(_._2).scanLeft(zero)((acc, v) => acc.zip(v).map { case (a, b) => a + b })
+    val offsetByPid: Map[Int, Seq[Long]] = totals.map(_._1).zip(prefixes).toMap
+    // phase 2: parallel per-partition running sums + offsets
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    val withCums = sumCols.zipWithIndex.foldLeft(ranged) { case (d, (c, i)) =>
+      val offsetExpr = coalesce(
+        element_at(
+          map(offsetByPid.toSeq.flatMap { case (p, os) => Seq(lit(p), lit(os(i))) }: _*),
+          col("_pid")),
+        lit(0L))
+      d.withColumn(s"cum_$c", sum(col(c)).over(w) + offsetExpr)
+    }
+    withCums.drop("_pid")
+  }
 }

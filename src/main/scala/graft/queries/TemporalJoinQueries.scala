@@ -321,6 +321,87 @@ object TemporalJoinQueries {
           count(lit(1)).as("n_transit"),
           (sum(col("cents")).cast("double") / 100.0).as("transit_revenue"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // SWEEP/PREFIX-SUM INTERVAL AGGREGATION — q142's report computed with
+    // ZERO pair enumeration. The overlap join is pair-OUTPUT-bound (both
+    // sides grow k× ⇒ true pairs grow ~k²×; SCALE.md measures the wall
+    // following that curve), but when the consumer is an AGGREGATE the
+    // pairs never need to exist: for order i,
+    //   n(i)     = |{j : ls_j ≤ re_i}| − |{j : le_j < rs_i}|
+    //   cents(i) = Σ cents_j·[ls_j ≤ re_i] − Σ cents_j·[le_j < rs_i]
+    // (subtracting the too-early-enders from the started-in-time set
+    // leaves exactly the overlap set, since ls ≤ le always). Each term is
+    // a point lookup into a CUMULATIVE PER-DAY series — built by one
+    // day-keyed aggregate, densified over the day domain, and prefix-
+    // summed by RankOps.globalRunningSums (two-phase: per-partition
+    // running sums + broadcast partition offsets, never a single-task
+    // window). The lookup is then a plain EQUI JOIN on the day: the
+    // series size is bounded by the TIME DOMAIN, not the corpus — it
+    // broadcasts at any data scale, and total cost is two day-keyed
+    // aggregations + two broadcast joins: O(n), flat where q142 is
+    // quadratic. Same oracle as q142 (third independent formulation of
+    // the same truth); exact integer cents throughout.
+    "q146_interval_sweep_revenue" -> ((s, dir) => {
+      val li = Tables
+        .lineitem(s, dir)
+        .filter(col("l_quantity") >= HeavyQty)
+        .select(
+          unix_date(to_date(col("l_shipdate"))).cast("long").as("ls"),
+          (unix_date(to_date(col("l_shipdate"))) + lit(1) + col("l_linenumber") * 4)
+            .cast("long").as("le"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val ord = Tables
+        .orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(
+          col("o_orderkey"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("rs"),
+          (unix_date(to_date(col("o_orderdate"))) + OverlapWindowDays).cast("long").as("re"))
+      // cumulative (count, cents) of transit intervals whose `dayCol` is
+      // at-or-before each day of the dense day domain
+      def cumSeries(dayCol: String): DataFrame = {
+        val perDay = li
+          .groupBy(col(dayCol).as("d"))
+          .agg(count(lit(1)).as("dn"), sum(col("cents")).as("dc"))
+        val days = perDay
+          .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+        val dense = days
+          .join(perDay, Seq("d"), "left")
+          .select(
+            col("d"),
+            coalesce(col("dn"), lit(0L)).as("dn"),
+            coalesce(col("dc"), lit(0L)).as("dc"))
+        graft.operators.RankOps
+          .globalRunningSums(dense, Seq(col("d")), Seq("dn", "dc"))
+          .select(col("d"), col("cum_dn"), col("cum_dc"))
+      }
+      val aSer = cumSeries("ls") // transits STARTED at-or-before day d
+      val bSer = cumSeries("le") // transits ENDED at-or-before day d
+      // clamp each lookup to its series' upper bound (a later lookup sees
+      // the full total); below-domain lookups miss the left join and
+      // coalesce to zero — both directions exact
+      val aHi = aSer.agg(max(col("d")).as("a_hi"))
+      val bHi = bSer.agg(max(col("d")).as("b_hi"))
+      ord
+        .crossJoin(broadcast(aHi))
+        .crossJoin(broadcast(bHi))
+        .withColumn("ka", least(col("re"), col("a_hi")))
+        .withColumn("kb", least(col("rs") - 1, col("b_hi")))
+        .join(
+          broadcast(aSer.select(col("d").as("ka"), col("cum_dn").as("na"), col("cum_dc").as("ca"))),
+          Seq("ka"), "left")
+        .join(
+          broadcast(bSer.select(col("d").as("kb"), col("cum_dn").as("nb"), col("cum_dc").as("cb"))),
+          Seq("kb"), "left")
+        .select(
+          col("o_orderkey"),
+          (coalesce(col("na"), lit(0L)) - coalesce(col("nb"), lit(0L))).as("n_transit"),
+          ((coalesce(col("ca"), lit(0L)) - coalesce(col("cb"), lit(0L))).cast("double") / 100.0)
+            .as("transit_revenue"))
+        .filter(col("n_transit") > 0)
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -466,6 +547,26 @@ object TemporalJoinQueries {
          |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
     // Same independent plain-predicate formulation, carried-measure form.
     "q142_interval_transit_revenue" ->
+      s"""WITH l AS (
+         |  SELECT (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS ls,
+         |         (l_shipdate::DATE - DATE '1970-01-01')::BIGINT + 1 + l_linenumber * 4 AS le,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         |  FROM lineitem WHERE l_quantity >= $HeavyQty),
+         | r AS (
+         |  SELECT o_orderkey,
+         |         (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS rs,
+         |         (o_orderdate::DATE - DATE '1970-01-01')::BIGINT + $OverlapWindowDays AS re
+         |  FROM orders WHERE o_orderpriority = '1-URGENT')
+         |SELECT o_orderkey, count(*) AS n_transit,
+         |  CAST(sum(cents) AS BIGINT)::DOUBLE / 100 AS transit_revenue
+         |FROM l JOIN r ON ls <= re AND rs <= le
+         |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
+    // Same oracle as q142 on purpose: the sweep/prefix-sum decomposition
+    // (no pair ever enumerated) must reproduce the pair-join aggregate
+    // exactly — a wrong clamp, an off-by-one in the strict/non-strict
+    // bounds, or a lost day in the dense domain shifts a count and the
+    // hash fails.
+    "q146_interval_sweep_revenue" ->
       s"""WITH l AS (
          |  SELECT (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS ls,
          |         (l_shipdate::DATE - DATE '1970-01-01')::BIGINT + 1 + l_linenumber * 4 AS le,

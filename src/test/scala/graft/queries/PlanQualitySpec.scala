@@ -315,6 +315,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(might > semi, "bloom probe not below the semi join:\n" + plan.take(1600))
   }
 
+  test("q146 sweep aggregation never enumerates overlap pairs") {
+    val plan = executedPlan("q146_interval_sweep_revenue")
+    // not the bucketed pair machinery — the whole point is that no pair
+    // stream exists anywhere in the plan
+    assert(!plan.contains("_bucket"), "sweep fell back to the pair join:\n" + plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the day-series lookups are broadcast equi joins (series bounded by
+    // the time domain, not the corpus)
+    assert(plan.contains("BroadcastHashJoin"), "day lookup not broadcast:\n" + plan.take(1200))
+    // orders are scanned, never windowed: the only windows are the
+    // per-partition running sums over the day series
+    val windowLines = plan.split('\n').filter(_.contains("Window ["))
+    windowLines.foreach { l =>
+      assert(l.contains("_pid"), "window not the two-phase running sum:\n" + l.take(300))
+    }
+  }
+
   test("q145 incremental ingest recomputes signatures for the increment only") {
     val plan = executedPlan("q145_incremental_neardup")
     // exactly ONE scan of the raw documents table (the new batch); the
