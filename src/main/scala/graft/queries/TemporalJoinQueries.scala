@@ -402,6 +402,78 @@ object TemporalJoinQueries {
             .as("transit_revenue"))
         .filter(col("n_transit") > 0)
         .orderBy(col("o_orderkey"))
+    }),
+
+    // SECOND-ORDER SWEEP — q130's FULL report (count + overlap DAYS)
+    // pair-free. The length measure looks pair-bound (min(le,re) −
+    // max(ls,rs) + 1 mixes both sides), but it factors per DAY:
+    //   overlap_days(i) = Σ_j |[ls_j, le_j] ∩ [rs_i, re_i]|
+    //                   = Σ_{d = rs_i}^{re_i} active(d)
+    // where active(d) = transits covering day d. So it is a PREFIX SUM OF
+    // A PREFIX SUM: delta(d) = starts(d) − ends_at(d) (ends keyed le+1,
+    // the day a transit stops being active), active = Σ delta, cum_active
+    // = Σ active — two chained globalRunningSums over the dense day
+    // domain. Then per order, with both lookups on the SAME clamped keys:
+    //   n_transit    = cum_starts(re) − cum_ends_at(rs)      [le ≤ rs−1]
+    //   overlap_days = cum_active(re) − (cum_active(rs) − active(rs))
+    // (the rs-row identity CumActive(rs−1) = cum_active(rs) − active(rs)
+    // avoids a third lookup key). Domain runs to max(le)+1 so clamped
+    // above-domain lookups read the flat totals; below-domain lookups
+    // miss the left join and coalesce to zero. Same oracle as q130 —
+    // third formulation, zero pairs, flat at every corpus scale.
+    "q147_interval_sweep_days" -> ((s, dir) => {
+      val li = Tables
+        .lineitem(s, dir)
+        .filter(col("l_quantity") >= HeavyQty)
+        .select(
+          unix_date(to_date(col("l_shipdate"))).cast("long").as("ls"),
+          (unix_date(to_date(col("l_shipdate"))) + lit(1) + col("l_linenumber") * 4)
+            .cast("long").as("le"))
+      val ord = Tables
+        .orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(
+          col("o_orderkey"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("rs"),
+          (unix_date(to_date(col("o_orderdate"))) + OverlapWindowDays).cast("long").as("re"))
+      val starts = li.groupBy(col("ls").as("d")).agg(count(lit(1)).as("sn"))
+      val endsAt = li.groupBy((col("le") + 1).as("d")).agg(count(lit(1)).as("en"))
+      val dense = li
+        .agg(min(col("ls")).as("lo"), (max(col("le")) + 1).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+        .join(starts, Seq("d"), "left")
+        .join(endsAt, Seq("d"), "left")
+        .select(
+          col("d"),
+          coalesce(col("sn"), lit(0L)).as("sn"),
+          coalesce(col("en"), lit(0L)).as("en"))
+        .withColumn("delta", col("sn") - col("en"))
+      val firstOrder = graft.operators.RankOps
+        .globalRunningSums(dense, Seq(col("d")), Seq("sn", "en", "delta"))
+        .withColumnRenamed("cum_delta", "active")
+      val series = graft.operators.RankOps
+        .globalRunningSums(firstOrder, Seq(col("d")), Seq("active"))
+        .select(col("d"), col("cum_sn"), col("cum_en"), col("active"), col("cum_active"))
+      val hi = series.agg(max(col("d")).as("hi"))
+      ord
+        .crossJoin(broadcast(hi))
+        .withColumn("ka", least(col("re"), col("hi")))
+        .withColumn("kb", least(col("rs"), col("hi")))
+        .join(
+          broadcast(series.select(
+            col("d").as("ka"), col("cum_sn").as("na"), col("cum_active").as("da"))),
+          Seq("ka"), "left")
+        .join(
+          broadcast(series.select(
+            col("d").as("kb"), col("cum_en").as("nb"),
+            (col("cum_active") - col("active")).as("db"))),
+          Seq("kb"), "left")
+        .select(
+          col("o_orderkey"),
+          (coalesce(col("na"), lit(0L)) - coalesce(col("nb"), lit(0L))).as("n_transit"),
+          (coalesce(col("da"), lit(0L)) - coalesce(col("db"), lit(0L))).as("overlap_days"))
+        .filter(col("n_transit") > 0)
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -579,6 +651,25 @@ object TemporalJoinQueries {
          |  FROM orders WHERE o_orderpriority = '1-URGENT')
          |SELECT o_orderkey, count(*) AS n_transit,
          |  CAST(sum(cents) AS BIGINT)::DOUBLE / 100 AS transit_revenue
+         |FROM l JOIN r ON ls <= re AND rs <= le
+         |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
+    // Same oracle as q130 on purpose: the second-order sweep (active-count
+    // prefix sums, no pair stream) must reproduce the pair join's count
+    // AND length-sum exactly — any error in the day factorization, the
+    // le+1 end keying, or the rs-row CumActive identity shifts a day and
+    // fails the hash.
+    "q147_interval_sweep_days" ->
+      s"""WITH l AS (
+         |  SELECT (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS ls,
+         |         (l_shipdate::DATE - DATE '1970-01-01')::BIGINT + 1 + l_linenumber * 4 AS le
+         |  FROM lineitem WHERE l_quantity >= $HeavyQty),
+         | r AS (
+         |  SELECT o_orderkey,
+         |         (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS rs,
+         |         (o_orderdate::DATE - DATE '1970-01-01')::BIGINT + $OverlapWindowDays AS re
+         |  FROM orders WHERE o_orderpriority = '1-URGENT')
+         |SELECT o_orderkey, count(*) AS n_transit,
+         |  CAST(sum(least(le, re) - greatest(ls, rs) + 1) AS BIGINT) AS overlap_days
          |FROM l JOIN r ON ls <= re AND rs <= le
          |GROUP BY 1 ORDER BY o_orderkey""".stripMargin
   )

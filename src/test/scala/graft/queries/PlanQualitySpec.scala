@@ -315,6 +315,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(might > semi, "bloom probe not below the semi join:\n" + plan.take(1600))
   }
 
+  test("q147 second-order sweep never enumerates overlap pairs") {
+    val plan = executedPlan("q147_interval_sweep_days")
+    assert(!plan.contains("_bucket"), "sweep fell back to the pair join:\n" + plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), "day lookup not broadcast:\n" + plan.take(1200))
+    val windowLines = plan.split('\n').filter(_.contains("Window ["))
+    windowLines.foreach { l =>
+      assert(l.contains("_pid"), "window not the two-phase running sum:\n" + l.take(300))
+    }
+  }
+
   test("q146 sweep aggregation never enumerates overlap pairs") {
     val plan = executedPlan("q146_interval_sweep_revenue")
     // not the bucketed pair machinery — the whole point is that no pair
