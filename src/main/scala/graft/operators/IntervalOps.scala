@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * length keeps the per-row explode factor ≈ 2 while buckets stay tight.
   * Intervals are CLOSED ([start, end], integer endpoints — days, not
   * timestamps, in the registered queries).
+  *
+  * KNOW WHEN NOT TO USE IT: the pair stream is output-bound (both sides
+  * growing k× grows true pairs ~k²×). When the consumer is an AGGREGATE,
+  * the pair-free sweep formulations reproduce the same results from
+  * cumulative day series instead (q146/q147 in TemporalJoinQueries,
+  * built on `RankOps.globalRunningSums`) — flat where this join pays the
+  * quadratic. Use `overlapJoin` when the consumer actually needs pairs.
   */
 object IntervalOps {
 
