@@ -299,7 +299,93 @@ object CurationQueries {
           round(expr("percentile(value, 0.99)"), 4).as("p99")
         )
         .orderBy(col("event_type")))
+,
+    // SEQUENCE PACKING — the GPT-style concat-and-chunk step a pretraining
+    // pipeline runs last: documents concatenate in a deterministic order
+    // (doc_id) into one token stream, the stream chunks into fixed
+    // SeqLen-token training blocks, and each document's placement is a pure
+    // function of the running token total BEFORE it. Per doc: its token
+    // start offset, the first/last block it lands in, and how many block
+    // boundaries it straddles — the packing manifest a sharded tokenizer
+    // job emits. The cumulative sum rides
+    // [[graft.operators.RankOps.globalRunningSums]] (range partition +
+    // parallel per-partition windows + broadcast offsets), NEVER a
+    // single-task empty-partition window — the oracle computes the same
+    // prefix sum with the naive window, proving the two-phase form exact.
+    "q148_seq_packing" -> ((s, dir) => {
+      val docs = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      graft.operators.RankOps
+        .globalRunningSums(docs, Seq(col("doc_id")), Seq("n_tokens"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          (col("cum_n_tokens") - col("n_tokens")).as("start_off"),
+          expr(s"(cum_n_tokens - n_tokens) DIV $PackSeqLen").as("first_blk"),
+          expr(s"(cum_n_tokens - 1) DIV $PackSeqLen").as("last_blk"),
+          (expr(s"(cum_n_tokens - 1) DIV $PackSeqLen")
+            - expr(s"(cum_n_tokens - n_tokens) DIV $PackSeqLen") + lit(1)).as("n_blocks")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // ADAPTIVE PER-LANGUAGE QUALITY THRESHOLD — keep the top 20% of each
+    // language by quality score (the FineWeb/CCNet move: a global
+    // threshold over-prunes low-resource languages; rank within the
+    // stratum instead). Exact selection without a corpus-wide sort: scores
+    // quantize to integers (the score is round(·,4), so ×10^4 is exact),
+    // a per-(lang, score) HISTOGRAM aggregates map-side (bounded by
+    // lang × 10001, a dimension), the cumulative histogram locates each
+    // language's threshold bucket, everything strictly above it passes,
+    // and only the BOUNDARY bucket's docs are ranked (by doc_id) to fill
+    // the remaining quota — the per-lang windows run over the histogram
+    // and the boundary slice, never the corpus. The oracle is the naive
+    // corpus-wide rank: row_number ≤ ceil(n/5) per lang — proving the
+    // histogram selection picks the identical set, ties and all.
+    "q150_adaptive_quality" -> ((s, dir) => {
+      val base = Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          round(TextFunctions.qualityScore(col("text")) * 10000).cast("long").as("isc")
+        )
+      val hist = base.groupBy(col("lang"), col("isc")).agg(count(lit(1)).as("c"))
+      val quota = hist
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("n"))
+        .select(col("lang"), expr("(n + 4) DIV 5").as("k")) // ceil(0.2·n), integer arithmetic
+      val wTop = Window.partitionBy(col("lang")).orderBy(col("isc").desc)
+      val thr = hist
+        .withColumn("cum", sum(col("c")).over(wTop)) // histogram-sized window, not corpus
+        .join(quota, Seq("lang"))
+        .filter(col("cum") >= col("k"))
+        .groupBy(col("lang"))
+        .agg(max(struct(col("isc"), col("c"), col("cum"), col("k"))).as("t")) // max isc = boundary bucket
+        .select(
+          col("lang"),
+          col("t.isc").as("thr"),
+          (col("t.k") - (col("t.cum") - col("t.c"))).as("need") // quota minus docs strictly above
+        )
+      val above = base
+        .join(broadcast(thr), Seq("lang"))
+        .filter(col("isc") > col("thr"))
+      val boundary = base
+        .join(broadcast(thr), Seq("lang"))
+        .filter(col("isc") === col("thr"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= col("need"))
+        .drop("rn")
+      above
+        .unionByName(boundary)
+        .select(col("lang"), col("doc_id"), round(col("isc") / 10000.0, 4).as("quality"))
+        .orderBy(col("lang"), col("doc_id"))
+    })
   )
+
+  private val PackSeqLen = 128L // q148: tokens per packed training block
 
   /** The DuckDB twin of [[TextFunctions.qualityScore]] — ONE definition
     * for every oracle that rates text quality (q62/q66/q121/q125), so the
@@ -467,6 +553,25 @@ object CurationQueries {
            |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
            |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
            |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) < quality * 32768
-           |ORDER BY doc_id""".stripMargin
+           |ORDER BY doc_id""".stripMargin,
+    // The same concat-and-chunk placement, cumulated with the NAIVE
+    // single-task window — proving the two-phase globalRunningSums exact.
+    "q148_seq_packing" ->
+      raw"""WITH d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens FROM documents),
+           | f AS (SELECT * FROM d WHERE n_tokens > 0),
+           | c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM f)
+           |SELECT doc_id, n_tokens, (cum - n_tokens) AS start_off,
+           |  (cum - n_tokens) // $PackSeqLen AS first_blk,
+           |  (cum - 1) // $PackSeqLen AS last_blk,
+           |  ((cum - 1) // $PackSeqLen - (cum - n_tokens) // $PackSeqLen + 1) AS n_blocks
+           |FROM c ORDER BY doc_id""".stripMargin,
+    // The naive corpus-wide rank the histogram selection must reproduce:
+    // top ceil(n/5) per language by (quantized score DESC, doc_id).
+    "q150_adaptive_quality" ->
+      s"""WITH d AS (SELECT doc_id, lang, CAST(round(($qualitySql) * 10000) AS BIGINT) AS isc FROM documents),
+         | n AS (SELECT lang, (count(*) + 4) // 5 AS k FROM d GROUP BY 1),
+         | r AS (SELECT d.*, row_number() OVER (PARTITION BY lang ORDER BY isc DESC, doc_id) AS rn FROM d)
+         |SELECT lang, doc_id, round(isc / 10000.0, 4) AS quality
+         |FROM r JOIN n USING (lang) WHERE rn <= k ORDER BY lang, doc_id""".stripMargin
   )
 }

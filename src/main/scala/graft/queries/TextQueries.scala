@@ -588,8 +588,204 @@ object TextQueries {
         .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("doc_id"),
           round(col("sq").cast("double") / lit(PScale), 4).as("score"))
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // DSIR IMPORTANCE WEIGHTS (Xie et al. NeurIPS'23 — Data Selection via
+    // Importance Resampling): score every document by how target-like its
+    // hashed n-gram profile is. Features: token bigrams hashed into B=256
+    // buckets (md5-portable, the q110 fold); target distribution from the
+    // `en` slice, raw distribution from the whole corpus; per-doc log
+    // importance weight = Σ over its bigrams of
+    // ln(p_target[b]/p_raw[b]) with add-one smoothing. Portability — the
+    // q136 treatment: each bucket's log-ratio is floored ONCE at 2^20 into
+    // a BIGINT dimension (B rows, broadcast), so the per-doc score is an
+    // order-independent integer sum; libm ln() ulp variance enters one
+    // dimension-sized table, never a shuffled float sum.
+    //
+    // Scale shape: the bigram explode is narrow; bucket counts are
+    // map-side-combined aggregates over a 256-row domain; the log-ratio
+    // dim and the two scalar totals broadcast back onto the bigram stream,
+    // which then collapses per-doc map-side (narrow explode keeps a doc's
+    // bigrams in one partition). One exchange end to end.
+    "q149_dsir_weights" -> ((s, dir) => {
+      val grams = Tables
+        .spread(Tables.documents(s, dir), col("doc_id"))
+        .select(col("doc_id"), col("lang"), tokens(lower(col("text"))).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          explode(expr(
+            "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+            .as("g")
+        )
+        .withColumn("b", expr(s"CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) % $DsirBuckets"))
+        .persist() // feeds the raw counts, the target counts, AND the scoring pass
+      val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tgt = grams.filter(col("lang") === DsirTargetLang).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      // every bucket a document references appears in `raw` by construction,
+      // so the raw table IS the bucket domain; target counts left-join in
+      val dim = raw
+        .join(tgt, Seq("b"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(raw.agg(sum(col("cr")).as("tr"))))
+        .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("tt"))))
+        .select(
+          col("b"),
+          floor(
+            log(
+              ((col("ct") + lit(1.0)) / (col("tt") + lit(DsirBuckets.toDouble))) /
+                ((col("cr") + lit(1.0)) / (col("tr") + lit(DsirBuckets.toDouble)))
+            ) * lit(1048576.0)
+          ).cast("long").as("lr")
+        )
+      grams
+        .join(broadcast(dim), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("wq"))
+        .select(
+          col("doc_id"),
+          col("n_feats"),
+          round(col("wq").cast("double") / lit(1048576.0), 4).as("log_weight")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE MERGE LEARNING — train a byte-pair-encoding tokenizer's first
+    // merge rounds on the corpus (the Sennrich et al. algorithm HuggingFace
+    // `tokenizers` runs): words with frequencies, each word a character
+    // symbol sequence; per round, count adjacent symbol pairs weighted by
+    // word frequency, merge the most frequent pair (ties: lexicographic)
+    // greedily left-to-right non-overlapping in every word, repeat. Three
+    // rounds unrolled (the q131 PageRank treatment); the report is each
+    // round's top-5 candidate pairs with the chosen merge flagged — wrong
+    // pair stats OR a wrong merge application in any round shifts every
+    // later round and breaks the hash.
+    //
+    // The merge application is a pure fold BOTH engines run identically:
+    // symbols join into a US-separated string; appending `right`
+    // WITHOUT a separator whenever the accumulator ends with
+    // US+`left` fuses exactly the greedy non-overlapping occurrences
+    // (a just-merged tail never re-matches: the fused symbol left+right
+    // can't end in US+left since symbols never contain the separator).
+    //
+    // Scale shape: ONE corpus pass builds the (word, freq) vocabulary —
+    // map-side-combined, dimension-sized output — and every round after
+    // operates on that vocabulary dimension, never the corpus; exactly how
+    // production BPE trainers scale. The per-round argmax sorts the
+    // vocab-bounded pair table, not data.
+    "q151_bpe_merges" -> ((s, dir) =>
+      bpeChain(s, dir)._2.reduce(_ unionByName _).orderBy(col("round"), col("rnk"))),
+
+    // TOKENIZER FERTILITY REPORT — apply the q151-learned merges and
+    // measure pieces-per-token per language (the multilingual-fairness
+    // metric: a tokenizer trained on a skewed corpus fragments
+    // under-represented languages into more pieces). Per (lang, word)
+    // occurrence counts are a per-lang vocabulary dimension; the trained
+    // word → piece-count map broadcasts onto it; the fertility ratio is
+    // one IEEE division of two exact integer sums. Wrong pair stats, a
+    // wrong argmax, or a wrong merge application in ANY round shifts
+    // piece counts and breaks the hash — q152 gates the whole learned
+    // tokenizer, applied.
+    "q152_bpe_fertility" -> ((s, dir) => {
+      val pieces = bpeChain(s, dir)._1.select(col("w"), size(col("syms")).cast("long").as("n_pieces"))
+      Tables
+        .spread(Tables.documents(s, dir), col("doc_id"))
+        .select(col("lang"), explode(tokens(lower(col("text")))).as("w"))
+        .groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(pieces), Seq("w"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("n_pieces")).as("n_pieces"))
+        .select(
+          col("lang"),
+          col("n_tokens"),
+          col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_tokens").cast("double"), 4).as("fertility")
+        )
+        .orderBy(col("lang"))
     })
   )
+
+  /** q151/q152's shared three-round BPE training chain: returns the final
+    * (w, freq, syms) vocabulary after [[BpeRounds]] merges and the
+    * per-round top-[[BpeTopReport]] candidate reports.
+    */
+  private def bpeChain(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val words = Tables
+      .spread(Tables.documents(s, dir), col("doc_id"))
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("syms", filter(split(col("w"), ""), c => c =!= ""))
+      .persist() // vocabulary dimension — every round reads it
+    (1 to BpeRounds).foldLeft((words, Seq.empty[DataFrame])) { case ((syms, reports), r) =>
+      val pairs = syms
+        .filter(size(col("syms")) >= 2)
+        .select(
+          col("freq"),
+          explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+            .as("p")
+        )
+        .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+        .agg(sum(col("freq")).as("pair_count"))
+      val ranked = pairs
+        .withColumn(
+          "rnk",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+          )
+        ) // vocab-bounded pair table: the single-task window ranks a dimension, not data
+        .filter(col("rnk") <= BpeTopReport)
+        .localCheckpoint() // pin: the report AND the merge both read this ranking
+      val top = ranked.filter(col("rnk") === 1).select(col("left_sym"), col("right_sym"))
+      val report = ranked.select(
+        lit(r.toLong).as("round"),
+        col("rnk").cast("long").as("rnk"),
+        col("left_sym"),
+        col("right_sym"),
+        col("pair_count"),
+        (col("rnk") === 1).cast("int").as("merged")
+      )
+      val merged = syms
+        .crossJoin(broadcast(top))
+        .select(col("w"), col("freq"), bpeMerge(col("syms"), col("left_sym"), col("right_sym")).as("syms"))
+      (merged, reports :+ report)
+    }
+  }
+
+  /** q151's merge application: fuse every greedy left-to-right
+    * NON-OVERLAPPING adjacent (l, r) occurrence in a symbol array. The fold
+    * joins symbols into a separator-delimited string, appending `r` WITHOUT
+    * a separator whenever the accumulator ends with separator+`l` — a
+    * just-merged tail can never re-match, because the fused symbol l+r
+    * cannot end in separator+l (symbols never contain the separator).
+    * Pure HOFs, so DuckDB's list_reduce runs the identical fold
+    * (spec-pinned on adversarial overlapping runs in TrainingDataOpsSpec).
+    */
+  def bpeMerge(syms: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column,
+      r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(
+      split(
+        aggregate(
+          syms,
+          lit(""),
+          (acc, c) =>
+            when(c === r && endswith(acc, concat(lit(BpeSep), l)), concat(acc, c))
+              .otherwise(concat(acc, lit(BpeSep), c))
+        ),
+        BpeSep
+      ),
+      s => s =!= ""
+    )
+
+  private val DsirBuckets    = 256   // hashed-feature dimension (q149)
+  private val DsirTargetLang = "en"  // the distribution DSIR reweights toward
+  private val BpeRounds      = 3     // unrolled merge rounds (q151)
+  private val BpeTopReport   = 5     // pairs reported per round
+  private val BpeSep         = "\u001f" // symbol joiner — never occurs in corpus text
 
   /** q136's fixed retrieval queries — the Scala source of truth the SQL
     * oracle's VALUES list is generated from (no drift possible).
@@ -844,6 +1040,81 @@ object TextQueries {
            |SELECT doc_id, (st // 48)::INT AS chunk_id,
            |  len(ws[st+1 : least(st+64, len(ws))])::BIGINT AS n_chunk,
            |  md5(array_to_string(ws[st+1 : least(st+64, len(ws))], ' ')) AS chunk_md5
-           |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+           |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    // Identical DSIR formula: same md5 bucket fold, same add-one-smoothed
+    // probability ratio written in the same operation order, log-ratio
+    // floored ONCE at 2^20 into a 256-row dimension, order-independent
+    // integer per-doc sums.
+    "q149_dsir_weights" ->
+      raw"""WITH d AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+           | g AS (
+           |  SELECT doc_id, lang,
+           |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g
+           |  FROM d WHERE len(ws) >= 2),
+           | b AS (
+           |  SELECT doc_id, lang,
+           |    list_reduce(list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr(md5(g), i::INT, 1)) - 1)::BIGINT), (a, c) -> a * 16 + c) % $DsirBuckets AS b
+           |  FROM g),
+           | rawc AS (SELECT b, count(*) AS cr FROM b GROUP BY 1),
+           | tgtc AS (SELECT b, count(*) AS ct FROM b WHERE lang = '$DsirTargetLang' GROUP BY 1),
+           | tot AS (SELECT (SELECT count(*) FROM b) AS tr, (SELECT count(*) FROM b WHERE lang = '$DsirTargetLang') AS tt),
+           | dim AS (
+           |  SELECT rawc.b,
+           |    CAST(floor(ln(((coalesce(ct, 0) + 1.0) / (tt + $DsirBuckets.0)) / ((cr + 1.0) / (tr + $DsirBuckets.0))) * 1048576.0) AS BIGINT) AS lr
+           |  FROM rawc LEFT JOIN tgtc USING (b) CROSS JOIN tot)
+           |SELECT doc_id, count(*) AS n_feats, round(CAST(sum(lr) AS DOUBLE) / 1048576.0, 4) AS log_weight
+           |FROM b JOIN dim USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Identical three-round unroll: same pair statistics, same
+    // (cnt DESC, l, r) argmax, and the SAME greedy merge fold — DuckDB's
+    // list_reduce runs the separator-string fold Spark's aggregate() runs.
+    "q151_bpe_merges" ->
+      (bpeCtesSql(finalMerge = false) + "\n" +
+        (1 to BpeRounds).map(bpeReportSql).mkString(" UNION ALL ") +
+        "\nORDER BY round, rnk"),
+    // The same trained chain applied one merge further (s4 = the final
+    // vocabulary), joined onto per-(lang, word) occurrence counts — two
+    // exact integer sums and one IEEE division per language.
+    "q152_bpe_fertility" ->
+      (bpeCtesSql(finalMerge = true) +
+        raw""",
+            | pieces AS (SELECT w, len(syms)::BIGINT AS n_pieces FROM s${BpeRounds + 1}),
+            | lw AS (SELECT lang, w, count(*) AS c FROM (
+            |   SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w FROM documents)
+            |  GROUP BY 1, 2)
+            |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(sum(c * n_pieces) AS BIGINT) AS n_pieces,
+            |  round(CAST(sum(c * n_pieces) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS fertility
+            |FROM lw JOIN pieces USING (w) GROUP BY lang ORDER BY lang""".stripMargin)
   )
+
+  /** q151/q152's shared oracle CTE chain, generated round-by-round so the
+    * Scala constants (rounds, report width) are the single source of
+    * truth. `finalMerge` extends the chain through the last round's merge
+    * (s{N+1} — the applied-tokenizer vocabulary q152 reads).
+    */
+  private def bpeCtesSql(finalMerge: Boolean): String = {
+    def fold(src: String, m: String) =
+      s"""SELECT w, freq, list_filter(string_split(list_reduce(list_prepend('', syms),
+         |          (acc, c) -> CASE WHEN c = $m.r AND ends_with(acc, chr(31) || $m.l) THEN acc || c
+         |                           ELSE acc || chr(31) || c END), chr(31)), x -> x != '') AS syms
+         |        FROM $src CROSS JOIN $m""".stripMargin
+    def pairs(src: String) =
+      s"""SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)), i -> [syms[i], syms[i+1]])) AS p
+         |    FROM $src WHERE len(syms) >= 2) GROUP BY 1, 2""".stripMargin
+    def rank(p: String) = s"SELECT *, row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM $p"
+    val roundCtes = (1 to BpeRounds).map { i =>
+      val base = s" p$i AS (${pairs(s"s$i")}),\n r$i AS (${rank(s"p$i")})"
+      if (i == BpeRounds && !finalMerge) base
+      else base + s",\n m$i AS (SELECT l, r FROM r$i WHERE rnk = 1)" +
+        (if (i == BpeRounds && !finalMerge) "" else s",\n s${i + 1} AS (${fold(s"s$i", s"m$i")})")
+    }
+    raw"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w FROM documents),
+         | w0 AS (SELECT w, count(*) AS freq FROM toks GROUP BY 1),
+         | s1 AS (SELECT w, freq, list_transform(range(1, length(w) + 1), i -> substr(w, i::INT, 1)) AS syms FROM w0),
+         |${roundCtes.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeReportSql(r: Int): String =
+    s"""SELECT $r::BIGINT AS round, rnk::BIGINT AS rnk, l AS left_sym, r AS right_sym,
+       |       cnt AS pair_count, CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS merged FROM r$r WHERE rnk <= $BpeTopReport""".stripMargin
 }

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 training-data-pipeline operators: sequence packing (q148), DSIR
+  * importance weights (q149), adaptive per-language quality thresholds
+  * (q150), and BPE merge learning (q151). The oracles prove cross-engine
+  * value parity; these specs pin the SEMANTIC invariants the hash can't
+  * articulate — contiguity of the packed stream, target-likeness ordering,
+  * exact quota selection, and the greedy non-overlapping merge rule.
+  */
+class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q148 packing manifest is a contiguous chunking of the concatenated token stream") {
+    val rows = SparkEntry.queries("q148_seq_packing")(spark, dir)
+      .select("doc_id", "n_tokens", "start_off", "first_blk", "last_blk", "n_blocks")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    // contiguity: each doc starts exactly where the previous one ended
+    rows.sliding(2).foreach {
+      case Array((_, n1, s1, _, _, _), (_, _, s2, _, _, _)) => assert(s2 == s1 + n1)
+      case _ =>
+    }
+    assert(rows.head._3 == 0L, "first doc starts at offset 0")
+    // block arithmetic: first/last/n_blocks are pure functions of the span
+    rows.foreach { case (_, n, s, fb, lb, nb) =>
+      assert(fb == s / 128 && lb == (s + n - 1) / 128 && nb == lb - fb + 1)
+    }
+    // the whole stream chunks into ceil(total/128) blocks
+    val total = rows.map(_._2).sum
+    assert(rows.last._5 == (total - 1) / 128)
+  }
+
+  test("q149 DSIR weights rank target-language documents above the rest") {
+    val w = SparkEntry.queries("q149_dsir_weights")(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy(col("lang")).agg(avg(col("log_weight")).as("aw"))
+      .as[(String, Double)].collect().toMap
+    val others = (w - "en").values
+    assert(others.nonEmpty && w("en") > others.max,
+      s"en must average above every other lang: $w")
+    // importance weights are log-ratios of smoothed distributions — the
+    // corpus-wide average is near zero only if target ≈ raw; here the en
+    // slice genuinely differs, so en sits above zero, the rest below
+    assert(w("en") > 0.0 && others.forall(_ < 0.0), s"sign structure: $w")
+  }
+
+  test("q150 histogram selection equals the naive per-language top-quota rank") {
+    val got = SparkEntry.queries("q150_adaptive_quality")(spark, dir)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    // brute-force twin: corpus-wide rank per lang (fine at spec scale)
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      round(graft.functions.TextFunctions.qualityScore(col("text")) * 10000).cast("long").as("isc"))
+    val k = base.groupBy(col("lang")).agg(expr("(count(*) + 4) DIV 5").as("k"))
+    val exp = base
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang")).orderBy(col("isc").desc, col("doc_id"))))
+      .join(k, Seq("lang")).filter(col("rn") <= col("k"))
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(got == exp)
+    // per-lang quota is exactly ceil(n/5)
+    val quota = k.as[(String, Long)].collect().toMap
+    val counts = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(counts == quota)
+  }
+
+  test("q151 bpeMerge fuses greedy left-to-right non-overlapping occurrences only") {
+    val cases = Seq(
+      (Seq("a", "a", "a"), "a", "a", Seq("aa", "a")),              // odd run: no overlap reuse
+      (Seq("a", "b", "a", "b", "a", "b"), "a", "b", Seq("ab", "ab", "ab")),
+      (Seq("a", "b", "b"), "a", "b", Seq("ab", "b")),              // merged tail can't re-match
+      (Seq("x", "a", "b", "y"), "a", "b", Seq("x", "ab", "y")),
+      (Seq("ab", "ab", "ab"), "ab", "ab", Seq("abab", "ab")),      // multi-char symbols
+      (Seq("xa", "b"), "a", "b", Seq("xa", "b")),                  // suffix of a symbol is NOT the symbol
+      (Seq("q"), "a", "b", Seq("q"))                               // single symbol untouched
+    )
+    cases.foreach { case (syms, l, r, expected) =>
+      val out = Seq(syms).toDF("syms")
+        .select(TextQueries.bpeMerge(col("syms"), lit(l), lit(r)).as("m"))
+        .as[Seq[String]].head()
+      assert(out == expected, s"merge($l,$r) on $syms")
+    }
+  }
+
+  test("q151 report shape: one merge per round, counts ranked, merged pair consumed") {
+    val rows = SparkEntry.queries("q151_bpe_merges")(spark, dir)
+      .as[(Long, Long, String, String, Long, Int)].collect()
+    val byRound = rows.groupBy(_._1)
+    assert(byRound.keySet == Set(1L, 2L, 3L))
+    byRound.values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(rs.count(_._6 == 1) == 1 && rs.find(_._6 == 1).get._2 == 1L)
+      // pair_count non-increasing down the rank order
+      rs.sortBy(_._2).map(_._5).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b); case _ =>
+      }
+    }
+    // each round's merged pair does not recur as a candidate with rank 1
+    // in the next round (it was fused away; only re-formed occurrences of
+    // the pair could reappear, with a strictly smaller count)
+    val merges = rows.filter(_._6 == 1).sortBy(_._1).map(r => (r._3, r._4))
+    assert(merges.distinct.length == merges.length, s"rounds re-learned a merge: $merges")
+  }
+}
