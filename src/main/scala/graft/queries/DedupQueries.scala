@@ -863,8 +863,35 @@ object DedupQueries {
           round(abs(col("est_jac") - coalesce(col("jac"), lit(0.0))), 4).as("err")
         )
         .orderBy(col("ia"), col("ib"))
-    })
+    }),
+
+    // LEAKAGE-SAFE TRAIN/HELDOUT SPLIT — the splitting rule an eval-honest
+    // corpus pipeline must use: hashing each DOCUMENT id spreads a
+    // near-dup cluster across both sides (the held-out set then "tests"
+    // on training data's twins), so the split hashes the near-dup
+    // COMPONENT representative instead — every member of a cluster lands
+    // on the same side by construction, singletons split independently
+    // (rep_id = own id). 90/10 via the md5-bucket-16 uniform (integer
+    // threshold, no float boundary), deterministic across engines, runs,
+    // and repartitioning. Reads the memoized components table; the oracle
+    // replays the full LSH → Jaccard → recursive-CC chain blind to the
+    // memo and applies the same hash rule.
+    "q153_split_by_cluster" -> ((s, dir) =>
+      shared(s, dir).comp
+        .select(
+          col("doc_id"),
+          col("rep_id"),
+          when(
+            expr(s"CAST(conv(substr(md5(CAST(concat('split:', CAST(rep_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS BIGINT)")
+              < SplitTrainThreshold,
+            lit("train")
+          ).otherwise(lit("heldout")).as("split")
+        )
+        .orderBy(col("doc_id")))
   )
+
+  /** q153: 16-bit md5 bucket < 58982 ⇒ train (⌊0.9·2^16⌋ — the 90% side). */
+  private val SplitTrainThreshold = 58982L
 
   /** The q44 fingerprint frame (doc_id, simhash) — shared by q44 and q48. */
   private def simhashOf(s: SparkSession, dir: String): DataFrame = {
@@ -1108,7 +1135,19 @@ object DedupQueries {
            |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
            |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
-           |ORDER BY ia, ib""".stripMargin)
+           |ORDER BY ia, ib""".stripMargin),
+    // Components replayed blind to the memo (the q47 recursive CTE), then
+    // the identical md5-bucket-16 split rule on the representative id.
+    "q153_split_by_cluster" ->
+      (componentsCte +
+        s"""SELECT doc_id, rep_id,
+           |  CASE WHEN (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+           |          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+           |          + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+           |          + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) < $SplitTrainThreshold
+           |       THEN 'train' ELSE 'heldout' END AS split
+           |FROM (SELECT doc_id, rep_id, md5('split:' || rep_id::VARCHAR) AS h FROM comp)
+           |ORDER BY doc_id""".stripMargin)
   )
 
   /** DuckDB SQL for [[graft.functions.TextFunctions.qualityScore]] over a
