@@ -42,7 +42,12 @@ object Plans {
     "q144_bloom_decontaminate", // bloom might_contain prune below the exact-verify semi join
     "q145_incremental_neardup", // increment-only recompute: one documents scan, memo corpus side
     "q146_interval_sweep_revenue", // pair-free sweep: day-series prefix sums + broadcast lookups
-    "q147_interval_sweep_days"     // second-order sweep: q130's count+days report, no pair stream
+    "q147_interval_sweep_days",    // second-order sweep: q130's count+days report, no pair stream
+    "q148_seq_packing",       // two-phase running sums: _pid windows + broadcast offsets
+    "q149_dsir_weights",      // 256-row log-ratio dim broadcast onto the narrow bigram stream
+    "q150_adaptive_quality",  // histogram threshold: lang-partitioned dimension windows only
+    "q152_bpe_fertility",     // trained piece map broadcast onto the per-lang vocabulary
+    "q153_split_by_cluster"   // pure memo-table function: one scan, no recompute
   )
 
   /** Plans dumped from builders outside the driver registry: the dedup

@@ -355,4 +355,47 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
+
+  test("q148 packing cumulates through _pid-partitioned windows (never one task)") {
+    val plan = executedPlan("q148_seq_packing")
+    val windowLines = plan.split('\n').filter(_.contains("Window ["))
+    assert(windowLines.nonEmpty, plan.take(600))
+    windowLines.foreach { l =>
+      assert(l.contains("_pid"), "window not the two-phase running sum:\n" + l.take(300))
+    }
+  }
+
+  test("q149 DSIR log-ratio dimension broadcasts onto the bigram stream") {
+    val plan = executedPlan("q149_dsir_weights")
+    // the 256-row dim rides a broadcast hash join; the corpus-sized gram
+    // stream must never shuffle to meet it (no SMJ, no cartesian)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q150 threshold selection windows only the histogram and the boundary slice") {
+    val plan = executedPlan("q150_adaptive_quality")
+    // every window partitions by lang (histogram cumsum / boundary rank) —
+    // an empty partition spec would be the corpus-wide single-task sort
+    // this query exists to avoid
+    val windowLines = plan.split('\n').filter(_.contains("Window ["))
+    assert(windowLines.nonEmpty, plan.take(600))
+    windowLines.foreach(l => assert(l.contains("lang"), l.take(300)))
+    // and the threshold frame reaches the corpus via broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("q152 fertility: trained piece map broadcasts onto the per-lang vocabulary") {
+    val plan = executedPlan("q152_bpe_fertility")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q153 split reads the memoized components only (no shingle recompute)") {
+    val plan = executedPlan("q153_split_by_cluster")
+    // the registered query is a pure function of the materialized comp
+    // table: one memo scan, zero raw-document scans, no joins at all
+    assert(!plan.contains("documents.parquet"), plan.take(800))
+    assert(plan.split('\n').count(_.contains("Scan parquet")) == 1, plan.take(800))
+  }
 }
