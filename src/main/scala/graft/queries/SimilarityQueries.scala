@@ -637,8 +637,135 @@ object SimilarityQueries {
         .filter(col("cos") >= NearDupCos)
         .select(col("ia"), col("ib"), col("cos"))
         .orderBy(col("ia"), col("ib"))
+    }),
+
+    // EXACT-INTEGER PCA POWER ITERATION — the embedding-whitening /
+    // dimensionality-reduction primitive (SemDeDup and quality-filter
+    // pipelines project embeddings onto principal directions before
+    // clustering). The q131 treatment applied to linear algebra: vectors
+    // quantize at 2^20, the CENTERED scatter matrix is the exact integer
+    // M = n·Σxxᵀ − (Σx)(Σx)ᵀ in DECIMAL(38,0)/HUGEINT (no mean division,
+    // no float subtraction), and three power-iteration rounds renormalize
+    // through integer max-|·| division (truncating division — identical
+    // in both engines), so the learned direction is hash-checked
+    // BIT-FOR-BIT against the unrolled CTE chain. The Rayleigh quotient
+    // rides along as the eigenvalue estimate (one int→double cast per
+    // side of one division).
+    //
+    // Scale shape: the scatter sums are ONE narrow pass — each vector
+    // explodes its 64×64 outer product locally and map-side combine
+    // collapses a partition to 4096 partial cells, so the exchange
+    // carries d² rows, never data; every iteration after that joins
+    // 64-row/4096-row DIMENSION tables (localCheckpoint-pinned). The
+    // corpus is touched exactly twice end-to-end: once to train (M),
+    // once to apply (q155's projections).
+    "q154_pca_power" -> ((s, dir) => {
+      val (v3, m) = pcaChain(s, dir)
+      val mv = m
+        .join(v3.select(col("d").as("j"), col("v")), Seq("j"))
+        .groupBy(col("i").as("d"))
+        .agg(sum(col("m") * col("v")).as("w"))
+      val ray = v3
+        .join(mv, Seq("d"))
+        .agg(
+          round(
+            sum(col("v") * col("w")).cast("double") / sum(col("v") * col("v")).cast("double"),
+            4
+          ).as("eigenvalue")
+        )
+      v3.crossJoin(broadcast(ray))
+        .select(col("d").cast("long").as("d"), col("v"), col("eigenvalue"))
+        .orderBy(col("d"))
+    }),
+
+    // PCA APPLY — project every vector onto the learned direction (the
+    // second pass of the train/apply pair): one broadcast of the 64-row
+    // eigenvector onto the narrow (vec_id, d, xq) stream, one
+    // map-side-combined per-vector sum. Exact integers end to end; the
+    // display score divides once by 2^40 (both quantization scales).
+    "q155_pca_project" -> ((s, dir) => {
+      val (v3, _) = pcaChain(s, dir)
+      pcaX(s, dir)
+        .join(broadcast(v3), Seq("d"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("xq") * col("v")).as("proj_q"))
+        .select(
+          col("vec_id"),
+          col("proj_q"),
+          round(col("proj_q").cast("double") / lit(PScaleD), 4).as("proj")
+        )
+        .orderBy(col("vec_id"))
     })
   )
+
+  private val PcaQuant  = 1048576.0      // 2^20 — vector quantization (exact exponent shift)
+  private val PcaNorm   = 1048576L       // per-round renormalization target
+  private val PcaRounds = 6              // unrolled power-iteration rounds (the q131 contract)
+  private val PScaleD   = 1099511627776.0 // 2^40 = PcaQuant² — q155's display divisor
+
+  /** The narrow quantized (vec_id, d, xq) stream — q154's train pass and
+    * q155's apply pass both start here (two corpus scans total, by design).
+    */
+  private def pcaX(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .spread(Tables.embeddings(s, dir), col("vec_id"))
+      .select(
+        col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PcaQuant) AS BIGINT))").as("xqa")
+      )
+      .select(
+        col("vec_id"),
+        explode(expr(s"transform(sequence(0, ${Dim - 1}), d -> struct(d AS d, element_at(xqa, d + 1) AS xq))")).as("e")
+      )
+      .select(col("vec_id"), col("e.d").as("d"), col("e.xq").as("xq"))
+
+  /** q154/q155's shared train chain: the exact-integer scatter matrix and
+    * the direction after [[PcaRounds]] renormalized power rounds. Returns
+    * (v3: (d, v), M: (i, j, m)) — both localCheckpoint-pinned dimension
+    * tables (M feeds four consumers; unpinned it would re-aggregate the
+    * corpus per round).
+    */
+  private def pcaChain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = Tables
+      .spread(Tables.embeddings(s, dir), col("vec_id"))
+      .select(
+        col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PcaQuant) AS BIGINT))").as("xqa")
+      )
+    // one narrow pass: per-row 64×64 outer product, map-side combined to
+    // d² cells before the only data-dependent exchange
+    val sxx = base
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${Dim - 1}), i -> transform(sequence(0, ${Dim - 1}), j ->
+           |  struct(i AS i, j AS j, element_at(xqa, i + 1) * element_at(xqa, j + 1) AS p))))""".stripMargin)).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("sxx"))
+    val sums = pcaX(s, dir).groupBy(col("d")).agg(sum(col("xq")).as("sd"))
+    val n    = Tables.embeddings(s, dir).agg(count(lit(1)).as("n"))
+    val m = sxx
+      .join(broadcast(sums.select(col("d").as("i"), col("sd").as("si"))), Seq("i"))
+      .join(broadcast(sums.select(col("d").as("j"), col("sd").as("sj"))), Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("i"),
+        col("j"),
+        (col("n").cast("decimal(38,0)") * col("sxx").cast("decimal(38,0)")
+          - col("si").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)")).as("m")
+      )
+      .localCheckpoint() // 4096-row dimension, read by every round + the Rayleigh pass
+    val v0 = s.range(0, Dim).select(col("id").cast("int").as("d"), lit(PcaNorm).as("v"))
+    val v3 = (1 to PcaRounds).foldLeft(v0) { case (v, _) =>
+      val w = m
+        .join(v.select(col("d").as("j"), col("v")), Seq("j"))
+        .groupBy(col("i").as("d"))
+        .agg(sum(col("m") * col("v")).as("w"))
+      val mx = w.agg(greatest(max(abs(col("w"))), lit(1).cast("decimal(38,0)")).as("mx"))
+      w.crossJoin(broadcast(mx))
+        .select(col("d"), expr(s"(w * $PcaNorm) div mx").as("v"))
+        .localCheckpoint() // 64 rows — keeps the per-round plan flat
+    }
+    (v3, m)
+  }
 
   // Oracle twins — identical algorithm in DuckDB SQL. `list_reduce` with a
   // prepended accumulator reproduces the fold order of Spark's `aggregate`.
@@ -941,6 +1068,44 @@ object SimilarityQueries {
            |${kmeansIterSql("a0", "a1")},
            |${kmeansIterSql("a1", "a2")}
            |SELECT v.vec_id, v.label::BIGINT AS init_label, a2.cluster
-           |FROM v JOIN a2 USING (vec_id) ORDER BY vec_id""".stripMargin)
+           |FROM v JOIN a2 USING (vec_id) ORDER BY vec_id""".stripMargin),
+    // The identical exact-integer chain: HUGEINT scatter matrix, the same
+    // truncating renormalized power rounds, one int→double cast per side
+    // of the Rayleigh division.
+    "q154_pca_power" ->
+      (pcaOracleCte +
+        s"""SELECT vf.d::BIGINT AS d, CAST(vf.v AS BIGINT) AS v, ray.eigenvalue
+           |FROM v$PcaRounds vf CROSS JOIN ray ORDER BY d""".stripMargin),
+    "q155_pca_project" ->
+      (pcaOracleCte +
+        s"""SELECT x.vec_id, CAST(sum(x.xq * vf.v) AS BIGINT) AS proj_q,
+           |  round(CAST(sum(x.xq * vf.v) AS DOUBLE) / $PScaleD, 4) AS proj
+           |FROM x JOIN v$PcaRounds vf USING (d) GROUP BY x.vec_id ORDER BY x.vec_id""".stripMargin)
   )
+
+  /** q154/q155's oracle chain: quantize → exact HUGEINT scatter matrix →
+    * three renormalized power rounds (truncating integer division matches
+    * Spark's `div` on both engines) → Rayleigh quotient.
+    */
+  private lazy val pcaOracleCte: String = {
+    def round_(i: Int) =
+      s""" w$i AS (SELECT m.i AS d, sum(m.m * v${i - 1}.v) AS w FROM m JOIN v${i - 1} ON m.j = v${i - 1}.d GROUP BY 1),
+         | x$i AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w$i),
+         | v$i AS (SELECT d, (w * $PcaNorm) // mx AS v FROM w$i CROSS JOIN x$i)""".stripMargin
+    s"""WITH x AS (
+       |  SELECT vec_id, d, CAST(floor(embedding[d + 1]::DOUBLE * $PcaQuant) AS BIGINT) AS xq
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range($Dim))::INT AS d)),
+       | nn AS (SELECT count(DISTINCT vec_id) AS n FROM x),
+       | s AS (SELECT d, CAST(sum(xq) AS HUGEINT) AS sd FROM x GROUP BY d),
+       | p AS (SELECT a.d AS i, b.d AS j, CAST(sum(a.xq * b.xq) AS HUGEINT) AS sxx
+       |       FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+       | m AS (SELECT i, j, nn.n * p.sxx - si.sd * sj.sd AS m
+       |       FROM p CROSS JOIN nn JOIN s si ON si.d = p.i JOIN s sj ON sj.d = p.j),
+       | v0 AS (SELECT unnest(range($Dim))::INT AS d, CAST($PcaNorm AS HUGEINT) AS v),
+       |${(1 to PcaRounds).map(round_).mkString(",\n")},
+       | mv AS (SELECT m.i AS d, sum(m.m * v$PcaRounds.v) AS w FROM m JOIN v$PcaRounds ON m.j = v$PcaRounds.d GROUP BY 1),
+       | ray AS (SELECT round(CAST(sum(v$PcaRounds.v * mv.w) AS DOUBLE) / CAST(sum(v$PcaRounds.v * v$PcaRounds.v) AS DOUBLE), 4) AS eigenvalue
+       |         FROM v$PcaRounds JOIN mv USING (d))
+       |""".stripMargin
+  }
 }

@@ -142,4 +142,56 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     // and both sides are non-empty at doc level
     assert(rows.exists(_._3 == "train") && rows.exists(_._3 == "heldout"))
   }
+
+  test("q154 integer power iteration agrees with double-precision PCA") {
+    val got = SparkEntry.queries("q154_pca_power")(spark, dir)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 64)
+    // normalization invariant: max |component| is exactly the 2^20 target
+    assert(got.map(r => math.abs(r._2)).max == 1048576L)
+    assert(got.head._3 > 0.0, "dominant eigenvalue of a scatter matrix is positive")
+    // reference: double-precision covariance + the SAME number of power
+    // rounds, driver-side — the claim under test is that the quantized
+    // integer arithmetic tracks the float algorithm, not that six rounds
+    // fully converge (the eigengap decides that, fixed rounds are the
+    // deterministic contract)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("embedding")).as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
+    val n = vecs.length; val d = 64
+    val mean = Array.tabulate(d)(j => vecs.map(_(j)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum)
+    var v = Array.fill(d)(1.0)
+    (1 to 6).foreach { _ =>
+      val w  = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nw = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nw)
+    }
+    val g    = got.map(_._2.toDouble)
+    val gn   = math.sqrt(g.map(x => x * x).sum)
+    val cosv = math.abs(g.zip(v).map { case (a, b) => a * b }.sum / gn)
+    assert(cosv > 0.999, s"integer direction diverged from double power iteration: |cos| = $cosv")
+  }
+
+  test("q155 projections onto the learned direction carry more variance than any axis") {
+    val proj = SparkEntry.queries("q155_pca_project")(spark, dir)
+      .select(col("proj")).as[Double].collect()
+    def variance(xs: Array[Double]) = {
+      val m = xs.sum / xs.length; xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    // v3 has max-component 2^20, i.e. norm ≥ 2^20 — scale-compare against
+    // raw axes through the same 2^20-ish scaling is apples-to-oranges, so
+    // compare against the projection onto a unit AXIS direction instead:
+    // normalize v3 to unit length and recompute the axis variance bound
+    val v = SparkEntry.queries("q154_pca_power")(spark, dir)
+      .select(col("v")).as[Long].collect().map(_.toDouble)
+    val vn = math.sqrt(v.map(x => x * x).sum)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("embedding")).as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
+    val unitProjVar = variance(vecs.map(x => x.zip(v).map { case (a, b) => a * b }.sum / vn))
+    val axisVars = (0 until 64).map(j => variance(vecs.map(_(j))))
+    assert(unitProjVar >= axisVars.max,
+      s"principal direction variance $unitProjVar below best axis ${axisVars.max}")
+    assert(proj.length == vecs.length)
+  }
 }
