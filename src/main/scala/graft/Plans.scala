@@ -47,7 +47,9 @@ object Plans {
     "q149_dsir_weights",      // 256-row log-ratio dim broadcast onto the narrow bigram stream
     "q150_adaptive_quality",  // histogram threshold: lang-partitioned dimension windows only
     "q152_bpe_fertility",     // trained piece map broadcast onto the per-lang vocabulary
-    "q153_split_by_cluster"   // pure memo-table function: one scan, no recompute
+    "q153_split_by_cluster",  // pure memo-table function: one scan, no recompute
+    "q154_pca_power",         // d² scatter cells map-side combined; dimension-table rounds
+    "q155_pca_project"        // 64-row eigenvector broadcast onto the narrow quantized stream
   )
 
   /** Plans dumped from builders outside the driver registry: the dedup

@@ -391,6 +391,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("q154/q155 PCA: scatter cells aggregate map-side, projection dim broadcasts") {
+    val train = executedPlan("q154_pca_power")
+    // the d² scatter aggregation must partially combine before its
+    // exchange (the property that keeps the shuffle dimension-sized)
+    assert(train.contains("partial"), train.take(800))
+    assert(!train.contains("CartesianProduct"), train.take(800))
+    val apply = executedPlan("q155_pca_project")
+    // the 64-row eigenvector reaches the (vec_id, d, xq) stream broadcast
+    assert(apply.contains("BroadcastHashJoin"), apply.take(800))
+    assert(!apply.contains("SortMergeJoin") || apply.contains("BroadcastHashJoin"), apply.take(800))
+  }
+
   test("q153 split reads the memoized components only (no shingle recompute)") {
     val plan = executedPlan("q153_split_by_cluster")
     // the registered query is a pure function of the materialized comp
