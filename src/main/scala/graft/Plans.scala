@@ -60,7 +60,8 @@ object Plans {
   private val Extra: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
     "dedup_memo_build" -> ((s, d) => graft.queries.DedupQueries.memoBuildPlan(s, d)),
     "kmeans_refine_build" -> ((s, d) => graft.queries.SimilarityQueries.refineBuildPlan(s, d)),
-    "kmeans_adaptive_build" -> ((s, d) => graft.queries.SimilarityQueries.adaptiveBuildPlan(s, d))
+    "kmeans_adaptive_build" -> ((s, d) => graft.queries.SimilarityQueries.adaptiveBuildPlan(s, d)),
+    "pca_scatter_build" -> ((s, d) => graft.queries.SimilarityQueries.pcaScatterPlan(s, d))
   )
 
   def main(args: Array[String]): Unit = {

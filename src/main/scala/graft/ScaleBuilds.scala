@@ -38,6 +38,10 @@ object ScaleBuilds {
         // q129's k ∝ n refinement — the build whose cluster count grows
         // with the corpus, keeping the downstream pair scan linear
         graft.queries.SimilarityQueries.adaptiveBuildPlan(spark, sfDir).count()),
+      "pca_build" -> (() =>
+        // q154/q155's train chain: exact-integer scatter matrix + power
+        // rounds (the registered queries read its memoized output)
+        graft.queries.SimilarityQueries.pcaBuildPlan(spark, sfDir).count()),
       "cc_min_label" -> { () =>
         // the full edge derivation + iterative CC, un-memoized (q47's machinery)
         val scored = graft.queries.DedupQueries.memoBuildPlan(spark, sfDir)

@@ -392,15 +392,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q154/q155 PCA: scatter cells aggregate map-side, projection dim broadcasts") {
-    val train = executedPlan("q154_pca_power")
-    // the d² scatter aggregation must partially combine before its
-    // exchange (the property that keeps the shuffle dimension-sized)
+    // the registered queries read the session memo, so the scatter gate
+    // runs on the BUILD plan (the memoBuildPlan treatment): the d²
+    // aggregation must partially combine before its exchange — the
+    // property that keeps the shuffle dimension-sized
+    val train = SimilarityQueries.pcaScatterPlan(spark, dir)
+      .queryExecution.executedPlan.toString
     assert(train.contains("partial"), train.take(800))
     assert(!train.contains("CartesianProduct"), train.take(800))
     val apply = executedPlan("q155_pca_project")
     // the 64-row eigenvector reaches the (vec_id, d, xq) stream broadcast
     assert(apply.contains("BroadcastHashJoin"), apply.take(800))
-    assert(!apply.contains("SortMergeJoin") || apply.contains("BroadcastHashJoin"), apply.take(800))
+    // exactly one corpus scan: the projection pass (the direction comes
+    // off the memo, never a re-train)
+    assert(apply.split('\n').count(l => l.contains("embeddings.parquet") && l.contains("Scan")) == 1,
+      apply.take(800))
   }
 
   test("q153 split reads the memoized components only (no shingle recompute)") {
