@@ -49,7 +49,10 @@ object Plans {
     "q152_bpe_fertility",     // trained piece map broadcast onto the per-lang vocabulary
     "q153_split_by_cluster",  // pure memo-table function: one scan, no recompute
     "q154_pca_power",         // d² scatter cells map-side combined; dimension-table rounds
-    "q155_pca_project"        // 64-row eigenvector broadcast onto the narrow quantized stream
+    "q155_pca_project",       // 64-row eigenvector broadcast onto the narrow quantized stream
+    "q156_epoch_shuffle",     // two-phase global rank per epoch: _pid windows + offsets
+    "q157_token_budget_mix",  // per-source prefix sums + 1-row broadcast budget
+    "q158_vocab_drift"        // (source×bucket) log-ratio dim broadcast, integer KL sums
   )
 
   /** Plans dumped from builders outside the driver registry: the dedup

@@ -382,8 +382,67 @@ object CurationQueries {
         .unionByName(boundary)
         .select(col("lang"), col("doc_id"), round(col("isc") / 10000.0, 4).as("quality"))
         .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // DETERMINISTIC EPOCH SHUFFLE — the data-ordering step of a training
+    // run: each epoch is an independent, reproducible global permutation
+    // (rank by md5 of epoch‖doc_id), so any worker can recompute any
+    // epoch's order from the key alone — no materialized shuffle files,
+    // no RNG state, identical across engines/runs/retries. The global
+    // position rides `RankOps.globalRowNumber` (range partition +
+    // parallel per-partition windows + broadcast offsets), never the
+    // single-task empty-partition window; the oracle computes the same
+    // rank with the naive window, proving the two-phase form exact.
+    "q156_epoch_shuffle" -> ((s, dir) =>
+      ShuffleEpochs
+        .map { e =>
+          val keyed = Tables
+            .documents(s, dir)
+            .select(
+              col("doc_id"),
+              md5(concat(lit(s"epoch:$e:"), col("doc_id").cast("string")).cast("binary")).as("k")
+            )
+          graft.operators.RankOps
+            .globalRowNumber(keyed, Seq(col("k"), col("doc_id")), "pos")
+            .select(lit(e.toLong).as("epoch"), col("doc_id"), col("pos"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy(col("epoch"), col("doc_id"))),
+
+    // TOKEN-BUDGET MIXTURE FILL — allocation by TOKENS, not documents
+    // (the unit a pretraining mixture is actually specified in): each
+    // source gets an equal share of a global token budget (half the
+    // corpus average per source, computed from the data so the cut is
+    // exercised at every SF) and fills it greedily best-quality-first;
+    // the first document that would overflow the share ends the source's
+    // intake (prefix rule — the running sum is monotone). Per-source
+    // window prefix sums (the q121 per-source shape); budgets derive
+    // from one 1-row broadcast aggregate; integer token arithmetic
+    // throughout.
+    "q157_token_budget_mix" -> ((s, dir) => {
+      val docs = Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          round(TextFunctions.qualityScore(col("text")) * 10000).cast("long").as("isc")
+        )
+      val budget = docs
+        .agg(sum(col("n_tokens")).as("st"), countDistinct(col("source")).as("ns"))
+        .select(expr("st DIV (ns * 2)").as("src_budget")) // integer division — same truncation both engines
+      val w = Window.partitionBy(col("source")).orderBy(col("isc").desc, col("doc_id"))
+      docs
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .crossJoin(broadcast(budget))
+        .filter(col("cum") <= col("src_budget"))
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum"),
+          round(col("isc") / 10000.0, 4).as("quality"))
+        .orderBy(col("source"), col("doc_id"))
     })
   )
+
+  private val ShuffleEpochs = Seq(1, 2) // q156: reproducible training epochs
 
   private val PackSeqLen = 128L // q148: tokens per packed training block
 
@@ -572,6 +631,24 @@ object CurationQueries {
          | n AS (SELECT lang, (count(*) + 4) // 5 AS k FROM d GROUP BY 1),
          | r AS (SELECT d.*, row_number() OVER (PARTITION BY lang ORDER BY isc DESC, doc_id) AS rn FROM d)
          |SELECT lang, doc_id, round(isc / 10000.0, 4) AS quality
-         |FROM r JOIN n USING (lang) WHERE rn <= k ORDER BY lang, doc_id""".stripMargin
+         |FROM r JOIN n USING (lang) WHERE rn <= k ORDER BY lang, doc_id""".stripMargin,
+    // The same md5-keyed permutations ranked with the naive window.
+    "q156_epoch_shuffle" ->
+      raw"""WITH e AS (SELECT 1::BIGINT AS epoch UNION ALL SELECT 2),
+           | k AS (SELECT epoch, doc_id,
+           |         md5('epoch:' || epoch::VARCHAR || ':' || doc_id::VARCHAR) AS k
+           |       FROM documents CROSS JOIN e)
+           |SELECT epoch, doc_id,
+           |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS BIGINT) AS pos
+           |FROM k ORDER BY epoch, doc_id""".stripMargin,
+    // Same greedy budget fill: equal integer token share per source
+    // (truncating division both engines), best-quality-first prefix.
+    "q157_token_budget_mix" ->
+      s"""WITH d AS (SELECT doc_id, source, len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         |             CAST(round(($qualitySql) * 10000) AS BIGINT) AS isc FROM documents),
+         | b AS (SELECT CAST(sum(n_tokens) AS BIGINT) // (count(DISTINCT source) * 2) AS src_budget FROM d),
+         | c AS (SELECT d.*, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY isc DESC, doc_id) AS BIGINT) AS cum FROM d)
+         |SELECT source, doc_id, n_tokens, cum, round(isc / 10000.0, 4) AS quality
+         |FROM c CROSS JOIN b WHERE cum <= src_budget ORDER BY source, doc_id""".stripMargin
   )
 }

@@ -677,6 +677,54 @@ object TextQueries {
     "q151_bpe_merges" -> ((s, dir) =>
       bpeChain(s, dir)._2.reduce(_ unionByName _).orderBy(col("round"), col("rnk"))),
 
+    // VOCABULARY DRIFT MONITOR — KL(source ‖ corpus) over hashed token
+    // buckets: the distribution-shift alarm an ingest pipeline runs per
+    // batch/source ("did this crawl slice drift from the corpus?").
+    // Same feature machinery as q149 (256 md5 buckets, add-one
+    // smoothing, per-(source, bucket) log-ratios floored ONCE at 2^20
+    // into a dimension), then KL = Σ_b p_src[b]·ln(p_src[b]/p_corpus[b])
+    // assembled as an exact integer sum Σ cs·lr divided ONCE by
+    // (2^20·n_src) at display — order-independent, bit-portable.
+    // Buckets absent from a source contribute zero (cs = 0), so the
+    // inner bucket join is the full support.
+    "q158_vocab_drift" -> ((s, dir) => {
+      val toks = Tables
+        .spread(Tables.documents(s, dir), col("doc_id"))
+        .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+        .withColumn("b", expr(s"CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % $DsirBuckets"))
+        .persist() // feeds the per-source counts AND the corpus counts
+      val cs = toks.groupBy(col("source"), col("b")).agg(count(lit(1)).as("cs"))
+      val ct = toks.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val dim = cs
+        .join(broadcast(ct), Seq("b"))
+        .crossJoin(broadcast(ct.agg(sum(col("ct")).as("t"))))
+        .join(broadcast(cs.groupBy(col("source")).agg(sum(col("cs")).as("ts"))), Seq("source"))
+        .select(
+          col("source"),
+          col("b"),
+          col("cs"),
+          col("ts"),
+          floor(
+            log(
+              ((col("cs") + lit(1.0)) / (col("ts") + lit(DsirBuckets.toDouble))) /
+                ((col("ct") + lit(1.0)) / (col("t") + lit(DsirBuckets.toDouble)))
+            ) * lit(1048576.0)
+          ).cast("long").as("lr")
+        )
+      dim
+        .groupBy(col("source"))
+        .agg(
+          min(col("ts")).as("n_tokens"),
+          sum(col("cs") * col("lr")).as("klq")
+        )
+        .select(
+          col("source"),
+          col("n_tokens"),
+          round(col("klq").cast("double") / lit(1048576.0) / col("n_tokens"), 6).as("kl")
+        )
+        .orderBy(col("source"))
+    }),
+
     // TOKENIZER FERTILITY REPORT — apply the q151-learned merges and
     // measure pieces-per-token per language (the multilingual-fairness
     // metric: a tokenizer trained on a skewed corpus fragments
@@ -1064,6 +1112,25 @@ object TextQueries {
            |  FROM rawc LEFT JOIN tgtc USING (b) CROSS JOIN tot)
            |SELECT doc_id, count(*) AS n_feats, round(CAST(sum(lr) AS DOUBLE) / 1048576.0, 4) AS log_weight
            |FROM b JOIN dim USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Identical drift formula: same bucket fold, same smoothed ratio in
+    // the same operation order, log floored once at 2^20, exact integer
+    // Σ cs·lr, one final division.
+    "q158_vocab_drift" ->
+      raw"""WITH toks AS (SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+           | bk AS (SELECT source,
+           |          list_reduce(list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr(md5(tok), i::INT, 1)) - 1)::BIGINT), (a, c) -> a * 16 + c) % $DsirBuckets AS b
+           |        FROM toks),
+           | cs AS (SELECT source, b, count(*) AS cs FROM bk GROUP BY 1, 2),
+           | ct AS (SELECT b, count(*) AS ct FROM bk GROUP BY 1),
+           | t AS (SELECT count(*) AS t FROM bk),
+           | ts AS (SELECT source, count(*) AS ts FROM bk GROUP BY 1),
+           | dim AS (
+           |  SELECT cs.source, cs.b, cs.cs, ts.ts,
+           |    CAST(floor(ln(((cs.cs + 1.0) / (ts.ts + $DsirBuckets.0)) / ((ct.ct + 1.0) / (t.t + $DsirBuckets.0))) * 1048576.0) AS BIGINT) AS lr
+           |  FROM cs JOIN ct USING (b) CROSS JOIN t JOIN ts USING (source))
+           |SELECT source, min(ts)::BIGINT AS n_tokens,
+           |  round(CAST(sum(cs * lr) AS DOUBLE) / 1048576.0 / min(ts), 6) AS kl
+           |FROM dim GROUP BY source ORDER BY source""".stripMargin,
     // Identical three-round unroll: same pair statistics, same
     // (cnt DESC, l, r) argmax, and the SAME greedy merge fold — DuckDB's
     // list_reduce runs the separator-string fold Spark's aggregate() runs.

@@ -409,6 +409,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       apply.take(800))
   }
 
+  test("q156 epoch shuffle ranks through _pid-partitioned windows (never one task)") {
+    val plan = executedPlan("q156_epoch_shuffle")
+    val windowLines = plan.split('\n').filter(_.contains("Window ["))
+    assert(windowLines.nonEmpty, plan.take(600))
+    windowLines.foreach(l => assert(l.contains("_pid"), l.take(300)))
+  }
+
+  test("q158 drift dimensions broadcast onto the bucket-count tables") {
+    val plan = executedPlan("q158_vocab_drift")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("q153 split reads the memoized components only (no shingle recompute)") {
     val plan = executedPlan("q153_split_by_cluster")
     // the registered query is a pure function of the materialized comp

@@ -143,6 +143,58 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(_._3 == "train") && rows.exists(_._3 == "heldout"))
   }
 
+  test("q156 epoch shuffle: each epoch is a distinct, complete permutation") {
+    val rows = SparkEntry.queries("q156_epoch_shuffle")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val n = Tables.documents(spark, dir).count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1L, 2L))
+    byEpoch.values.foreach { es =>
+      assert(es.map(_._3).sorted.toSeq == (1L to n), "positions must be a bijection 1..n")
+    }
+    // the two epochs genuinely reorder: same docs, different positions
+    val p1 = byEpoch(1L).map(r => r._2 -> r._3).toMap
+    val p2 = byEpoch(2L).map(r => r._2 -> r._3).toMap
+    assert(p1.keySet == p2.keySet)
+    assert(p1.count { case (d, p) => p2(d) != p } > n / 2, "epochs should differ broadly")
+  }
+
+  test("q157 budget fill is a tight best-quality prefix per source") {
+    val kept = SparkEntry.queries("q157_token_budget_mix")(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val all = Tables.documents(spark, dir).select(
+      col("source"), col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"),
+      round(graft.functions.TextFunctions.qualityScore(col("text")) * 10000).cast("long").as("isc"))
+      .as[(String, Long, Long, Long)].collect()
+    val budget = all.map(_._3).sum / (all.map(_._1).distinct.length * 2)
+    kept.groupBy(_._1).foreach { case (src, ks) =>
+      val keptIds = ks.map(_._2).toSet
+      val ranked  = all.filter(_._1 == src).sortBy(t => (-t._4, t._2))
+      // kept = the ranked prefix: find the cut and check set equality + tightness
+      val prefix = ranked.scanLeft(0L)(_ + _._3).tail.zip(ranked).takeWhile(_._1 <= budget)
+      assert(prefix.map(_._2._2).toSet == keptIds, s"$src: not the greedy prefix")
+      assert(ks.map(_._4).max <= budget, s"$src exceeded its share")
+      // tightness: the first excluded doc (if any) would overflow
+      if (prefix.length < ranked.length) {
+        val nextCum = prefix.lastOption.map(_._1).getOrElse(0L) + ranked(prefix.length)._3
+        assert(nextCum > budget, s"$src: stopped early at $nextCum <= $budget")
+      }
+    }
+  }
+
+  test("q158 drift report covers every source with small bounded divergence") {
+    val rows = SparkEntry.queries("q158_vocab_drift")(spark, dir)
+      .as[(String, Long, Double)].collect()
+    assert(rows.length == 20 && rows.map(_._1).distinct.length == 20)
+    rows.foreach { case (src, n, kl) =>
+      assert(n > 0 && !kl.isNaN && math.abs(kl) < 1.0, s"$src: kl=$kl")
+    }
+    // sources in this corpus share one generator — drift should sit near
+    // zero but NOT identically zero (the report must measure something)
+    assert(rows.exists(_._3 != 0.0))
+  }
+
   test("q154 integer power iteration agrees with double-precision PCA") {
     val got = SparkEntry.queries("q154_pca_power")(spark, dir)
       .as[(Long, Long, Double)].collect().sortBy(_._1)
