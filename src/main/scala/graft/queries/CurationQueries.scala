@@ -334,23 +334,31 @@ object CurationQueries {
     // ADAPTIVE PER-LANGUAGE QUALITY THRESHOLD — keep the top 20% of each
     // language by quality score (the FineWeb/CCNet move: a global
     // threshold over-prunes low-resource languages; rank within the
-    // stratum instead). Exact selection without a corpus-wide sort: scores
-    // quantize to integers (the score is round(·,4), so ×10^4 is exact),
-    // a per-(lang, score) HISTOGRAM aggregates map-side (bounded by
-    // lang × 10001, a dimension), the cumulative histogram locates each
-    // language's threshold bucket, everything strictly above it passes,
-    // and only the BOUNDARY bucket's docs are ranked (by doc_id) to fill
-    // the remaining quota — the per-lang windows run over the histogram
-    // and the boundary slice, never the corpus. The oracle is the naive
-    // corpus-wide rank: row_number ≤ ceil(n/5) per lang — proving the
-    // histogram selection picks the identical set, ties and all.
+    // stratum instead). Exact selection without a corpus-wide sort, in
+    // TWO histogram levels: scores quantize to integers (the score is
+    // round(·,4), so ×10^4 is exact) and a per-(lang, score) histogram
+    // (map-side combined, bounded by lang × 10001) locates each
+    // language's threshold bucket — everything strictly above it passes.
+    // Ties AT the threshold are broken by a 16-bit md5 hash of the doc id
+    // (unbiased tie selection — ranking tied docs by id would favor old
+    // documents), and that hash order enables a SECOND histogram over
+    // (lang, h16) to cut the boundary bucket the same way — essential
+    // when the score DEGENERATES (a saturating quality function can put
+    // 40% of a language at the top score; a doc_id rank over that set
+    // would be the corpus-scale single-task window this query exists to
+    // avoid). The final row_number touches only the single (lang, score,
+    // hash-bucket) slice — expected boundary/2^16. The oracle is the
+    // naive corpus-wide rank over the identical (isc DESC, h16, doc_id)
+    // order — proving the two-level selection picks the same set.
     "q150_adaptive_quality" -> ((s, dir) => {
       val base = Tables
         .documents(s, dir)
         .select(
           col("doc_id"),
           col("lang"),
-          round(TextFunctions.qualityScore(col("text")) * 10000).cast("long").as("isc")
+          round(TextFunctions.qualityScore(col("text")) * 10000).cast("long").as("isc"),
+          expr("CAST(conv(substr(md5(CAST(concat('aq:', CAST(doc_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS BIGINT)")
+            .as("h16")
         )
       val hist = base.groupBy(col("lang"), col("isc")).agg(count(lit(1)).as("c"))
       val quota = hist
@@ -372,15 +380,36 @@ object CurationQueries {
       val above = base
         .join(broadcast(thr), Seq("lang"))
         .filter(col("isc") > col("thr"))
-      val boundary = base
+      val bdocs = base
         .join(broadcast(thr), Seq("lang"))
         .filter(col("isc") === col("thr"))
+      // level 2: hash histogram over the boundary bucket (≤ lang × 2^16
+      // cells), threshold hash cell, rank only within THAT cell
+      val wH = Window.partitionBy(col("lang")).orderBy(col("h16"))
+      val thr2 = bdocs
+        .groupBy(col("lang"), col("h16")).agg(count(lit(1)).as("c2"))
+        .withColumn("cum2", sum(col("c2")).over(wH))
+        .join(broadcast(thr.select(col("lang"), col("need"))), Seq("lang"))
+        .filter(col("cum2") >= col("need"))
+        .groupBy(col("lang"))
+        .agg(min(struct(col("h16"), col("c2"), col("cum2"), col("need"))).as("t")) // min h16 = cut cell
+        .select(
+          col("lang"),
+          col("t.h16").as("hcut"),
+          (col("t.need") - (col("t.cum2") - col("t.c2"))).as("need2")
+        )
+      val hashBelow = bdocs
+        .join(broadcast(thr2), Seq("lang"))
+        .filter(col("h16") < col("hcut"))
+      val atCut = bdocs
+        .join(broadcast(thr2), Seq("lang"))
+        .filter(col("h16") === col("hcut"))
         .withColumn("rn", row_number().over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
-        .filter(col("rn") <= col("need"))
+        .filter(col("rn") <= col("need2"))
         .drop("rn")
-      above
-        .unionByName(boundary)
-        .select(col("lang"), col("doc_id"), round(col("isc") / 10000.0, 4).as("quality"))
+      Seq(above, hashBelow, atCut)
+        .map(_.select(col("lang"), col("doc_id"), round(col("isc") / 10000.0, 4).as("quality")))
+        .reduce(_ unionByName _)
         .orderBy(col("lang"), col("doc_id"))
     }),
 
@@ -624,12 +653,19 @@ object CurationQueries {
            |  (cum - 1) // $PackSeqLen AS last_blk,
            |  ((cum - 1) // $PackSeqLen - (cum - n_tokens) // $PackSeqLen + 1) AS n_blocks
            |FROM c ORDER BY doc_id""".stripMargin,
-    // The naive corpus-wide rank the histogram selection must reproduce:
-    // top ceil(n/5) per language by (quantized score DESC, doc_id).
+    // The naive corpus-wide rank the two-level histogram selection must
+    // reproduce: top ceil(n/5) per language by (quantized score DESC,
+    // 16-bit md5 hash of the doc id, doc_id) — the identical tie order.
     "q150_adaptive_quality" ->
-      s"""WITH d AS (SELECT doc_id, lang, CAST(round(($qualitySql) * 10000) AS BIGINT) AS isc FROM documents),
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST(round(($qualitySql) * 10000) AS BIGINT) AS isc,
+         |    (strpos('0123456789abcdef', substr(md5('aq:' || doc_id::VARCHAR), 1, 1)) - 1) * 4096
+         |    + (strpos('0123456789abcdef', substr(md5('aq:' || doc_id::VARCHAR), 2, 1)) - 1) * 256
+         |    + (strpos('0123456789abcdef', substr(md5('aq:' || doc_id::VARCHAR), 3, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5('aq:' || doc_id::VARCHAR), 4, 1)) - 1) AS h16
+         |  FROM documents),
          | n AS (SELECT lang, (count(*) + 4) // 5 AS k FROM d GROUP BY 1),
-         | r AS (SELECT d.*, row_number() OVER (PARTITION BY lang ORDER BY isc DESC, doc_id) AS rn FROM d)
+         | r AS (SELECT d.*, row_number() OVER (PARTITION BY lang ORDER BY isc DESC, h16, doc_id) AS rn FROM d)
          |SELECT lang, doc_id, round(isc / 10000.0, 4) AS quality
          |FROM r JOIN n USING (lang) WHERE rn <= k ORDER BY lang, doc_id""".stripMargin,
     // The same md5-keyed permutations ranked with the naive window.

@@ -645,20 +645,21 @@ object SimilarityQueries {
     // clustering). The q131 treatment applied to linear algebra: vectors
     // quantize at 2^20, the CENTERED scatter matrix is the exact integer
     // M = n·Σxxᵀ − (Σx)(Σx)ᵀ in DECIMAL(38,0)/HUGEINT (no mean division,
-    // no float subtraction), and three power-iteration rounds renormalize
+    // no float subtraction), and PcaRounds power-iteration rounds renormalize
     // through integer max-|·| division (truncating division — identical
     // in both engines), so the learned direction is hash-checked
     // BIT-FOR-BIT against the unrolled CTE chain. The Rayleigh quotient
     // rides along as the eigenvalue estimate (one int→double cast per
     // side of one division).
     //
-    // Scale shape: the scatter sums are ONE narrow pass — each vector
-    // explodes its 64×64 outer product locally and map-side combine
-    // collapses a partition to 4096 partial cells, so the exchange
-    // carries d² rows, never data; every iteration after that joins
-    // 64-row/4096-row DIMENSION tables (localCheckpoint-pinned). The
-    // corpus is touched exactly twice end-to-end: once to train (M),
-    // once to apply (q155's projections).
+    // Scale shape: ALL sufficient statistics (scatter + linear sums +
+    // count) come from ONE narrow pass — each vector appends a constant
+    // 1 and explodes its (d+1)² outer product locally; map-side combine
+    // collapses a partition to (d+1)² partial cells, so the exchange
+    // carries the dimension, never data; every iteration after that
+    // joins 64-row/4096-row DIMENSION tables (localCheckpoint-pinned).
+    // The corpus is touched exactly twice end-to-end: once to train (the
+    // cells pass), once to apply (q155's projections).
     "q154_pca_power" -> ((s, dir) => {
       val (v3, m) = pcaTrained(s, dir)
       val mv = m
@@ -719,39 +720,52 @@ object SimilarityQueries {
       )
       .select(col("vec_id"), col("e.d").as("d"), col("e.xq").as("xq"))
 
+  /** The single-scan sufficient-statistics aggregate behind the scatter
+    * matrix, via homogeneous coordinates: append a constant 1 to every
+    * quantized vector, and ONE (Dim+1)×(Dim+1) outer-product aggregate
+    * yields the scatter sums (i, j < Dim), the linear sums (j = Dim:
+    * xq_i·1), AND the row count (the (Dim, Dim) cell: 1·1 summed) — the
+    * corpus is scanned exactly once to train. Cell products accumulate in
+    * DECIMAL(38,0) (a LongType sum would wrap silently past ~2^63 total
+    * while the oracle's HUGEINT stays exact — the cross-engine contract
+    * must not depend on corpus size).
+    */
+  def pcaCellsPlan(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .spread(Tables.embeddings(s, dir), col("vec_id"))
+      .select(
+        expr(s"concat(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PcaQuant) AS BIGINT)), array(1L))")
+          .as("ya")
+      )
+      // narrow per-row outer product, map-side combined to (Dim+1)² cells
+      // before the only data-dependent exchange
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, $Dim), i -> transform(sequence(0, $Dim), j ->
+           |  struct(i AS i, j AS j, element_at(ya, i + 1) * element_at(ya, j + 1) AS p))))""".stripMargin)).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p").cast("decimal(38,0)")).as("s"))
+
+  /** Centered scatter matrix M = n·Σxxᵀ − (Σx)(Σx)ᵀ assembled from the
+    * sufficient-statistic cells (pure dimension-table joins).
+    */
+  private def scatterFromCells(cells: DataFrame): DataFrame = {
+    val sums = cells.filter(col("j") === Dim && col("i") < Dim).select(col("i").as("d"), col("s").as("sd"))
+    val n    = cells.filter(col("i") === Dim && col("j") === Dim).select(col("s").as("n"))
+    cells
+      .filter(col("i") < Dim && col("j") < Dim)
+      .join(broadcast(sums.select(col("d").as("i"), col("sd").as("si"))), Seq("i"))
+      .join(broadcast(sums.select(col("d").as("j"), col("sd").as("sj"))), Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"), (col("n") * col("s") - col("si") * col("sj")).as("m"))
+  }
+
   /** The un-pinned scatter-matrix DAG — exposed so plan audits
     * (graft.Plans, PlanQualitySpec) keep gating the REAL machinery: the
     * registered q154/q155 read the session memo, whose scan plans would
     * trivially satisfy any gate (the `memoBuildPlan` treatment).
     */
-  def pcaScatterPlan(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables
-      .spread(Tables.embeddings(s, dir), col("vec_id"))
-      .select(
-        col("vec_id"),
-        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PcaQuant) AS BIGINT))").as("xqa")
-      )
-    // one narrow pass: per-row 64×64 outer product, map-side combined to
-    // d² cells before the only data-dependent exchange
-    val sxx = base
-      .select(explode(expr(
-        s"""flatten(transform(sequence(0, ${Dim - 1}), i -> transform(sequence(0, ${Dim - 1}), j ->
-           |  struct(i AS i, j AS j, element_at(xqa, i + 1) * element_at(xqa, j + 1) AS p))))""".stripMargin)).as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p")).as("sxx"))
-    val sums = pcaX(s, dir).groupBy(col("d")).agg(sum(col("xq")).as("sd"))
-    val n    = Tables.embeddings(s, dir).agg(count(lit(1)).as("n"))
-    sxx
-      .join(broadcast(sums.select(col("d").as("i"), col("sd").as("si"))), Seq("i"))
-      .join(broadcast(sums.select(col("d").as("j"), col("sd").as("sj"))), Seq("j"))
-      .crossJoin(broadcast(n))
-      .select(
-        col("i"),
-        col("j"),
-        (col("n").cast("decimal(38,0)") * col("sxx").cast("decimal(38,0)")
-          - col("si").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)")).as("m")
-      )
-  }
+  def pcaScatterPlan(s: SparkSession, dir: String): DataFrame =
+    scatterFromCells(pcaCellsPlan(s, dir))
 
   /** The full train chain (scatter + [[PcaRounds]] renormalized power
     * rounds) — `ScaleBuilds` times this as `pca_build`. Returns
@@ -760,7 +774,11 @@ object SimilarityQueries {
     * corpus per round).
     */
   private def pcaChain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val m = pcaScatterPlan(s, dir)
+    // pin the single-scan sufficient statistics FIRST — m references the
+    // cells three ways (scatter, linear sums, n), and unpinned each
+    // reference would re-scan the corpus
+    val cells = pcaCellsPlan(s, dir).localCheckpoint()
+    val m = scatterFromCells(cells)
       .localCheckpoint() // 4096-row dimension, read by every round + the Rayleigh pass
     val v0 = s.range(0, Dim).select(col("id").cast("int").as("d"), lit(PcaNorm).as("v"))
     val vN = (1 to PcaRounds).foldLeft(v0) { case (v, _) =>
@@ -1114,7 +1132,7 @@ object SimilarityQueries {
   )
 
   /** q154/q155's oracle chain: quantize → exact HUGEINT scatter matrix →
-    * three renormalized power rounds (truncating integer division matches
+    * PcaRounds renormalized power rounds (truncating integer division matches
     * Spark's `div` on both engines) → Rayleigh quotient.
     */
   private lazy val pcaOracleCte: String = {

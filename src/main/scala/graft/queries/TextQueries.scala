@@ -629,7 +629,10 @@ object TextQueries {
         .join(tgt, Seq("b"), "left")
         .na.fill(0L, Seq("ct"))
         .crossJoin(broadcast(raw.agg(sum(col("cr")).as("tr"))))
-        .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("tt"))))
+        // coalesce: a corpus slice with NO target-language docs must yield
+        // finite smoothed weights (sum over empty is NULL; the oracle's
+        // COUNT path returns 0) — not all-NULL scores
+        .crossJoin(broadcast(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))))
         .select(
           col("b"),
           floor(
@@ -1171,9 +1174,10 @@ object TextQueries {
     def rank(p: String) = s"SELECT *, row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM $p"
     val roundCtes = (1 to BpeRounds).map { i =>
       val base = s" p$i AS (${pairs(s"s$i")}),\n r$i AS (${rank(s"p$i")})"
+      // the last round emits its merge + applied vocabulary only when the
+      // caller wants the post-training s{N+1} table (q152)
       if (i == BpeRounds && !finalMerge) base
-      else base + s",\n m$i AS (SELECT l, r FROM r$i WHERE rnk = 1)" +
-        (if (i == BpeRounds && !finalMerge) "" else s",\n s${i + 1} AS (${fold(s"s$i", s"m$i")})")
+      else base + s",\n m$i AS (SELECT l, r FROM r$i WHERE rnk = 1),\n s${i + 1} AS (${fold(s"s$i", s"m$i")})"
     }
     raw"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w FROM documents),
          | w0 AS (SELECT w, count(*) AS freq FROM toks GROUP BY 1),

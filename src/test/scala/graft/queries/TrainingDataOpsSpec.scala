@@ -56,13 +56,17 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
   test("q150 histogram selection equals the naive per-language top-quota rank") {
     val got = SparkEntry.queries("q150_adaptive_quality")(spark, dir)
       .select("lang", "doc_id").as[(String, Long)].collect().toSet
-    // brute-force twin: corpus-wide rank per lang (fine at spec scale)
+    // brute-force twin: corpus-wide rank per lang over the same
+    // (score DESC, hash, doc_id) tie order (fine at spec scale)
     val base = Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"),
-      round(graft.functions.TextFunctions.qualityScore(col("text")) * 10000).cast("long").as("isc"))
+      round(graft.functions.TextFunctions.qualityScore(col("text")) * 10000).cast("long").as("isc"),
+      expr("CAST(conv(substr(md5(CAST(concat('aq:', CAST(doc_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS BIGINT)")
+        .as("h16"))
     val k = base.groupBy(col("lang")).agg(expr("(count(*) + 4) DIV 5").as("k"))
     val exp = base
-      .withColumn("rn", row_number().over(Window.partitionBy(col("lang")).orderBy(col("isc").desc, col("doc_id"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("isc").desc, col("h16"), col("doc_id"))))
       .join(k, Seq("lang")).filter(col("rn") <= col("k"))
       .select("lang", "doc_id").as[(String, Long)].collect().toSet
     assert(got == exp)
