@@ -84,29 +84,45 @@ object Bench {
     // trailing "[success]" line eats ~70 of them) and json-parses the metric
     // line, so the PRINTED line must stay short: per-query keys are the qNN
     // id (unique by construction), printed times are centisecond-rounded,
-    // and sf is the basename. At 140 queries that is ~1830 chars — inside
-    // the window with margin. The full-name, full-precision map goes to
-    // bench_full.json for post-hoc analysis.
+    // sf is the basename, and a line-budget guard below drops the cheapest
+    // entries if the board outgrows the window.
     val shortIds = names.map(n => n -> n.takeWhile(_ != '_')).toMap
     val ids = // collision guard: fall back to full names if ids ever clash
       if (shortIds.values.toSet.size == names.size) shortIds
       else names.map(n => n -> n).toMap
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + ids(k) + "\":" + csec(v) }
-      .mkString("{", ",", "}")
     val qsFull = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // n_queries contextualizes the total: the registry grows round over
-    // round, so the sum is only comparable per-query or per-count.
-    val head = s""""metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson"""
+    val sfShort = sfDir.stripSuffix("/").split('/').last
+    // The printed line must stay inside the harness tail window no matter
+    // how large the board grows (155 entries already sit ~40 chars from the
+    // edge; round 7's overflow went unparsed). Self-guard: if the line would
+    // exceed the budget, drop the FASTEST per-query entries until it fits —
+    // the expensive queries the grading reads survive, "q_omitted" counts
+    // the dropped cheap ones, and the full-precision full-name map is always
+    // in bench_full.json.
+    val lineBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_LINE_BUDGET", "1850").toInt
+    def line(kept: Seq[(String, Double)], omitted: Int): String = {
+      val qs = kept.sortBy(_._1)
+        .map { case (k, v) => "\"" + ids(k) + "\":" + csec(v) }
+        .mkString("{", ",", "}")
+      val omit = if (omitted > 0) s""","q_omitted":$omitted""" else ""
+      // n_queries contextualizes the total: the registry grows round over
+      // round, so the sum is only comparable per-query or per-count.
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson$omit,"queries":$qs,"sf":"$sfShort"}"""
+    }
+    val byCost = results.toSeq.sortBy { case (_, v) => -v } // keep slowest first
+    val printed = Iterator.iterate(byCost)(_.dropRight(1))
+      .map(kept => line(kept, results.size - kept.size))
+      .find(_.length <= lineBudget)
+      .getOrElse(line(Seq.empty, results.size))
+    val headFull = s""""metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")),
-      s"""{$head,"queries":$qsFull,"sf":"$sfDir"}\n""".getBytes("UTF-8")
+      s"""{$headFull,"queries":$qsFull,"sf":"$sfDir"}\n""".getBytes("UTF-8")
     )
     catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] detail write failed: $e") }
-    val sfShort = sfDir.stripSuffix("/").split('/').last
-    println(s"""{$head,"queries":$qs,"sf":"$sfShort"}""")
+    println(printed)
     spark.stop()
   }
 }

@@ -26,6 +26,17 @@ object CurationQueries {
 
   private val SourceCap = 5 // q121: max docs kept per source
 
+  /** q164 stride table: language mixture weights {en:4, de:2, fr:2, es:1,
+    * zh:1} expressed as integer STRIDES L/w with L = lcm(weights) = 4, so
+    * virtual times (2k−1)·stride stay exact integers. Unlisted languages
+    * ride the weight-1 default stride.
+    */
+  private val StrideByLang  = Seq("en" -> 1L, "de" -> 2L, "fr" -> 2L, "es" -> 4L, "zh" -> 4L)
+  private val StrideDefault = 4L
+
+  private val PerceptronBuckets = 64 // q160: hashed feature buckets (bias rides bucket B)
+  private val PerceptronRounds  = 3  // q160: fixed unrolled training rounds
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-modal: join documents to their embedding rows (doc_id = vec_id)
     // and profile text quality per embedding cluster — the "which clusters
@@ -468,6 +479,145 @@ object CurationQueries {
         .select(col("source"), col("doc_id"), col("n_tokens"), col("cum"),
           round(col("isc") / 10000.0, 4).as("quality"))
         .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // EXACT ROC-AUC PER SOURCE — the eval primitive behind every "does
+    // this scorer separate good from bad" question a curation pipeline
+    // asks (here: does the quality score separate English from
+    // non-English per source, the proxy-label audit run before a scorer
+    // gates real data). Mann-Whitney rank form, computed ENTIRELY from
+    // the per-(source, score) histogram: with cum_lt docs below a score
+    // bucket and c in it, each of its cp positives has doubled average
+    // rank 2·cum_lt + c + 1 (2× keeps tie-averaged ranks integer), so
+    // AUC = (Σ cp·(2·cum_lt+c+1) − n⁺(n⁺+1)) / (2·n⁺·n⁻) — exact
+    // integers until one final IEEE division. The corpus is never
+    // windowed: scores quantize to 10^4 ints (q150), the histogram is
+    // map-side combined and bounded by source × 10001 cells, and the
+    // cumulative window touches only the histogram.
+    "q161_auc_quality" -> ((s, dir) => {
+      val base = Tables
+        .documents(s, dir)
+        .select(
+          col("source"),
+          round(TextFunctions.qualityScore(col("text")) * 10000).cast("long").as("isc"),
+          (col("lang") === "en").cast("long").as("y")
+        )
+      val hist = base
+        .groupBy(col("source"), col("isc"))
+        .agg(count(lit(1)).as("c"), sum(col("y")).as("cp"))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("isc"))
+      hist
+        .withColumn("cum_le", sum(col("c")).over(wCum)) // histogram-sized window
+        .withColumn("s2c", col("cp") * (lit(2) * (col("cum_le") - col("c")) + col("c") + lit(1)))
+        .groupBy(col("source"))
+        .agg(sum(col("cp")).as("n_pos"), sum(col("c") - col("cp")).as("n_neg"), sum(col("s2c")).as("s2"))
+        .filter(col("n_pos") > 0 && col("n_neg") > 0)
+        .select(
+          col("source"),
+          col("n_pos"),
+          col("n_neg"),
+          round(
+            (col("s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg")),
+            6
+          ).as("auc")
+        )
+        .orderBy(col("source"))
+    }),
+
+    // CURRICULUM INTERLEAVE (stride scheduling) — the deterministic
+    // data-ORDERING step a mixture-weighted training run wants: each
+    // language emits its documents best-quality-first, and languages
+    // interleave proportionally to mixture weight via stride scheduling
+    // (Waldspurger's lottery-stride algorithm): the k-th doc of a
+    // weight-w language runs at virtual time (2k−1)/w, so over any
+    // window of the schedule each language holds ≈ its weight share —
+    // no RNG, no materialized shuffle, any worker recomputes any slice
+    // from the key alone. Virtual times stay EXACT integers by scaling
+    // with L/w (L = lcm of the weight table): vt = (2k−1)·(L/w). The
+    // per-language rank is a parallel per-stratum window; the global
+    // position rides `RankOps.globalRowNumber` (range partition + offset
+    // broadcast), never a single-task window.
+    "q164_curriculum_interleave" -> ((s, dir) => {
+      val stride = coalesce(
+        element_at(
+          map(StrideByLang.flatMap { case (l, st) => Seq(lit(l), lit(st)) }: _*),
+          col("lang")),
+        lit(StrideDefault))
+      val ranked = Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          round(TextFunctions.qualityScore(col("text")) * 10000).cast("long").as("isc")
+        )
+        .withColumn(
+          "k",
+          row_number().over(Window.partitionBy(col("lang")).orderBy(col("isc").desc, col("doc_id"))))
+        .withColumn("vt", (lit(2) * col("k") - 1).cast("long") * stride)
+      graft.operators.RankOps
+        .globalRowNumber(ranked, Seq(col("vt"), col("lang"), col("doc_id")), "pos")
+        .select(col("pos"), col("lang"), col("doc_id"), col("vt"))
+        .orderBy(col("pos"))
+    }),
+
+    // BATCH PERCEPTRON QUALITY/LANGUAGE CLASSIFIER — a linear classifier
+    // TRAINED on-corpus with zero transcendentals: hashed bag-of-words
+    // features (md5 buckets, the q149 fold) with integer counts, labels
+    // y = ±1 (en vs rest), and the batch perceptron update
+    // w ← w + Σ_misclassified y·x — an order-independent INTEGER sum, so
+    // unlike logistic regression (whose sigmoid would drag libm exp()
+    // ulps into the weights) every round is bit-exact on any engine.
+    // Three unrolled rounds (the q151 BPE shape: fixed iteration count,
+    // no driver convergence loop); sign(0) counts as misclassified, so
+    // round 1 (w = 0) trains on every document. Output: per-round
+    // misclassified count and the post-update |w| mass — any drift in
+    // stats, margins, or updates in any round shifts all later rounds.
+    //
+    // Scale shape per round: the feature table builds ONCE (narrow
+    // explode → map-side-combined (doc,bucket) counts, persisted), the
+    // weight vector is a ≤ B+1-row broadcast dimension, margins collapse
+    // per doc map-side before the exchange, and the update aggregates
+    // over the bucket domain — the exchanges carry docs and buckets,
+    // never doc × bucket.
+    "q160_perceptron_lid" -> ((s, dir) => {
+      val docs = Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          when(col("lang") === "en", lit(1L)).otherwise(lit(-1L)).as("y"),
+          TextFunctions.tokens(lower(col("text"))).as("ws"))
+      val feat = Tables
+        .spread(docs, col("doc_id"))
+        .select(col("doc_id"), col("y"), explode(col("ws")).as("t"))
+        .withColumn(
+          "b",
+          expr(s"CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % $PerceptronBuckets"))
+        .groupBy(col("doc_id"), col("y"), col("b"))
+        .agg(count(lit(1)).as("x"))
+        .unionByName(docs.select(col("doc_id"), col("y"),
+          lit(PerceptronBuckets.toLong).as("b"), lit(1L).as("x"))) // bias feature
+        .persist() // feeds every round's margin pass and update pass
+      var w = feat.select(col("b")).distinct().withColumn("w", lit(0L))
+      val stats = (1 to PerceptronRounds).map { r =>
+        val margins = feat
+          .join(broadcast(w), Seq("b"))
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(col("x") * col("w")).as("m"))
+        val miss = margins.filter(col("y") * col("m") <= 0).select(col("doc_id"))
+        val delta = feat
+          .join(miss, Seq("doc_id"))
+          .groupBy(col("b"))
+          .agg(sum(col("y") * col("x")).as("dw"))
+        w = w
+          .join(delta, Seq("b"), "left")
+          .select(col("b"), (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
+        miss
+          .agg(count(lit(1)).as("n_miss"))
+          .crossJoin(w.agg(sum(abs(col("w"))).as("w_abs_sum")))
+          .select(lit(r.toLong).as("round"), col("n_miss"), col("w_abs_sum"))
+      }
+      stats.reduce(_ unionByName _).orderBy(col("round"))
     })
   )
 
@@ -685,6 +835,66 @@ object CurationQueries {
          | b AS (SELECT CAST(sum(n_tokens) AS BIGINT) // (count(DISTINCT source) * 2) AS src_budget FROM d),
          | c AS (SELECT d.*, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY isc DESC, doc_id) AS BIGINT) AS cum FROM d)
          |SELECT source, doc_id, n_tokens, cum, round(isc / 10000.0, 4) AS quality
-         |FROM c CROSS JOIN b WHERE cum <= src_budget ORDER BY source, doc_id""".stripMargin
+         |FROM c CROSS JOIN b WHERE cum <= src_budget ORDER BY source, doc_id""".stripMargin,
+
+    // The identical histogram-form Mann-Whitney statistic: doubled
+    // tie-averaged ranks keep everything integer until the final division.
+    "q161_auc_quality" ->
+      s"""WITH d AS (SELECT source, CAST(round(($qualitySql) * 10000) AS BIGINT) AS isc,
+         |             (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y FROM documents),
+         | h AS (SELECT source, isc, count(*)::BIGINT AS c, CAST(sum(y) AS BIGINT) AS cp FROM d GROUP BY 1, 2),
+         | cu AS (SELECT *, CAST(sum(c) OVER (PARTITION BY source ORDER BY isc) AS BIGINT) AS cum_le FROM h),
+         | a AS (SELECT source, CAST(sum(cp) AS BIGINT) AS n_pos, CAST(sum(c - cp) AS BIGINT) AS n_neg,
+         |         CAST(sum(cp * (2 * (cum_le - c) + c + 1)) AS BIGINT) AS s2
+         |       FROM cu GROUP BY 1)
+         |SELECT source, n_pos, n_neg,
+         |  round((s2 - n_pos * (n_pos + 1))::DOUBLE / (2.0 * n_pos * n_neg), 6) AS auc
+         |FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY source""".stripMargin,
+
+    // The same stride schedule ranked with the naive global window.
+    "q164_curriculum_interleave" ->
+      s"""WITH d AS (SELECT doc_id, lang, CAST(round(($qualitySql) * 10000) AS BIGINT) AS isc FROM documents),
+         | k AS (SELECT doc_id, lang,
+         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY isc DESC, doc_id) AS BIGINT) AS k
+         |       FROM d),
+         | v AS (SELECT doc_id, lang,
+         |         (2 * k - 1) * (CASE ${StrideByLang.map { case (l, st) => s"WHEN lang = '$l' THEN $st" }.mkString(" ")} ELSE $StrideDefault END)::BIGINT AS vt
+         |       FROM k)
+         |SELECT CAST(row_number() OVER (ORDER BY vt, lang, doc_id) AS BIGINT) AS pos, lang, doc_id, vt
+         |FROM v ORDER BY pos""".stripMargin,
+
+    // The identical unrolled batch-perceptron chain — integer feature
+    // counts, integer weight updates, sign(0) misclassified.
+    "q160_perceptron_lid" ->
+      (raw"""WITH dy AS (SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE -1 END)::BIGINT AS y,
+           |              regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+           | tk AS (SELECT doc_id, y, unnest(ws) AS t FROM dy),
+           | f0 AS (SELECT doc_id, y,
+           |          list_reduce(list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr(md5(t), i::INT, 1)) - 1)::BIGINT), (a, c) -> a * 16 + c) % $PerceptronBuckets AS b,
+           |          count(*)::BIGINT AS x
+           |        FROM tk GROUP BY 1, 2, 3),
+           | feat AS (SELECT * FROM f0
+           |          UNION ALL SELECT doc_id, y, $PerceptronBuckets::BIGINT AS b, 1::BIGINT AS x FROM dy),
+           | w0 AS (SELECT DISTINCT b, 0::BIGINT AS w FROM feat),
+           |""".stripMargin
+        + (1 to PerceptronRounds).map(perceptronRoundSql).mkString(",\n") + "\n"
+        + (1 to PerceptronRounds).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
+        + " ORDER BY round")
   )
+
+  /** One unrolled batch-perceptron round for q160's oracle: margins under
+    * the incoming weights `w{r-1}`, misclassified set, integer update,
+    * post-update stats row `s$r`.
+    */
+  private def perceptronRoundSql(r: Int): String = {
+    val (win, wout) = (s"w${r - 1}", s"w$r")
+    s""" m$r AS (SELECT f.doc_id, f.y, CAST(sum(f.x * w.w) AS BIGINT) AS m
+       |   FROM feat f JOIN $win w USING (b) GROUP BY 1, 2),
+       | x$r AS (SELECT doc_id FROM m$r WHERE y * m <= 0),
+       | d$r AS (SELECT f.b, CAST(sum(f.y * f.x) AS BIGINT) AS dw
+       |   FROM feat f JOIN x$r USING (doc_id) GROUP BY 1),
+       | $wout AS (SELECT p.b, p.w + coalesce(d.dw, 0) AS w FROM $win p LEFT JOIN d$r d USING (b)),
+       | s$r AS (SELECT $r::BIGINT AS round, (SELECT count(*) FROM x$r)::BIGINT AS n_miss,
+       |   (SELECT CAST(sum(abs(w)) AS BIGINT) FROM $wout) AS w_abs_sum)""".stripMargin
+  }
 }
