@@ -535,6 +535,65 @@ object SimilarityQueries {
         .orderBy(col("query_id"))
     }),
 
+    // INT8 QUANTIZED-INDEX RECALL AUDIT — the "can the index serve from
+    // int8 codes" report (q55 asks what quantization costs per vector;
+    // this asks what it costs the RANKING, which is what an ANN service
+    // actually pays): every vector quantizes to symmetric int8 codes
+    // under ONE global scale (a 1-row broadcast max|v|, so code dot
+    // products are comparable across vectors — per-vector affine scales
+    // would not be), top-k runs on code-space cosine, and recall@k is
+    // measured against q50's exact float ranking. The code dot and code
+    // norms are EXACT integer sums (≤ 64·127² per term — order-independent,
+    // no float fold anywhere in scoring); one round-6 division ranks.
+    // At 100 TB the int8 index is 4× smaller and the scoring integer —
+    // this query is the gate that says the cheap index is good enough.
+    "q163_int8_recall" -> ((s, dir) => {
+      val e  = Tables.embeddings(s, dir)
+      val mx = e.agg(max(array_max(transform(asDouble(col("embedding")), v => abs(v)))).as("s"))
+      val codes = Tables
+        .spread(e, col("vec_id"))
+        .crossJoin(broadcast(mx))
+        .select(
+          col("vec_id"),
+          transform(asDouble(col("embedding")), v => round(v * lit(127.0) / col("s")))
+            .cast("array<long>").as("codes"))
+        .withColumn("qn", aggregate(col("codes"), lit(0L), (a, c) => a + c * c))
+      val qs = codes
+        .filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("query_id"), col("codes").as("q_codes"), col("qn").as("q_qn"))
+      val quantTop = codes
+        .join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .withColumn(
+          "qdot",
+          aggregate(zip_with(col("q_codes"), col("codes"), (a, b) => a * b), lit(0L), _ + _))
+        .withColumn(
+          "qcos",
+          round(
+            col("qdot").cast("double") /
+              (sqrt(col("q_qn").cast("double")) * sqrt(col("qn").cast("double"))),
+            6))
+        .withColumn(
+          "rnk",
+          row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("vec_id"))))
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val exact = queries("q50_cosine_topk")(s, dir).select(col("query_id"), col("neighbor_id"))
+      val ks    = exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      val hits = exact
+        .join(quantTop, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      ks.join(hits, Seq("query_id"), "left")
+        .select(
+          col("query_id"),
+          col("k"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("k"), 4).as("recall")
+        )
+        .orderBy(col("query_id"))
+    }),
+
     // HARD-NEGATIVE MINING — the contrastive-training data op: for each
     // query, the most-similar corpus vectors with a DIFFERENT label
     // (similar-but-wrong examples are what trains a discriminative
@@ -1061,6 +1120,42 @@ object SimilarityQueries {
            | hits AS (
            |  SELECT e.query_id, count(*) AS n_hit
            |  FROM exact e JOIN ann a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |  GROUP BY 1)
+           |SELECT ks.query_id, ks.k, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+           |  round(coalesce(h.n_hit, 0)::DOUBLE / ks.k, 4) AS recall
+           |FROM ks LEFT JOIN hits h ON ks.query_id = h.query_id
+           |ORDER BY ks.query_id""".stripMargin),
+    // The same global symmetric int8 quantization, exact-integer code
+    // dots/norms, round-6 code-space ranking, recall vs the float ranks.
+    "q163_int8_recall" ->
+      (vecCte +
+        s""", exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rnk
+           |    FROM v q JOIN v c ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id)
+           |  WHERE rnk <= $TopK),
+           | mx AS (SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS s FROM embeddings),
+           | co AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 127.0 / s) AS BIGINT)) AS codes
+           |  FROM embeddings CROSS JOIN mx),
+           | cq AS (
+           |  SELECT vec_id, codes,
+           |    list_reduce(list_prepend(0::BIGINT, list_transform(codes, x -> x * x)), (a, b) -> a + b) AS qn
+           |  FROM co),
+           | qr AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        round(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${Dim + 1}), i -> q.codes[i] * c.codes[i])), (a, b) -> a + b)::DOUBLE
+           |          / (sqrt(q.qn::DOUBLE) * sqrt(c.qn::DOUBLE)), 6) DESC, c.vec_id) AS rnk
+           |    FROM cq q JOIN cq c ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id)
+           |  WHERE rnk <= $TopK),
+           | ks AS (SELECT query_id, count(*)::BIGINT AS k FROM exact GROUP BY 1),
+           | hits AS (
+           |  SELECT e.query_id, count(*)::BIGINT AS n_hit
+           |  FROM exact e JOIN qr ON qr.query_id = e.query_id AND qr.neighbor_id = e.neighbor_id
            |  GROUP BY 1)
            |SELECT ks.query_id, ks.k, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
            |  round(coalesce(h.n_hit, 0)::DOUBLE / ks.k, 4) AS recall

@@ -172,6 +172,73 @@ object TextQueries {
         .orderBy(col("lang_b"))
     }),
 
+    // CROSS-SOURCE OVERLAP MATRIX — the pairwise contamination report a
+    // multi-source corpus audit publishes: for every source pair, the
+    // EXACT trigram-set Jaccard next to its KMV-sketch estimate (q139's
+    // machinery generalized from one anchor to the full matrix), plus the
+    // absolute estimate error — "which feeds are re-crawls of each other,
+    // and is the sketch good enough to monitor that at scale". The exact
+    // side never materializes per-pair sets: the equi self-join on the
+    // trigram IS the inverted index (per-token fan-out is bounded by
+    // sources², never corpus-sized); the sketch side is K rows per source
+    // end to end, so at 100 TB the estimate column costs sketch-merge
+    // work while the exact column (the expensive audit) can run on a
+    // sample cadence.
+    "q162_source_overlap" -> ((s, dir) => {
+      val K = 64
+      val w = org.apache.spark.sql.expressions.Window
+      val kv = Tables
+        .spread(Tables.documents(s, dir), col("doc_id"))
+        .select(col("source"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("source"),
+          explode(expr(
+            "transform(sequence(1, size(t)-2), i -> concat(element_at(t, i), ' ', element_at(t, i+1), ' ', element_at(t, i+2)))"))
+            .as("tok"))
+        .distinct()
+      val sizes = kv.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val pairs = sizes
+        .select(col("source").as("src_a"), col("n").as("n_a"))
+        .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), col("src_a") < col("src_b"))
+      val inter = kv
+        .select(col("source").as("src_a"), col("tok"))
+        .join(kv.select(col("source").as("src_b"), col("tok")), Seq("tok"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val sk = kv
+        .withColumn("h", expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("rn", row_number().over(w.partitionBy(col("source")).orderBy(col("h"))))
+        .filter(col("rn") <= K)
+        .select(col("source"), col("h"))
+      val skA     = sk.select(col("source").as("src_a"), col("h"))
+      val skB     = sk.select(col("source").as("src_b"), col("h"))
+      val pairDom = pairs.select(col("src_a"), col("src_b"))
+      val merged = pairDom
+        .join(skA, Seq("src_a"))
+        .select(col("src_a"), col("src_b"), col("h"))
+        .union(pairDom.join(skB, Seq("src_b")).select(col("src_a"), col("src_b"), col("h")))
+        .distinct()
+        .withColumn("rn", row_number().over(w.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))))
+        .filter(col("rn") <= K)
+      val kEff = merged.groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("k_eff"))
+      val nBoth = merged
+        .join(skA, Seq("src_a", "h"))
+        .join(skB, Seq("src_b", "h"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_both"))
+      val jac  = round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6)
+      val kmvJ = round(coalesce(col("n_both"), lit(0L)).cast("double") / col("k_eff"), 6)
+      pairs
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .na.fill(0L, Seq("n_inter"))
+        .join(kEff, Seq("src_a", "src_b"))
+        .join(nBoth, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"),
+          jac.as("jaccard"), kmvJ.as("kmv_jaccard"), round(abs(jac - kmvJ), 6).as("abs_err"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // COUNT-MIN SKETCH term-frequency estimation — the bounded-memory
     // frequency twin of q59's HLL distinct count. Every token occurrence
     // increments D=4 cells (md5-derived buckets, engine-portable) of a
@@ -546,47 +613,61 @@ object TextQueries {
     // ranking; idf itself is pre-quantized to 2^20 so both engines feed
     // the identical double into the product chain. The doc-length
     // normalizer rides one broadcast 1-row stats frame (N, total tokens).
-    "q136_bm25_topk" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val qterms = {
-        import s.implicits._
-        Bm25Queries.flatMap { case (qid, text) => text.split(" ").map(t => (qid, t)) }
-          .toDF("query_id", "term")
-      }
-      // ONE tokenize pass: doc length is the sum of its term frequencies
-      // and the corpus token total is the sum of doc lengths, so dl and
-      // the stats frame derive from tf instead of re-exploding the corpus
-      // (the q117/q108 single-scan rework, applied from the start)
-      val tf = Tables
-        .spread(Tables.documents(s, dir), col("doc_id"))
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val dl  = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val st = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-        .crossJoin(dl.agg(sum(col("dl")).as("n_toks")))
-      val avgdl = col("n_toks").cast("double") / col("n_docs")
-      val idfQ = floor(
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1048576.0)
-      ).cast("long")
-      val tfn = (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
-      val scored = broadcast(qterms)
-        .join(tf, Seq("term"))
-        .join(dfx, Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(st))
-        .select(col("query_id"), col("doc_id"),
-          floor((idfQ.cast("double") / lit(1048576.0)) * tfn * lit(PScale)).cast("long").as("sq"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("sq")).as("sq"))
-      scored
-        .withColumn("rnk",
-          row_number().over(Window.partitionBy(col("query_id")).orderBy(col("sq").desc, col("doc_id"))))
-        .filter(col("rnk") <= Bm25TopK)
-        .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+    "q136_bm25_topk" -> ((s, dir) =>
+      bm25TopK(s, dir)
+        .select(col("query_id"), col("rnk"), col("doc_id"),
           round(col("sq").cast("double") / lit(PScale), 4).as("score"))
+        .orderBy(col("query_id"), col("rnk"))),
+
+    // HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION — the lexical+vector
+    // combiner every modern retrieval stack runs (Cormack et al. RRF):
+    // query k is a text (BM25 ranks, q136's exact chain) AND its exemplar
+    // embedding vec_id = k (cosine ranks, q50's exact chain); the fused
+    // score sums floor(2^20/(60+rank)) over both lists — pure integer
+    // division, so the fusion is EXACT integers and rank order can never
+    // flip on float ulps (the scores being fused never mix: ranks are the
+    // only thing that crosses the modality boundary, which is the whole
+    // point of RRF). Docs ranked by one modality only still fuse (outer
+    // join, absent rank contributes 0). Output: top-10 per query with
+    // both per-modality ranks for audit.
+    //
+    // Scale shape: both rank lists are per-query top-K windows over
+    // map-side-collapsed scores (WindowGroupLimit keeps below-rank rows
+    // off the exchange); the fusion joins two K-row-per-query tables —
+    // at 1000 executors the fuse step is dimension-sized work no matter
+    // the corpus.
+    "q159_rrf_fusion" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.cosineFast
+      import org.apache.spark.sql.expressions.Window
+      val lex = bm25TopK(s, dir).select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+      val e   = Tables.embeddings(s, dir)
+      val qv = e
+        .filter(col("vec_id").isin(Bm25Queries.map(_._1): _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val vec = Tables
+        .spread(e, col("vec_id"))
+        .join(broadcast(qv), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", round(cosineFast(col("q_emb"), col("embedding")), 6))
+        .withColumn(
+          "vec_rnk",
+          row_number()
+            .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
+            .cast("long"))
+        .filter(col("vec_rnk") <= Bm25TopK)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("vec_rnk"))
+      lex
+        .join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn(
+          "rrf_q",
+          coalesce(expr(s"$RrfScale DIV (${RrfK0}L + lex_rnk)"), lit(0L))
+            + coalesce(expr(s"$RrfScale DIV (${RrfK0}L + vec_rnk)"), lit(0L)))
+        .withColumn(
+          "rnk",
+          row_number()
+            .over(Window.partitionBy(col("query_id")).orderBy(col("rrf_q").desc, col("doc_id")))
+            .cast("long"))
+        .filter(col("rnk") <= Bm25TopK)
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf_q"), col("lex_rnk"), col("vec_rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -841,6 +922,53 @@ object TextQueries {
   /** q136's fixed retrieval queries — the Scala source of truth the SQL
     * oracle's VALUES list is generated from (no drift possible).
     */
+  /** The shared BM25 top-K pipeline behind q136 and the q159 fusion:
+    * Okapi BM25 (k1=1.2, b=0.75) over the whitespace-token index with the
+    * quantized-summand portability treatment (idf floored at 2^20, each
+    * (query, doc, term) summand floored at 2^40 into an order-independent
+    * BIGINT sum). Returns (query_id, rnk, doc_id, sq) for rnk ≤ Bm25TopK.
+    * ONE tokenize pass: doc length is the sum of its term frequencies and
+    * the corpus token total is the sum of doc lengths, so dl and the stats
+    * frame derive from tf instead of re-exploding the corpus.
+    */
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qterms = {
+      import s.implicits._
+      Bm25Queries.flatMap { case (qid, text) => text.split(" ").map(t => (qid, t)) }
+        .toDF("query_id", "term")
+    }
+    val tf = Tables
+      .spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl  = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val st = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("n_toks")))
+    val avgdl = col("n_toks").cast("double") / col("n_docs")
+    val idfQ = floor(
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1048576.0)
+    ).cast("long")
+    val tfn = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    val scored = broadcast(qterms)
+      .join(tf, Seq("term"))
+      .join(dfx, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("doc_id"),
+        floor((idfQ.cast("double") / lit(1048576.0)) * tfn * lit(PScale)).cast("long").as("sq"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("sq")).as("sq"))
+    scored
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("query_id")).orderBy(col("sq").desc, col("doc_id"))))
+      .filter(col("rnk") <= Bm25TopK)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("doc_id"), col("sq"))
+  }
+
   private val Bm25Queries = Seq(
     1L -> "hash join order",
     2L -> "spark window merge",
@@ -849,6 +977,39 @@ object TextQueries {
     5L -> "data stream batch"
   )
   private val Bm25TopK = 10
+  private val RrfK0    = 60      // q159: the standard RRF rank offset
+  private val RrfScale = 1048576L // q159: 2^20 — integer-division contribution scale
+
+  /** 64-dim dot product in DuckDB with the exact fold order of Spark's
+    * `aggregate` (the SimilarityQueries.dotSql formula — duplicated here
+    * because the q159 oracle fuses text ranks with vector ranks).
+    */
+  private def rrfDotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+
+  /** The q136 oracle CTE chain (toks → tf/dl/dfx/st → qt → scored) shared
+    * with the q159 fusion oracle.
+    */
+  private val bm25CtesSql: String = {
+    val valuesSql = Bm25Queries
+      .flatMap { case (q, t) => t.split(" ").map(w => s"($q, '$w')") }
+      .mkString(", ")
+    raw"""toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         | dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         | st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT count(*) FROM toks) AS n_toks),
+         | qt(query_id, term) AS (SELECT * FROM (VALUES $valuesSql)),
+         | scored AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    CAST(sum(CAST(floor(
+         |      (CAST(floor(ln(1.0 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * 1048576.0) AS BIGINT) / 1048576.0)
+         |      * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (CAST(st.n_toks AS DOUBLE) / st.n_docs))))
+         |      * 1099511627776.0) AS BIGINT)) AS BIGINT) AS sq
+         |  FROM qt JOIN tf USING (term) JOIN dfx USING (term)
+         |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+         |  GROUP BY 1, 2)""".stripMargin
+  }
 
   private val ChunkSize   = 64
   private val ChunkStride = 48
@@ -858,30 +1019,35 @@ object TextQueries {
     // The same quantized-summand BM25: idf floored at 2^20 so both engines
     // feed identical doubles into the product chain, per-term summands
     // floored at 2^40 into an order-independent BIGINT sum.
-    "q136_bm25_topk" -> {
-      val valuesSql = Bm25Queries
-        .flatMap { case (q, t) => t.split(" ").map(w => s"($q, '$w')") }
-        .mkString(", ")
-      raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
-           | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-           | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-           | dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-           | st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT count(*) FROM toks) AS n_toks),
-           | qt(query_id, term) AS (SELECT * FROM (VALUES $valuesSql)),
-           | scored AS (
-           |  SELECT qt.query_id, tf.doc_id,
-           |    CAST(sum(CAST(floor(
-           |      (CAST(floor(ln(1.0 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * 1048576.0) AS BIGINT) / 1048576.0)
-           |      * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (CAST(st.n_toks AS DOUBLE) / st.n_docs))))
-           |      * 1099511627776.0) AS BIGINT)) AS BIGINT) AS sq
-           |  FROM qt JOIN tf USING (term) JOIN dfx USING (term)
-           |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
-           |  GROUP BY 1, 2)
-           |SELECT query_id::BIGINT AS query_id, rnk::BIGINT AS rnk, doc_id,
-           |  round(CAST(sq AS DOUBLE) / 1099511627776.0, 4) AS score FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) AS rnk FROM scored)
-           |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-    },
+    "q136_bm25_topk" ->
+      s"""WITH $bm25CtesSql
+         |SELECT query_id::BIGINT AS query_id, rnk::BIGINT AS rnk, doc_id,
+         |  round(CAST(sq AS DOUBLE) / 1099511627776.0, 4) AS score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) AS rnk FROM scored)
+         |WHERE rnk <= $Bm25TopK ORDER BY query_id, rnk""".stripMargin,
+
+    // The same two exact rank lists (quantized-summand BM25, round-6
+    // cosine) fused by integer-division RRF contributions.
+    "q159_rrf_fusion" ->
+      s"""WITH $bm25CtesSql,
+         | lex AS (SELECT query_id::BIGINT AS query_id, doc_id, rnk::BIGINT AS lex_rnk FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) AS rnk FROM scored)
+         |  WHERE rnk <= $Bm25TopK),
+         | v AS (SELECT vec_id, embedding, sqrt(${rrfDotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         | vr AS (SELECT query_id, doc_id, rnk::BIGINT AS vec_rnk FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${rrfDotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rnk
+         |    FROM v q JOIN v c ON q.vec_id IN (${Bm25Queries.map(_._1).mkString(", ")}) AND c.vec_id <> q.vec_id)
+         |  WHERE rnk <= $Bm25TopK),
+         | fuse AS (SELECT coalesce(l.query_id, r.query_id) AS query_id,
+         |    coalesce(l.doc_id, r.doc_id) AS doc_id, l.lex_rnk, r.vec_rnk,
+         |    coalesce($RrfScale // ($RrfK0 + l.lex_rnk), 0) + coalesce($RrfScale // ($RrfK0 + r.vec_rnk), 0) AS rrf_q
+         |  FROM lex l FULL JOIN vr r ON l.query_id = r.query_id AND l.doc_id = r.doc_id)
+         |SELECT query_id, rnk, doc_id, rrf_q, lex_rnk, vec_rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM fuse)
+         |WHERE rnk <= $Bm25TopK ORDER BY query_id, rnk""".stripMargin,
     // The same explicit HLL: identical md5 fold, bucket split, rho via
     // binary-string length, dense register table, exact-integer harmonic
     // denominator (pow(2, k) is exact for k ≤ 55), one IEEE cast+division.
@@ -997,6 +1163,46 @@ object TextQueries {
            |FROM uk LEFT JOIN rho USING (lang_b) JOIN nb USING (lang_b)
            |  LEFT JOIN inter USING (lang_b) CROSS JOIN ena
            |ORDER BY lang_b""".stripMargin,
+
+    // The same inverted-index exact Jaccard and per-pair merged-bottom-K
+    // MinHash agreement, over every source pair.
+    "q162_source_overlap" ->
+      raw"""WITH kv AS (
+           |  SELECT DISTINCT source, tok FROM (
+           |    SELECT source, unnest(list_transform(range(1, len(ws)-1), i -> ws[i::INT] || ' ' || ws[(i+1)::INT] || ' ' || ws[(i+2)::INT])) AS tok
+           |    FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+           |    WHERE len(ws) >= 3)),
+           | sizes AS (SELECT source, count(*)::BIGINT AS n FROM kv GROUP BY 1),
+           | pairs AS (SELECT a.source AS src_a, a.n AS n_a, b.source AS src_b, b.n AS n_b
+           |           FROM sizes a JOIN sizes b ON a.source < b.source),
+           | inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_inter
+           |           FROM kv a JOIN kv b ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2),
+           | hashed AS (
+           |  SELECT source,
+           |    list_reduce(list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr(md5(tok), i::INT, 1)) - 1)::BIGINT), (a, c) -> a * 16 + c) AS h
+           |  FROM kv),
+           | sk AS (SELECT source, h FROM (
+           |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hashed)
+           |  WHERE rn <= 64),
+           | mergedall AS (SELECT DISTINCT src_a, src_b, h FROM (
+           |    SELECT p.src_a, p.src_b, s.h FROM pairs p JOIN sk s ON s.source = p.src_a
+           |    UNION ALL
+           |    SELECT p.src_a, p.src_b, s.h FROM pairs p JOIN sk s ON s.source = p.src_b)),
+           | merged AS (SELECT src_a, src_b, h FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn FROM mergedall)
+           |  WHERE rn <= 64),
+           | keff AS (SELECT src_a, src_b, count(*)::BIGINT AS k_eff FROM merged GROUP BY 1, 2),
+           | nboth AS (SELECT m.src_a, m.src_b, count(*)::BIGINT AS n_both FROM merged m
+           |           JOIN sk sa ON sa.source = m.src_a AND sa.h = m.h
+           |           JOIN sk sb ON sb.source = m.src_b AND sb.h = m.h GROUP BY 1, 2)
+           |SELECT p.src_a, p.src_b, p.n_a, p.n_b, coalesce(i.n_inter, 0)::BIGINT AS n_inter,
+           |  round(coalesce(i.n_inter, 0)::DOUBLE / (p.n_a + p.n_b - coalesce(i.n_inter, 0)), 6) AS jaccard,
+           |  round(coalesce(nb.n_both, 0)::DOUBLE / k.k_eff, 6) AS kmv_jaccard,
+           |  round(abs(round(coalesce(i.n_inter, 0)::DOUBLE / (p.n_a + p.n_b - coalesce(i.n_inter, 0)), 6)
+           |          - round(coalesce(nb.n_both, 0)::DOUBLE / k.k_eff, 6)), 6) AS abs_err
+           |FROM pairs p LEFT JOIN inter i USING (src_a, src_b) JOIN keff k USING (src_a, src_b)
+           |  LEFT JOIN nboth nb USING (src_a, src_b)
+           |ORDER BY src_a, src_b""".stripMargin,
     "q110_kmv_distinct" ->
       raw"""WITH kv AS (
            |  SELECT DISTINCT lang, tok FROM (
