@@ -429,4 +429,56 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("documents.parquet"), plan.take(800))
     assert(plan.split('\n').count(_.contains("Scan parquet")) == 1, plan.take(800))
   }
+
+  test("q161 AUC windows only the histogram, never the corpus") {
+    // every Window in the optimized plan must sit above an Aggregate (the
+    // per-(source, score) histogram) — a window whose subtree reaches the
+    // scan without aggregating is the corpus-wide rank this query avoids
+    val plan = SparkEntry.queries("q161_auc_quality")(spark, dir).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty, plan.toString.take(600))
+    windows.foreach { w =>
+      val aggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggBelow.nonEmpty, "window over un-aggregated rows:\n" + w.toString.take(400))
+    }
+  }
+
+  test("q164 schedule windows are per-language or _pid-partitioned (never one task)") {
+    val plan = executedPlan("q164_curriculum_interleave")
+    val windowLines = plan.split('\n').filter(_.contains("Window ["))
+    assert(windowLines.nonEmpty, plan.take(600))
+    windowLines.foreach(l =>
+      assert(l.contains("_pid") || l.contains("partitionBy") || l.contains("lang"),
+        "unpartitioned global window:\n" + l.take(300)))
+  }
+
+  test("q160 perceptron reuses one persisted feature table across all rounds") {
+    val plan = executedPlan("q160_perceptron_lid")
+    // six reads (margins + update, three rounds) must hit the cache
+    assert(plan.split('\n').count(_.contains("InMemoryTableScan")) >= 6, plan.take(800))
+    // the ≤ B+1-row weight vector broadcasts onto the features each round
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q159 fusion never cartesians; corpus scoring rides broadcasts") {
+    val plan = executedPlan("q159_rrf_fusion")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // lexical side: query terms and corpus stats broadcast (q136 shape);
+    // vector side: the 5-row query set broadcasts under the ≠ predicate
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(800))
+  }
+
+  test("q162 exact overlap rides the trigram equi join (inverted index, no corpus cartesian)") {
+    val plan = executedPlan("q162_source_overlap")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the only nested-loop join allowed is the sources²-bounded pair
+    // domain (sizes × sizes under src_a < src_b) — corpus-sized relations
+    // must meet on the tok/h equi keys
+    assert(plan.contains("tok"), plan.take(800))
+    assert(!plan.contains("collect_list"), "per-pair set materialization:\n" + plan.take(800))
+  }
 }

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.SparkEntry
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 retrieval/eval operators: RRF hybrid fusion (q159), batch
+  * perceptron (q160), exact AUC (q161), source overlap matrix (q162),
+  * int8 recall audit (q163), stride-schedule curriculum (q164). The
+  * DuckDB oracles prove cross-engine value parity; these specs pin the
+  * semantic invariants the hash can't articulate — the rank-statistic
+  * identity, fusion arithmetic, schedule proportionality, and training
+  * dynamics.
+  */
+class RetrievalEvalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q161 histogram AUC equals the brute-force pairwise probability") {
+    val got = SparkEntry.queries("q161_auc_quality")(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, np, nn, auc) =>
+      assert(np > 0 && nn > 0 && auc >= 0.0 && auc <= 1.0)
+    }
+    // brute force on one source: AUC = P(s+ > s-) + P(s+ = s-)/2 over all
+    // (pos, neg) pairs — the definition the rank statistic must reproduce
+    val src = got.head._1
+    val rows = Tables.documents(spark, dir)
+      .filter(col("source") === src)
+      .select(
+        round(graft.functions.TextFunctions.qualityScore(col("text")) * 10000).cast("long"),
+        (col("lang") === "en").cast("boolean"))
+      .as[(Long, Boolean)].collect()
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val pairs = for { p <- pos; n <- neg } yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    val brute = pairs.sum / (pos.length.toLong * neg.length)
+    val reported = got.find(_._1 == src).get._4
+    assert(math.abs(brute - reported) < 1e-6, s"$src: brute $brute vs reported $reported")
+  }
+
+  test("q164 stride schedule is a bijection with weight-ordered emission rates") {
+    val rows = SparkEntry.queries("q164_curriculum_interleave")(spark, dir)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val n = Tables.documents(spark, dir).count()
+    assert(rows.map(_._1).toSeq == (1L to n), "positions are exactly 1..n")
+    assert(rows.map(_._3).distinct.length == n.toInt, "every doc scheduled once")
+    // proportionality: in the first half of the schedule, a weight-4
+    // language must emit at least as many docs as any weight-1 language
+    // (strides 1 vs 4 — virtual time alone decides until a lang runs dry)
+    val half   = rows.take(rows.length / 2)
+    val counts = half.groupBy(_._2).view.mapValues(_.size).toMap.withDefaultValue(0)
+    assert(counts("en") >= counts("es") && counts("en") >= counts("zh"),
+      s"weight-4 en must outpace weight-1 langs in any prefix: $counts")
+    // virtual times are non-decreasing along the schedule
+    rows.sliding(2).foreach {
+      case Array((_, _, _, v1), (_, _, _, v2)) => assert(v1 <= v2)
+      case _ =>
+    }
+  }
+
+  test("q160 perceptron round 1 trains on every document and then separates") {
+    val stats = SparkEntry.queries("q160_perceptron_lid")(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(stats.length == 3)
+    val n = Tables.documents(spark, dir).count()
+    // w=0 ⇒ every margin 0 ⇒ sign(0) misclassifies all docs
+    assert(stats.head._2 == n, s"round 1 must update on all $n docs: ${stats.head}")
+    // after one update the weights are non-trivial and later rounds train
+    // on strictly fewer documents than the blank round
+    assert(stats.forall(_._3 > 0), s"non-zero weight mass each round: ${stats.toSeq}")
+    assert(stats.tail.forall(_._2 < n), s"rounds 2+ misclassify fewer than all: ${stats.toSeq}")
+  }
+
+  test("q159 fused score is exactly the integer RRF of the per-modality ranks") {
+    val rows = SparkEntry.queries("q159_rrf_fusion")(spark, dir)
+      .select("query_id", "rnk", "rrf_q", "lex_rnk", "vec_rnk")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(rows.nonEmpty)
+    def contrib(r: Option[Long]): Long = r.map(x => 1048576L / (60L + x)).getOrElse(0L)
+    rows.foreach { case (_, _, rrf, lex, vec) =>
+      assert(rrf == contrib(lex) + contrib(vec), s"rrf_q must be the exact integer fusion")
+      assert(lex.nonEmpty || vec.nonEmpty, "a fused doc must come from at least one list")
+    }
+    // within a query, displayed rank follows rrf_q descending
+    rows.groupBy(_._1).values.foreach { qs =>
+      val byRank = qs.sortBy(_._2).map(_._3)
+      assert(byRank.sameElements(byRank.sortBy(-(_: Long))), "rank order = fused score order")
+    }
+  }
+
+  test("q163 recall audit is per-query complete and bounded") {
+    val rows = SparkEntry.queries("q163_int8_recall")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 5, "one row per query vector")
+    rows.foreach { case (_, k, hit, recall) =>
+      assert(k == 5 && hit >= 0 && hit <= k)
+      assert(math.abs(recall - hit.toDouble / k) < 1e-9)
+    }
+  }
+
+  test("q162 overlap matrix covers every source pair with consistent estimates") {
+    val rows = SparkEntry.queries("q162_source_overlap")(spark, dir)
+      .select("src_a", "src_b", "jaccard", "kmv_jaccard", "abs_err")
+      .as[(String, String, Double, Double, Double)].collect()
+    val nSrc = Tables.documents(spark, dir).select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2, "one row per unordered pair")
+    rows.foreach { case (a, b, j, kj, err) =>
+      assert(a < b, "canonical pair orientation")
+      assert(j >= 0.0 && j <= 1.0 && kj >= 0.0 && kj <= 1.0)
+      assert(math.abs(err - math.abs(j - kj)) < 1e-6)
+    }
+  }
+}
