@@ -574,12 +574,15 @@ object CurationQueries {
     // misclassified count and the post-update |w| mass — any drift in
     // stats, margins, or updates in any round shifts all later rounds.
     //
-    // Scale shape per round: the feature table builds ONCE (narrow
-    // explode → map-side-combined (doc,bucket) counts, persisted), the
-    // weight vector is a ≤ B+1-row broadcast dimension, margins collapse
-    // per doc map-side before the exchange, and the update aggregates
-    // over the bucket domain — the exchanges carry docs and buckets,
-    // never doc × bucket.
+    // Scale shape per round: the feature table builds ONCE as one row per
+    // document carrying its ≤ B+1 (bucket, count) pairs (the q51
+    // dimension-bounded collect_list — B is a constant, never corpus-
+    // sized), persisted; the weight vector broadcasts as ONE map row, so
+    // the margin pass is a NARROW map over cached doc rows — zero corpus
+    // shuffle per round. Only the misclassified docs explode back to
+    // (bucket, count) pairs for the update aggregate, and the weight join
+    // is B+1 rows. Per round the exchanges carry miss-features and
+    // buckets, never the corpus.
     "q160_perceptron_lid" -> ((s, dir) => {
       val docs = Tables
         .documents(s, dir)
@@ -587,7 +590,7 @@ object CurationQueries {
           col("doc_id"),
           when(col("lang") === "en", lit(1L)).otherwise(lit(-1L)).as("y"),
           TextFunctions.tokens(lower(col("text"))).as("ws"))
-      val feat = Tables
+      val featRows = Tables
         .spread(docs, col("doc_id"))
         .select(col("doc_id"), col("y"), explode(col("ws")).as("t"))
         .withColumn(
@@ -597,21 +600,36 @@ object CurationQueries {
         .agg(count(lit(1)).as("x"))
         .unionByName(docs.select(col("doc_id"), col("y"),
           lit(PerceptronBuckets.toLong).as("b"), lit(1L).as("x"))) // bias feature
+      val docFeat = featRows
+        .groupBy(col("doc_id"), col("y"))
+        .agg(array_sort(collect_list(struct(col("b"), col("x")))).as("fs")) // ≤ B+1 entries
         .persist() // feeds every round's margin pass and update pass
-      var w = feat.select(col("b")).distinct().withColumn("w", lit(0L))
+      var w = docFeat
+        .select(explode(expr("transform(fs, f -> f.b)")).as("b"))
+        .distinct()
+        .withColumn("w", lit(0L))
       val stats = (1 to PerceptronRounds).map { r =>
-        val margins = feat
-          .join(broadcast(w), Seq("b"))
-          .groupBy(col("doc_id"), col("y"))
-          .agg(sum(col("x") * col("w")).as("m"))
-        val miss = margins.filter(col("y") * col("m") <= 0).select(col("doc_id"))
-        val delta = feat
-          .join(miss, Seq("doc_id"))
-          .groupBy(col("b"))
-          .agg(sum(col("y") * col("x")).as("dw"))
+        val wm = w.agg(map_from_entries(collect_list(struct(col("b"), col("w")))).as("wm")) // 1 row
+        val miss = docFeat
+          .crossJoin(broadcast(wm))
+          .withColumn(
+            "m",
+            aggregate(col("fs"), lit(0L),
+              (acc, f) => acc + f.getField("x") * element_at(col("wm"), f.getField("b"))))
+          .filter(col("y") * col("m") <= 0)
+          .select(col("doc_id"), col("y"), col("fs"))
+        val delta = miss
+          .select(col("y"), explode(col("fs")).as("f"))
+          .groupBy(col("f.b").as("b"))
+          .agg(sum(col("y") * col("f.x")).as("dw"))
+        // w feeds the next round's map, the update join, and the stats
+        // mass — persist the ≤ B+1 rows so round r's margin pass computes
+        // once, not once per downstream consumer (the unpinned DAG
+        // re-derived every earlier round per stats row — O(R²) passes)
         w = w
           .join(delta, Seq("b"), "left")
           .select(col("b"), (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
+          .persist()
         miss
           .agg(count(lit(1)).as("n_miss"))
           .crossJoin(w.agg(sum(abs(col("w"))).as("w_abs_sum")))
