@@ -253,6 +253,43 @@ object CurationQueries {
         .orderBy(col("table_name"))
     }),
 
+    // BUCKET-LEVEL SNAPSHOT DIFF — q141 answers "are two replicas equal"
+    // with three numbers; this LOCALIZES the damage when they are not
+    // (the Merkle move): rows hash-partition into 256 buckets, each
+    // bucket carries (n_rows, additive mod-sum checksum), and only
+    // buckets whose summaries differ surface — at 100 TB the repair job
+    // re-reads 1/256th of the table per flagged bucket instead of all of
+    // it, and the exchange carries 256 summary rows per side, never
+    // data. Snapshot B is a deterministic mutation of the corpus
+    // (≈2% md5-selected deletes + ≈2% rewrites — derived purely from the
+    // given table, so the oracle replays it bit-for-bit); the report is
+    // exactly the buckets touched by a delete or rewrite.
+    "q166_bucket_diff" -> ((s, dir) => {
+      val M   = 2147483647L
+      val thr = 1311L // ceil(0.02 · 2^16) — the 2% selection threshold
+      def h16(prefix: String) = expr(
+        s"CAST(conv(substr(md5(CAST(concat('$prefix', CAST(doc_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS BIGINT)")
+      val base = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), col("text"), h16("del:").as("hd"), h16("mut:").as("hm"))
+      val snapB = base
+        .filter(col("hd") >= thr)
+        .select(col("doc_id"),
+          when(col("hm") < thr, upper(col("text"))).otherwise(col("text")).as("text"))
+      def bucketSums(df: DataFrame, nCol: String, cCol: String): DataFrame =
+        df.select(
+            (col("doc_id") % 256).as("bucket"),
+            (expr("CAST(conv(substr(md5(concat_ws('|', CAST(doc_id AS STRING), md5(text))), 1, 15), 16, 10) AS BIGINT)") % M)
+              .as("h"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as(nCol), (sum(col("h")) % M).as(cCol))
+      bucketSums(base.select(col("doc_id"), col("text")), "n_a", "chk_a")
+        .join(bucketSums(snapB, "n_b", "chk_b"), Seq("bucket"), "full_outer")
+        .filter(!(col("n_a") <=> col("n_b")) || !(col("chk_a") <=> col("chk_b")))
+        .select(col("bucket"), col("n_a"), col("chk_a"), col("n_b"), col("chk_b"))
+        .orderBy(col("bucket"))
+    }),
+
     // MERGEABLE QUANTILE SKETCH — the missing member of the sketch family
     // (count-min q108, HLL q59/q126, KMV q110): per group, keep the
     // bottom-K rows by a uniform content hash (md5 of the unique event id)
@@ -880,6 +917,31 @@ object CurationQueries {
          |       FROM k)
          |SELECT CAST(row_number() OVER (ORDER BY vt, lang, doc_id) AS BIGINT) AS pos, lang, doc_id, vt
          |FROM v ORDER BY pos""".stripMargin,
+
+    // The same deterministic mutation replayed, the same per-bucket
+    // additive summaries, differing buckets via IS DISTINCT FROM.
+    "q166_bucket_diff" -> {
+      def h16(prefix: String) =
+        (1 to 4)
+          .map(i =>
+            s"(strpos('0123456789abcdef', substr(md5('$prefix' || doc_id::VARCHAR), $i, 1)) - 1)::BIGINT * ${math.pow(16, 4 - i).toLong}")
+          .mkString("(", " + ", ")")
+      s"""WITH base AS (SELECT doc_id, text, ${h16("del:")} AS hd, ${h16("mut:")} AS hm FROM documents),
+         | bsnap AS (SELECT doc_id, CASE WHEN hm < 1311 THEN upper(text) ELSE text END AS text
+         |           FROM base WHERE hd >= 1311),
+         | da AS (SELECT doc_id % 256 AS bucket,
+         |          list_reduce(list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || '|' || md5(text)), i::INT, 1)) - 1)::BIGINT), (a, c) -> a * 16 + c) % 2147483647 AS h
+         |        FROM base),
+         | db AS (SELECT doc_id % 256 AS bucket,
+         |          list_reduce(list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || '|' || md5(text)), i::INT, 1)) - 1)::BIGINT), (a, c) -> a * 16 + c) % 2147483647 AS h
+         |        FROM bsnap),
+         | sa AS (SELECT bucket, count(*)::BIGINT AS n_a, CAST(sum(h) % 2147483647 AS BIGINT) AS chk_a FROM da GROUP BY 1),
+         | sb AS (SELECT bucket, count(*)::BIGINT AS n_b, CAST(sum(h) % 2147483647 AS BIGINT) AS chk_b FROM db GROUP BY 1)
+         |SELECT coalesce(sa.bucket, sb.bucket) AS bucket, n_a, chk_a, n_b, chk_b
+         |FROM sa FULL JOIN sb ON sa.bucket = sb.bucket
+         |WHERE n_a IS DISTINCT FROM n_b OR chk_a IS DISTINCT FROM chk_b
+         |ORDER BY bucket""".stripMargin
+    },
 
     // The identical unrolled batch-perceptron chain — integer feature
     // counts, integer weight updates, sign(0) misclassified.

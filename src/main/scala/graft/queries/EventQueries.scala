@@ -225,10 +225,42 @@ object EventQueries {
               (col("sy").cast("double") / col("n") - slopeRaw * (col("sx").cast("double") / col("n"))) / 10000.0,
               6)).as("intercept"))
         .orderBy(col("event_type"))
+    }),
+
+    // JOIN-KEY SKEW AUDIT — the pre-shuffle report that decides salting
+    // and AQE skew thresholds at 100 TB: for each prospective join/group
+    // key, the exact fanout histogram (how many keys occur c times) —
+    // two-level aggregation, both map-side combined, the exchange carries
+    // keys then histogram cells, never rows. A 1000-executor shuffle plan
+    // reads this to find the keys that would pin a task (the histogram
+    // tail IS the skew); the same shape feeds broadcast-threshold and
+    // bucketing decisions.
+    "q165_key_skew" -> ((s, dir) => {
+      def fanoutHist(df: DataFrame, rel: String, key: org.apache.spark.sql.Column): DataFrame =
+        df.groupBy(key.as("k"))
+          .agg(count(lit(1)).as("fanout"))
+          .groupBy(col("fanout"))
+          .agg(count(lit(1)).as("n_keys"))
+          .select(lit(rel).as("rel"), col("fanout"), col("n_keys"))
+      fanoutHist(Tables.lineitem(s, dir), "lineitem.l_orderkey", col("l_orderkey"))
+        .unionByName(fanoutHist(Tables.events(s, dir), "events.user_id", col("user_id")))
+        .unionByName(fanoutHist(Tables.orders(s, dir), "orders.o_custkey", col("o_custkey")))
+        .orderBy(col("rel"), col("fanout"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // The same two-level count-of-counts per key column.
+    "q165_key_skew" ->
+      """WITH l AS (SELECT 'lineitem.l_orderkey' AS rel, fanout, count(*)::BIGINT AS n_keys FROM (
+        |    SELECT l_orderkey, count(*)::BIGINT AS fanout FROM lineitem GROUP BY 1) GROUP BY 1, 2),
+        | e AS (SELECT 'events.user_id' AS rel, fanout, count(*)::BIGINT AS n_keys FROM (
+        |    SELECT user_id, count(*)::BIGINT AS fanout FROM events GROUP BY 1) GROUP BY 1, 2),
+        | o AS (SELECT 'orders.o_custkey' AS rel, fanout, count(*)::BIGINT AS n_keys FROM (
+        |    SELECT o_custkey, count(*)::BIGINT AS fanout FROM orders GROUP BY 1) GROUP BY 1, 2)
+        |SELECT * FROM l UNION ALL SELECT * FROM e UNION ALL SELECT * FROM o
+        |ORDER BY rel, fanout""".stripMargin,
+
     "q13_json_props" ->
       """SELECT event_type, round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
         |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k

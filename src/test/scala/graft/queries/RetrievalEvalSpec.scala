@@ -103,6 +103,40 @@ class RetrievalEvalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q165 fanout histogram mass reconstructs each table's row and key counts") {
+    val rows = SparkEntry.queries("q165_key_skew")(spark, dir)
+      .as[(String, Long, Long)].collect()
+    val byRel = rows.groupBy(_._1)
+    assert(byRel.keySet == Set("lineitem.l_orderkey", "events.user_id", "orders.o_custkey"))
+    def massOf(rel: String): (Long, Long) = {
+      val h = byRel(rel)
+      (h.map(r => r._2 * r._3).sum, h.map(_._3).sum) // (Σ fanout·n_keys, Σ n_keys)
+    }
+    assert(massOf("lineitem.l_orderkey")._1 == Tables.lineitem(spark, dir).count())
+    assert(massOf("events.user_id")._1 == Tables.events(spark, dir).count())
+    assert(massOf("orders.o_custkey")._2 ==
+      Tables.orders(spark, dir).select("o_custkey").distinct().count())
+  }
+
+  test("q166 flags exactly the buckets touched by the deterministic mutation") {
+    val flagged = SparkEntry.queries("q166_bucket_diff")(spark, dir)
+      .select("bucket").as[Long].collect().toSet
+    // expected: the bucket of every deleted doc, plus every rewritten doc
+    // whose rewrite actually changes the text (upper() is the identity on
+    // caseless text — such a "mutation" is invisible by design)
+    val touched = Tables.documents(spark, dir)
+      .select(
+        (col("doc_id") % 256).as("bucket"),
+        col("text"),
+        expr("CAST(conv(substr(md5(CAST(concat('del:', CAST(doc_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS BIGINT)").as("hd"),
+        expr("CAST(conv(substr(md5(CAST(concat('mut:', CAST(doc_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS BIGINT)").as("hm"))
+      .filter(col("hd") < 1311 ||
+        (col("hd") >= 1311 && col("hm") < 1311 && upper(col("text")) =!= col("text")))
+      .select("bucket").as[Long].collect().toSet
+    assert(flagged == touched, s"flagged $flagged vs touched $touched")
+    assert(flagged.nonEmpty, "the 2% mutation must touch at least one bucket")
+  }
+
   test("q162 overlap matrix covers every source pair with consistent estimates") {
     val rows = SparkEntry.queries("q162_source_overlap")(spark, dir)
       .select("src_a", "src_b", "jaccard", "kmv_jaccard", "abs_err")
