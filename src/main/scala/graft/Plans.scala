@@ -52,7 +52,14 @@ object Plans {
     "q155_pca_project",       // 64-row eigenvector broadcast onto the narrow quantized stream
     "q156_epoch_shuffle",     // two-phase global rank per epoch: _pid windows + offsets
     "q157_token_budget_mix",  // per-source prefix sums + 1-row broadcast budget
-    "q158_vocab_drift"        // (source×bucket) log-ratio dim broadcast, integer KL sums
+    "q158_vocab_drift",       // (source×bucket) log-ratio dim broadcast, integer KL sums
+    "q159_rrf_fusion",        // two top-K rank lists fused by integer RRF (outer join on K rows/query)
+    "q160_perceptron_lid",    // narrow margin maps over cached doc-feature arrays, broadcast weight map
+    "q161_auc_quality",       // histogram-only Mann-Whitney: windows above the aggregate, never the corpus
+    "q162_source_overlap",    // inverted-index exact Jaccard + per-pair KMV sketches
+    "q164_curriculum_interleave", // per-lang windows + _pid two-phase global rank
+    "q165_key_skew",          // two-level count-of-counts, both map-side combined
+    "q166_bucket_diff"        // 256-bucket additive summaries, full-outer summary join
   )
 
   /** Plans dumped from builders outside the driver registry: the dedup
