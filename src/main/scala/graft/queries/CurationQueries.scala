@@ -37,6 +37,8 @@ object CurationQueries {
   private val PerceptronBuckets = 64 // q160: hashed feature buckets (bias rides bucket B)
   private val PerceptronRounds  = 3  // q160: fixed unrolled training rounds
 
+  private val MaxBatchTokens = 512L // q168: padded-token capacity per inference batch
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-modal: join documents to their embedding rows (doc_id = vec_id)
     // and profile text quality per embedding cluster — the "which clusters
@@ -518,6 +520,35 @@ object CurationQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // LENGTH-BUCKETED INFERENCE BATCHING — the static-batching manifest a
+    // GPU inference run wants: documents bucket by padded length (next
+    // power of two ≥ token count — computed by INTEGER bit-length
+    // arithmetic, `shiftleft(1, length(bin(n-1)))`, never a float log2
+    // whose ulps could flip a boundary), and each bucket packs
+    // fixed-capacity batches of ⌊MaxBatchTokens/bucket⌋ equal-cost slots
+    // (docs longer than the budget get singleton batches). Per doc: its
+    // bucket, batch index and slot — a pure function of the per-bucket
+    // rank, so any worker materializes any batch independently. Windows
+    // are per-bucket (parallel strata, log₂-many of them).
+    "q168_length_batching" -> ((s, dir) => {
+      val docs = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      docs
+        .withColumn(
+          "bucket",
+          when(col("n_tokens") <= 1, lit(1L))
+            .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens - 1)))")))
+        .withColumn(
+          "k",
+          (row_number().over(Window.partitionBy(col("bucket")).orderBy(col("doc_id"))) - 1).cast("long"))
+        .withColumn("slots", greatest(lit(1L), expr(s"$MaxBatchTokens DIV bucket")))
+        .select(col("bucket"), col("doc_id"), col("n_tokens"),
+          expr("k DIV slots").as("batch"), (col("k") % col("slots")).as("slot"))
+        .orderBy(col("bucket"), col("batch"), col("slot"))
+    }),
+
     // EXACT ROC-AUC PER SOURCE — the eval primitive behind every "does
     // this scorer separate good from bad" question a curation pipeline
     // asks (here: does the quality score separate English from
@@ -891,6 +922,19 @@ object CurationQueries {
          | c AS (SELECT d.*, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY isc DESC, doc_id) AS BIGINT) AS cum FROM d)
          |SELECT source, doc_id, n_tokens, cum, round(isc / 10000.0, 4) AS quality
          |FROM c CROSS JOIN b WHERE cum <= src_budget ORDER BY source, doc_id""".stripMargin,
+
+    // The same bit-length bucketing and per-bucket slot arithmetic.
+    "q168_length_batching" ->
+      raw"""WITH d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+           |           FROM documents),
+           | b AS (SELECT doc_id, n_tokens,
+           |         CASE WHEN n_tokens <= 1 THEN 1::BIGINT
+           |              ELSE (1::BIGINT << strlen(bin(n_tokens - 1))) END AS bucket
+           |       FROM d WHERE n_tokens > 0),
+           | k AS (SELECT *, CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS BIGINT) AS k,
+           |         greatest(1::BIGINT, 512 // bucket) AS slots FROM b)
+           |SELECT bucket, doc_id, n_tokens, k // slots AS batch, k % slots AS slot
+           |FROM k ORDER BY bucket, batch, slot""".stripMargin,
 
     // The identical histogram-form Mann-Whitney statistic: doubled
     // tie-averaged ranks keep everything integer until the final division.

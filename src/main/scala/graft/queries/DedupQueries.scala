@@ -887,11 +887,30 @@ object DedupQueries {
             lit("train")
           ).otherwise(lit("heldout")).as("split")
         )
+        .orderBy(col("doc_id"))),
+
+    // LEAKAGE-SAFE K-FOLD ASSIGNMENT — q153's two-way split generalized
+    // to cross-validation: fold = md5(component representative) mod K, so
+    // every near-dup cluster lands whole in ONE fold and no fold's
+    // held-out slice can contain another fold's training twins. Same memo
+    // read (the components table), same hash discipline (a fresh 'fold:'
+    // key so re-foldings never reuse the split uniform); fold sizes are
+    // multinomial-balanced by the hash, audited in the spec.
+    "q167_kfold_by_cluster" -> ((s, dir) =>
+      shared(s, dir).comp
+        .select(
+          col("doc_id"),
+          col("rep_id"),
+          (expr(s"CAST(conv(substr(md5(CAST(concat('fold:', CAST(rep_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS BIGINT)")
+            % KFolds).as("fold")
+        )
         .orderBy(col("doc_id")))
   )
 
   /** q153: 16-bit md5 bucket < 58982 ⇒ train (⌊0.9·2^16⌋ — the 90% side). */
   private val SplitTrainThreshold = 58982L
+
+  private val KFolds = 5L // q167: cross-validation fold count
 
   /** The q44 fingerprint frame (doc_id, simhash) — shared by q44 and q48. */
   private def simhashOf(s: SparkSession, dir: String): DataFrame = {
@@ -1147,6 +1166,17 @@ object DedupQueries {
            |          + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) < $SplitTrainThreshold
            |       THEN 'train' ELSE 'heldout' END AS split
            |FROM (SELECT doc_id, rep_id, md5('split:' || rep_id::VARCHAR) AS h FROM comp)
+           |ORDER BY doc_id""".stripMargin),
+
+    // The same memo-blind CC replay, fold = 16-bit hash mod K.
+    "q167_kfold_by_cluster" ->
+      (componentsCte +
+        s"""SELECT doc_id, rep_id,
+           |  ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+           |   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+           |   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+           |   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 5 AS fold
+           |FROM (SELECT doc_id, rep_id, md5('fold:' || rep_id::VARCHAR) AS h FROM comp)
            |ORDER BY doc_id""".stripMargin)
   )
 

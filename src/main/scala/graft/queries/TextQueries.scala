@@ -636,39 +636,53 @@ object TextQueries {
     // off the exchange); the fusion joins two K-row-per-query tables —
     // at 1000 executors the fuse step is dimension-sized work no matter
     // the corpus.
-    "q159_rrf_fusion" -> ((s, dir) => {
-      import graft.functions.VectorFunctions.cosineFast
+    "q159_rrf_fusion" -> ((s, dir) =>
+      rrfFused(s, dir).orderBy(col("query_id"), col("rnk"))),
+
+    // RANKER EVALUATION: EXACT nDCG@10 — the judge for the retrieval
+    // stack above (which ranker should gate data, BM25 alone or the
+    // fusion?). Graded relevance is the quality decile (an integer
+    // 0–9); the rank-discount weights floor(2^20/log2(rank+1)) are
+    // HARDCODED integer literals for ranks 1–10, so no transcendental is
+    // ever evaluated at query time on either engine — DCG is an exact
+    // BIGINT sum. The ideal DCG comes from the corpus relevance
+    // HISTOGRAM (10 cells): position p's ideal relevance is the largest
+    // decile whose ≥-cumulative count reaches p — a 10×10 dimension
+    // join, never a corpus-wide sort (the q161/q150 histogram
+    // discipline). One final round-6 division per (ranker, query).
+    "q169_ndcg" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val lex = bm25TopK(s, dir).select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
-      val e   = Tables.embeddings(s, dir)
-      val qv = e
-        .filter(col("vec_id").isin(Bm25Queries.map(_._1): _*))
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val vec = Tables
-        .spread(e, col("vec_id"))
-        .join(broadcast(qv), col("vec_id") =!= col("query_id"))
-        .withColumn("cos", round(cosineFast(col("q_emb"), col("embedding")), 6))
-        .withColumn(
-          "vec_rnk",
-          row_number()
-            .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
-            .cast("long"))
-        .filter(col("vec_rnk") <= Bm25TopK)
-        .select(col("query_id"), col("vec_id").as("doc_id"), col("vec_rnk"))
-      lex
-        .join(vec, Seq("query_id", "doc_id"), "full_outer")
-        .withColumn(
-          "rrf_q",
-          coalesce(expr(s"$RrfScale DIV (${RrfK0}L + lex_rnk)"), lit(0L))
-            + coalesce(expr(s"$RrfScale DIV (${RrfK0}L + vec_rnk)"), lit(0L)))
-        .withColumn(
-          "rnk",
-          row_number()
-            .over(Window.partitionBy(col("query_id")).orderBy(col("rrf_q").desc, col("doc_id")))
-            .cast("long"))
-        .filter(col("rnk") <= Bm25TopK)
-        .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf_q"), col("lex_rnk"), col("vec_rnk"))
-        .orderBy(col("query_id"), col("rnk"))
+      val wArr = array(DcgWeights.map(lit): _*)
+      val rel = Tables
+        .documents(s, dir)
+        .withColumn("isc", round(qualityScore(col("text")) * 10000).cast("long"))
+        .select(col("doc_id"), least(expr("isc DIV 1000"), lit(9L)).as("rel"))
+      val lexR = bm25TopK(s, dir)
+        .select(lit("bm25").as("ranker"), col("query_id"), col("doc_id"), col("rnk"))
+      val rrfR = rrfFused(s, dir)
+        .select(lit("rrf").as("ranker"), col("query_id"), col("doc_id"), col("rnk"))
+      val dcg = lexR
+        .unionByName(rrfR)
+        .join(rel, Seq("doc_id"))
+        .withColumn("w", element_at(wArr, col("rnk").cast("int")))
+        .groupBy(col("ranker"), col("query_id"))
+        .agg(sum(col("rel") * col("w")).as("dcg_q"))
+      val hist = rel.groupBy(col("rel")).agg(count(lit(1)).as("c"))
+      val cum  = hist.withColumn("cumge", sum(col("c")).over(Window.orderBy(col("rel").desc)))
+      val pos  = s.range(1, Bm25TopK + 1).select(col("id").as("p"))
+      val relAtP = pos
+        .crossJoin(broadcast(cum))
+        .filter(col("cumge") >= col("p"))
+        .groupBy(col("p"))
+        .agg(max(col("rel")).as("relp"))
+      val idcg = relAtP
+        .withColumn("w", element_at(wArr, col("p").cast("int")))
+        .agg(sum(col("relp") * col("w")).as("idcg_q"))
+      dcg
+        .crossJoin(broadcast(idcg))
+        .select(col("ranker"), col("query_id"), col("dcg_q"), col("idcg_q"),
+          round(col("dcg_q").cast("double") / col("idcg_q").cast("double"), 6).as("ndcg"))
+        .orderBy(col("ranker"), col("query_id"))
     }),
 
     // DSIR IMPORTANCE WEIGHTS (Xie et al. NeurIPS'23 — Data Selection via
@@ -969,6 +983,52 @@ object TextQueries {
       .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("doc_id"), col("sq"))
   }
 
+  /** q169 rank-discount weights: floor(2^20 / log2(rank+1)) for ranks
+    * 1–10, precomputed so NO transcendental is evaluated at query time in
+    * either engine (a live log2 would race libm ulps into the floor).
+    */
+  private val DcgWeights = Seq(1048576L, 661577L, 524288L, 451597L, 405644L,
+    373510L, 349525L, 330788L, 315652L, 303106L)
+
+  /** The q159 fused ranking (shared with the q169 evaluation): BM25 top-K
+    * and cosine top-K rank lists fused by integer-division RRF
+    * contributions floor(2^20/(60+rank)); outer fuse keeps docs ranked by
+    * one modality only; per-modality ranks carried for audit.
+    */
+  private def rrfFused(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosineFast
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(s, dir).select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val e   = Tables.embeddings(s, dir)
+    val qv = e
+      .filter(col("vec_id").isin(Bm25Queries.map(_._1): _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val vec = Tables
+      .spread(e, col("vec_id"))
+      .join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosineFast(col("q_emb"), col("embedding")), 6))
+      .withColumn(
+        "vec_rnk",
+        row_number()
+          .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
+          .cast("long"))
+      .filter(col("vec_rnk") <= Bm25TopK)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("vec_rnk"))
+    lex
+      .join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn(
+        "rrf_q",
+        coalesce(expr(s"$RrfScale DIV (${RrfK0}L + lex_rnk)"), lit(0L))
+          + coalesce(expr(s"$RrfScale DIV (${RrfK0}L + vec_rnk)"), lit(0L)))
+      .withColumn(
+        "rnk",
+        row_number()
+          .over(Window.partitionBy(col("query_id")).orderBy(col("rrf_q").desc, col("doc_id")))
+          .cast("long"))
+      .filter(col("rnk") <= Bm25TopK)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf_q"), col("lex_rnk"), col("vec_rnk"))
+  }
+
   private val Bm25Queries = Seq(
     1L -> "hash join order",
     2L -> "spark window merge",
@@ -986,6 +1046,42 @@ object TextQueries {
     */
   private def rrfDotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+
+  /** The full fused-ranking oracle CTE chain (BM25 chain → lex ranks →
+    * vector ranks → RRF fuse → `fusedall`) shared by the q159 and q169
+    * oracles.
+    */
+  private lazy val rrfCtesSql: String =
+    s"""$bm25CtesSql,
+       | lex AS (SELECT query_id::BIGINT AS query_id, doc_id, rnk::BIGINT AS lex_rnk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) AS rnk FROM scored)
+       |  WHERE rnk <= $Bm25TopK),
+       | v AS (SELECT vec_id, embedding, sqrt(${rrfDotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       | vr AS (SELECT query_id, doc_id, rnk::BIGINT AS vec_rnk FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${rrfDotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rnk
+       |    FROM v q JOIN v c ON q.vec_id IN (${Bm25Queries.map(_._1).mkString(", ")}) AND c.vec_id <> q.vec_id)
+       |  WHERE rnk <= $Bm25TopK),
+       | fuse AS (SELECT coalesce(l.query_id, r.query_id) AS query_id,
+       |    coalesce(l.doc_id, r.doc_id) AS doc_id, l.lex_rnk, r.vec_rnk,
+       |    coalesce($RrfScale // ($RrfK0 + l.lex_rnk), 0) + coalesce($RrfScale // ($RrfK0 + r.vec_rnk), 0) AS rrf_q
+       |  FROM lex l FULL JOIN vr r ON l.query_id = r.query_id AND l.doc_id = r.doc_id),
+       | fusedall AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM fuse)""".stripMargin
+
+  /** The DuckDB quality-score mirror over a `documents` row (`text` in
+    * scope) — the q169 relevance grade (same formula as CurationQueries'
+    * qualitySql; duplicated because the registries keep their oracle
+    * helpers private).
+    */
+  private val qualExprSql: String =
+    raw"""round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
+         |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+         |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
+         |            THEN 0.5 ELSE 1.0 END)
+         |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+         |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4)""".stripMargin
 
   /** The q136 oracle CTE chain (toks → tf/dl/dfx/st → qt → scored) shared
     * with the q159 fusion oracle.
@@ -1029,25 +1125,30 @@ object TextQueries {
     // The same two exact rank lists (quantized-summand BM25, round-6
     // cosine) fused by integer-division RRF contributions.
     "q159_rrf_fusion" ->
-      s"""WITH $bm25CtesSql,
-         | lex AS (SELECT query_id::BIGINT AS query_id, doc_id, rnk::BIGINT AS lex_rnk FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) AS rnk FROM scored)
-         |  WHERE rnk <= $Bm25TopK),
-         | v AS (SELECT vec_id, embedding, sqrt(${rrfDotSql("embedding", "embedding")}) AS nrm FROM embeddings),
-         | vr AS (SELECT query_id, doc_id, rnk::BIGINT AS vec_rnk FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round(${rrfDotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rnk
-         |    FROM v q JOIN v c ON q.vec_id IN (${Bm25Queries.map(_._1).mkString(", ")}) AND c.vec_id <> q.vec_id)
-         |  WHERE rnk <= $Bm25TopK),
-         | fuse AS (SELECT coalesce(l.query_id, r.query_id) AS query_id,
-         |    coalesce(l.doc_id, r.doc_id) AS doc_id, l.lex_rnk, r.vec_rnk,
-         |    coalesce($RrfScale // ($RrfK0 + l.lex_rnk), 0) + coalesce($RrfScale // ($RrfK0 + r.vec_rnk), 0) AS rrf_q
-         |  FROM lex l FULL JOIN vr r ON l.query_id = r.query_id AND l.doc_id = r.doc_id)
-         |SELECT query_id, rnk, doc_id, rrf_q, lex_rnk, vec_rnk FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rnk
-         |  FROM fuse)
+      s"""WITH $rrfCtesSql
+         |SELECT query_id, rnk, doc_id, rrf_q, lex_rnk, vec_rnk FROM fusedall
          |WHERE rnk <= $Bm25TopK ORDER BY query_id, rnk""".stripMargin,
+
+    // The same hardcoded-weight DCG over both rank lists, ideal DCG from
+    // the relevance histogram.
+    "q169_ndcg" ->
+      s"""WITH $rrfCtesSql,
+         | wdim(p, w) AS (SELECT * FROM (VALUES ${DcgWeights.zipWithIndex
+            .map { case (w, i) => s"(${i + 1}, $w)" }
+            .mkString(", ")})),
+         | relq AS (SELECT doc_id, least(CAST(round(($qualExprSql) * 10000) AS BIGINT) // 1000, 9) AS rel
+         |          FROM documents),
+         | bothr AS (SELECT 'bm25' AS ranker, query_id, doc_id, lex_rnk AS rnk FROM lex
+         |   UNION ALL SELECT 'rrf', query_id, doc_id, rnk FROM fusedall WHERE rnk <= $Bm25TopK),
+         | dcg AS (SELECT ranker, query_id, CAST(sum(rel * w) AS BIGINT) AS dcg_q
+         |   FROM bothr JOIN relq USING (doc_id) JOIN wdim ON wdim.p = bothr.rnk GROUP BY 1, 2),
+         | hist AS (SELECT rel, count(*)::BIGINT AS c FROM relq GROUP BY 1),
+         | cum AS (SELECT rel, CAST(sum(c) OVER (ORDER BY rel DESC) AS BIGINT) AS cumge FROM hist),
+         | relp AS (SELECT p, max(rel) AS relp FROM wdim JOIN cum ON cumge >= p GROUP BY 1),
+         | idcg AS (SELECT CAST(sum(relp * w) AS BIGINT) AS idcg_q FROM relp JOIN wdim USING (p))
+         |SELECT ranker, query_id, dcg_q, idcg_q,
+         |  round(dcg_q::DOUBLE / idcg_q::DOUBLE, 6) AS ndcg
+         |FROM dcg CROSS JOIN idcg ORDER BY ranker, query_id""".stripMargin,
     // The same explicit HLL: identical md5 fold, bucket split, rho via
     // binary-string length, dense register table, exact-integer harmonic
     // denominator (pow(2, k) is exact for k ≤ 55), one IEEE cast+division.

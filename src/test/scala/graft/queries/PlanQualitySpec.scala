@@ -463,6 +463,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("q168 batching windows are per-bucket strata (never one task)") {
+    val plan = executedPlan("q168_length_batching")
+    val windowLines = plan.split('\n').filter(_.contains("Window ["))
+    assert(windowLines.nonEmpty, plan.take(600))
+    windowLines.foreach(l =>
+      assert(l.contains("bucket"), "unpartitioned global window:\n" + l.take(300)))
+  }
+
+  test("q169 nDCG never cartesians corpus-sized inputs; ideal rides the histogram") {
+    val plan = executedPlan("q169_ndcg")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the ideal-DCG side touches a 10-cell histogram joined to a 10-row
+    // position dim — the corpus reaches it only through an Aggregate
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(800))
+  }
+
   test("q159 fusion never cartesians; corpus scoring rides broadcasts") {
     val plan = executedPlan("q159_rrf_fusion")
     assert(!plan.contains("CartesianProduct"), plan.take(800))

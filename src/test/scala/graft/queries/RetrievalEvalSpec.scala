@@ -137,6 +137,54 @@ class RetrievalEvalSpec extends AnyFunSuite with SparkSpec {
     assert(flagged.nonEmpty, "the 2% mutation must touch at least one bucket")
   }
 
+  test("q167 k-fold assignment never splits a near-dup cluster across folds") {
+    val rows = SparkEntry.queries("q167_kfold_by_cluster")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == Tables.documents(spark, dir).count())
+    rows.foreach { case (_, _, fold) => assert(fold >= 0 && fold < 5) }
+    // leakage safety: one fold per component representative
+    rows.groupBy(_._2).values.foreach { cluster =>
+      assert(cluster.map(_._3).distinct.length == 1, "cluster straddles folds")
+    }
+    // the hash balances folds: no fold is empty at this corpus size
+    assert(rows.map(_._3).distinct.length == 5)
+  }
+
+  test("q168 batches are tight equal-cost packings within each length bucket") {
+    val rows = SparkEntry.queries("q168_length_batching")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (bucket, _, n, _, slot) =>
+      // bucket is the tight power-of-two pad: n ≤ bucket < 2n
+      assert(n <= bucket && (bucket == 1 || bucket < 2 * n), s"loose bucket $bucket for n=$n")
+      val slots = math.max(1L, 512L / bucket)
+      assert(slot >= 0 && slot < slots)
+    }
+    // within a bucket, every batch except the last is exactly full
+    rows.groupBy(_._1).foreach { case (bucket, docs) =>
+      val slots    = math.max(1L, 512L / bucket)
+      val byBatch  = docs.groupBy(_._4)
+      val lastIdx  = byBatch.keys.max
+      byBatch.foreach { case (b, ds) =>
+        if (b < lastIdx) assert(ds.length == slots, s"bucket $bucket batch $b underfull")
+        else assert(ds.length <= slots)
+      }
+    }
+  }
+
+  test("q169 nDCG is bounded by the histogram ideal and covers both rankers") {
+    val rows = SparkEntry.queries("q169_ndcg")(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSet == Set("bm25", "rrf"))
+    assert(rows.length == 10, "5 queries x 2 rankers")
+    val idcg = rows.head._4
+    rows.foreach { case (_, _, dcg, i, ndcg) =>
+      assert(i == idcg, "ideal DCG is ranker- and query-independent here")
+      assert(dcg > 0 && dcg <= idcg, s"dcg $dcg vs ideal $idcg")
+      assert(math.abs(ndcg - dcg.toDouble / idcg) < 1e-6)
+    }
+  }
+
   test("q162 overlap matrix covers every source pair with consistent estimates") {
     val rows = SparkEntry.queries("q162_source_overlap")(spark, dir)
       .select("src_a", "src_b", "jaccard", "kmv_jaccard", "abs_err")
