@@ -59,7 +59,9 @@ object Plans {
     "q162_source_overlap",    // inverted-index exact Jaccard + per-pair KMV sketches
     "q164_curriculum_interleave", // per-lang windows + _pid two-phase global rank
     "q165_key_skew",          // two-level count-of-counts, both map-side combined
-    "q166_bucket_diff"        // 256-bucket additive summaries, full-outer summary join
+    "q166_bucket_diff",       // 256-bucket additive summaries, full-outer summary join
+    "q168_length_batching",   // per-bucket strata windows (log2-many), integer bit-length buckets
+    "q169_ndcg"               // both rank chains + hardcoded-weight dims + histogram ideal
   )
 
   /** Plans dumped from builders outside the driver registry: the dedup
