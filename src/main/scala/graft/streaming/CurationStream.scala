@@ -169,4 +169,101 @@ object CurationStream {
 
     deduped.unionByName(short)
   }
+
+  /** q158's INGEST-TIME twin — the vocabulary-drift alarm running on the
+    * live stream: per finalized event-time window and source, the smoothed
+    * KL divergence of that window's hashed-token distribution against a
+    * STATIC baseline corpus distribution. A feed that silently switches
+    * language, starts emitting boilerplate, or degrades to spam shifts its
+    * bucket distribution and the KL spikes — caught at ingest, not at the
+    * next nightly batch audit.
+    *
+    * Shape: the streaming side is ONE watermarked windowed aggregate over
+    * (window, source, bucket) — 256-bounded per (window, source), append
+    * mode so counts emit exactly once when the watermark closes the
+    * window; the KL reduction runs per micro-batch on those closed
+    * summaries ([[driftOf]] — the trendingTerms foreachBatch shape)
+    * against the broadcast baseline dimension. State is windows ×
+    * sources × 256 cells — corpus-size-independent.
+    */
+  val VocabBuckets = 256L
+
+  /** The q158 md5 bucket fold — one definition for the baseline builder
+    * and the stream side, so the two distributions can never hash apart.
+    */
+  def vocabBucket(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % VocabBuckets
+
+  /** STATIC baseline: bucket counts of the reference corpus (b, ct). */
+  def vocabBaseline(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(vocabBucket(col("tok")).as("b"))
+      .agg(count(lit(1)).as("ct"))
+
+  /** Batch KL reduction over closed window summaries: `counts` is
+    * (window_start, source, b, cs); returns per (window_start, source)
+    * token totals and the add-one-smoothed KL vs `baseline` — the exact
+    * q158 formula with the window distribution as P and the baseline as Q
+    * (the 2^20-quantized-log treatment keeps the summand an integer).
+    */
+  def driftOf(counts: DataFrame, baseline: DataFrame): DataFrame = {
+    val tot  = baseline.agg(sum(col("ct")).as("t"))
+    val tsum = counts.groupBy(col("window_start"), col("source")).agg(sum(col("cs")).as("tsum"))
+    counts
+      .join(broadcast(baseline), Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(tot))
+      .join(broadcast(tsum), Seq("window_start", "source"))
+      .withColumn(
+        "lr",
+        floor(
+          log(
+            ((col("cs") + lit(1.0)) / (col("tsum") + lit(VocabBuckets.toDouble))) /
+              ((col("ct") + lit(1.0)) / (col("t") + lit(VocabBuckets.toDouble)))
+          ) * lit(1048576.0)
+        ).cast("long"))
+      .groupBy(col("window_start"), col("source"))
+      .agg(min(col("tsum")).as("n_tokens"), sum(col("cs") * col("lr")).as("klq"))
+      .select(
+        col("window_start"),
+        col("source"),
+        col("n_tokens"),
+        round(col("klq").cast("double") / lit(1048576.0) / col("n_tokens"), 6).as("kl"))
+  }
+
+  /** The live monitor: watermarked windowed bucket counts → per-closed-
+    * window KL vs the static baseline, delivered to `sink` per micro-batch.
+    *
+    * @param docs streaming frame with (ts TIMESTAMP, source STRING,
+    *             text STRING) columns
+    */
+  def vocabDrift(
+      docs: DataFrame,
+      baseline: DataFrame,
+      windowLength: String,
+      watermark: String,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs
+      .withWatermark("ts", watermark)
+      .select(
+        window(col("ts"), windowLength).as("w"),
+        col("source"),
+        explode(tokens(lower(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("w"), col("source"), vocabBucket(col("tok")).as("b"))
+      .agg(count(lit(1)).as("cs"))
+      .writeStream
+      .outputMode("append") // a (window, source, bucket) row emits once, on window close
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(
+          driftOf(
+            batch.select(col("w.start").as("window_start"), col("source"), col("b"), col("cs")),
+            baseline))
+        ()
+      }
+      .start()
 }

@@ -202,4 +202,55 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
     assert(ids == Set(1L), s"case/trim variant must dedup against the original, got $ids")
     query.stop()
   }
+
+  test("vocabDrift: closed windows score KL vs the baseline; drifted feeds spike") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val baselineDocs = Seq.fill(20)("the quick brown fox jumps over the lazy dog").toDF("text")
+    val baseline     = CurationStream.vocabBaseline(baselineDocs).cache()
+    val input        = MemoryStream[(Timestamp, String, String)]
+    val tmp          = Files.createTempDirectory("graft-drift").toString
+    val out          = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String, Long, Double)]
+    val query = CurationStream.vocabDrift(
+      input.toDF().toDF("ts", "source", "text"),
+      baseline,
+      windowLength = "10 minutes",
+      watermark = "0 seconds",
+      checkpointDir = s"$tmp/ckpt"
+    ) { batch =>
+      out.synchronized {
+        out ++= batch.as[(Timestamp, String, Long, Double)].collect()
+      }
+    }
+    def t(min: Long) = new Timestamp(min * 60000L)
+    // window A: srcOk matches the baseline vocabulary, srcBad has drifted
+    input.addData(
+      (t(1), "srcOk", "the quick brown fox jumps over the lazy dog"),
+      (t(2), "srcOk", "the quick brown fox jumps"),
+      (t(1), "srcBad", "xxqq yyzz wwvv uuss rrtt"),
+      (t(2), "srcBad", "xxqq yyzz wwvv")
+    )
+    query.processAllAvailable()
+    assert(out.isEmpty, "no window closed yet — append mode must not emit")
+    input.addData((t(12), "srcOk", "the fox")) // pushes the watermark past window A
+    query.processAllAvailable()
+    val winA = out.synchronized(out.filter(_._1 == t(0)).map(r => r._2 -> (r._3, r._4)).toMap)
+    assert(winA.keySet == Set("srcOk", "srcBad"), s"got $winA")
+    assert(winA("srcOk")._1 == 14L && winA("srcBad")._1 == 8L, s"token totals: $winA")
+    assert(winA("srcBad")._2 > winA("srcOk")._2 + 1.0,
+      s"drifted source must score far above the in-distribution one: $winA")
+    // batch-twin parity: the same rows through a batch aggregate + driftOf
+    val batchCounts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps"
+    ).toDF("text")
+      .select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .groupBy(CurationStream.vocabBucket(col("tok")).as("b"))
+      .agg(count(lit(1)).as("cs"))
+      .select(lit(t(0)).as("window_start"), lit("srcOk").as("source"), col("b"), col("cs"))
+    val twin = CurationStream.driftOf(batchCounts, baseline)
+      .as[(Timestamp, String, Long, Double)].collect().head
+    assert((twin._3, twin._4) == winA("srcOk"), s"stream vs batch twin: $twin vs ${winA("srcOk")}")
+    query.stop()
+  }
 }
