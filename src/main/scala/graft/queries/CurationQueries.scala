@@ -401,6 +401,10 @@ object CurationQueries {
     // naive corpus-wide rank over the identical (isc DESC, h16, doc_id)
     // order — proving the two-level selection picks the same set.
     "q150_adaptive_quality" -> ((s, dir) => {
+      // persist the scored rows: the selection reads them from FIVE
+      // consumers (histogram chain, above/boundary/at-cut branches) and
+      // the quality expression re-tokenizes the text on every evaluation —
+      // one cached (doc_id, lang, isc, h16) projection ends that
       val base = Tables
         .documents(s, dir)
         .select(
@@ -410,6 +414,7 @@ object CurationQueries {
           expr("CAST(conv(substr(md5(CAST(concat('aq:', CAST(doc_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS BIGINT)")
             .as("h16")
         )
+        .persist()
       val hist = base.groupBy(col("lang"), col("isc")).agg(count(lit(1)).as("c"))
       val quota = hist
         .groupBy(col("lang"))
