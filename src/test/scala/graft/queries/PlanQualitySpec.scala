@@ -430,6 +430,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(plan.split('\n').count(_.contains("Scan parquet")) == 1, plan.take(800))
   }
 
+  test("q167 fold assignment reads the memoized components only (no shingle recompute)") {
+    val plan = executedPlan("q167_kfold_by_cluster")
+    assert(!plan.contains("documents.parquet"), plan.take(800))
+    assert(plan.split('\n').count(_.contains("Scan parquet")) == 1, plan.take(800))
+  }
+
   test("q161 AUC windows only the histogram, never the corpus") {
     // every Window in the optimized plan must sit above an Aggregate (the
     // per-(source, score) histogram) — a window whose subtree reaches the
