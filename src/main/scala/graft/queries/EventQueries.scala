@@ -246,6 +246,39 @@ object EventQueries {
         .unionByName(fanoutHist(Tables.events(s, dir), "events.user_id", col("user_id")))
         .unionByName(fanoutHist(Tables.orders(s, dir), "orders.o_custkey", col("o_custkey")))
         .orderBy(col("rel"), col("fanout"))
+    }),
+
+    // ROBUST OUTLIER DETECTION (median/MAD) — the data-quality screen a
+    // metrics ingest runs per group: median and median-absolute-deviation
+    // are immune to the very outliers they hunt (mean/stddev are not),
+    // flag |v − med| > 3·1.4826·MAD (the normal-consistent robust
+    // z-score). Portability: the group median is ROUNDED to 4 decimals
+    // BEFORE deviations derive from it, the MAD likewise before the
+    // threshold, and the flag compares two round-4 values — no raw-double
+    // boundary can flip between engines. Exact interpolated percentiles
+    // are the oracle-able stand-in here (the q36 contract); at 100 TB the
+    // same report runs on q133's mergeable quantile sketch.
+    "q170_mad_outliers" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val dev = e
+        .join(broadcast(med), Seq("event_type"))
+        .withColumn("d", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(d, 0.5)"), 4).as("mad"))
+      dev
+        .join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("med")).as("med"),
+          min(col("mad")).as("mad"),
+          sum((round(col("d"), 4) > round(lit(4.4478) * col("mad"), 4)).cast("long"))
+            .as("n_outliers"))
+        .select(col("event_type"), col("n"), col("med"), col("mad"), col("n_outliers"),
+          round(col("n_outliers").cast("double") / col("n"), 6).as("outlier_ratio"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -260,6 +293,18 @@ object EventQueries {
         |    SELECT o_custkey, count(*)::BIGINT AS fanout FROM orders GROUP BY 1) GROUP BY 1, 2)
         |SELECT * FROM l UNION ALL SELECT * FROM e UNION ALL SELECT * FROM o
         |ORDER BY rel, fanout""".stripMargin,
+
+    // The same round-4-fenced median/MAD chain and robust z-flag.
+    "q170_mad_outliers" ->
+      """WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        |             FROM events GROUP BY 1),
+        | dev AS (SELECT e.event_type, abs(e.value - m.med) AS d, m.med
+        |         FROM events e JOIN med m USING (event_type)),
+        | mad AS (SELECT event_type, round(quantile_cont(d, 0.5), 4) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.event_type, count(*)::BIGINT AS n, min(dev.med) AS med, min(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN round(dev.d, 4) > round(4.4478 * mad.mad, 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(CAST(sum(CASE WHEN round(dev.d, 4) > round(4.4478 * mad.mad, 4) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS outlier_ratio
+        |FROM dev JOIN mad USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q13_json_props" ->
       """SELECT event_type, round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,

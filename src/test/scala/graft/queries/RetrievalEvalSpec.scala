@@ -185,6 +185,32 @@ class RetrievalEvalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q170 MAD outlier flags match a direct robust-z recomputation") {
+    val got = SparkEntry.queries("q170_mad_outliers")(spark, dir)
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    val values = Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def medianOf(xs: Array[Double]): Double = {
+      val n = xs.length
+      val m = if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+      math.rint(m * 1e4) / 1e4
+    }
+    got.foreach { case (et, (_, n, med, mad, nOut, ratio)) =>
+      val xs = values(et)
+      assert(n == xs.length)
+      assert(med == medianOf(xs), s"$et median")
+      val devs = xs.map(v => math.abs(v - med)).sorted
+      assert(mad == medianOf(devs), s"$et mad")
+      val thr = math.rint(4.4478 * mad * 1e4) / 1e4
+      val expOut = devs.count(d => math.rint(d * 1e4) / 1e4 > thr).toLong
+      assert(nOut == expOut, s"$et outliers: $nOut vs $expOut")
+      assert(math.abs(ratio - nOut.toDouble / n) < 1e-6)
+    }
+  }
+
   test("q162 overlap matrix covers every source pair with consistent estimates") {
     val rows = SparkEntry.queries("q162_source_overlap")(spark, dir)
       .select("src_a", "src_b", "jaccard", "kmv_jaccard", "abs_err")
