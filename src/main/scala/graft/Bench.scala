@@ -41,6 +41,27 @@ object Bench {
     }
     spark.catalog.clearCache() // drop warm-up persists; keep JIT/codegen
 
+    // Pre-materialize the session memos for the TIMED dir before any timed
+    // rep: the warm-up above runs at sf0.001, so without this the first
+    // consumer of each memo family absorbs the entire build into its timed
+    // row — invisible under the 2x2 min protocol (later reps read the
+    // memo) but a 10-100x artifact under the single-rep deep-scale tail
+    // (round 8's q155 published 110.7x at 30x for a ~1x steady-state
+    // query). Builds are timed separately by graft.ScaleBuilds.
+    // SPARK_GRAFT_BENCH_PREBUILD: "1" (default, all families), "0" (none),
+    // or a comma list from {dedup, kmeans, kmeans_adaptive, pca} for
+    // probes where an unused memo's build is wall-clock prohibitive.
+    val prebuild = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREBUILD", "1")
+    val allFamilies = Set("dedup", "kmeans", "kmeans_adaptive", "pca")
+    val families = prebuild match {
+      case "0" => Set.empty[String]
+      case "1" => allFamilies
+      case list => list.split(",").map(_.trim).toSet.intersect(allFamilies)
+    }
+    if (families("dedup")) graft.queries.DedupQueries.prebuildMemo(spark, sfDir)
+    graft.queries.SimilarityQueries.prebuildMemos(spark, sfDir, families)
+    spark.catalog.clearCache()
+
     // Per query: min over 2 rounds × 2 back-to-back reps. The box shares
     // CPU with co-tenant load (observed 2-10x outliers, including
     // multi-second stalls), and the driver runs Bench once per round.
@@ -112,7 +133,12 @@ object Bench {
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson$omit,"queries":$qs,"sf":"$sfShort"}"""
     }
     val byCost = results.toSeq.sortBy { case (_, v) => -v } // keep slowest first
+    // bounded: dropRight(1) on an empty Seq is a fixed point, so an
+    // unbounded iterate would spin forever when even the zero-entry line
+    // exceeds a (pathologically small) budget — take() makes the fallback
+    // reachable
     val printed = Iterator.iterate(byCost)(_.dropRight(1))
+      .take(results.size + 1)
       .map(kept => line(kept, results.size - kept.size))
       .find(_.length <= lineBudget)
       .getOrElse(line(Seq.empty, results.size))

@@ -61,7 +61,8 @@ object Plans {
     "q165_key_skew",          // two-level count-of-counts, both map-side combined
     "q166_bucket_diff",       // 256-bucket additive summaries, full-outer summary join
     "q168_length_batching",   // per-bucket strata windows (log2-many), integer bit-length buckets
-    "q169_ndcg"               // both rank chains + hardcoded-weight dims + histogram ideal
+    "q169_ndcg",              // both rank chains + hardcoded-weight dims + histogram ideal
+    "q170_mad_outliers"       // group-local median/MAD percentile aggs, map-side combined
   )
 
   /** Plans dumped from builders outside the driver registry: the dedup

@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ TpchQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ MediaQueries.queries ++
-      EventQueries.queries ++ CurationQueries.queries ++ TemporalJoinQueries.queries
+      EventQueries.queries ++ CurationQueries.queries ++ TemporalJoinQueries.queries ++
+      StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ParityQueries.oracles ++ TpchQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ MediaQueries.oracles ++
-      EventQueries.oracles ++ CurationQueries.oracles ++ TemporalJoinQueries.oracles
+      EventQueries.oracles ++ CurationQueries.oracles ++ TemporalJoinQueries.oracles ++
+      StreamQueries.oracles
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions
+import graft.plans.CacheScope
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -400,12 +401,12 @@ object CurationQueries {
     // hash-bucket) slice — expected boundary/2^16. The oracle is the
     // naive corpus-wide rank over the identical (isc DESC, h16, doc_id)
     // order — proving the two-level selection picks the same set.
-    "q150_adaptive_quality" -> ((s, dir) => {
+    "q150_adaptive_quality" -> ((s, dir) => CacheScope.scoped(s) { keep =>
       // persist the scored rows: the selection reads them from FIVE
       // consumers (histogram chain, above/boundary/at-cut branches) and
       // the quality expression re-tokenizes the text on every evaluation —
       // one cached (doc_id, lang, isc, h16) projection ends that
-      val base = Tables
+      val base = keep(Tables
         .documents(s, dir)
         .select(
           col("doc_id"),
@@ -414,7 +415,7 @@ object CurationQueries {
           expr("CAST(conv(substr(md5(CAST(concat('aq:', CAST(doc_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS BIGINT)")
             .as("h16")
         )
-        .persist()
+      )
       val hist = base.groupBy(col("lang"), col("isc")).agg(count(lit(1)).as("c"))
       val quota = hist
         .groupBy(col("lang"))
@@ -627,7 +628,9 @@ object CurationQueries {
         .withColumn(
           "k",
           row_number().over(Window.partitionBy(col("lang")).orderBy(col("isc").desc, col("doc_id"))))
-        .withColumn("vt", (lit(2) * col("k") - 1).cast("long") * stride)
+        // 2k−1 in 64-bit from the start: row_number() is IntegerType, and a
+        // 32-bit 2*k would wrap for a ≥2^30-document language
+        .withColumn("vt", (lit(2L) * col("k").cast("long") - 1L) * stride)
       graft.operators.RankOps
         .globalRowNumber(ranked, Seq(col("vt"), col("lang"), col("doc_id")), "pos")
         .select(col("pos"), col("lang"), col("doc_id"), col("vt"))
@@ -656,7 +659,7 @@ object CurationQueries {
     // (bucket, count) pairs for the update aggregate, and the weight join
     // is B+1 rows. Per round the exchanges carry miss-features and
     // buckets, never the corpus.
-    "q160_perceptron_lid" -> ((s, dir) => {
+    "q160_perceptron_lid" -> ((s, dir) => CacheScope.scoped(s) { keep =>
       val docs = Tables
         .documents(s, dir)
         .select(
@@ -673,10 +676,10 @@ object CurationQueries {
         .agg(count(lit(1)).as("x"))
         .unionByName(docs.select(col("doc_id"), col("y"),
           lit(PerceptronBuckets.toLong).as("b"), lit(1L).as("x"))) // bias feature
-      val docFeat = featRows
+      val docFeat = keep(featRows
         .groupBy(col("doc_id"), col("y"))
         .agg(array_sort(collect_list(struct(col("b"), col("x")))).as("fs")) // ≤ B+1 entries
-        .persist() // feeds every round's margin pass and update pass
+      ) // feeds every round's margin pass and update pass
       var w = docFeat
         .select(explode(expr("transform(fs, f -> f.b)")).as("b"))
         .distinct()
@@ -699,10 +702,10 @@ object CurationQueries {
         // mass — persist the ≤ B+1 rows so round r's margin pass computes
         // once, not once per downstream consumer (the unpinned DAG
         // re-derived every earlier round per stats row — O(R²) passes)
-        w = w
+        w = keep(w
           .join(delta, Seq("b"), "left")
           .select(col("b"), (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
-          .persist()
+        )
         miss
           .agg(count(lit(1)).as("n_miss"))
           .crossJoin(w.agg(sum(abs(col("w"))).as("w_abs_sum")))
@@ -716,17 +719,12 @@ object CurationQueries {
 
   private val PackSeqLen = 128L // q148: tokens per packed training block
 
-  /** The DuckDB twin of [[TextFunctions.qualityScore]] — ONE definition
-    * for every oracle that rates text quality (q62/q66/q121/q125), so the
-    * formula cannot drift between them when the Spark side evolves.
+  /** The DuckDB twin of [[TextFunctions.qualityScore]] — the shared
+    * canonical definition ([[OracleSql.quality]]), so the formula cannot
+    * drift between this registry's oracles (q62/q66/q121/q125/...) and the
+    * Dedup/Text consumers of the same score.
     */
-  private val qualitySql: String =
-    raw"""round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
-         |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-         |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
-         |            THEN 0.5 ELSE 1.0 END)
-         |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-         |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4)""".stripMargin
+  private val qualitySql: String = OracleSql.quality
 
   /** One profile row in DuckDB for `expr` labeled `name` — the q132 twin
     * of a [[graft.operators.ProfileOps.profile]] column.

@@ -237,6 +237,14 @@ object DedupQueries {
     )
   }
 
+  /** Force the shared dedup session memo for (session, `dir`) — the
+    * bench/SCALE protocol pre-materializes memos BEFORE the timed pass so
+    * every timed row measures its query's steady state (the memoized READ)
+    * and the build is reported only in the [[graft.ScaleBuilds]] table,
+    * never folded into whichever consumer happens to run first.
+    */
+  def prebuildMemo(s: SparkSession, dir: String): Unit = { shared(s, dir); () }
+
   /** The un-memoized shared pipeline (shingles → narrow signatures → LSH
     * band self-join → exact Jaccard on candidates) — the DAG [[shared]]'s
     * build step executes once per corpus snapshot. Exposed so plan audits
@@ -622,12 +630,12 @@ object DedupQueries {
     // self-join shuffles ~len/8 rows per doc and grams are near-unique
     // outside true duplication, so Σ bucket² stays linear-ish; the pair
     // aggregate is map-side combined.
-    "q119_substring_overlap" -> ((s, dir) => {
+    "q119_substring_overlap" -> ((s, dir) => graft.plans.CacheScope.scoped(s) { keep =>
       val d = Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), lower(col("text")).as("t"))
         .filter(char_length(col("t")) >= SubstrLen)
-      val grams = d
+      val grams = keep(d
         .select(
           col("doc_id"),
           col("t"),
@@ -638,7 +646,7 @@ object DedupQueries {
           expr(s"CAST(conv(substr(md5(substring(t, p, $AnchorWin)), 1, 15), 16, 10) AS BIGINT) % $AnchorMod = 0"))
         .select(col("doc_id"), expr(s"substring(t, p, $SubstrLen)").as("gram"))
         .distinct()
-        .persist()
+      ) // feeds BOTH self-join sides — one gram build, not two
       grams
         .select(col("gram"), col("doc_id").as("ia"))
         .join(grams.select(col("gram"), col("doc_id").as("ib")), Seq("gram"))
@@ -663,13 +671,13 @@ object DedupQueries {
     // positions — the verify is the contract, blocking is the recall
     // guarantee). Output: per-customer fuzzy-match counts — the "which
     // records need human/merge review" entity-resolution report.
-    "q122_fuzzy_names" -> ((s, dir) => {
+    "q122_fuzzy_names" -> ((s, dir) => graft.plans.CacheScope.scoped(s) { keep =>
       val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
       // signatures carry a 64-bit HASH, not the string: the self-join
       // shuffles 8-byte keys instead of ~L-char strings, and a hash
       // collision merely adds a candidate the exact verify rejects —
       // recall is untouched (equal signatures hash equal)
-      val sigs = Tables
+      val sigs = keep(Tables
         .spread(c, col("c_custkey"))
         .select(
           col("c_custkey"),
@@ -685,7 +693,7 @@ object DedupQueries {
         // signature many times — dedup BEFORE the self-join, or bucket
         // multiplicity multiplies the join output quadratically
         .distinct()
-        .persist() // feeds BOTH self-join sides — one signature build, not two
+      ) // feeds BOTH self-join sides — one signature build, not two
       // dedup BARE id pairs first (ints only), THEN attach names via two
       // broadcast joins — the distinct never touches strings
       val cand = sigs
@@ -722,12 +730,11 @@ object DedupQueries {
     // (rationale at [[SimHashBits]]).
     //
     // bandRows is persisted to feed both join sides off one computation of
-    // the fingerprints; the harness drops it via spark.catalog.clearCache()
-    // between queries (Verify.scala:28, Bench.scala:45) — long-lived
-    // sessions embedding this query should unpersist after materializing.
-    "q48_simhash_neardup" -> ((s, dir) => {
+    // the fingerprints; CacheScope releases it when the consuming action
+    // completes.
+    "q48_simhash_neardup" -> ((s, dir) => graft.plans.CacheScope.scoped(s) { keep =>
       val sh = simhashOf(s, dir)
-      val bandRows = sh
+      val bandRows = keep(sh
         .select(
           col("doc_id"),
           col("simhash"),
@@ -739,7 +746,7 @@ object DedupQueries {
           }: _*)).as("bs")
         )
         .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bv").as("bv"))
-        .persist()
+      )
       bandRows
         .select(col("band"), col("bv"), col("doc_id").as("ia"), col("simhash").as("ha"))
         .join(
@@ -1175,21 +1182,16 @@ object DedupQueries {
            |  ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
            |   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
            |   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-           |   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 5 AS fold
+           |   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % $KFolds AS fold
            |FROM (SELECT doc_id, rep_id, md5('fold:' || rep_id::VARCHAR) AS h FROM comp)
            |ORDER BY doc_id""".stripMargin)
   )
 
   /** DuckDB SQL for [[graft.functions.TextFunctions.qualityScore]] over a
-    * `documents` row (`text` in scope) — shared by the q46 and q99 oracles.
+    * `documents` row (`text` in scope) — shared by the q46 and q99 oracles;
+    * the canonical definition lives in [[OracleSql.quality]].
     */
-  private lazy val qualityExprSql: String =
-    raw"""round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
-         |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-         |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
-         |            THEN 0.5 ELSE 1.0 END)
-         |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-         |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4)""".stripMargin
+  private lazy val qualityExprSql: String = OracleSql.quality
 
   /** One unrolled PageRank round for q131's oracle: per-vertex
     * contribution `r // deg` summed over incoming edges, then

@@ -239,6 +239,20 @@ object SimilarityQueries {
     s.read.parquet(s"$base/asg")
   }
 
+  /** Force this family's session memos for (session, `dir`) — the
+    * bench/SCALE protocol pre-materializes memos BEFORE the timed pass so
+    * every timed row measures its query's steady state (the memoized READ)
+    * and the builds are reported only in the [[graft.ScaleBuilds]] table,
+    * never folded into whichever consumer happens to run first.
+    * `families` narrows the set for deep-scale probes where an unused
+    * memo's build would be wall-clock prohibitive.
+    */
+  def prebuildMemos(s: SparkSession, dir: String, families: Set[String]): Unit = {
+    if (families("kmeans")) { refinedAssignment(s, dir); () }
+    if (families("kmeans_adaptive")) { adaptiveAssignment(s, dir); () }
+    if (families("pca")) { pcaTrained(s, dir); () }
+  }
+
   /** The SemDeDup prune shared by q124/q129: exact within-cluster cosine
     * over `asg`'s blocks, drop the higher vec_id of every pair above
     * threshold, return the keep-list.
@@ -674,9 +688,9 @@ object SimilarityQueries {
     // needs no join-back): individual rows shuffle, never whole buckets —
     // a degenerate bucket (e.g. all-zero region of the space) is split
     // across tasks by the join instead of landing in one collect_list row.
-    "q52_srp_lsh" -> ((s, dir) => {
+    "q52_srp_lsh" -> ((s, dir) => graft.plans.CacheScope.scoped(s) { keep =>
       val e = Tables.spread(Tables.embeddings(s, dir), col("vec_id"))
-      val bucketed = e
+      val bucketed = keep(e
         .select(
           col("vec_id"),
           col("embedding"),
@@ -684,7 +698,7 @@ object SimilarityQueries {
             when(dotFast(col("embedding"), planeLit(p)) >= 0, lit("1")).otherwise(lit("0"))
           }: _*).as("bucket")
         )
-        .persist()
+      ) // feeds BOTH self-join sides — one signature build, not two
       bucketed
         .select(col("bucket"), col("vec_id").as("ia"), col("embedding").as("ea"))
         .join(
@@ -874,11 +888,10 @@ object SimilarityQueries {
     (s.read.parquet(s"$base/v"), s.read.parquet(s"$base/m"))
   }
 
-  // Oracle twins — identical algorithm in DuckDB SQL. `list_reduce` with a
-  // prepended accumulator reproduces the fold order of Spark's `aggregate`.
-  private val dotSql =
-    (a: String, b: String) =>
-      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${Dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+  // Oracle twins — identical algorithm in DuckDB SQL. The dot product is
+  // the canonical OracleSql.dot (fold order of Spark's `aggregate`), shared
+  // with the q159/q169 fused-ranking oracles in TextQueries.
+  private val dotSql: (String, String) => String = OracleSql.dot(Dim)
 
   private val vecCte =
     s"""WITH v AS (SELECT vec_id, label, embedding,

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.streaming.CurationStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming queries whose SINK OUTPUT is registered on the correctness
+  * board — the streaming operators are spec-proven with batch twins
+  * (CurationStreamSpec etc.), but a spec pins semantics, not bytes: these
+  * entries run a REAL StreamingQuery end to end (file source → watermarked
+  * windowed state → append-mode emission → foreachBatch sink → parquet)
+  * and hand the driver the sink's materialized rows to hash against a
+  * DuckDB oracle. One green row here proves the streaming path's bytes,
+  * not just its algebra.
+  *
+  * Event time is SYNTHESIZED deterministically from doc_id (the tables
+  * carry no document timestamp): ts = epoch + (doc_id mod [[SpanSec]])
+  * seconds, so the corpus spreads over [[SpanSec]]/[[WindowSec]] tumbling
+  * windows and the oracle recomputes the same window assignment with
+  * integer arithmetic. A single future-dated sentinel row pushes the
+  * watermark past every real window after the data batch, so append mode
+  * finalizes them all before the query stops (the sentinel's own window
+  * never closes and therefore never emits — no filtering needed).
+  */
+object StreamQueries {
+
+  private val WindowSec = 60L  // tumbling window length
+  private val SpanSec   = 600L // synthesized event-time span → 10 windows
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q158's INGEST-TIME twin, executed as a real stream: per finalized
+    // (event-time window, source), the smoothed KL divergence of the
+    // window's hashed-token distribution against the static whole-corpus
+    // baseline — the vocabulary-drift alarm delivered per micro-batch by
+    // CurationStream.vocabDrift's foreachBatch sink. The oracle recomputes
+    // every closed window's KL from the documents table with the identical
+    // 2^20-quantized-log integer treatment.
+    "q171_vocab_drift_stream" -> ((s, dir) => {
+      val docs     = Tables.documents(s, dir)
+      val baseline = CurationStream.vocabBaseline(docs)
+      val input = docs.select(
+        timestamp_seconds(pmod(col("doc_id"), lit(SpanSec))).as("ts"),
+        col("source"),
+        col("text"))
+      val sentinel = s
+        .range(1)
+        .select(
+          timestamp_seconds(lit(100000L)).as("ts"),
+          lit("__sentinel__").as("source"),
+          lit("x").as("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q171-")
+      graft.sources.SessionMemo.deleteOnExit(tmp)
+      val in   = s"$tmp/in"
+      val outP = s"$tmp/out"
+      input.unionByName(sentinel).write.parquet(in)
+      val stream = s.readStream.schema("ts TIMESTAMP, source STRING, text STRING").parquet(in)
+      val q = CurationStream.vocabDrift(
+        stream,
+        baseline,
+        windowLength = s"$WindowSec seconds",
+        watermark = "0 seconds",
+        checkpointDir = s"$tmp/ckpt"
+      ) { batch =>
+        // append-mode contract: each closed (window, source) emits exactly
+        // once across all micro-batches, so appending every batch's drift
+        // rows yields each output row exactly once
+        batch.write.mode("append").parquet(outP)
+      }
+      try {
+        q.processAllAvailable() // data batch + watermark-advance finalization batch
+      } finally q.stop()
+      s.read.parquet(outP).orderBy(col("window_start"), col("source"))
+    })
+  )
+
+  val oracles: Map[String, String] = {
+    val h60 =
+      "list_reduce(list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr(md5(tok), i::INT, 1)) - 1)::BIGINT), (a, c) -> a * 16 + c)"
+    val B = CurationStream.VocabBuckets
+    Map(
+      // Window assignment in integer seconds ((doc_id % span) // win * win),
+      // rebuilt as epoch-µs TIMESTAMP; stream side P = the window's bucket
+      // counts, Q = the whole-corpus baseline — both token streams drop
+      // empty tokens (vocabBaseline/vocabDrift's filter), then the exact
+      // q158 integer-KL chain per (window, source).
+      "q171_vocab_drift_stream" ->
+        raw"""WITH base AS (
+             |  SELECT ((doc_id % $SpanSec) // $WindowSec) * $WindowSec AS ws, source, text FROM documents),
+             | toks AS (
+             |  SELECT ws, source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM base),
+             | tok2 AS (SELECT ws, source, tok FROM toks WHERE tok <> ''),
+             | bk AS (SELECT ws, source, $h60 % $B AS b FROM tok2),
+             | cbk AS (
+             |  SELECT $h60 % $B AS b FROM (
+             |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents)
+             |  WHERE tok <> ''),
+             | cs AS (SELECT ws, source, b, count(*) AS cs FROM bk GROUP BY 1, 2, 3),
+             | ct AS (SELECT b, count(*) AS ct FROM cbk GROUP BY 1),
+             | t AS (SELECT count(*) AS t FROM cbk),
+             | tsum AS (SELECT ws, source, count(*) AS tsum FROM bk GROUP BY 1, 2),
+             | dim AS (
+             |  SELECT cs.ws, cs.source, cs.cs, tsum.tsum,
+             |    CAST(floor(ln(((cs.cs + 1.0) / (tsum.tsum + $B.0)) / ((coalesce(ct.ct, 0) + 1.0) / (t.t + $B.0))) * 1048576.0) AS BIGINT) AS lr
+             |  FROM cs LEFT JOIN ct USING (b) CROSS JOIN t JOIN tsum USING (ws, source))
+             |SELECT make_timestamp(ws * 1000000) AS window_start, source,
+             |  min(tsum)::BIGINT AS n_tokens,
+             |  round(CAST(sum(cs * lr) AS DOUBLE) / 1048576.0 / min(tsum), 6) AS kl
+             |FROM dim GROUP BY ws, source ORDER BY window_start, source""".stripMargin
+    )
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
+import graft.plans.CacheScope
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -249,17 +250,17 @@ object TextQueries {
     // Output: the exact top-20 terms with exact count, CMS estimate, and
     // the (always non-negative) overcount — exact AND estimate are both
     // deterministic, so the driver hash-checks the whole sketch pipeline.
-    "q108_countmin_topk" -> ((s, dir) => {
+    "q108_countmin_topk" -> ((s, dir) => CacheScope.scoped(s) { keep =>
       val W = 64
       val D = 4
       // 60-bit md5 fold (15 hex digits — same portable formula as the
       // minhash family), then mod W; d is baked into the hashed string
       def bucket(d: Int) =
         expr(s"CAST(conv(substr(md5(concat('$d:', term)), 1, 15), 16, 10) AS BIGINT)") % W
-      val toks = Tables
+      val toks = keep(Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(explode(tokens(col("text"))).as("term"))
-        .persist() // feeds the sketch cells AND the exact top-20 — one tokenize pass, not two (the q117 rework)
+      ) // feeds the sketch cells AND the exact top-20 — one tokenize pass, not two (the q117 rework)
       val cells = toks
         .select(explode(array((0 until D).map(d =>
           struct(lit(d).as("d"), bucket(d).as("bucket"))): _*)).as("db"))
@@ -469,9 +470,9 @@ object TextQueries {
     // bit-portable (the q117 trick applied to HLL). Register table shape =
     // q108's bounded sketch: 64 cells per group regardless of corpus
     // size, map-side combined max.
-    "q126_hll_registers" -> ((s, dir) => {
+    "q126_hll_registers" -> ((s, dir) => CacheScope.scoped(s) { keep =>
       val M = 64 // registers (b = 6 bucket bits)
-      val hashed = Tables
+      val hashed = keep(Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("lang"), explode(tokens(col("text"))).as("tok"))
         .distinct() // HLL is over the distinct stream; dedup keeps rho exact
@@ -492,15 +493,15 @@ object TextQueries {
         )
         .groupBy(col("lang"), col("bucket"))
         .agg(max(col("rho")).cast("long").as("m"))
-        .persist() // feeds the lang list AND the cell join — one token scan
+      ) // feeds the lang list AND the cell join — one token scan
       // dense 64-register table: every (lang, bucket) cell exists, empty = 0
       val langs = hashed.select(col("lang")).distinct()
-      val cells = langs
+      val cells = keep(langs
         .crossJoin(broadcast(
           Tables.documents(s, dir).sparkSession.range(M).select(col("id").cast("int").as("bucket"))))
         .join(hashed, Seq("lang", "bucket"), "left")
         .select(col("lang"), col("bucket"), coalesce(col("m"), lit(0L)).as("register"))
-        .persist() // feeds the estimate aggregate AND the final join
+      ) // feeds the estimate aggregate AND the final join
       // exact integer harmonic denominator: q = Σ 2^(55 - M_j); V = zero
       // registers for the SMALL-RANGE correction — raw HLL is biased when
       // n ≪ m, and the algorithm switches to linear counting m·ln(m/V)
@@ -555,17 +556,17 @@ object TextQueries {
     // scalar; the per-doc reduce is map-side combined — a document's
     // trigrams sit in one partition (narrow explode), so each doc
     // collapses to a single partial row before the only exchange.
-    "q117_charlm_quality" -> ((s, dir) => {
+    "q117_charlm_quality" -> ((s, dir) => CacheScope.scoped(s) { keep =>
       val docs = Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), lower(col("text")).as("t"))
-      val tris = docs
+      val tris = keep(docs
         .filter(char_length(col("t")) >= 3) // sequence(1, len-2) must ascend
         .select(
           col("doc_id"),
           explode(expr("transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))")).as("tri")
         )
-        .persist() // feeds c3, c2 AND the scoring pass — one explode, not three
+      ) // feeds c3, c2 AND the scoring pass — one explode, not three
       val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
       // prefix totals derive from the c3 DIMENSION (vocab-sized), not from
       // a second pass over the corpus-sized trigram stream
@@ -702,8 +703,8 @@ object TextQueries {
     // dim and the two scalar totals broadcast back onto the bigram stream,
     // which then collapses per-doc map-side (narrow explode keeps a doc's
     // bigrams in one partition). One exchange end to end.
-    "q149_dsir_weights" -> ((s, dir) => {
-      val grams = Tables
+    "q149_dsir_weights" -> ((s, dir) => CacheScope.scoped(s) { keep =>
+      val grams = keep(Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), col("lang"), tokens(lower(col("text"))).as("ws"))
         .filter(size(col("ws")) >= 2)
@@ -715,7 +716,7 @@ object TextQueries {
             .as("g")
         )
         .withColumn("b", expr(s"CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) % $DsirBuckets"))
-        .persist() // feeds the raw counts, the target counts, AND the scoring pass
+      ) // feeds the raw counts, the target counts, AND the scoring pass
       val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("cr"))
       val tgt = grams.filter(col("lang") === DsirTargetLang).groupBy(col("b")).agg(count(lit(1)).as("ct"))
       // every bucket a document references appears in `raw` by construction,
@@ -772,8 +773,9 @@ object TextQueries {
     // operates on that vocabulary dimension, never the corpus; exactly how
     // production BPE trainers scale. The per-round argmax sorts the
     // vocab-bounded pair table, not data.
-    "q151_bpe_merges" -> ((s, dir) =>
-      bpeChain(s, dir)._2.reduce(_ unionByName _).orderBy(col("round"), col("rnk"))),
+    "q151_bpe_merges" -> ((s, dir) => CacheScope.scoped(s) { keep =>
+      bpeChain(s, dir, keep)._2.reduce(_ unionByName _).orderBy(col("round"), col("rnk"))
+    }),
 
     // VOCABULARY DRIFT MONITOR — KL(source ‖ corpus) over hashed token
     // buckets: the distribution-shift alarm an ingest pipeline runs per
@@ -785,12 +787,12 @@ object TextQueries {
     // (2^20·n_src) at display — order-independent, bit-portable.
     // Buckets absent from a source contribute zero (cs = 0), so the
     // inner bucket join is the full support.
-    "q158_vocab_drift" -> ((s, dir) => {
-      val toks = Tables
+    "q158_vocab_drift" -> ((s, dir) => CacheScope.scoped(s) { keep =>
+      val toks = keep(Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
         .withColumn("b", expr(s"CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % $DsirBuckets"))
-        .persist() // feeds the per-source counts AND the corpus counts
+      ) // feeds the per-source counts AND the corpus counts
       val cs = toks.groupBy(col("source"), col("b")).agg(count(lit(1)).as("cs"))
       val ct = toks.groupBy(col("b")).agg(count(lit(1)).as("ct"))
       val dim = cs
@@ -833,8 +835,8 @@ object TextQueries {
     // wrong argmax, or a wrong merge application in ANY round shifts
     // piece counts and breaks the hash — q152 gates the whole learned
     // tokenizer, applied.
-    "q152_bpe_fertility" -> ((s, dir) => {
-      val pieces = bpeChain(s, dir)._1.select(col("w"), size(col("syms")).cast("long").as("n_pieces"))
+    "q152_bpe_fertility" -> ((s, dir) => CacheScope.scoped(s) { keep =>
+      val pieces = bpeChain(s, dir, keep)._1.select(col("w"), size(col("syms")).cast("long").as("n_pieces"))
       Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("lang"), explode(tokens(lower(col("text")))).as("w"))
@@ -855,16 +857,20 @@ object TextQueries {
 
   /** q151/q152's shared three-round BPE training chain: returns the final
     * (w, freq, syms) vocabulary after [[BpeRounds]] merges and the
-    * per-round top-[[BpeTopReport]] candidate reports.
+    * per-round top-[[BpeTopReport]] candidate reports. `keep` is the
+    * caller's [[CacheScope]] registration — the vocabulary dimension feeds
+    * every round (eagerly, via the per-round checkpoint) and the final
+    * vocab, and is released when the caller's consuming action completes.
     */
-  private def bpeChain(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
-    val words = Tables
+  private def bpeChain(
+      s: SparkSession, dir: String, keep: DataFrame => DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val words = keep(Tables
       .spread(Tables.documents(s, dir), col("doc_id"))
       .select(explode(tokens(lower(col("text")))).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("freq"))
       .withColumn("syms", filter(split(col("w"), ""), c => c =!= ""))
-      .persist() // vocabulary dimension — every round reads it
+    ) // vocabulary dimension — every round reads it
     (1 to BpeRounds).foldLeft((words, Seq.empty[DataFrame])) { case ((syms, reports), r) =>
       val pairs = syms
         .filter(size(col("syms")) >= 2)
@@ -1041,11 +1047,10 @@ object TextQueries {
   private val RrfScale = 1048576L // q159: 2^20 — integer-division contribution scale
 
   /** 64-dim dot product in DuckDB with the exact fold order of Spark's
-    * `aggregate` (the SimilarityQueries.dotSql formula — duplicated here
-    * because the q159 oracle fuses text ranks with vector ranks).
+    * `aggregate` — the canonical [[OracleSql.dot]], shared with the
+    * Similarity oracles so the q159 vector ranks cannot drift from q50's.
     */
-  private def rrfDotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+  private def rrfDotSql(a: String, b: String): String = OracleSql.dot(64)(a, b)
 
   /** The full fused-ranking oracle CTE chain (BM25 chain → lex ranks →
     * vector ranks → RRF fuse → `fusedall`) shared by the q159 and q169
@@ -1071,17 +1076,10 @@ object TextQueries {
        |  FROM fuse)""".stripMargin
 
   /** The DuckDB quality-score mirror over a `documents` row (`text` in
-    * scope) — the q169 relevance grade (same formula as CurationQueries'
-    * qualitySql; duplicated because the registries keep their oracle
-    * helpers private).
+    * scope) — the q169 relevance grade; the canonical definition lives in
+    * [[OracleSql.quality]], shared with the Curation/Dedup oracles.
     */
-  private val qualExprSql: String =
-    raw"""round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.5 *
-         |      (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-         |                  ELSE list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)::BIGINT)), (a,b) -> a+b) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) > 12.0
-         |            THEN 0.5 ELSE 1.0 END)
-         |      + least((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
-         |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) / 0.05, 1.0) * 0.5, 4)""".stripMargin
+  private val qualExprSql: String = OracleSql.quality
 
   /** The q136 oracle CTE chain (toks → tf/dl/dfx/st → qt → scored) shared
     * with the q159 fusion oracle.

@@ -27,9 +27,10 @@ object SessionMemo {
   private val locks = new java.util.concurrent.ConcurrentHashMap[(String, String, String), Object]()
 
   /** Delete a memo directory tree on JVM exit — session-temp artifacts must
-    * not accumulate across runs.
+    * not accumulate across runs. (Shared with the streaming-sink queries'
+    * checkpoint/output temp dirs — same lifecycle.)
     */
-  private def deleteOnExit(root: java.nio.file.Path): Unit =
+  private[graft] def deleteOnExit(root: java.nio.file.Path): Unit =
     sys.addShutdownHook {
       import java.nio.file._
       try

@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q171 — the registered streaming-sink query: a REAL StreamingQuery
+  * (file source → watermarked windowed aggregate → append-mode emission →
+  * foreachBatch KL sink) whose materialized output the driver hash-checks
+  * against the windowed q158 oracle. The spec pins the execution-level
+  * contract the oracle cannot see:
+  *   - append-mode exactly-once: every real (window, source) emits exactly
+  *     once across micro-batches (no duplicates in the sink parquet);
+  *   - the watermark sentinel finalizes every real window (full window ×
+  *     source coverage) and never leaks into the output;
+  *   - a re-run is byte-deterministic (fresh checkpoint, same rows).
+  */
+class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q171: sink emits every real (window, source) exactly once; sentinel never leaks") {
+    val rows = SparkEntry.queries("q171_vocab_drift_stream")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getString(1) == "__sentinel__"), "sentinel window must never close")
+    val keys = rows.map(r => (r.getTimestamp(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length, "append mode re-emitted a closed window")
+    // every (window, source) pair with data must be present: recompute the
+    // expected key set from the batch side
+    import org.apache.spark.sql.functions._
+    val expected = graft.sources.Tables
+      .documents(spark, dir)
+      .select(
+        timestamp_seconds((col("doc_id") % 600).cast("long") - (col("doc_id") % 60).cast("long"))
+          .as("window_start"),
+        col("source"))
+      .distinct()
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+      .toSet
+    assert(keys.toSet == expected, "closed-window coverage mismatch vs the batch key set")
+  }
+
+  test("q171: re-run with a fresh checkpoint is byte-deterministic") {
+    val a = SparkEntry.queries("q171_vocab_drift_stream")(spark, dir).collect()
+    val b = SparkEntry.queries("q171_vocab_drift_stream")(spark, dir).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}

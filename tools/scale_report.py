@@ -65,9 +65,10 @@ Per-query wall time at sf0.1 vs a **{replicas}× synthesized corpus**
 (`graft.ScaleProbe`: key-shifted + content-perturbed replicas of the
 sf0.1 tables — see the ScaleProbe scaladoc for the construction and why
 the similarity tables are perturbed per copy; deterministic, no RNG).
-Both runs: the standard bench protocol (warm-up pass, min over 2 rounds
-× 2 back-to-back reps, `local[32]`, 32 shuffle partitions) on the same
-machine, back-to-back.
+Both runs: the standard bench protocol (warm-up pass, session memos
+pre-materialized for the timed dir so every row is steady-state, min
+over 2 rounds × 2 back-to-back reps, `local[32]`, 32 shuffle
+partitions) on the same machine, back-to-back.
 
 - baseline: `{base["sf"]}` — {base["n_queries"]} queries, {base["value"] if "value" in base else sum(bq.values()):.1f}s total
 - scale run: `{scale["sf"]}` — {scale["n_queries"]} queries, {sum(sq.values()):.1f}s total, {scale["n_failed"]} failed
@@ -156,26 +157,18 @@ actually bend. Same protocol; ratio is vs the same sf0.1 baseline.
                 f"the exactness price bending as predicted — {tr('q140_prefix_filter_join')}× from "
                 "candidate inflation even with all three PPJoin filters; the scale-safe twin q42 "
                 f"(LSH) reads {tr('q42_minhash_lsh')}× on the same corpus",
-            "q155_pca_project":
-                "the memo-fold artifact of the single-rep protocol — whichever PCA consumer runs "
-                "FIRST at this scale absorbs the entire pca_build (see the builds row); its twin "
-                f"q154 reads {tr('q154_pca_power')}× off the already-built memo, which is the "
-                "steady-state cost of both",
-            "q154_pca_power":
-                "the memo-fold artifact of the single-rep protocol — whichever PCA consumer runs "
-                "FIRST at this scale absorbs the entire pca_build (see the builds row); its twin "
-                f"q155 reads {tr('q155_pca_project')}× off the already-built memo, which is the "
-                "steady-state cost of both",
         }
         unexpected = [n for n in tail_flagged if n not in expected]
         lines = [f"- **{n}** {tail_reps}× ratio {tr(n)}: {expected[n]}."
                  for n in tail_flagged if n in expected]
         if unexpected:
             lines.append(f"- **UNEXPLAINED flags: {', '.join(unexpected)}** — investigate.")
-        memo_note = ("\n- Single-rep protocol note: session-memo builds fold into their FIRST "
-                     "consumer at this scale factor (no second rep to absorb them) — e.g. q45's "
-                     "wall includes the adaptive-assign build; subtract the builds table's "
-                     "kmeans_adaptive_build time for its own cost.")
+        memo_note = ("\n- Memo pre-build protocol (round 9 fix): Bench pre-materializes every "
+                     "session memo (dedup, k-means, adaptive, PCA) for the timed dir BEFORE the "
+                     "timed pass, so every row above — including the single-rep tail — is the "
+                     "query's steady state; builds are reported ONLY in the builds tables "
+                     "(round 8's q155 published 110.7x at 30x because the first PCA consumer "
+                     "absorbed the un-prebuilt pca_build).")
         print(f"""
 Flag reading (threshold {tail_reps}×{slack} — every flag below is an
 EXPECTED curve, each with its scale-safe counterpart on the board):
