@@ -37,8 +37,11 @@ object StreamQueries {
     // every closed window's KL from the documents table with the identical
     // 2^20-quantized-log integer treatment.
     "q171_vocab_drift_stream" -> ((s, dir) => {
-      val docs     = Tables.documents(s, dir)
-      val baseline = CurationStream.vocabBaseline(docs)
+      val docs = Tables.documents(s, dir)
+      // pin the 256-row baseline ONCE: driftOf broadcasts it inside every
+      // micro-batch, and an unpinned plan would re-tokenize the whole
+      // corpus per batch (data batch + watermark finalization batch)
+      val baseline = CurationStream.vocabBaseline(docs).localCheckpoint()
       val input = docs.select(
         timestamp_seconds(pmod(col("doc_id"), lit(SpanSec))).as("ts"),
         col("source"),
@@ -64,7 +67,9 @@ object StreamQueries {
       ) { batch =>
         // append-mode contract: each closed (window, source) emits exactly
         // once across all micro-batches, so appending every batch's drift
-        // rows yields each output row exactly once
+        // rows yields each output row exactly once; the no-closed-windows
+        // data batch appends an empty file, which also guarantees the
+        // path exists for the read below
         batch.write.mode("append").parquet(outP)
       }
       try {
