@@ -14,19 +14,20 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle. One green row here proves the streaming path's bytes,
   * not just its algebra.
   *
-  * Event time is SYNTHESIZED deterministically from doc_id (the tables
-  * carry no document timestamp): ts = epoch + (doc_id mod [[SpanSec]])
-  * seconds, so the corpus spreads over [[SpanSec]]/[[WindowSec]] tumbling
-  * windows and the oracle recomputes the same window assignment with
-  * integer arithmetic. A single future-dated sentinel row pushes the
-  * watermark past every real window after the data batch, so append mode
-  * finalizes them all before the query stops (the sentinel's own window
-  * never closes and therefore never emits — no filtering needed).
+  * Event time: q172 uses the REAL `events.ts` column; q171 synthesizes it
+  * deterministically from doc_id (documents carry no timestamp):
+  * ts = epoch + (doc_id mod [[SpanSec]]) seconds, so the corpus spreads
+  * over [[SpanSec]]/[[WindowSec]] tumbling windows and the oracle
+  * recomputes the same window assignment with integer arithmetic. In both
+  * queries a single future-dated sentinel row pushes the watermark past
+  * every real window after the data batch, so append mode finalizes them
+  * all before the query stops (the sentinel's own window never closes and
+  * therefore never emits — no filtering needed).
   */
 object StreamQueries {
 
-  private val WindowSec = 60L  // tumbling window length
-  private val SpanSec   = 600L // synthesized event-time span → 10 windows
+  private val WindowSec = 60L  // q171 tumbling window length
+  private val SpanSec   = 600L // q171 synthesized event-time span → 10 windows
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q158's INGEST-TIME twin, executed as a real stream: per finalized
@@ -76,6 +77,63 @@ object StreamQueries {
         q.processAllAvailable() // data batch + watermark-advance finalization batch
       } finally q.stop()
       s.read.parquet(outP).orderBy(col("window_start"), col("source"))
+    }),
+
+    // q27's windowed event aggregate executed as a real stream over the
+    // REAL events.ts: hourly tumbling windows per event_type, counts plus
+    // an EXACT integer-cents value sum (the q141 rounding pattern — one
+    // round-to-cents per row, order-independent BIGINT sum, one display
+    // division), emitted append-mode when the watermark closes each
+    // window. Proves the second stateful streaming path — the
+    // EventStreams.windowedStats shape — byte-for-byte against a DuckDB
+    // oracle, with real (non-synthesized) event time.
+    "q172_event_windows_stream" -> ((s, dir) => {
+      val events = Tables
+        .events(s, dir)
+        .select(col("ts"), col("event_type"), col("value"))
+      // one bounded driver read: the sentinel must postdate the LAST real
+      // window's end so watermark(max ts - 0s) closes every real window
+      val maxTs = events.agg(max(col("ts"))).first().getTimestamp(0)
+      val sentinel = s
+        .range(1)
+        .select(
+          timestamp_micros(lit(maxTs.getTime * 1000L + 2L * 3600L * 1000000L)).as("ts"),
+          lit("__sentinel__").as("event_type"),
+          lit(0.0).as("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q172-")
+      graft.sources.SessionMemo.deleteOnExit(tmp)
+      val in   = s"$tmp/in"
+      val outP = s"$tmp/out"
+      events.unionByName(sentinel).write.parquet(in)
+      val stream = s.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .parquet(in)
+      val q = stream
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("cents"))
+        .writeStream
+        .outputMode("append") // each (window, event_type) emits once, on close
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outP)
+          ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read
+        .parquet(outP)
+        .select(
+          col("window_start"),
+          col("event_type"),
+          col("n"),
+          round(col("cents") / 100.0, 2).as("total"))
+        .orderBy(col("window_start"), col("event_type"))
     })
   )
 
@@ -111,7 +169,17 @@ object StreamQueries {
              |SELECT make_timestamp(ws * 1000000) AS window_start, source,
              |  min(tsum)::BIGINT AS n_tokens,
              |  round(CAST(sum(cs * lr) AS DOUBLE) / 1048576.0 / min(tsum), 6) AS kl
-             |FROM dim GROUP BY ws, source ORDER BY window_start, source""".stripMargin
+             |FROM dim GROUP BY ws, source ORDER BY window_start, source""".stripMargin,
+
+      // The q27 window assignment (hourly time_bucket) with the exact
+      // integer-cents sum the stream maintains; one display division.
+      "q172_event_windows_stream" ->
+        raw"""WITH c AS (
+             |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             |    count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             |  FROM events GROUP BY 1, 2)
+             |SELECT window_start, event_type, n, round(cents / 100.0, 2) AS total
+             |FROM c ORDER BY window_start, event_type""".stripMargin
     )
   }
 }

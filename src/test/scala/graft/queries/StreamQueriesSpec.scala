@@ -45,4 +45,30 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
     val b = SparkEntry.queries("q171_vocab_drift_stream")(spark, dir).collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("q172: every real (window, event_type) emits exactly once; totals match the batch twin") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q172_event_windows_stream")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getString(1) == "__sentinel__"), "sentinel window must never close")
+    val keys = rows.map(r => (r.getTimestamp(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length, "append mode re-emitted a closed window")
+    // the batch twin over the same table: identical windows, counts, totals
+    val batch = graft.sources.Tables
+      .events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(expr("CAST(round(value * 100) AS BIGINT)")) / 100.0, 2).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(keys.toSet == batch.keySet, "closed-window coverage mismatch vs the batch twin")
+    rows.foreach { r =>
+      val (n, total) = batch((r.getTimestamp(0), r.getString(1)))
+      assert(r.getLong(2) == n && r.getDouble(3) == total,
+        s"stream vs batch mismatch at ${r.getTimestamp(0)}/${r.getString(1)}")
+    }
+  }
 }
