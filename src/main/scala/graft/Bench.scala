@@ -56,7 +56,16 @@ object Bench {
     val families = prebuild match {
       case "0" => Set.empty[String]
       case "1" => allFamilies
-      case list => list.split(",").map(_.trim).toSet.intersect(allFamilies)
+      case list =>
+        val asked = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val bad   = asked.diff(allFamilies)
+        // a silently-dropped typo ("kmeans_adptive") would quietly
+        // reintroduce the memo-fold artifact this protocol exists to
+        // eliminate — fail loudly instead
+        require(bad.isEmpty,
+          s"SPARK_GRAFT_BENCH_PREBUILD: unknown families ${bad.mkString(",")} " +
+            s"(valid: ${allFamilies.mkString(",")}, or 0/1)")
+        asked
     }
     if (families("dedup")) graft.queries.DedupQueries.prebuildMemo(spark, sfDir)
     graft.queries.SimilarityQueries.prebuildMemos(spark, sfDir, families)

@@ -33,10 +33,21 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *     un-cached (correct, just not re-deduplicated) — callers that act
   *     repeatedly should persist the RESULT themselves, which is their
   *     lifetime to manage;
-  *   - a frame that is never acted on never materializes the cache, so
-  *     the (unreachable-but-registered) entries hold no storage; the
-  *     listener costs one cheap plan compare per session action until
-  *     then.
+  *   - a frame that is never acted on normally never materializes the
+  *     cache, so the (unreachable-but-registered) entries hold no
+  *     storage; the listener costs one cheap plan compare per session
+  *     action until then. The exception is a scope whose BUILD runs an
+  *     eager action internally (q151/q152's per-round localCheckpoint):
+  *     there the registered entries materialize at construction, and an
+  *     abandoned frame holds them until session end — the same lifetime
+  *     an unscoped persist would have had, so the scope is never WORSE
+  *     than the bare pattern it replaces;
+  *   - two LIVE frames built from the same query function have
+  *     canonically identical plans, so the first frame's action releases
+  *     both scopes (CacheManager entries are shared by canonical plan
+  *     anyway); the second frame stays correct and recomputes uncached —
+  *     callers wanting independent cache lifetimes for identical plans
+  *     should persist the results themselves.
   *
   * The listener fires on the listener-bus thread shortly AFTER the action
   * returns, so "empty cache" assertions must poll briefly
@@ -56,8 +67,16 @@ object CacheScope {
     if (held.nonEmpty) {
       val target = out.queryExecution.analyzed
       val listener = new QueryExecutionListener {
+        // `exists` walks the plan tree but not plans nested inside
+        // expressions — a consumer embedding the scoped frame in a
+        // scalar/IN subquery would otherwise never trigger the release,
+        // so subqueriesAll joins the scan
+        private def contains(qe: QueryExecution): Boolean = {
+          val root = qe.analyzed
+          (root +: root.subqueriesAll).exists(_.exists(_.sameResult(target)))
+        }
         private def release(qe: QueryExecution): Unit =
-          if (qe.analyzed.exists(_.sameResult(target))) {
+          if (contains(qe)) {
             held.foreach(_.unpersist(blocking = false))
             s.listenerManager.unregister(this)
           }

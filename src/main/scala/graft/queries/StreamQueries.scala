@@ -4,6 +4,7 @@ import graft.sources.Tables
 import graft.streaming.CurationStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming queries whose SINK OUTPUT is registered on the correctness
   * board — the streaming operators are spec-proven with batch twins
@@ -29,6 +30,40 @@ object StreamQueries {
   private val WindowSec = 60L  // q171 tumbling window length
   private val SpanSec   = 600L // q171 synthesized event-time span → 10 windows
 
+  /** Run a BOUNDED stream once and return its sink rows.
+    *
+    * The parquet INPUT copy (data + sentinel — the full-corpus artifact)
+    * is session-memoized per (session, `tag`, `dir`): a bench's five
+    * invocations of the same query write it once and stream from the same
+    * files, instead of accumulating five corpus copies under /tmp at deep
+    * scale. The CHECKPOINT must be fresh per invocation — append mode
+    * re-running on a used checkpoint would treat every batch as already
+    * committed and emit nothing — and the sink dir rides with it; both
+    * hold only window summaries and die with the JVM.
+    *
+    * `start` receives the streaming source frame, the checkpoint path, and
+    * the append-to-parquet sink; every foreachBatch output row lands in the
+    * returned frame exactly once (append-mode close-once emission; the
+    * no-closed-windows data batch appends an empty file, which also
+    * guarantees the path exists even if NO window ever closes).
+    */
+  private def runBoundedStream(s: SparkSession, dir: String, tag: String)(
+      input: => DataFrame)(
+      start: (DataFrame, String, DataFrame => Unit) => StreamingQuery): DataFrame = {
+    val in = graft.sources.SessionMemo.dir(s, s"stream-in-$tag", dir) { b =>
+      input.write.parquet(s"$b/in")
+    } + "/in"
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val outP   = s"$tmp/out"
+    val stream = s.readStream.schema(s.read.parquet(in).schema).parquet(in)
+    val q = start(stream, s"$tmp/ckpt", batch => batch.write.mode("append").parquet(outP))
+    try {
+      q.processAllAvailable() // data batch + watermark-advance finalization batch
+    } finally q.stop()
+    s.read.parquet(outP)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q158's INGEST-TIME twin, executed as a real stream: per finalized
     // (event-time window, source), the smoothed KL divergence of the
@@ -43,40 +78,25 @@ object StreamQueries {
       // micro-batch, and an unpinned plan would re-tokenize the whole
       // corpus per batch (data batch + watermark finalization batch)
       val baseline = CurationStream.vocabBaseline(docs).localCheckpoint()
-      val input = docs.select(
-        timestamp_seconds(pmod(col("doc_id"), lit(SpanSec))).as("ts"),
-        col("source"),
-        col("text"))
-      val sentinel = s
-        .range(1)
-        .select(
-          timestamp_seconds(lit(100000L)).as("ts"),
-          lit("__sentinel__").as("source"),
-          lit("x").as("text"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q171-")
-      graft.sources.SessionMemo.deleteOnExit(tmp)
-      val in   = s"$tmp/in"
-      val outP = s"$tmp/out"
-      input.unionByName(sentinel).write.parquet(in)
-      val stream = s.readStream.schema("ts TIMESTAMP, source STRING, text STRING").parquet(in)
-      val q = CurationStream.vocabDrift(
-        stream,
-        baseline,
-        windowLength = s"$WindowSec seconds",
-        watermark = "0 seconds",
-        checkpointDir = s"$tmp/ckpt"
-      ) { batch =>
-        // append-mode contract: each closed (window, source) emits exactly
-        // once across all micro-batches, so appending every batch's drift
-        // rows yields each output row exactly once; the no-closed-windows
-        // data batch appends an empty file, which also guarantees the
-        // path exists for the read below
-        batch.write.mode("append").parquet(outP)
-      }
-      try {
-        q.processAllAvailable() // data batch + watermark-advance finalization batch
-      } finally q.stop()
-      s.read.parquet(outP).orderBy(col("window_start"), col("source"))
+      runBoundedStream(s, dir, "drift") {
+        docs
+          .select(
+            timestamp_seconds(pmod(col("doc_id"), lit(SpanSec))).as("ts"),
+            col("source"),
+            col("text"))
+          .unionByName(s.range(1).select(
+            timestamp_seconds(lit(100000L)).as("ts"),
+            lit("__sentinel__").as("source"),
+            lit("x").as("text")))
+      } { (stream, ckpt, sink) =>
+        CurationStream.vocabDrift(
+          stream,
+          baseline,
+          windowLength = s"$WindowSec seconds",
+          watermark = "0 seconds",
+          checkpointDir = ckpt
+        )(sink)
+      }.orderBy(col("window_start"), col("source"))
     }),
 
     // q27's windowed event aggregate executed as a real stream over the
@@ -91,48 +111,38 @@ object StreamQueries {
       val events = Tables
         .events(s, dir)
         .select(col("ts"), col("event_type"), col("value"))
-      // one bounded driver read: the sentinel must postdate the LAST real
-      // window's end so watermark(max ts - 0s) closes every real window
-      val maxTs = events.agg(max(col("ts"))).first().getTimestamp(0)
-      val sentinel = s
-        .range(1)
-        .select(
-          timestamp_micros(lit(maxTs.getTime * 1000L + 2L * 3600L * 1000000L)).as("ts"),
+      runBoundedStream(s, dir, "eventwin") {
+        // one bounded driver read: the sentinel must postdate the LAST
+        // real window's end so watermark(max ts - 0s) closes every real
+        // window; an EMPTY events table anchors the sentinel at the epoch
+        // (only the never-closing sentinel window exists → empty output,
+        // matching the oracle's empty result instead of an NPE)
+        val maxUs = Option(events.agg(max(col("ts"))).first().getTimestamp(0))
+          .map(_.getTime * 1000L)
+          .getOrElse(0L)
+        events.unionByName(s.range(1).select(
+          timestamp_micros(lit(maxUs + 2L * 3600L * 1000000L)).as("ts"),
           lit("__sentinel__").as("event_type"),
-          lit(0.0).as("value"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q172-")
-      graft.sources.SessionMemo.deleteOnExit(tmp)
-      val in   = s"$tmp/in"
-      val outP = s"$tmp/out"
-      events.unionByName(sentinel).write.parquet(in)
-      val stream = s.readStream
-        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
-        .parquet(in)
-      val q = stream
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
-        .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("cents"))
-        .writeStream
-        .outputMode("append") // each (window, event_type) emits once, on close
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(outP)
-          ()
-        }
-        .start()
-      try {
-        q.processAllAvailable()
-      } finally q.stop()
-      s.read
-        .parquet(outP)
-        .select(
-          col("window_start"),
-          col("event_type"),
-          col("n"),
-          round(col("cents") / 100.0, 2).as("total"))
+          lit(0.0).as("value")))
+      } { (stream, ckpt, sink) =>
+        stream
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+          .select(
+            col("window.start").as("window_start"), col("event_type"), col("n"), col("cents"))
+          .writeStream
+          .outputMode("append") // each (window, event_type) emits once, on close
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) => sink(batch); () }
+          .start()
+      }.select(
+        col("window_start"),
+        col("event_type"),
+        col("n"),
+        round(col("cents") / 100.0, 2).as("total"))
         .orderBy(col("window_start"), col("event_type"))
     })
   )

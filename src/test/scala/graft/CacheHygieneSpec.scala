@@ -77,6 +77,24 @@ class CacheHygieneSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("CacheScope releases when the frame is consumed inside a subquery") {
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    val scoped = graft.plans.CacheScope.scoped(spark) { keep =>
+      val docs = keep(
+        graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("lang")))
+      docs.filter(col("lang") === "en")
+    }
+    scoped.createOrReplaceTempView("cache_scope_subq_v")
+    // the scoped plan appears only inside the IN-subquery of this query's
+    // plan — the release must still trigger on the action
+    graft.sources.Tables.documents(spark, dir).createOrReplaceTempView("docs_v")
+    spark
+      .sql("SELECT count(*) FROM docs_v WHERE doc_id IN (SELECT doc_id FROM cache_scope_subq_v)")
+      .collect()
+    assertCacheDrains("subquery-consumed CacheScope frame")
+  }
+
   test("a CacheScope frame stays correct on a second action (recompute, uncached)") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("q108_countmin_topk")(spark, dir)

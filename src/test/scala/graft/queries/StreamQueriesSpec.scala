@@ -24,15 +24,20 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(!rows.exists(_.getString(1) == "__sentinel__"), "sentinel window must never close")
     val keys = rows.map(r => (r.getTimestamp(0), r.getString(1)))
     assert(keys.distinct.length == keys.length, "append mode re-emitted a closed window")
-    // every (window, source) pair with data must be present: recompute the
-    // expected key set from the batch side
+    // every (window, source) pair that PRODUCES A TOKEN must be present:
+    // the expected set applies the stream's own non-empty-token gate, so a
+    // whitespace-only document alone in its window doesn't fabricate an
+    // expected key the stream (correctly) never emits
     import org.apache.spark.sql.functions._
     val expected = graft.sources.Tables
       .documents(spark, dir)
       .select(
         timestamp_seconds((col("doc_id") % 600).cast("long") - (col("doc_id") % 60).cast("long"))
           .as("window_start"),
-        col("source"))
+        col("source"),
+        explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("window_start"), col("source"))
       .distinct()
       .collect()
       .map(r => (r.getTimestamp(0), r.getString(1)))
