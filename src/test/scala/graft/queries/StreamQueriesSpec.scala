@@ -51,6 +51,67 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("event-window stream recovers from a checkpoint: stop mid-stream, restart, identical output") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-restart-")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val in   = s"$tmp/in"
+    val outP = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"
+    val events = graft.sources.Tables
+      .events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+    val maxUs = events.agg(max(col("ts"))).first().getTimestamp(0).getTime * 1000L
+
+    def start() = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .parquet(in)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("cents"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outP)
+        ()
+      }
+      .start()
+
+    // run 1: the data only — no window can close (watermark = max ts, the
+    // last window's end is beyond it), state is checkpointed, query stops
+    events.write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable()
+    finally q1.stop()
+    // run 2: a NEW query restarted from the same checkpoint sees only the
+    // appended sentinel, recovers the windowed state, and finalizes every
+    // real window exactly once
+    spark
+      .range(1)
+      .select(
+        timestamp_micros(lit(maxUs + 2L * 3600L * 1000000L)).as("ts"),
+        lit("__sentinel__").as("event_type"),
+        lit(0.0).as("value"))
+      .write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val recovered = spark.read
+      .parquet(outP)
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("cents") / 100.0, 2).as("total"))
+      .orderBy(col("window_start"), col("event_type"))
+      .collect()
+    val oneShot = graft.SparkEntry
+      .queries("q172_event_windows_stream")(spark, dir)
+      .collect()
+    assert(recovered.toSeq == oneShot.toSeq,
+      "restart-recovered output differs from the uninterrupted run")
+  }
+
   test("q172: every real (window, event_type) emits exactly once; totals match the batch twin") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q172_event_windows_stream")(spark, dir).collect()
