@@ -27,8 +27,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamQueries {
 
-  private val WindowSec = 60L  // q171 tumbling window length
-  private val SpanSec   = 600L // q171 synthesized event-time span → 10 windows
+  private val WindowSec = 60L  // q171/q173 tumbling window length
+  private val SpanSec   = 600L // q171/q173 synthesized event-time span → 10 windows
+  private val TrendK    = 5    // q173 leaderboard depth per window
 
   /** Run a BOUNDED stream once and return its sink rows.
     *
@@ -64,6 +65,22 @@ object StreamQueries {
     s.read.parquet(outP)
   }
 
+  /** The shared documents-as-a-stream input (ts synthesized from doc_id,
+    * plus the watermark sentinel) — q171 and q173 stream from the SAME
+    * session-memoized copy ([[runBoundedStream]]'s `drift` tag).
+    */
+  private def docsStreamInput(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        timestamp_seconds(pmod(col("doc_id"), lit(SpanSec))).as("ts"),
+        col("source"),
+        col("text"))
+      .unionByName(s.range(1).select(
+        timestamp_seconds(lit(100000L)).as("ts"),
+        lit("__sentinel__").as("source"),
+        lit("x").as("text")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q158's INGEST-TIME twin, executed as a real stream: per finalized
     // (event-time window, source), the smoothed KL divergence of the
@@ -78,17 +95,7 @@ object StreamQueries {
       // micro-batch, and an unpinned plan would re-tokenize the whole
       // corpus per batch (data batch + watermark finalization batch)
       val baseline = CurationStream.vocabBaseline(docs).localCheckpoint()
-      runBoundedStream(s, dir, "drift") {
-        docs
-          .select(
-            timestamp_seconds(pmod(col("doc_id"), lit(SpanSec))).as("ts"),
-            col("source"),
-            col("text"))
-          .unionByName(s.range(1).select(
-            timestamp_seconds(lit(100000L)).as("ts"),
-            lit("__sentinel__").as("source"),
-            lit("x").as("text")))
-      } { (stream, ckpt, sink) =>
+      runBoundedStream(s, dir, "drift")(docsStreamInput(s, dir)) { (stream, ckpt, sink) =>
         CurationStream.vocabDrift(
           stream,
           baseline,
@@ -144,7 +151,27 @@ object StreamQueries {
         col("n"),
         round(col("cents") / 100.0, 2).as("total"))
         .orderBy(col("window_start"), col("event_type"))
-    })
+    }),
+
+    // The streaming LEADERBOARD path (EventStreams.trendingTerms) with its
+    // bytes on the board: windowed token counts in append mode, then the
+    // top-k RANKING inside foreachBatch — window functions are illegal on
+    // unbounded streams, but a closed window is a bounded batch, so the
+    // rank runs as ordinary batch work on finalized rows (and a window's
+    // rows always close together, so every window is ranked whole). Third
+    // distinct streaming composition proven byte-for-byte: stateful agg →
+    // per-batch post-processing → sink. Streams the SAME memoized corpus
+    // copy as q171.
+    "q173_trending_terms_stream" -> ((s, dir) =>
+      runBoundedStream(s, dir, "drift")(docsStreamInput(s, dir)) { (stream, ckpt, sink) =>
+        graft.streaming.EventStreams.trendingTerms(
+          stream,
+          windowLength = s"$WindowSec seconds",
+          watermark = "0 seconds",
+          k = TrendK,
+          checkpointDir = ckpt
+        )(sink)
+      }.orderBy(col("window_start"), col("rank")))
   )
 
   val oracles: Map[String, String] = {
@@ -189,7 +216,21 @@ object StreamQueries {
              |    count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS cents
              |  FROM events GROUP BY 1, 2)
              |SELECT window_start, event_type, n, round(cents / 100.0, 2) AS total
-             |FROM c ORDER BY window_start, event_type""".stripMargin
+             |FROM c ORDER BY window_start, event_type""".stripMargin,
+
+      // Same window assignment as q171; token counts per window (RAW text,
+      // not lowercased — the trendingTerms contract), rank by (n DESC,
+      // token) with the identical binary string tie-break, top-TrendK.
+      "q173_trending_terms_stream" ->
+        raw"""WITH base AS (
+             |  SELECT ((doc_id % $SpanSec) // $WindowSec) * $WindowSec AS ws, text FROM documents),
+             | toks AS (SELECT ws, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM base),
+             | tok2 AS (SELECT ws, token FROM toks WHERE token <> ''),
+             | c AS (SELECT ws, token, count(*) AS n FROM tok2 GROUP BY 1, 2),
+             | r AS (SELECT ws, token, n,
+             |    CAST(row_number() OVER (PARTITION BY ws ORDER BY n DESC, token) AS BIGINT) AS rank FROM c)
+             |SELECT make_timestamp(ws * 1000000) AS window_start, token, n, rank
+             |FROM r WHERE rank <= $TrendK ORDER BY window_start, rank""".stripMargin
     )
   }
 }

@@ -45,6 +45,23 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(keys.toSet == expected, "closed-window coverage mismatch vs the batch key set")
   }
 
+  test("q173: per-window leaderboard is complete, contiguous, and sentinel-free") {
+    val rows = SparkEntry.queries("q173_trending_terms_stream")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // a window's rows all close in one batch, so its leaderboard is ranked
+    // whole: ranks must be exactly 1..min(k, distinct tokens) per window
+    rows.groupBy(_.getTimestamp(0)).foreach { case (w, rs) =>
+      val ranks = rs.map(_.getLong(3)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"ranks not contiguous in window $w: $ranks")
+      assert(ranks.length <= 5, s"window $w exceeded the leaderboard depth")
+    }
+    // counts within a window never increase as rank worsens
+    rows.groupBy(_.getTimestamp(0)).foreach { case (w, rs) =>
+      val byRank = rs.sortBy(_.getLong(3)).map(_.getLong(2)).toSeq
+      assert(byRank == byRank.sorted.reverse, s"counts not ranked descending in window $w")
+    }
+  }
+
   test("q171: re-run with a fresh checkpoint is byte-deterministic") {
     val a = SparkEntry.queries("q171_vocab_drift_stream")(spark, dir).collect()
     val b = SparkEntry.queries("q171_vocab_drift_stream")(spark, dir).collect()
