@@ -29,7 +29,20 @@ object StreamQueries {
 
   private val WindowSec = 60L  // q171/q173 tumbling window length
   private val SpanSec   = 600L // q171/q173 synthesized event-time span → 10 windows
-  private val TrendK    = 5    // q173 leaderboard depth per window
+  private[graft] val TrendK = 5 // q173 leaderboard depth per window (spec reads it)
+
+  /** q172's windowed aggregate transform — hourly tumbling windows per
+    * event_type with the exact integer-cents value sum. Batch/stream
+    * agnostic (the watermark, if any, is the caller's), so the
+    * checkpoint-recovery spec runs the IDENTICAL transform the registered
+    * query runs instead of a hand-maintained copy.
+    */
+  private[graft] def eventWindowCents(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("cents"))
 
   /** Run a BOUNDED stream once and return its sink rows.
     *
@@ -138,15 +151,7 @@ object StreamQueries {
           lit("__sentinel__").as("event_type"),
           lit(0.0).as("value")))
       } { (stream, ckpt, sink) =>
-        stream
-          .withWatermark("ts", "0 seconds")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(
-            count(lit(1)).as("n"),
-            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
-          .select(
-            col("window.start").as("window_start"), col("event_type"), col("n"), col("cents"))
-          .writeStream
+        eventWindowCents(stream.withWatermark("ts", "0 seconds")).writeStream
           .outputMode("append") // each (window, event_type) emits once, on close
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, _: Long) => sink(batch); () }

@@ -53,7 +53,8 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
     rows.groupBy(_.getTimestamp(0)).foreach { case (w, rs) =>
       val ranks = rs.map(_.getLong(3)).sorted.toSeq
       assert(ranks == (1L to ranks.length), s"ranks not contiguous in window $w: $ranks")
-      assert(ranks.length <= 5, s"window $w exceeded the leaderboard depth")
+      assert(ranks.length <= graft.queries.StreamQueries.TrendK,
+        s"window $w exceeded the leaderboard depth")
     }
     // counts within a window never increase as rank worsens
     rows.groupBy(_.getTimestamp(0)).foreach { case (w, rs) =>
@@ -79,14 +80,22 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
       .events(spark, dir)
       .select(col("ts"), col("event_type"), col("value"))
     val maxUs = events.agg(max(col("ts"))).first().getTimestamp(0).getTime * 1000L
+    // watermark delay LONGER than the whole event-time span: run 1's
+    // finalization batch (watermark = max ts − delay, before every window
+    // end) closes NOTHING, so the checkpoint carries EVERY window's
+    // pending state across the restart — without this, the post-data-batch
+    // watermark advance would finalize all but the last window before the
+    // stop, and the test would only prove single-window recovery
+    val delayHours = 24L * 365
 
-    def start() = spark.readStream
-      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
-      .parquet(in)
-      .withWatermark("ts", "0 seconds")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("cents"))
+    // the IDENTICAL transform the registered q172 runs (StreamQueries
+    // shares it), not a hand-maintained copy
+    def start() = graft.queries.StreamQueries
+      .eventWindowCents(
+        spark.readStream
+          .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+          .parquet(in)
+          .withWatermark("ts", s"$delayHours hours"))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)
@@ -96,19 +105,21 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
       }
       .start()
 
-    // run 1: the data only — no window can close (watermark = max ts, the
-    // last window's end is beyond it), state is checkpointed, query stops
+    // run 1: the data only — nothing can close, all state checkpoints
     events.write.mode("append").parquet(in)
     val q1 = start()
     try q1.processAllAvailable()
     finally q1.stop()
+    assert(!new java.io.File(outP).exists() ||
+      spark.read.parquet(outP).isEmpty,
+      "run 1 must close no window — the recovery test needs all state pending at the stop")
     // run 2: a NEW query restarted from the same checkpoint sees only the
-    // appended sentinel, recovers the windowed state, and finalizes every
-    // real window exactly once
+    // appended sentinel (past delay + every window end), recovers ALL
+    // windowed state, and finalizes every real window exactly once
     spark
       .range(1)
       .select(
-        timestamp_micros(lit(maxUs + 2L * 3600L * 1000000L)).as("ts"),
+        timestamp_micros(lit(maxUs + (delayHours + 2L) * 3600L * 1000000L)).as("ts"),
         lit("__sentinel__").as("event_type"),
         lit(0.0).as("value"))
       .write.mode("append").parquet(in)
