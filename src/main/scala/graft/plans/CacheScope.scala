@@ -36,12 +36,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *   - a frame that is never acted on normally never materializes the
   *     cache, so the (unreachable-but-registered) entries hold no
   *     storage; the listener costs one cheap plan compare per session
-  *     action until then. The exception is a scope whose BUILD runs an
-  *     eager action internally (q151/q152's per-round localCheckpoint):
-  *     there the registered entries materialize at construction, and an
-  *     abandoned frame holds them until session end — the same lifetime
-  *     an unscoped persist would have had, so the scope is never WORSE
-  *     than the bare pattern it replaces;
+  *     action until then. A scope whose BUILD runs an eager action
+  *     internally (q151/q152's per-round localCheckpoint) materializes
+  *     entries at construction — those are released AT BUILD END when the
+  *     returned plan no longer references them (their only consumers were
+  *     the build's own actions, which have completed), so an ABANDONED
+  *     frame holds no cache either; only entries the returned plan still
+  *     reads stay registered for the consuming-action release;
   *   - two LIVE frames built from the same query function have
   *     canonically identical plans, so the first frame's action releases
   *     both scopes (CacheManager entries are shared by canonical plan
@@ -66,6 +67,30 @@ object CacheScope {
     val out = build(keep)
     if (held.nonEmpty) {
       val target = out.queryExecution.analyzed
+      // Entries the returned plan no longer references were consumed only by
+      // the build's own internal eager actions (now complete) — release them
+      // HERE so an abandoned frame holds no cache. The reference check is a
+      // fixpoint: an entry feeding a RETAINED entry's (possibly not yet
+      // materialized) plan must itself stay, or the consuming action would
+      // recompute it uncached.
+      def references(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          h: DataFrame): Boolean = {
+        val t = h.queryExecution.analyzed
+        (plan +: plan.subqueriesAll).exists(_.exists(_.sameResult(t)))
+      }
+      val retained = {
+        var keep = held.filter(h => references(target, h))
+        var grew = true
+        while (grew) {
+          val next = held.filter(h =>
+            keep.contains(h) || keep.exists(k => references(k.queryExecution.analyzed, h)))
+          grew = next.size != keep.size
+          keep = next
+        }
+        keep
+      }
+      held.filterNot(retained.contains).foreach(_.unpersist(blocking = false))
+      if (retained.isEmpty) return out
       val listener = new QueryExecutionListener {
         // `exists` walks the plan tree but not plans nested inside
         // expressions — a consumer embedding the scoped frame in a
@@ -77,7 +102,7 @@ object CacheScope {
         }
         private def release(qe: QueryExecution): Unit =
           if (contains(qe)) {
-            held.foreach(_.unpersist(blocking = false))
+            retained.foreach(_.unpersist(blocking = false))
             s.listenerManager.unregister(this)
           }
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =

@@ -836,7 +836,8 @@ object TextQueries {
     // piece counts and breaks the hash — q152 gates the whole learned
     // tokenizer, applied.
     "q152_bpe_fertility" -> ((s, dir) => CacheScope.scoped(s) { keep =>
-      val pieces = bpeChain(s, dir, keep)._1.select(col("w"), size(col("syms")).cast("long").as("n_pieces"))
+      val pieces = bpeChain(s, dir, keep, checkpointFinal = true)._1
+        .select(col("w"), size(col("syms")).cast("long").as("n_pieces"))
       Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("lang"), explode(tokens(lower(col("text")))).as("w"))
@@ -859,11 +860,21 @@ object TextQueries {
     * (w, freq, syms) vocabulary after [[BpeRounds]] merges and the
     * per-round top-[[BpeTopReport]] candidate reports. `keep` is the
     * caller's [[CacheScope]] registration — the vocabulary dimension feeds
-    * every round (eagerly, via the per-round checkpoint) and the final
-    * vocab, and is released when the caller's consuming action completes.
+    * every round eagerly via the per-round checkpoints, so by the time the
+    * chain returns it is fully materialized AND (with `checkpointFinal`)
+    * fully consumed: the per-round reports read the ranking checkpoints,
+    * and the final vocab is itself checkpointed for q152, leaving the
+    * `words` cache entry unreferenced by either returned plan. CacheScope
+    * therefore releases it at scope-construction time — an abandoned
+    * q151/q152 frame holds no cache (CacheHygieneSpec pins this).
+    *
+    * @param checkpointFinal pin the post-merge vocabulary eagerly (q152,
+    *        whose returned plan applies it; q151 reads only the reports and
+    *        skips the extra materialization)
     */
   private def bpeChain(
-      s: SparkSession, dir: String, keep: DataFrame => DataFrame): (DataFrame, Seq[DataFrame]) = {
+      s: SparkSession, dir: String, keep: DataFrame => DataFrame,
+      checkpointFinal: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     val words = keep(Tables
       .spread(Tables.documents(s, dir), col("doc_id"))
       .select(explode(tokens(lower(col("text")))).as("w"))
@@ -871,7 +882,7 @@ object TextQueries {
       .agg(count(lit(1)).as("freq"))
       .withColumn("syms", filter(split(col("w"), ""), c => c =!= ""))
     ) // vocabulary dimension — every round reads it
-    (1 to BpeRounds).foldLeft((words, Seq.empty[DataFrame])) { case ((syms, reports), r) =>
+    val (vocab, reports) = (1 to BpeRounds).foldLeft((words, Seq.empty[DataFrame])) { case ((syms, reports), r) =>
       val pairs = syms
         .filter(size(col("syms")) >= 2)
         .select(
@@ -906,6 +917,7 @@ object TextQueries {
         .select(col("w"), col("freq"), bpeMerge(col("syms"), col("left_sym"), col("right_sym")).as("syms"))
       (merged, reports :+ report)
     }
+    (if (checkpointFinal) vocab.localCheckpoint() else vocab, reports)
   }
 
   /** q151's merge application: fuse every greedy left-to-right

@@ -95,6 +95,19 @@ class CacheHygieneSpec extends AnyFunSuite with SparkSpec {
     assertCacheDrains("subquery-consumed CacheScope frame")
   }
 
+  test("an abandoned eager-build scope (q151/q152) leaves no cache") {
+    // q151/q152's build runs eager actions internally (the per-round
+    // localCheckpoints), so its persists materialize at CONSTRUCTION —
+    // CacheScope must release them at build end (the returned plans read
+    // only the checkpoints), not wait for a consuming action that may
+    // never come. Build both frames and NEVER act on them.
+    spark.catalog.clearCache()
+    SparkEntry.queries("q151_bpe_merges")(spark, dir)
+    assertCacheDrains("abandoned q151_bpe_merges frame")
+    SparkEntry.queries("q152_bpe_fertility")(spark, dir)
+    assertCacheDrains("abandoned q152_bpe_fertility frame")
+  }
+
   test("a CacheScope frame stays correct on a second action (recompute, uncached)") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("q108_countmin_topk")(spark, dir)
