@@ -44,38 +44,66 @@ object StreamQueries {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("cents"))
 
-  /** Run a BOUNDED stream once and return its sink rows.
+  /** Core of the bounded-stream scaffold: a session-memoized INPUT build
+    * plus a fresh per-invocation checkpoint/output temp pair.
     *
-    * The parquet INPUT copy (data + sentinel — the full-corpus artifact)
-    * is session-memoized per (session, `tag`, `dir`): a bench's five
+    * The parquet input (data + sentinel — the full-corpus artifact) is
+    * session-memoized per (session, `tag`, `dir`): a bench's five
     * invocations of the same query write it once and stream from the same
     * files, instead of accumulating five corpus copies under /tmp at deep
-    * scale. The CHECKPOINT must be fresh per invocation — append mode
-    * re-running on a used checkpoint would treat every batch as already
-    * committed and emit nothing — and the sink dir rides with it; both
-    * hold only window summaries and die with the JVM.
+    * scale. `build` writes whatever the query streams from under the memo
+    * root (by convention `/in`, plus any static side tables). The
+    * CHECKPOINT must be fresh per invocation — append mode re-running on a
+    * used checkpoint would treat every batch as already committed and emit
+    * nothing — and the sink dir rides with it; both hold only bounded
+    * summaries and die with the JVM.
     *
-    * `start` receives the streaming source frame, the checkpoint path, and
-    * the append-to-parquet sink; every foreachBatch output row lands in the
-    * returned frame exactly once (append-mode close-once emission; the
-    * no-closed-windows data batch appends an empty file, which also
-    * guarantees the path exists even if NO window ever closes).
+    * `start` receives the memo root, the checkpoint path, and the
+    * append-to-parquet sink; every foreachBatch output row lands in the
+    * returned frame exactly once (close-once emission; a no-output batch
+    * appends an empty file, which also guarantees the path exists even if
+    * NOTHING ever emits).
+    */
+  private def runBounded(s: SparkSession, dir: String, tag: String)(
+      build: String => Unit)(
+      start: (String, String, DataFrame => Unit) => StreamingQuery): DataFrame = {
+    val root = graft.sources.SessionMemo.dir(s, s"stream-in-$tag", dir)(build)
+    val tmp  = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val outP = s"$tmp/out"
+    val q = start(root, s"$tmp/ckpt", batch => batch.write.mode("append").parquet(outP))
+    try {
+      q.processAllAvailable() // data batch(es) + watermark-advance finalization batch
+    } finally q.stop()
+    s.read.parquet(outP)
+  }
+
+  /** [[runBounded]] specialized to the one-streaming-source shape: `input`
+    * is materialized once per session as the memoized stream input, and
+    * `start` receives the streaming source frame directly.
     */
   private def runBoundedStream(s: SparkSession, dir: String, tag: String)(
       input: => DataFrame)(
-      start: (DataFrame, String, DataFrame => Unit) => StreamingQuery): DataFrame = {
-    val in = graft.sources.SessionMemo.dir(s, s"stream-in-$tag", dir) { b =>
-      input.write.parquet(s"$b/in")
-    } + "/in"
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
-    graft.sources.SessionMemo.deleteOnExit(tmp)
-    val outP   = s"$tmp/out"
-    val stream = s.readStream.schema(s.read.parquet(in).schema).parquet(in)
-    val q = start(stream, s"$tmp/ckpt", batch => batch.write.mode("append").parquet(outP))
-    try {
-      q.processAllAvailable() // data batch + watermark-advance finalization batch
-    } finally q.stop()
-    s.read.parquet(outP)
+      start: (DataFrame, String, DataFrame => Unit) => StreamingQuery): DataFrame =
+    runBounded(s, dir, tag)(b => input.write.parquet(s"$b/in")) { (root, ckpt, sink) =>
+      val in = s"$root/in"
+      start(s.readStream.schema(s.read.parquet(in).schema).parquet(in), ckpt, sink)
+    }
+
+  /** q172's memo-build frame: the events projection with `max(ts)` attached
+    * as an OBSERVED metric, so the sentinel-dating pass and the data write
+    * are the same single scan (plan-gated in PlanQualitySpec: one
+    * events.parquet scan, one CollectMetrics node). `private[graft]` so the
+    * gate reads the exact frame the build writes.
+    */
+  private[graft] def observedEventsInput(
+      s: SparkSession, dir: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = Tables
+      .events(s, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .observe(obs, max(unix_micros(col("ts"))).as("max_us"))
+    (observed, obs)
   }
 
   /** The shared documents-as-a-stream input (ts synthesized from doc_id,
@@ -134,23 +162,28 @@ object StreamQueries {
     // EventStreams.windowedStats shape — byte-for-byte against a DuckDB
     // oracle, with real (non-synthesized) event time.
     "q172_event_windows_stream" -> ((s, dir) => {
-      val events = Tables
-        .events(s, dir)
-        .select(col("ts"), col("event_type"), col("value"))
-      runBoundedStream(s, dir, "eventwin") {
-        // one bounded driver read: the sentinel must postdate the LAST
-        // real window's end so watermark(max ts - 0s) closes every real
-        // window; an EMPTY events table anchors the sentinel at the epoch
-        // (only the never-closing sentinel window exists → empty output,
-        // matching the oracle's empty result instead of an NPE)
-        val maxUs = Option(events.agg(max(col("ts"))).first().getTimestamp(0))
-          .map(_.getTime * 1000L)
-          .getOrElse(0L)
-        events.unionByName(s.range(1).select(
+      runBounded(s, dir, "eventwin") { b =>
+        // ONE corpus scan: max(ts) rides the data write as an observed
+        // metric (CollectMetrics — the O2 `Dataset.observe` machinery), so
+        // the sentinel needs no second pass over events. The sentinel must
+        // postdate the LAST real window's end so watermark(max ts - 0s)
+        // closes every real window; an EMPTY events table anchors it at the
+        // epoch (only the never-closing sentinel window exists → empty
+        // output, matching the oracle's empty result instead of an NPE).
+        val (observed, obs) = observedEventsInput(s, dir)
+        observed.write.parquet(s"$b/in")
+        val maxUs = obs.get.get("max_us").flatMap(Option(_)) match {
+          case Some(l: java.lang.Long) => l.longValue()
+          case _                       => 0L
+        }
+        s.range(1).select(
           timestamp_micros(lit(maxUs + 2L * 3600L * 1000000L)).as("ts"),
           lit("__sentinel__").as("event_type"),
-          lit(0.0).as("value")))
-      } { (stream, ckpt, sink) =>
+          lit(0.0).as("value"))
+          .write.mode("append").parquet(s"$b/in")
+      } { (root, ckpt, sink) =>
+        val in     = s"$root/in"
+        val stream = s.readStream.schema(s.read.parquet(in).schema).parquet(in)
         eventWindowCents(stream.withWatermark("ts", "0 seconds")).writeStream
           .outputMode("append") // each (window, event_type) emits once, on close
           .option("checkpointLocation", ckpt)

@@ -356,6 +356,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("q172 stream input build is a single events scan (sentinel rides an observed metric)") {
+    // the memoBuildPlan treatment: the registered query streams from the
+    // session memo, so the one-scan claim gates the BUILD frame — max(ts)
+    // for the sentinel must be a CollectMetrics observation ON the data
+    // write, never a second driver-side pass over events
+    val (observed, _) = StreamQueries.observedEventsInput(spark, dir)
+    val build = observed.queryExecution.executedPlan.toString
+    val eventScans = build.split('\n').count(l => l.contains("events.parquet") && l.contains("Scan"))
+    assert(eventScans == 1, s"expected 1 events scan in the build, got $eventScans:\n" + build.take(1200))
+    assert(build.contains("CollectMetrics"), "sentinel max(ts) must ride the write as an observation:\n" +
+      build.take(1200))
+    // and the registered query itself never re-reads events: its returned
+    // frame is a pure function of the bounded sink parquet
+    val plan = executedPlan("q172_event_windows_stream")
+    assert(!plan.contains("events.parquet"),
+      "q172's returned frame must read only the stream sink:\n" + plan.take(1200))
+  }
+
   test("q148 packing cumulates through _pid-partitioned windows (never one task)") {
     val plan = executedPlan("q148_seq_packing")
     val windowLines = plan.split('\n').filter(_.contains("Window ["))
