@@ -43,6 +43,45 @@ object ParityQueries {
           .as("rails")
       )
 
+  /** [[paymentsFromEvents]] with the reference model's LONG amounts
+    * (`Payment.java`: `amount` is a `long`): `value` is quantized ONCE to
+    * integer cents (the q141 rounding pattern), so every downstream sum —
+    * including the streaming update-mode balance state behind q174, whose
+    * [[graft.streaming.PaymentPipeline.BalanceStore]] changelog is BIGINT —
+    * is exact integer arithmetic, order- and batch-boundary-independent.
+    */
+  def paymentsFromEventsCents(spark: SparkSession, sfDir: String): DataFrame =
+    paymentsFromEvents(spark, sfDir)
+      .withColumn("amount", expr("CAST(round(amount * 100) AS BIGINT)"))
+
+  /** [[paymentsCte]] over the cents amounts — the q174/q175 oracle base.
+    * `amount` is BIGINT, so the FX multiply casts to DOUBLE explicitly:
+    * DuckDB would otherwise evaluate `BIGINT * 0.8` in exact DECIMAL while
+    * Spark multiplies doubles, and the two can disagree at floor/.5
+    * boundaries.
+    */
+  val paymentsCteCents: String =
+    """WITH payments AS (
+      |  SELECT CAST(event_id AS VARCHAR) AS payment_id,
+      |         CAST(round(value * 100) AS BIGINT) AS amount,
+      |         CASE WHEN event_type = 'click' THEN 'USD' ELSE 'GBP' END AS currency,
+      |         'SINK' AS to_account,
+      |         CAST(user_id AS VARCHAR) AS from_account,
+      |         CASE WHEN event_type IN ('purchase','view') THEN 'BANK_RAILS_FOO'
+      |              WHEN event_type = 'click' THEN 'BANK_RAILS_BAR'
+      |              ELSE 'BANK_RAILS_XXX' END AS rails
+      |  FROM events),
+      | supported AS (SELECT * FROM payments WHERE rails IN ('BANK_RAILS_FOO','BANK_RAILS_BAR')),
+      | fx AS (SELECT payment_id,
+      |               CAST(floor(CAST(amount AS DOUBLE) * 0.8) +
+      |                    (CASE WHEN CAST(amount AS DOUBLE) * 0.8 - floor(CAST(amount AS DOUBLE) * 0.8) >= 0.5
+      |                          THEN 1 ELSE 0 END) AS BIGINT) AS amount,
+      |               'GBP' AS currency, to_account, from_account, rails
+      |        FROM supported WHERE currency = 'USD'),
+      | merged AS (SELECT * FROM supported WHERE currency = 'GBP'
+      |            UNION ALL SELECT * FROM fx)
+      |""".stripMargin
+
   /** The same derivation as [[paymentsFromEvents]] for the DuckDB oracle. */
   val paymentsCte: String =
     """WITH payments AS (

@@ -215,8 +215,83 @@ object StreamQueries {
           k = TrendK,
           checkpointDir = ckpt
         )(sink)
-      }.orderBy(col("window_start"), col("rank")))
+      }.orderBy(col("window_start"), col("rank"))),
+
+    // THE REFERENCE'S FLAGSHIP TOPOLOGY under the streaming byte gate
+    // (reference `PaymentTopology.java:39-98`): rails filter → currency
+    // branch → FX → merge → UPDATE-MODE balance aggregation, executed by
+    // `PaymentPipeline.start` itself as real StreamingQueries over a
+    // multi-batch file source (`maxFilesPerTrigger=1` → one micro-batch per
+    // input file, so the changelog genuinely re-emits updated keys across
+    // batches — the KTable changelog contract). The registered result is
+    // the balance SNAPSHOT reconstructed from the BalanceStore's parquet
+    // changelog (latest committed batch per key, fully distributed), so a
+    // wrong update emission in ANY batch breaks the hash. Amounts are the
+    // reference model's LONGs (integer cents), making the streamed state
+    // exact integer arithmetic — batch-boundary-independent by
+    // construction.
+    "q174_payment_topology_stream" -> ((s, dir) => {
+      val in  = paymentsMemo(s, dir)
+      val tmp = freshTmp("pay")
+      val stream = s.readStream
+        .schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      val rt = graft.streaming.PaymentPipeline.start(stream, s"$tmp/ckpt", s"$tmp/sink")
+      try rt.processAllAvailable()
+      finally rt.stop()
+      new graft.streaming.PaymentPipeline.BalanceStore(s, s"$tmp/sink/_balance_state").snapshotDf
+        .select(col("fromAccount").as("from_account"), col("balance").as("balance_cents"))
+        .orderBy(col("from_account"))
+    }),
+
+    // The topology's DUAL-RAILS SINK ROUTING byte-gated through the
+    // single-pass entry point (`PaymentPipeline.startSinglePass` — one
+    // streaming query writes both outbound "topics" via a tagged
+    // partitioned write AND maintains the delta changelog, the reference's
+    // one-consumer execution shape, `PaymentTopology.java:90-97`). The
+    // registered result summarizes the routed sink partitions per topic;
+    // a record routed to the wrong rails, dropped, or duplicated breaks
+    // count and total.
+    "q175_payment_sinks_stream" -> ((s, dir) => {
+      val in  = paymentsMemo(s, dir)
+      val tmp = freshTmp("paysink")
+      val stream = s.readStream
+        .schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(in)
+      val (q, _) = graft.streaming.PaymentPipeline.startSinglePass(stream, s"$tmp/ckpt", s"$tmp/sink")
+      try q.processAllAvailable()
+      finally q.stop()
+      s.read.parquet(s"$tmp/sink")
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"), round(sum(col("amount")) / 100.0, 2).as("total"))
+        .orderBy(col("topic"))
+    })
   )
+
+  /** Input-file count for the payment-stream memo: with one-file triggers
+    * the update-mode changelog spans this many micro-batches per run.
+    */
+  private val PayFiles = 4
+
+  /** The q174/q175 shared memoized stream input — the cents-amount payment
+    * frame ([[ParityQueries.paymentsFromEventsCents]]) in [[PayFiles]]
+    * files.
+    */
+  private def paymentsMemo(s: SparkSession, dir: String): String =
+    graft.sources.SessionMemo.dir(s, "stream-in-pay", dir) { b =>
+      ParityQueries.paymentsFromEventsCents(s, dir).repartition(PayFiles).write.parquet(s"$b/in")
+    } + "/in"
+
+  /** Fresh per-invocation checkpoint/sink root (the used-checkpoint rule:
+    * only the INPUT is memoizable — see [[runBounded]]).
+    */
+  private def freshTmp(tag: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    tmp.toString
+  }
 
   val oracles: Map[String, String] = {
     val h60 =
@@ -274,7 +349,24 @@ object StreamQueries {
              | r AS (SELECT ws, token, n,
              |    CAST(row_number() OVER (PARTITION BY ws ORDER BY n DESC, token) AS BIGINT) AS rank FROM c)
              |SELECT make_timestamp(ws * 1000000) AS window_start, token, n, rank
-             |FROM r WHERE rank <= $TrendK ORDER BY window_start, rank""".stripMargin
+             |FROM r WHERE rank <= $TrendK ORDER BY window_start, rank""".stripMargin,
+
+      // The q09 balance shape over the cents-amount payment mapping: the
+      // stream's final update-mode snapshot must equal the batch grouped
+      // sum exactly (integer cents — no rounding anywhere).
+      "q174_payment_topology_stream" ->
+        (ParityQueries.paymentsCteCents +
+          "SELECT from_account, CAST(sum(amount) AS BIGINT) AS balance_cents " +
+          "FROM merged GROUP BY from_account ORDER BY from_account"),
+
+      // The q11 sink-routing shape with the reference's actual topic names
+      // (`application.yml:13-15`): per-topic record count + total, one
+      // display division from the exact integer-cents sum.
+      "q175_payment_sinks_stream" ->
+        (ParityQueries.paymentsCteCents +
+          "SELECT CASE WHEN rails = 'BANK_RAILS_FOO' THEN 'rails-foo-topic' ELSE 'rails-bar-topic' END AS topic, " +
+          "count(*) AS n, round(CAST(sum(amount) AS BIGINT) / 100.0, 2) AS total " +
+          "FROM merged GROUP BY 1 ORDER BY topic")
     )
   }
 }

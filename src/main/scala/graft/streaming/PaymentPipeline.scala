@@ -100,19 +100,26 @@ object PaymentPipeline {
         if (r.isNullAt(0)) None else Some(r.getLong(0))
       }
 
-    /** Full current state (drives tests/exports — a driver-side Map by
-      * intent; everything else stays distributed).
+    /** Full current state as a DISTRIBUTED frame (`fromAccount`, `balance`)
+      * — latest committed batch wins per key. This is the surface the
+      * byte-gated q174 board row hashes: the snapshot derives from the
+      * changelog parquet the stream's foreachBatch wrote, never from
+      * driver-side state.
       */
-    def snapshot: Map[String, Long] =
+    def snapshotDf: DataFrame =
       changelog
         .map(
           _.groupBy(col("fromAccount"))
-            .agg(max_by(col("balance"), col("batch_id")).as("balance"))
-            .collect()
-            .map(r => r.getString(0) -> r.getLong(1))
-            .toMap
-        )
-        .getOrElse(Map.empty)
+            .agg(max_by(col("balance"), col("batch_id")).as("balance")))
+        .getOrElse(
+          spark.range(0).selectExpr(
+            "CAST(NULL AS STRING) AS fromAccount", "CAST(NULL AS BIGINT) AS balance"))
+
+    /** Full current state (drives tests/exports — a driver-side Map by
+      * intent; everything else stays distributed via [[snapshotDf]]).
+      */
+    def snapshot: Map[String, Long] =
+      snapshotDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     private[streaming] def append(batch: Dataset[Row], batchId: Long): Unit = {
       batch

@@ -140,6 +140,68 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
       "restart-recovered output differs from the uninterrupted run")
   }
 
+  test("q174 update-mode contract: a batch emits only its changed keys, re-emitting cumulative sums") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-upd-")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val in   = s"$tmp/in"
+    val cols = Seq("paymentId", "amount", "currency", "toAccount", "fromAccount", "rails")
+    // file 1: accounts a (GBP 100 cents) and b (GBP 250); file 2: b again
+    // via the FX path (USD 125 → round(125·0.8) = 100 GBP cents). With
+    // one-file triggers these are two micro-batches in either order.
+    Seq(("p1", 100L, "GBP", "SINK", "a", "BANK_RAILS_FOO"),
+        ("p2", 250L, "GBP", "SINK", "b", "BANK_RAILS_BAR"))
+      .toDF(cols: _*).coalesce(1).write.parquet(in)
+    Seq(("p3", 125L, "USD", "SINK", "b", "BANK_RAILS_FOO"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(in)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+    val rt = graft.streaming.PaymentPipeline.start(stream, s"$tmp/ckpt", s"$tmp/sink")
+    try rt.processAllAvailable()
+    finally rt.stop()
+    val log = spark.read
+      .schema("fromAccount STRING, balance BIGINT, batch_id BIGINT")
+      .parquet(s"$tmp/sink/_balance_state")
+      .collect()
+    assert(log.map(_.getLong(2)).distinct.length == 2, "one-file triggers must yield two batches")
+    // UPDATE mode: the batch that did not touch `a` must not re-emit it
+    val a = log.filter(_.getString(0) == "a")
+    assert(a.length == 1 && a.head.getLong(1) == 100L,
+      s"`a` must emit exactly once with its sum: ${a.mkString(",")}")
+    // `b` re-emits across batches, each emission the CUMULATIVE sum so far;
+    // the latest committed batch carries the final 250 + 100
+    val b = log.filter(_.getString(0) == "b").sortBy(_.getLong(2))
+    assert(b.length == 2, s"`b` must emit in both batches: ${b.mkString(",")}")
+    assert(b.last.getLong(1) == 350L, s"final cumulative sum wrong: ${b.mkString(",")}")
+    assert(Set(100L, 250L).contains(b.head.getLong(1)),
+      s"first emission must be that batch's own cumulative sum: ${b.mkString(",")}")
+    // the queryable store agrees (404 contract on an absent key)
+    assert(rt.store.get("a").contains(100L) && rt.store.get("b").contains(350L)
+      && rt.store.get("zz").isEmpty)
+  }
+
+  test("q174/q175 registered rows match the batch topology twins") {
+    import org.apache.spark.sql.functions._
+    val pay = ParityQueries.paymentsFromEventsCents(spark, dir)
+    val t   = graft.operators.PaymentOps.topology(pay)
+    val balances = t.balances.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q174_payment_topology_stream")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == balances, "streamed snapshot differs from the batch topology")
+    val routed = graft.operators.PaymentOps
+      .branchFirstMatch(t.merged, "topic",
+        Seq("rails-foo-topic" -> (col("rails") === "BANK_RAILS_FOO"),
+            "rails-bar-topic" -> (col("rails") === "BANK_RAILS_BAR")))
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n"), round(sum(col("amount")) / 100.0, 2).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val sinks = SparkEntry.queries("q175_payment_sinks_stream")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sinks == routed, "routed sink summary differs from the batch topology")
+  }
+
   test("q172: every real (window, event_type) emits exactly once; totals match the batch twin") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q172_event_windows_stream")(spark, dir).collect()
