@@ -267,6 +267,61 @@ object StreamQueries {
         .groupBy(col("topic"))
         .agg(count(lit(1)).as("n"), round(sum(col("amount")) / 100.0, 2).as("total"))
         .orderBy(col("topic"))
+    }),
+
+    // STREAMING DEDUP STATE under the byte gate — the fourth stateful
+    // composition class (q171-q173 are window aggregates; this is
+    // `dropDuplicatesWithinWatermark` first-wins keyed state): the
+    // nightly-crawl ingest shape `CurationStream.curateIncremental` run as
+    // a real stream. Today's crawl slice (doc_id % 10 >= 7) streams in with
+    // INJECTED within-run duplicates (every doc_id % 3 == 0 document
+    // arrives twice, 30 s apart) and a `seen` table that already contains
+    // part of the shard (doc_id % 5 == 0) plus the historical corpus — so
+    // BOTH drop paths (the stream-static anti join and the watermarked
+    // within-stream dedup) must fire or the sink's fingerprint multiset
+    // breaks the hash. Output = the surviving content fingerprints (the
+    // deterministic projection: which ROW wins a duplicate race is
+    // arbitrary, which FINGERPRINT survives is not). The watermark horizon
+    // (1 h) exceeds the synthesized event-time span, so nothing is late
+    // and the run dedups globally; emission is immediate (a dedup is a
+    // stateful filter, not a window), so no sentinel is needed.
+    "q176_curation_dedup_stream" -> ((s, dir) => {
+      runBounded(s, dir, "curate") { b =>
+        // one documents scan for the stream input: the duplicate copies
+        // ride an explode over a per-row copy count, not a second scan
+        Tables.documents(s, dir)
+          .filter(col("doc_id") % 10 >= 7)
+          .select(
+            col("doc_id"),
+            col("text"),
+            explode(expr("sequence(0, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)")).as("copy"))
+          .select(
+            col("doc_id"),
+            timestamp_seconds(pmod(col("doc_id"), lit(SpanSec)) + col("copy") * lit(30L)).as("ts"),
+            col("text"))
+          .write.parquet(s"$b/in")
+        // the historical fingerprint table — in production a maintained
+        // artifact of yesterday's corpus, here built once per session
+        Tables.documents(s, dir)
+          .filter(col("doc_id") % 10 < 7 || col("doc_id") % 5 === 0)
+          .select(CurationStream.fingerprint(col("text")).as("fp"))
+          .distinct()
+          .write.parquet(s"$b/seen")
+      } { (root, ckpt, sink) =>
+        val in     = s"$root/in"
+        val stream = s.readStream.schema(s.read.parquet(in).schema).parquet(in)
+        val seen   = s.read.parquet(s"$root/seen")
+        CurationStream
+          .curateIncremental(stream, seen, java.time.Duration.ofHours(1), minQuality = 0.5)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            sink(batch.select(CurationStream.fingerprint(col("text")).as("fp")))
+            ()
+          }
+          .start()
+      }.select(col("fp")).orderBy(col("fp"))
     })
   )
 
@@ -366,7 +421,24 @@ object StreamQueries {
         (ParityQueries.paymentsCteCents +
           "SELECT CASE WHEN rails = 'BANK_RAILS_FOO' THEN 'rails-foo-topic' ELSE 'rails-bar-topic' END AS topic, " +
           "count(*) AS n, round(CAST(sum(amount) AS BIGINT) / 100.0, 2) AS total " +
-          "FROM merged GROUP BY 1 ORDER BY topic")
+          "FROM merged GROUP BY 1 ORDER BY topic"),
+
+      // The batch twin restricted to the same slices (the q145 pattern):
+      // survivors = quality-passing crawl-slice fingerprints minus the
+      // seen table. DISTINCT mirrors the within-stream first-wins dedup —
+      // the injected duplicate arrivals collapse to one fingerprint, so a
+      // dedup failure surfaces as extra rows against this oracle.
+      "q176_curation_dedup_stream" ->
+        raw"""WITH seen AS (
+             |  SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
+             |  WHERE doc_id % 10 < 7 OR doc_id % 5 = 0),
+             | survivors AS (
+             |  SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
+             |  WHERE doc_id % 10 >= 7 AND ${OracleSql.quality} >= 0.5)
+             |SELECT fp FROM survivors
+             |WHERE fp IS NOT NULL
+             |  AND fp NOT IN (SELECT fp FROM seen WHERE fp IS NOT NULL)
+             |ORDER BY fp""".stripMargin
     )
   }
 }

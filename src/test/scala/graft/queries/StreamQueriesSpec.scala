@@ -202,6 +202,30 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(sinks == routed, "routed sink summary differs from the batch topology")
   }
 
+  test("q176: both dedup drop paths fire — no seen fingerprint, no duplicate arrival in the sink") {
+    import org.apache.spark.sql.functions._
+    val fps = SparkEntry.queries("q176_curation_dedup_stream")(spark, dir).collect()
+      .map(_.getString(0))
+    assert(fps.nonEmpty)
+    // within-stream first-wins: the injected second arrivals must collapse
+    assert(fps.distinct.length == fps.length, "a duplicate arrival reached the sink")
+    def fp = md5(lower(trim(col("text"))))
+    val docs = graft.sources.Tables.documents(spark, dir)
+    // anti-join path: nothing in the seen table survives
+    val seen = docs.filter(col("doc_id") % 10 < 7 || col("doc_id") % 5 === 0)
+      .select(fp).collect().map(_.getString(0)).toSet
+    assert(fps.toSet.intersect(seen).isEmpty, "a seen fingerprint leaked past the anti join")
+    // and the fixture genuinely exercised the within-stream path: some
+    // surviving fingerprint arrived TWICE in the input (doc_id % 3 == 0,
+    // not in seen, quality-passing)
+    val dupSurvivors = docs
+      .filter(col("doc_id") % 10 >= 7 && col("doc_id") % 3 === 0 && col("doc_id") % 5 =!= 0)
+      .filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5)
+      .select(fp).collect().map(_.getString(0)).toSet
+    assert(dupSurvivors.nonEmpty, "fixture must exercise the duplicate-arrival path")
+    assert(dupSurvivors.subsetOf(fps.toSet), "a twice-arriving new document must survive exactly once")
+  }
+
   test("q172: every real (window, event_type) emits exactly once; totals match the batch twin") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q172_event_windows_stream")(spark, dir).collect()
