@@ -322,8 +322,78 @@ object StreamQueries {
           }
           .start()
       }.select(col("fp")).orderBy(col("fp"))
+    }),
+
+    // STREAM-STREAM JOIN BUFFER under the byte gate — the fifth stateful
+    // class (q171-q173 window aggregates, q174 update aggregate, q176
+    // dedup keys; this is the two-sided interval-join buffer): clicks ⟕
+    // purchases per user within [[JoinWithinSec]], run as a REAL
+    // two-source streaming left-outer join (`StreamJoins
+    // .intervalJoinLeftOuter`) and hashed against the batch interval-join
+    // oracle. Both emission paths carry bytes: matches emit eagerly as
+    // both sides arrive; null-padded rows emit ONLY once the watermark
+    // proves no match can still come (the delayed-emission contract
+    // StreamJoinsSpec pins) — a per-side future sentinel (unmatchable
+    // user_ids −1/−2, two ids so the sentinels cannot match EACH OTHER)
+    // advances both sources' watermarks past every real click's interval,
+    // and its own interval never closes, so it never emits.
+    //
+    // The 32-day watermark exceeds the corpus's whole event-time span —
+    // the bounded-replay stance: NO row is ever late regardless of how the
+    // file source batches, so the stream equals the batch join exactly. A
+    // production deployment tunes the delay to its real lateness bound and
+    // the buffered state shrinks to the delay window; state here is the
+    // corpus slice by construction, not by design.
+    "q177_stream_join_outer" -> ((s, dir) => {
+      runBounded(s, dir, "join") { b =>
+        // ONE events scan: both join sides + the side tag in a single
+        // partitioned write; max(ts) rides the write as an observed metric
+        // (the q172 sentinel treatment)
+        val obs = org.apache.spark.sql.Observation()
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(
+            col("ts"),
+            col("user_id"),
+            col("event_id"),
+            when(col("event_type") === "click", "L").otherwise("R").as("side"))
+          .observe(obs, max(unix_micros(col("ts"))).as("max_us"))
+          .write.partitionBy("side").parquet(s"$b/in")
+        val maxUs = obs.get.get("max_us").flatMap(Option(_)) match {
+          case Some(l: java.lang.Long) => l.longValue()
+          case _                       => 0L
+        }
+        // sentinel instant: past max + delay + within (+2 h margin), so the
+        // final watermark = sentinel − delay clears every real interval
+        val sentUs = maxUs + (JoinDelayDays + 1L) * 86400L * 1000000L + 2L * 3600L * 1000000L
+        s.createDataFrame(java.util.List.of(
+            org.apache.spark.sql.Row(-1L, -1L, "L"), org.apache.spark.sql.Row(-2L, -2L, "R")),
+            org.apache.spark.sql.types.StructType.fromDDL("user_id BIGINT, event_id BIGINT, side STRING"))
+          .select(timestamp_micros(lit(sentUs)).as("ts"), col("user_id"), col("event_id"), col("side"))
+          .write.mode("append").partitionBy("side").parquet(s"$b/in")
+      } { (root, ckpt, sink) =>
+        def side(p: String) =
+          s.readStream.schema(s.read.parquet(s"$root/in/side=$p").schema).parquet(s"$root/in/side=$p")
+        val left  = side("L").withColumnRenamed("event_id", "l_event_id")
+        val right = side("R").withColumnRenamed("event_id", "r_event_id")
+        graft.streaming.StreamJoins
+          .intervalJoinLeftOuter(left, right, "user_id", JoinWithinSec, s"$JoinDelayDays days")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) => sink(batch); () }
+          .start()
+      }.select(
+        col("l_event_id"),
+        col("ts"),
+        coalesce(col("r_event_id"), lit(-1L)).as("r_event_id"),
+        coalesce(col("r_ts"), timestamp_seconds(lit(0))).as("r_ts"))
+        .orderBy(col("l_event_id"), col("r_event_id"))
     })
   )
+
+  private[graft] val JoinWithinSec  = 86400L // q177 interval: purchases within a day of the click
+  private[graft] val JoinDelayDays  = 32L    // q177 watermark delay > the corpus event-time span
 
   /** Input-file count for the payment-stream memo: with one-file triggers
     * the update-mode changelog spans this many micro-batches per run.
@@ -438,7 +508,24 @@ object StreamQueries {
              |SELECT fp FROM survivors
              |WHERE fp IS NOT NULL
              |  AND fp NOT IN (SELECT fp FROM seen WHERE fp IS NOT NULL)
-             |ORDER BY fp""".stripMargin
+             |ORDER BY fp""".stripMargin,
+
+      // The batch interval left join the stream must reproduce exactly:
+      // null-padded sides encode as the −1 / epoch sentinels BOTH engines
+      // apply (a bare NULL would be dtype-unstable under the driver's
+      // string-hash compare). Time bound in integer microseconds — no
+      // interval-literal dialect drift.
+      "q177_stream_join_outer" ->
+        raw"""WITH l AS (
+             |  SELECT event_id AS l_event_id, ts, user_id FROM events WHERE event_type = 'click'),
+             | r AS (
+             |  SELECT event_id AS r_event_id, ts AS r_ts, user_id FROM events WHERE event_type = 'purchase')
+             |SELECT l.l_event_id, l.ts,
+             |  coalesce(r.r_event_id, -1) AS r_event_id,
+             |  coalesce(r.r_ts, make_timestamp(0)) AS r_ts
+             |FROM l LEFT JOIN r ON l.user_id = r.user_id
+             |  AND epoch_us(r.r_ts) - epoch_us(l.ts) BETWEEN 0 AND ${JoinWithinSec * 1000000L}
+             |ORDER BY l_event_id, r_event_id""".stripMargin
     )
   }
 }

@@ -226,6 +226,40 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(dupSurvivors.subsetOf(fps.toSet), "a twice-arriving new document must survive exactly once")
   }
 
+  test("q177: eager matches and watermark-delayed outer rows are disjoint, complete, sentinel-free") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q177_stream_join_outer")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getLong(0) < 0), "a sentinel row emitted — its interval must never close")
+    val matched   = rows.filter(_.getLong(2) >= 0)
+    val unmatched = rows.filter(_.getLong(2) == -1L)
+    assert(matched.nonEmpty && unmatched.nonEmpty,
+      "fixture must exercise both the eager-match and the delayed-outer path")
+    // outer semantics: a click with any match never also emits null-padded
+    assert(matched.map(_.getLong(0)).toSet.intersect(unmatched.map(_.getLong(0)).toSet).isEmpty,
+      "a matched click also emitted a null-padded row")
+    // every click emits at least once (no row lost to late-drop: the
+    // watermark delay exceeds the whole event-time span)
+    val clicks = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "click").count()
+    assert(rows.map(_.getLong(0)).distinct.length.toLong == clicks,
+      "left-outer completeness: every click must appear")
+    // the eager path equals the batch inner interval join, pair for pair
+    val ev = graft.sources.Tables.events(spark, dir)
+    val batchInner = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("l_event_id"), col("ts"), col("user_id"))
+      .join(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("r_event_id"), col("ts").as("r_ts"), col("user_id")),
+        Seq("user_id"))
+      .filter((unix_micros(col("r_ts")) - unix_micros(col("ts")))
+        .between(lit(0L), lit(graft.queries.StreamQueries.JoinWithinSec * 1000000L)))
+      .select(col("l_event_id"), col("r_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched.map(r => (r.getLong(0), r.getLong(2))).toSet == batchInner,
+      "streamed matches differ from the batch interval join")
+  }
+
   test("q172: every real (window, event_type) emits exactly once; totals match the batch twin") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q172_event_windows_stream")(spark, dir).collect()
