@@ -49,10 +49,10 @@ object Bench {
     // (round 8's q155 published 110.7x at 30x for a ~1x steady-state
     // query). Builds are timed separately by graft.ScaleBuilds.
     // SPARK_GRAFT_BENCH_PREBUILD: "1" (default, all families), "0" (none),
-    // or a comma list from {dedup, kmeans, kmeans_adaptive, pca} for
-    // probes where an unused memo's build is wall-clock prohibitive.
+    // or a comma list from {dedup, kmeans, kmeans_adaptive, pca, stream}
+    // for probes where an unused memo's build is wall-clock prohibitive.
     val prebuild = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREBUILD", "1")
-    val allFamilies = Set("dedup", "kmeans", "kmeans_adaptive", "pca")
+    val allFamilies = Set("dedup", "kmeans", "kmeans_adaptive", "pca", "stream")
     val families = prebuild match {
       case "0" => Set.empty[String]
       case "1" => allFamilies
@@ -69,6 +69,7 @@ object Bench {
     }
     if (families("dedup")) graft.queries.DedupQueries.prebuildMemo(spark, sfDir)
     graft.queries.SimilarityQueries.prebuildMemos(spark, sfDir, families)
+    if (families("stream")) graft.queries.StreamQueries.prebuildMemos(spark, sfDir)
     spark.catalog.clearCache()
 
     // Per query: min over 2 rounds × 2 back-to-back reps. The box shares

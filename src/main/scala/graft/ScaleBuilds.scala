@@ -42,6 +42,21 @@ object ScaleBuilds {
         // q154/q155's train chain: exact-integer scatter matrix + power
         // rounds (the registered queries read its memoized output)
         graft.queries.SimilarityQueries.pcaBuildPlan(spark, sfDir).count()),
+      "stream_inputs_build" -> { () =>
+        // the streaming board's one-time session cost: every memoized
+        // stream input (drift docs copy + baseline, event windows, payment
+        // files, curation slice + seen table, join sides) built against a
+        // fresh root — identical work to StreamQueries.prebuildMemos
+        val t = java.nio.file.Files.createTempDirectory("graft-streambuild-")
+        try {
+          graft.queries.StreamQueries.buildInputsAt(spark, sfDir, t.toString)
+          0L
+        } finally {
+          import java.nio.file._
+          Files.walk(t).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+      },
       "cc_min_label" -> { () =>
         // the full edge derivation + iterative CC, un-memoized (q47's machinery)
         val scored = graft.queries.DedupQueries.memoBuildPlan(spark, sfDir)

@@ -64,31 +64,160 @@ object StreamQueries {
     * appends an empty file, which also guarantees the path exists even if
     * NOTHING ever emits).
     */
-  private def runBounded(s: SparkSession, dir: String, tag: String)(
-      build: String => Unit)(
-      start: (String, String, DataFrame => Unit) => StreamingQuery): DataFrame = {
-    val root = graft.sources.SessionMemo.dir(s, s"stream-in-$tag", dir)(build)
-    val tmp  = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
-    graft.sources.SessionMemo.deleteOnExit(tmp)
+  private def runSinked(s: SparkSession, tag: String)(
+      start: (String, DataFrame => Unit) => StreamingQuery): DataFrame = {
+    val tmp  = freshTmp(tag)
     val outP = s"$tmp/out"
-    val q = start(root, s"$tmp/ckpt", batch => batch.write.mode("append").parquet(outP))
+    val q = start(s"$tmp/ckpt", batch => batch.write.mode("append").parquet(outP))
     try {
       q.processAllAvailable() // data batch(es) + watermark-advance finalization batch
     } finally q.stop()
     s.read.parquet(outP)
   }
 
-  /** [[runBounded]] specialized to the one-streaming-source shape: `input`
-    * is materialized once per session as the memoized stream input, and
-    * `start` receives the streaming source frame directly.
+  /** A bounded streaming source over a memoized input directory. */
+  private def streamFrom(s: SparkSession, in: String): DataFrame =
+    s.readStream.schema(s.read.parquet(in).schema).parquet(in)
+
+  // ---- Named session-memoized input builders — one per streaming family.
+  // Each returns the memo root; [[prebuildMemos]] runs them all so the
+  // Bench steady-state protocol can materialize every stream input for the
+  // timed dir BEFORE any timed rep (builds are timed by ScaleBuilds, never
+  // inside a row — the same treatment as the dedup/k-means/PCA memos).
+
+  /** q171/q173's shared documents-as-a-stream copy. */
+  private def driftInput(s: SparkSession, dir: String): String =
+    graft.sources.SessionMemo.dir(s, "stream-in-drift", dir)(driftInputBuild(s, dir, _))
+
+  private def driftInputBuild(s: SparkSession, dir: String, b: String): Unit =
+    docsStreamInput(s, dir).write.parquet(s"$b/in")
+
+  /** q171's 256-row static baseline — built once per (session, dir): an
+    * unpinned plan would re-tokenize the whole corpus per micro-batch, and
+    * a per-invocation pin would still re-tokenize it once per invocation
+    * (the production monitor loads a materialized baseline table, it never
+    * re-derives it per run).
     */
-  private def runBoundedStream(s: SparkSession, dir: String, tag: String)(
-      input: => DataFrame)(
-      start: (DataFrame, String, DataFrame => Unit) => StreamingQuery): DataFrame =
-    runBounded(s, dir, tag)(b => input.write.parquet(s"$b/in")) { (root, ckpt, sink) =>
-      val in = s"$root/in"
-      start(s.readStream.schema(s.read.parquet(in).schema).parquet(in), ckpt, sink)
+  private def driftBaseline(s: SparkSession, dir: String): String =
+    graft.sources.SessionMemo.dir(s, "drift-baseline", dir)(driftBaselineBuild(s, dir, _))
+
+  private def driftBaselineBuild(s: SparkSession, dir: String, b: String): Unit =
+    CurationStream.vocabBaseline(Tables.documents(s, dir)).write.parquet(s"$b/bl")
+
+  /** q172's events-as-a-stream copy: ONE corpus scan — max(ts) rides the
+    * data write as an observed metric (CollectMetrics, the O2
+    * `Dataset.observe` machinery), so the sentinel needs no second pass.
+    * The sentinel must postdate the LAST real window's end so
+    * watermark(max ts − 0 s) closes every real window; an EMPTY events
+    * table anchors it at the epoch (only the never-closing sentinel window
+    * exists → empty output, matching the oracle's empty result instead of
+    * an NPE).
+    */
+  private def eventwinInput(s: SparkSession, dir: String): String =
+    graft.sources.SessionMemo.dir(s, "stream-in-eventwin", dir)(eventwinBuild(s, dir, _))
+
+  private def eventwinBuild(s: SparkSession, dir: String, b: String): Unit = {
+    val (observed, obs) = observedEventsInput(s, dir)
+    observed.write.parquet(s"$b/in")
+    val maxUs = obs.get.get("max_us").flatMap(Option(_)) match {
+      case Some(l: java.lang.Long) => l.longValue()
+      case _                       => 0L
     }
+    s.range(1).select(
+      timestamp_micros(lit(maxUs + 2L * 3600L * 1000000L)).as("ts"),
+      lit("__sentinel__").as("event_type"),
+      lit(0.0).as("value"))
+      .write.mode("append").parquet(s"$b/in")
+  }
+
+  /** q176's crawl-slice stream (`/in` — one documents scan, the duplicate
+    * copies ride an explode over a per-row copy count, not a second scan)
+    * plus the historical fingerprint table (`/seen` — in production a
+    * maintained artifact of yesterday's corpus, here built once per
+    * session).
+    */
+  private def curateInput(s: SparkSession, dir: String): String =
+    graft.sources.SessionMemo.dir(s, "stream-in-curate", dir)(curateBuild(s, dir, _))
+
+  private def curateBuild(s: SparkSession, dir: String, b: String): Unit = {
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 >= 7)
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(expr("sequence(0, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)")).as("copy"))
+      .select(
+        col("doc_id"),
+        timestamp_seconds(pmod(col("doc_id"), lit(SpanSec)) + col("copy") * lit(30L)).as("ts"),
+        col("text"))
+      .write.parquet(s"$b/in")
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 < 7 || col("doc_id") % 5 === 0)
+      .select(CurationStream.fingerprint(col("text")).as("fp"))
+      .distinct()
+      .write.parquet(s"$b/seen")
+  }
+
+  /** q177's two join sides in one partitioned write (`/in/side=L|R`) — ONE
+    * events scan with max(ts) as an observed metric (the q172 sentinel
+    * treatment); per-side unmatchable sentinels dated past
+    * max + delay + within (+2 h margin), so the final watermark
+    * (sentinel − delay) clears every real interval.
+    */
+  private def joinInput(s: SparkSession, dir: String): String =
+    graft.sources.SessionMemo.dir(s, "stream-in-join", dir)(joinBuild(s, dir, _))
+
+  private def joinBuild(s: SparkSession, dir: String, b: String): Unit = {
+    val obs = org.apache.spark.sql.Observation()
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("ts"),
+        col("user_id"),
+        col("event_id"),
+        when(col("event_type") === "click", "L").otherwise("R").as("side"))
+      .observe(obs, max(unix_micros(col("ts"))).as("max_us"))
+      .write.partitionBy("side").parquet(s"$b/in")
+    val maxUs = obs.get.get("max_us").flatMap(Option(_)) match {
+      case Some(l: java.lang.Long) => l.longValue()
+      case _                       => 0L
+    }
+    val sentUs = maxUs + (JoinDelayDays + 1L) * 86400L * 1000000L + 2L * 3600L * 1000000L
+    s.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(-1L, -1L, "L"), org.apache.spark.sql.Row(-2L, -2L, "R")),
+        org.apache.spark.sql.types.StructType.fromDDL("user_id BIGINT, event_id BIGINT, side STRING"))
+      .select(timestamp_micros(lit(sentUs)).as("ts"), col("user_id"), col("event_id"), col("side"))
+      .write.mode("append").partitionBy("side").parquet(s"$b/in")
+  }
+
+  /** Pre-materialize every streaming family's session-memoized input for
+    * `dir` — the Bench steady-state protocol's `stream` family: without
+    * this, a single-rep deep-scale probe folds the one-time input copy
+    * into the first streaming row it times.
+    */
+  def prebuildMemos(s: SparkSession, dir: String): Unit = {
+    driftInput(s, dir)
+    driftBaseline(s, dir)
+    eventwinInput(s, dir)
+    paymentsMemo(s, dir)
+    curateInput(s, dir)
+    joinInput(s, dir)
+    ()
+  }
+
+  /** Every stream-input build against a FRESH root, un-memoized — the
+    * ScaleBuilds growth-timing surface. The work is IDENTICAL to what
+    * [[prebuildMemos]] memoizes (same build functions), so the timed
+    * number is exactly the one-time cost a session pays.
+    */
+  private[graft] def buildInputsAt(s: SparkSession, dir: String, root: String): Unit = {
+    driftInputBuild(s, dir, s"$root/drift")
+    driftBaselineBuild(s, dir, s"$root/bl")
+    eventwinBuild(s, dir, s"$root/eventwin")
+    paymentsBuild(s, dir, s"$root/pay")
+    curateBuild(s, dir, s"$root/curate")
+    joinBuild(s, dir, s"$root/join")
+  }
 
   /** q172's memo-build frame: the events projection with `max(ts)` attached
     * as an OBSERVED metric, so the sentinel-dating pass and the data write
@@ -131,20 +260,11 @@ object StreamQueries {
     // every closed window's KL from the documents table with the identical
     // 2^20-quantized-log integer treatment.
     "q171_vocab_drift_stream" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      // the 256-row static baseline is a SESSION MEMO, like every other
-      // materialized curation artifact: built once per (session, dir) —
-      // an unpinned plan would re-tokenize the whole corpus per
-      // micro-batch, and a per-invocation pin would still re-tokenize it
-      // once per invocation (the production monitor loads a materialized
-      // baseline table, it never re-derives it per run)
-      val blBase = graft.sources.SessionMemo.dir(s, "drift-baseline", dir) { b =>
-        CurationStream.vocabBaseline(docs).write.parquet(s"$b/bl")
-      }
-      val baseline = s.read.parquet(s"$blBase/bl")
-      runBoundedStream(s, dir, "drift")(docsStreamInput(s, dir)) { (stream, ckpt, sink) =>
+      val baseline = s.read.parquet(s"${driftBaseline(s, dir)}/bl")
+      val in       = s"${driftInput(s, dir)}/in"
+      runSinked(s, "drift") { (ckpt, sink) =>
         CurationStream.vocabDrift(
-          stream,
+          streamFrom(s, in),
           baseline,
           windowLength = s"$WindowSec seconds",
           watermark = "0 seconds",
@@ -162,29 +282,9 @@ object StreamQueries {
     // EventStreams.windowedStats shape — byte-for-byte against a DuckDB
     // oracle, with real (non-synthesized) event time.
     "q172_event_windows_stream" -> ((s, dir) => {
-      runBounded(s, dir, "eventwin") { b =>
-        // ONE corpus scan: max(ts) rides the data write as an observed
-        // metric (CollectMetrics — the O2 `Dataset.observe` machinery), so
-        // the sentinel needs no second pass over events. The sentinel must
-        // postdate the LAST real window's end so watermark(max ts - 0s)
-        // closes every real window; an EMPTY events table anchors it at the
-        // epoch (only the never-closing sentinel window exists → empty
-        // output, matching the oracle's empty result instead of an NPE).
-        val (observed, obs) = observedEventsInput(s, dir)
-        observed.write.parquet(s"$b/in")
-        val maxUs = obs.get.get("max_us").flatMap(Option(_)) match {
-          case Some(l: java.lang.Long) => l.longValue()
-          case _                       => 0L
-        }
-        s.range(1).select(
-          timestamp_micros(lit(maxUs + 2L * 3600L * 1000000L)).as("ts"),
-          lit("__sentinel__").as("event_type"),
-          lit(0.0).as("value"))
-          .write.mode("append").parquet(s"$b/in")
-      } { (root, ckpt, sink) =>
-        val in     = s"$root/in"
-        val stream = s.readStream.schema(s.read.parquet(in).schema).parquet(in)
-        eventWindowCents(stream.withWatermark("ts", "0 seconds")).writeStream
+      val in = s"${eventwinInput(s, dir)}/in"
+      runSinked(s, "eventwin") { (ckpt, sink) =>
+        eventWindowCents(streamFrom(s, in).withWatermark("ts", "0 seconds")).writeStream
           .outputMode("append") // each (window, event_type) emits once, on close
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, _: Long) => sink(batch); () }
@@ -207,9 +307,9 @@ object StreamQueries {
     // per-batch post-processing → sink. Streams the SAME memoized corpus
     // copy as q171.
     "q173_trending_terms_stream" -> ((s, dir) =>
-      runBoundedStream(s, dir, "drift")(docsStreamInput(s, dir)) { (stream, ckpt, sink) =>
+      runSinked(s, "drift") { (ckpt, sink) =>
         graft.streaming.EventStreams.trendingTerms(
-          stream,
+          streamFrom(s, s"${driftInput(s, dir)}/in"),
           windowLength = s"$WindowSec seconds",
           watermark = "0 seconds",
           k = TrendK,
@@ -286,33 +386,14 @@ object StreamQueries {
     // and the run dedups globally; emission is immediate (a dedup is a
     // stateful filter, not a window), so no sentinel is needed.
     "q176_curation_dedup_stream" -> ((s, dir) => {
-      runBounded(s, dir, "curate") { b =>
-        // one documents scan for the stream input: the duplicate copies
-        // ride an explode over a per-row copy count, not a second scan
-        Tables.documents(s, dir)
-          .filter(col("doc_id") % 10 >= 7)
-          .select(
-            col("doc_id"),
-            col("text"),
-            explode(expr("sequence(0, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)")).as("copy"))
-          .select(
-            col("doc_id"),
-            timestamp_seconds(pmod(col("doc_id"), lit(SpanSec)) + col("copy") * lit(30L)).as("ts"),
-            col("text"))
-          .write.parquet(s"$b/in")
-        // the historical fingerprint table — in production a maintained
-        // artifact of yesterday's corpus, here built once per session
-        Tables.documents(s, dir)
-          .filter(col("doc_id") % 10 < 7 || col("doc_id") % 5 === 0)
-          .select(CurationStream.fingerprint(col("text")).as("fp"))
-          .distinct()
-          .write.parquet(s"$b/seen")
-      } { (root, ckpt, sink) =>
-        val in     = s"$root/in"
-        val stream = s.readStream.schema(s.read.parquet(in).schema).parquet(in)
-        val seen   = s.read.parquet(s"$root/seen")
+      val root = curateInput(s, dir)
+      runSinked(s, "curate") { (ckpt, sink) =>
         CurationStream
-          .curateIncremental(stream, seen, java.time.Duration.ofHours(1), minQuality = 0.5)
+          .curateIncremental(
+            streamFrom(s, s"$root/in"),
+            s.read.parquet(s"$root/seen"),
+            java.time.Duration.ofHours(1),
+            minQuality = 0.5)
           .writeStream
           .outputMode("append")
           .option("checkpointLocation", ckpt)
@@ -345,37 +426,10 @@ object StreamQueries {
     // the buffered state shrinks to the delay window; state here is the
     // corpus slice by construction, not by design.
     "q177_stream_join_outer" -> ((s, dir) => {
-      runBounded(s, dir, "join") { b =>
-        // ONE events scan: both join sides + the side tag in a single
-        // partitioned write; max(ts) rides the write as an observed metric
-        // (the q172 sentinel treatment)
-        val obs = org.apache.spark.sql.Observation()
-        Tables.events(s, dir)
-          .filter(col("event_type").isin("click", "purchase"))
-          .select(
-            col("ts"),
-            col("user_id"),
-            col("event_id"),
-            when(col("event_type") === "click", "L").otherwise("R").as("side"))
-          .observe(obs, max(unix_micros(col("ts"))).as("max_us"))
-          .write.partitionBy("side").parquet(s"$b/in")
-        val maxUs = obs.get.get("max_us").flatMap(Option(_)) match {
-          case Some(l: java.lang.Long) => l.longValue()
-          case _                       => 0L
-        }
-        // sentinel instant: past max + delay + within (+2 h margin), so the
-        // final watermark = sentinel − delay clears every real interval
-        val sentUs = maxUs + (JoinDelayDays + 1L) * 86400L * 1000000L + 2L * 3600L * 1000000L
-        s.createDataFrame(java.util.List.of(
-            org.apache.spark.sql.Row(-1L, -1L, "L"), org.apache.spark.sql.Row(-2L, -2L, "R")),
-            org.apache.spark.sql.types.StructType.fromDDL("user_id BIGINT, event_id BIGINT, side STRING"))
-          .select(timestamp_micros(lit(sentUs)).as("ts"), col("user_id"), col("event_id"), col("side"))
-          .write.mode("append").partitionBy("side").parquet(s"$b/in")
-      } { (root, ckpt, sink) =>
-        def side(p: String) =
-          s.readStream.schema(s.read.parquet(s"$root/in/side=$p").schema).parquet(s"$root/in/side=$p")
-        val left  = side("L").withColumnRenamed("event_id", "l_event_id")
-        val right = side("R").withColumnRenamed("event_id", "r_event_id")
+      val root = joinInput(s, dir)
+      runSinked(s, "join") { (ckpt, sink) =>
+        val left  = streamFrom(s, s"$root/in/side=L").withColumnRenamed("event_id", "l_event_id")
+        val right = streamFrom(s, s"$root/in/side=R").withColumnRenamed("event_id", "r_event_id")
         graft.streaming.StreamJoins
           .intervalJoinLeftOuter(left, right, "user_id", JoinWithinSec, s"$JoinDelayDays days")
           .writeStream
@@ -405,9 +459,10 @@ object StreamQueries {
     * files.
     */
   private def paymentsMemo(s: SparkSession, dir: String): String =
-    graft.sources.SessionMemo.dir(s, "stream-in-pay", dir) { b =>
-      ParityQueries.paymentsFromEventsCents(s, dir).repartition(PayFiles).write.parquet(s"$b/in")
-    } + "/in"
+    graft.sources.SessionMemo.dir(s, "stream-in-pay", dir)(paymentsBuild(s, dir, _)) + "/in"
+
+  private def paymentsBuild(s: SparkSession, dir: String, b: String): Unit =
+    ParityQueries.paymentsFromEventsCents(s, dir).repartition(PayFiles).write.parquet(s"$b/in")
 
   /** Fresh per-invocation checkpoint/sink root (the used-checkpoint rule:
     * only the INPUT is memoizable — see [[runBounded]]).
