@@ -79,6 +79,28 @@ object StreamQueries {
   private def streamFrom(s: SparkSession, in: String): DataFrame =
     s.readStream.schema(s.read.parquet(in).schema).parquet(in)
 
+  /** State-partition count for the bounded streaming runs. Every stateful
+    * streaming operator materializes its state store(s) on EVERY shuffle
+    * partition on EVERY micro-batch (a stream-stream outer join: four
+    * stores per partition), so on a bounded local run the store lifecycle
+    * — not data — dominates at the batch default of 32 partitions
+    * (measured on q177: 8.4 s at 32 partitions → 2.6 s at 8). This is the
+    * standard state-store capacity plan a production deployment makes:
+    * size state partitions to live-state volume per store, independent of
+    * the batch shuffle width. Scoped per run via [[withStatePartitions]] —
+    * the fresh checkpoint pins the count at query start, and the session
+    * conf is restored before the registered query returns.
+    */
+  private val StreamStatePartitions = 8
+
+  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+      body
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   // ---- Named session-memoized input builders — one per streaming family.
   // Each returns the memo root; [[prebuildMemos]] runs them all so the
   // Bench steady-state protocol can materialize every stream input for the
@@ -262,7 +284,7 @@ object StreamQueries {
     "q171_vocab_drift_stream" -> ((s, dir) => {
       val baseline = s.read.parquet(s"${driftBaseline(s, dir)}/bl")
       val in       = s"${driftInput(s, dir)}/in"
-      runSinked(s, "drift") { (ckpt, sink) =>
+      withStatePartitions(s)(runSinked(s, "drift") { (ckpt, sink) =>
         CurationStream.vocabDrift(
           streamFrom(s, in),
           baseline,
@@ -270,7 +292,7 @@ object StreamQueries {
           watermark = "0 seconds",
           checkpointDir = ckpt
         )(sink)
-      }.orderBy(col("window_start"), col("source"))
+      }).orderBy(col("window_start"), col("source"))
     }),
 
     // q27's windowed event aggregate executed as a real stream over the
@@ -283,13 +305,13 @@ object StreamQueries {
     // oracle, with real (non-synthesized) event time.
     "q172_event_windows_stream" -> ((s, dir) => {
       val in = s"${eventwinInput(s, dir)}/in"
-      runSinked(s, "eventwin") { (ckpt, sink) =>
+      withStatePartitions(s)(runSinked(s, "eventwin") { (ckpt, sink) =>
         eventWindowCents(streamFrom(s, in).withWatermark("ts", "0 seconds")).writeStream
           .outputMode("append") // each (window, event_type) emits once, on close
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, _: Long) => sink(batch); () }
           .start()
-      }.select(
+      }).select(
         col("window_start"),
         col("event_type"),
         col("n"),
@@ -307,7 +329,7 @@ object StreamQueries {
     // per-batch post-processing → sink. Streams the SAME memoized corpus
     // copy as q171.
     "q173_trending_terms_stream" -> ((s, dir) =>
-      runSinked(s, "drift") { (ckpt, sink) =>
+      withStatePartitions(s)(runSinked(s, "drift") { (ckpt, sink) =>
         graft.streaming.EventStreams.trendingTerms(
           streamFrom(s, s"${driftInput(s, dir)}/in"),
           windowLength = s"$WindowSec seconds",
@@ -315,7 +337,7 @@ object StreamQueries {
           k = TrendK,
           checkpointDir = ckpt
         )(sink)
-      }.orderBy(col("window_start"), col("rank"))),
+      }).orderBy(col("window_start"), col("rank"))),
 
     // THE REFERENCE'S FLAGSHIP TOPOLOGY under the streaming byte gate
     // (reference `PaymentTopology.java:39-98`): rails filter → currency
@@ -333,13 +355,15 @@ object StreamQueries {
     "q174_payment_topology_stream" -> ((s, dir) => {
       val in  = paymentsMemo(s, dir)
       val tmp = freshTmp("pay")
-      val stream = s.readStream
-        .schema(s.read.parquet(in).schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(in)
-      val rt = graft.streaming.PaymentPipeline.start(stream, s"$tmp/ckpt", s"$tmp/sink")
-      try rt.processAllAvailable()
-      finally rt.stop()
+      withStatePartitions(s) {
+        val stream = s.readStream
+          .schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in)
+        val rt = graft.streaming.PaymentPipeline.start(stream, s"$tmp/ckpt", s"$tmp/sink")
+        try rt.processAllAvailable()
+        finally rt.stop()
+      }
       new graft.streaming.PaymentPipeline.BalanceStore(s, s"$tmp/sink/_balance_state").snapshotDf
         .select(col("fromAccount").as("from_account"), col("balance").as("balance_cents"))
         .orderBy(col("from_account"))
@@ -356,13 +380,15 @@ object StreamQueries {
     "q175_payment_sinks_stream" -> ((s, dir) => {
       val in  = paymentsMemo(s, dir)
       val tmp = freshTmp("paysink")
-      val stream = s.readStream
-        .schema(s.read.parquet(in).schema)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(in)
-      val (q, _) = graft.streaming.PaymentPipeline.startSinglePass(stream, s"$tmp/ckpt", s"$tmp/sink")
-      try q.processAllAvailable()
-      finally q.stop()
+      withStatePartitions(s) {
+        val stream = s.readStream
+          .schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(in)
+        val (q, _) = graft.streaming.PaymentPipeline.startSinglePass(stream, s"$tmp/ckpt", s"$tmp/sink")
+        try q.processAllAvailable()
+        finally q.stop()
+      }
       s.read.parquet(s"$tmp/sink")
         .groupBy(col("topic"))
         .agg(count(lit(1)).as("n"), round(sum(col("amount")) / 100.0, 2).as("total"))
@@ -387,7 +413,7 @@ object StreamQueries {
     // stateful filter, not a window), so no sentinel is needed.
     "q176_curation_dedup_stream" -> ((s, dir) => {
       val root = curateInput(s, dir)
-      runSinked(s, "curate") { (ckpt, sink) =>
+      withStatePartitions(s)(runSinked(s, "curate") { (ckpt, sink) =>
         CurationStream
           .curateIncremental(
             streamFrom(s, s"$root/in"),
@@ -402,7 +428,7 @@ object StreamQueries {
             ()
           }
           .start()
-      }.select(col("fp")).orderBy(col("fp"))
+      }).select(col("fp")).orderBy(col("fp"))
     }),
 
     // STREAM-STREAM JOIN BUFFER under the byte gate — the fifth stateful
@@ -427,7 +453,7 @@ object StreamQueries {
     // corpus slice by construction, not by design.
     "q177_stream_join_outer" -> ((s, dir) => {
       val root = joinInput(s, dir)
-      runSinked(s, "join") { (ckpt, sink) =>
+      val sinkDf = withStatePartitions(s)(runSinked(s, "join") { (ckpt, sink) =>
         val left  = streamFrom(s, s"$root/in/side=L").withColumnRenamed("event_id", "l_event_id")
         val right = streamFrom(s, s"$root/in/side=R").withColumnRenamed("event_id", "r_event_id")
         graft.streaming.StreamJoins
@@ -437,7 +463,8 @@ object StreamQueries {
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, _: Long) => sink(batch); () }
           .start()
-      }.select(
+      })
+      sinkDf.select(
         col("l_event_id"),
         col("ts"),
         coalesce(col("r_event_id"), lit(-1L)).as("r_event_id"),
