@@ -180,6 +180,44 @@ object StreamQueries {
       .write.parquet(s"$b/seen")
   }
 
+  /** q178/q179/q181's shared events projection (`/in`: ts, user_id, exact
+    * integer cents) — ONE scan, max(ts) as an observed metric (the q172
+    * sentinel treatment). The sentinel (unmatchable user −1) is dated past
+    * max + gap + 2 h so the final watermark closes every real session;
+    * its own session/key never closes and never emits.
+    */
+  private def sessInput(s: SparkSession, dir: String): String =
+    graft.sources.SessionMemo.dir(s, "stream-in-sess", dir)(sessBuild(s, dir, _))
+
+  private def sessBuild(s: SparkSession, dir: String, b: String): Unit = {
+    val (observed, obs) = observedSessEvents(s, dir)
+    observed.write.parquet(s"$b/in")
+    val maxUs = obs.get.get("max_us").flatMap(Option(_)) match {
+      case Some(l: java.lang.Long) => l.longValue()
+      case _                       => 0L
+    }
+    s.range(1)
+      .select(
+        timestamp_micros(lit(maxUs + SessionGapUs + 2L * 3600L * 1000000L)).as("ts"),
+        lit(-1L).as("user_id"),
+        lit(0L).as("cents"))
+      .write.mode("append").parquet(s"$b/in")
+  }
+
+  /** The session-stream memo-build frame — observed-metric single scan,
+    * `private[graft]` for the plan gate (one events scan, one
+    * CollectMetrics node, the q172 pattern).
+    */
+  private[graft] def observedSessEvents(
+      s: SparkSession, dir: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = Tables
+      .events(s, dir)
+      .select(col("ts"), col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .observe(obs, max(unix_micros(col("ts"))).as("max_us"))
+    (observed, obs)
+  }
+
   /** q177's two join sides in one partitioned write (`/in/side=L|R`) — ONE
     * events scan with max(ts) as an observed metric (the q172 sentinel
     * treatment); per-side unmatchable sentinels dated past
@@ -224,6 +262,7 @@ object StreamQueries {
     paymentsMemo(s, dir)
     curateInput(s, dir)
     joinInput(s, dir)
+    sessInput(s, dir)
     ()
   }
 
@@ -239,6 +278,7 @@ object StreamQueries {
     paymentsBuild(s, dir, s"$root/pay")
     curateBuild(s, dir, s"$root/curate")
     joinBuild(s, dir, s"$root/join")
+    sessBuild(s, dir, s"$root/sess")
   }
 
   /** q172's memo-build frame: the events projection with `max(ts)` attached
@@ -470,11 +510,174 @@ object StreamQueries {
         coalesce(col("r_event_id"), lit(-1L)).as("r_event_id"),
         coalesce(col("r_ts"), timestamp_seconds(lit(0))).as("r_ts"))
         .orderBy(col("l_event_id"), col("r_event_id"))
+    }),
+
+    // SESSION WINDOWS under the byte gate — the sixth stateful class:
+    // MERGING-window state (q171-q173's tumbling windows have fixed
+    // boundaries; a session's bounds move and sessions coalesce as events
+    // arrive). Native `session_window` per user over real events.ts with
+    // the exact integer-cents sum; a session closes (append emission) when
+    // the watermark passes last-event + gap. Merge rule pinned empirically
+    // and in SessionizerSpec: an event at exactly `last + gap` EXTENDS the
+    // session (boundary inclusive), so the oracle's gaps-and-islands split
+    // is strict (`delta > gap` starts a new session); close = last + gap.
+    "q178_session_window_stream" -> ((s, dir) => {
+      val in = s"${sessInput(s, dir)}/in"
+      withStatePartitions(s)(runSinked(s, "sess") { (ckpt, sink) =>
+        graft.streaming.EventStreams
+          .sessionCents(streamFrom(s, in), SessionGapMin, watermark = Some("0 seconds"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) => sink(batch); () }
+          .start()
+      }).orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // The SAME session semantics through the CUSTOM-KEYED-STATE machinery —
+    // `flatMapGroupsWithState` + event-time TIMERS (Sessionizer: open-
+    // session-set state, interval merge, timeout-driven close), hashed
+    // against the identical oracle as q178. The two rows are a cross-proof:
+    // the native merging-window operator and the hand-built GroupState
+    // re-expression must land byte-identical sessions or one of them is
+    // wrong. This is the one state class q171-q177 never byte-gated —
+    // arbitrary user state with timeout emission (StatefulBalances'
+    // machinery, previously spec-only in streaming).
+    "q179_custom_session_stream" -> ((s, dir) => {
+      import s.implicits._
+      val in = s"${sessInput(s, dir)}/in"
+      withStatePartitions(s)(runSinked(s, "csess") { (ckpt, sink) =>
+        val evs = streamFrom(s, in)
+          .select(col("ts"), unix_micros(col("ts")).as("us"), col("user_id"), col("cents"))
+          .as[graft.streaming.Sessionizer.SessionEvent]
+        graft.streaming.Sessionizer
+          .sessions(evs, java.time.Duration.ofMinutes(SessionGapMin))
+          .toDF()
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) => sink(batch); () }
+          .start()
+      }).select(
+        col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"),
+        col("cents"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // CHAINED STATEFUL OPERATORS under the byte gate — two watermarked
+    // window aggregates in ONE StreamingQuery (5-minute buckets → hourly
+    // rollup via `window_time`, the multi-stateful-operator capability):
+    // the downstream aggregate's input is the upstream's CLOSED windows,
+    // so a 5-minute bucket finalized in micro-batch N becomes an hourly
+    // contribution in the SAME query, and the hourly row emits when the
+    // watermark passes the hour. Streams the q172 memoized events copy;
+    // the sentinel's own 5-minute bucket never closes, so it never reaches
+    // level two.
+    "q180_chained_windows_stream" -> ((s, dir) => {
+      val in = s"${eventwinInput(s, dir)}/in"
+      withStatePartitions(s)(runSinked(s, "chain") { (ckpt, sink) =>
+        chainedWindows(streamFrom(s, in).withWatermark("ts", "0 seconds")).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) => sink(batch); () }
+          .start()
+      }).orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // The STATE API v2 path (`transformWithState` + RocksDB provider +
+    // per-key TIMERS) under the byte gate: StateV2Balances' TTL'd
+    // update-mode running sums over per-user cents, changelog appended
+    // with the batch id, snapshot = latest committed emission per key (the
+    // q174 BalanceStore reconstruction, inline). The TTL (60 d) exceeds
+    // the corpus event-time span, so no eviction can reset a key mid-run —
+    // the snapshot must equal the grouped sum exactly. v1/v2 timer parity
+    // is spec-proven (StateV2BalancesSpec mirrors StatefulBalancesSpec);
+    // this row proves the v2 runtime's BYTES.
+    "q181_state_v2_stream" -> ((s, dir) => {
+      import s.implicits._
+      val in          = s"${sessInput(s, dir)}/in"
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev        = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val log =
+        try withStatePartitions(s)(runSinked(s, "twsbal") { (ckpt, sink) =>
+          val timed = streamFrom(s, in)
+            .filter(col("user_id") >= 0) // the watermark sentinel is not a payer
+            .select(
+              col("ts"),
+              struct(
+                lit("").as("paymentId"),
+                col("cents").as("amount"),
+                lit("GBP").as("currency"),
+                lit("SINK").as("toAccount"),
+                col("user_id").cast("string").as("fromAccount"),
+                lit("BANK_RAILS_FOO").as("rails")).as("payment"))
+            .as[graft.streaming.StatefulBalances.TimedPayment]
+          graft.streaming.StateV2Balances
+            .runningBalancesTtl(timed, java.time.Duration.ofDays(60))
+            .toDF()
+            .writeStream
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              sink(batch.withColumn("batch_id", lit(bid)))
+              ()
+            }
+            .start()
+        })
+        finally prev match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None    => s.conf.unset(providerKey)
+        }
+      val latest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fromAccount"))
+        .orderBy(col("batch_id").desc)
+      log
+        .withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1)
+        .select(col("fromAccount").as("from_account"), col("balance").as("balance_cents"))
+        .orderBy(col("from_account"))
     })
   )
 
   private[graft] val JoinWithinSec  = 86400L // q177 interval: purchases within a day of the click
   private[graft] val JoinDelayDays  = 32L    // q177 watermark delay > the corpus event-time span
+
+  private[graft] val SessionGapMin = 30 // q178/q179 inactivity gap (q28's)
+  private val SessionGapUs         = SessionGapMin * 60L * 1000000L
+
+  /** q180's two chained stateful aggregates — 5-minute event-time windows,
+    * then an HOURLY re-aggregation over the CLOSED 5-minute buckets via
+    * `window_time` (the multi-stateful-operator pipeline Spark supports
+    * since 3.4: the second aggregate's event time is the first's window
+    * close). Batch/stream agnostic; shared with the spec so the pinned
+    * transform IS the registered one.
+    */
+  private[graft] def chainedWindows(df: DataFrame): DataFrame = {
+    val fiveMin = df
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    fiveMin
+      .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+      .agg(
+        sum(col("n")).as("n"),
+        count(lit(1)).as("n_buckets"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("cents"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n"),
+        col("n_buckets"),
+        col("max_cents"),
+        col("cents"))
+  }
 
   /** Input-file count for the payment-stream memo: with one-file triggers
     * the update-mode changelog spans this many micro-batches per run.
@@ -607,7 +810,54 @@ object StreamQueries {
              |  coalesce(r.r_ts, make_timestamp(0)) AS r_ts
              |FROM l LEFT JOIN r ON l.user_id = r.user_id
              |  AND epoch_us(r.r_ts) - epoch_us(l.ts) BETWEEN 0 AND ${JoinWithinSec * 1000000L}
-             |ORDER BY l_event_id, r_event_id""".stripMargin
+             |ORDER BY l_event_id, r_event_id""".stripMargin,
+
+      // q178 and q179 share ONE oracle text (sessionOracleSql): same gap
+      // rule, same bounds, same columns — the native merging-window
+      // operator and the GroupState re-expression must both hash-match it.
+      "q178_session_window_stream" -> sessionOracleSql,
+      "q179_custom_session_stream" -> sessionOracleSql,
+
+      // Two-level rollup: 5-minute buckets (count + exact cents), then the
+      // hourly re-aggregation over buckets — sum/count/max must match the
+      // chained streaming aggregates' close-time emissions.
+      "q180_chained_windows_stream" ->
+        raw"""WITH m AS (
+             |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS mb, event_type,
+             |    count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             |  FROM events GROUP BY 1, 2)
+             |SELECT time_bucket(INTERVAL '1 hour', mb) AS window_start, event_type,
+             |  CAST(sum(n) AS BIGINT) AS n, count(*) AS n_buckets,
+             |  CAST(max(cents) AS BIGINT) AS max_cents, CAST(sum(cents) AS BIGINT) AS cents
+             |FROM m GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+      // The per-user grouped cents sum the v2 snapshot must reproduce.
+      "q181_state_v2_stream" ->
+        raw"""SELECT CAST(user_id AS VARCHAR) AS from_account,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS balance_cents
+             |FROM events GROUP BY 1 ORDER BY from_account""".stripMargin
     )
   }
+
+  /** The q178/q179 shared session oracle: gaps-and-islands with the
+    * built-in's exact boundary rule — STRICT split (`delta > gap` starts a
+    * new session; an event at exactly `last + gap` merges), close =
+    * `last + gap`, all arithmetic in epoch-µs.
+    */
+  private def sessionOracleSql: String =
+    raw"""WITH e AS (
+         |  SELECT ts, user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         | l AS (
+         |  SELECT ts, user_id, cents, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
+         | f AS (
+         |  SELECT ts, user_id, cents,
+         |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > $SessionGapUs THEN 1 ELSE 0 END AS ns
+         |  FROM l),
+         | s AS (
+         |  SELECT ts, user_id, cents, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+         |SELECT user_id, min(ts) AS session_start,
+         |  make_timestamp(max(epoch_us(ts)) + $SessionGapUs) AS session_end,
+         |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 }

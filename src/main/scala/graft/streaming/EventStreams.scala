@@ -124,6 +124,29 @@ object EventStreams {
       )
   }
 
+  /** [[sessionStats]] with the exact integer-cents value sum (the q141
+    * rounding treatment) — the transform behind the q178 streaming
+    * byte gate. Merging-session state when run on a streaming frame;
+    * the same call is the batch twin.
+    */
+  def sessionCents(
+      events: DataFrame,
+      gapMinutes: Int,
+      watermark: Option[String] = None
+  ): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"),
+        col("cents")
+      )
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int, keyCol: Column = col("user_id")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(keyCol).orderBy(col("ts"))

@@ -260,6 +260,60 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
       "streamed matches differ from the batch interval join")
   }
 
+  test("q178/q179 cross-proof: native session_window and the custom-state sessionizer are byte-identical") {
+    val a = SparkEntry.queries("q178_session_window_stream")(spark, dir).collect()
+    val b = SparkEntry.queries("q179_custom_session_stream")(spark, dir).collect()
+    assert(a.nonEmpty)
+    assert(a.toSeq == b.toSeq,
+      "the merging-window operator and the GroupState re-expression must agree on every session")
+  }
+
+  test("q178: sessions are exactly-once, sentinel-free, and match the batch session_window twin") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q178_session_window_stream")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getLong(0) == -1L), "the sentinel user's session must never close")
+    val keys = rows.map(r => (r.getLong(0), r.getTimestamp(1)))
+    assert(keys.distinct.length == keys.length, "append mode re-emitted a closed session")
+    val batch = graft.streaming.EventStreams
+      .sessionCents(
+        graft.sources.Tables.events(spark, dir)
+          .select(col("ts"), col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+        gapMinutes = 30)
+      .orderBy(col("user_id"), col("session_start"))
+      .collect()
+    assert(rows.toSeq == batch.toSeq, "streamed sessions differ from the batch twin")
+  }
+
+  test("q180: hourly rollups equal the batch two-level aggregate; sentinel bucket never reaches level two") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q180_chained_windows_stream")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getString(1) == "__sentinel__"), "sentinel 5-minute bucket leaked into an hourly row")
+    val keys = rows.map(r => (r.getTimestamp(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length, "append mode re-emitted a closed hourly window")
+    val batch = graft.queries.StreamQueries
+      .chainedWindows(graft.sources.Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+      .collect()
+    assert(rows.toSeq == batch.toSeq, "chained streaming rollup differs from the batch twin")
+  }
+
+  test("q181: the v2 snapshot equals the batch grouped sum; provider conf is restored") {
+    import org.apache.spark.sql.functions._
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val rows = SparkEntry.queries("q181_state_v2_stream")(spark, dir).collect()
+    assert(spark.conf.getOption(key) == prev, "q181 must restore the state-store provider conf")
+    assert(rows.nonEmpty)
+    val batch = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("user_id").cast("string").as("from_account"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("balance_cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == batch,
+      "v2 streamed snapshot differs from the batch grouped sum")
+  }
+
   test("q172: every real (window, event_type) emits exactly once; totals match the batch twin") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q172_event_windows_stream")(spark, dir).collect()
