@@ -314,6 +314,120 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
       "v2 streamed snapshot differs from the batch grouped sum")
   }
 
+  test("session-window state recovers from a checkpoint: stop with every session open, restart, identical output") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess-restart-")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val in   = s"$tmp/in"
+    val outP = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"
+    val events = graft.sources.Tables
+      .events(spark, dir)
+      .select(col("ts"), col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val maxUs = events.agg(max(unix_micros(col("ts")))).first().getLong(0)
+    // delay > the whole event-time span: run 1 closes NOTHING, so the
+    // checkpoint carries every MERGING session's state across the restart
+    val delayHours = 24L * 365
+
+    def start() = graft.streaming.EventStreams
+      .sessionCents(
+        spark.readStream.schema("ts TIMESTAMP, user_id BIGINT, cents BIGINT").parquet(in),
+        gapMinutes = 30,
+        watermark = Some(s"$delayHours hours"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outP)
+        ()
+      }
+      .start()
+
+    events.write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable()
+    finally q1.stop()
+    assert(!new java.io.File(outP).exists() || spark.read.parquet(outP).isEmpty,
+      "run 1 must close no session — the recovery test needs all merging state pending at the stop")
+    spark.range(1)
+      .select(
+        timestamp_micros(lit(maxUs + (delayHours + 2L) * 3600L * 1000000L + 30L * 60L * 1000000L)).as("ts"),
+        lit(-1L).as("user_id"), lit(0L).as("cents"))
+      .write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val recovered = spark.read.parquet(outP)
+      .orderBy(col("user_id"), col("session_start")).collect()
+    val oneShot = SparkEntry.queries("q178_session_window_stream")(spark, dir).collect()
+    assert(recovered.toSeq == oneShot.toSeq,
+      "restart-recovered sessions differ from the uninterrupted run")
+  }
+
+  test("custom-state sessionizer recovers state AND armed timers from a checkpoint") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csess-restart-")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val in   = s"$tmp/in"
+    val outP = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"
+    val events = graft.sources.Tables
+      .events(spark, dir)
+      .select(col("ts"), col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val maxUs = events.agg(max(unix_micros(col("ts")))).first().getLong(0)
+    val delayHours = 24L * 365
+
+    def start() = {
+      val evs = spark.readStream
+        .schema("ts TIMESTAMP, user_id BIGINT, cents BIGINT")
+        .parquet(in)
+        .select(col("ts"), unix_micros(col("ts")).as("us"), col("user_id"), col("cents"))
+        .as[graft.streaming.Sessionizer.SessionEvent]
+      graft.streaming.Sessionizer
+        .sessions(evs, java.time.Duration.ofMinutes(30), java.time.Duration.ofHours(delayHours))
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outP)
+          ()
+        }
+        .start()
+    }
+
+    // run 1: data only — timers are ARMED (deadline = earliest close) but
+    // the watermark sits a year behind, so nothing fires; the restart must
+    // recover both the open-session lists and the registered deadlines
+    events.write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable()
+    finally q1.stop()
+    assert(!new java.io.File(outP).exists() || spark.read.parquet(outP).isEmpty,
+      "run 1 must emit nothing — all sessions and timers pending at the stop")
+    spark.range(1)
+      .select(
+        timestamp_micros(lit(maxUs + (delayHours + 2L) * 3600L * 1000000L + 30L * 60L * 1000000L)).as("ts"),
+        lit(-1L).as("user_id"), lit(0L).as("cents"))
+      .write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val recovered = spark.read.parquet(outP)
+      .select(
+        col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"), col("cents"))
+      .orderBy(col("user_id"), col("session_start")).collect()
+    val oneShot = SparkEntry.queries("q179_custom_session_stream")(spark, dir).collect()
+    assert(recovered.toSeq == oneShot.toSeq,
+      "restart-recovered custom-state sessions differ from the uninterrupted run")
+  }
+
   test("q172: every real (window, event_type) emits exactly once; totals match the batch twin") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q172_event_windows_stream")(spark, dir).collect()
