@@ -587,6 +587,72 @@ object StreamQueries {
       }).orderBy(col("window_start"), col("event_type"))
     }),
 
+    // THE CUSTOM PLAN NODE UNDER THE STREAMING BYTE GATE — the as-of merge
+    // node (`plans/AsofJoin`: LogicalPlan + SparkStrategy + single-pass
+    // merge BinaryExecNode) executed PER MICRO-BATCH through
+    // `StreamJoins.asofEnrich`: every click picks up the user's latest
+    // purchase at-or-before its event time (backward as-of, greatest-tie)
+    // from the static side. Stateless by design — no watermark, no
+    // cross-batch state, late rows enrich whenever they arrive — so the
+    // multi-batch split (`maxFilesPerTrigger=1`) exercises the per-batch
+    // re-planning of the custom node without any ordering hazard. The sink
+    // is the IDEMPOTENT per-batch-id overwrite recipe (a replayed batch
+    // rewrites its own partition, never double-appends). Streams the q177
+    // memoized click side; the unmatchable sentinels are filtered at the
+    // source (no watermark exists to retire them).
+    "q182_stream_asof_enrich" -> ((s, dir) => {
+      val root = joinInput(s, dir)
+      val tmp  = freshTmp("asofe")
+      withStatePartitions(s) {
+        val stream = s.readStream
+          .schema(s.read.parquet(s"$root/in/side=L").schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/in/side=L")
+          .filter(col("user_id") >= 0)
+          .withColumnRenamed("event_id", "click_id")
+        def static = s.read.parquet(s"$root/in/side=R")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_event_id"))
+        val q = graft.streaming.StreamJoins.asofEnrich(
+          stream, static,
+          streamKey = "user_id", streamTime = "ts",
+          staticKey = "user_id", staticTime = "p_ts", staticTie = "p_event_id",
+          sink = s"$tmp/sink", checkpoint = s"$tmp/ckpt")
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(
+          col("click_id"),
+          col("ts"),
+          col("user_id"),
+          coalesce(col("p_event_id"), lit(-1L)).as("p_event_id"),
+          coalesce(col("p_ts"), timestamp_seconds(lit(0))).as("p_ts"))
+        .orderBy(col("click_id"))
+    }),
+
+    // SLIDING WINDOWS under the byte gate — completes the window-kind
+    // coverage (tumbling q172, session q178, sliding here): each event
+    // lands in length/slide = 2 overlapping windows, every copy's window
+    // closes independently on the watermark. Streams the q172 memoized
+    // events copy; the sentinel's TWO windows both end after the final
+    // watermark, so neither closes.
+    "q183_sliding_windows_stream" -> ((s, dir) => {
+      val in = s"${eventwinInput(s, dir)}/in"
+      withStatePartitions(s)(runSinked(s, "slide") { (ckpt, sink) =>
+        graft.streaming.EventStreams
+          .slidingStats(
+            streamFrom(s, in).withWatermark("ts", "0 seconds"),
+            windowLength = "1 hour",
+            slide = "30 minutes")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) => sink(batch); () }
+          .start()
+      }).orderBy(col("window_start"), col("event_type"))
+    }),
+
     // The STATE API v2 path (`transformWithState` + RocksDB provider +
     // per-key TIMERS) under the byte gate: StateV2Balances' TTL'd
     // update-mode running sums over per-user cents, changelog appended
@@ -830,6 +896,35 @@ object StreamQueries {
              |  CAST(sum(n) AS BIGINT) AS n, count(*) AS n_buckets,
              |  CAST(max(cents) AS BIGINT) AS max_cents, CAST(sum(cents) AS BIGINT) AS cents
              |FROM m GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+      // Backward as-of with the node's exact tie rule (latest p_ts wins,
+      // time ties to the GREATEST p_event_id — the q80 convention); outer
+      // nulls encode as the −1/epoch sentinels both engines apply.
+      "q182_stream_asof_enrich" ->
+        raw"""WITH l AS (
+             |  SELECT event_id AS click_id, ts, user_id FROM events WHERE event_type = 'click'),
+             | r AS (
+             |  SELECT event_id AS p_event_id, ts AS p_ts, user_id FROM events WHERE event_type = 'purchase'),
+             | j AS (
+             |  SELECT l.click_id, l.ts, l.user_id, r.p_event_id, r.p_ts,
+             |    row_number() OVER (PARTITION BY l.click_id
+             |      ORDER BY r.p_ts DESC, r.p_event_id DESC) AS rn
+             |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.p_ts <= l.ts)
+             |SELECT click_id, ts, user_id,
+             |  coalesce(p_event_id, -1) AS p_event_id,
+             |  coalesce(p_ts, make_timestamp(0)) AS p_ts
+             |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+
+      // Sliding assignment: every event contributes to the 30-minute-
+      // aligned window containing it AND the one starting 30 minutes
+      // earlier (length/slide = 2 copies); arithmetic in epoch-µs.
+      "q183_sliding_windows_stream" ->
+        raw"""WITH e AS (
+             |  SELECT event_type,
+             |    make_timestamp(epoch_us(time_bucket(INTERVAL '30 minutes', ts)) - off * 1800000000) AS window_start
+             |  FROM events, (SELECT unnest([0, 1]) AS off) o)
+             |SELECT window_start, event_type, count(*) AS n
+             |FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
       // The per-user grouped cents sum the v2 snapshot must reproduce.
       "q181_state_v2_stream" ->

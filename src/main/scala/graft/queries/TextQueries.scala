@@ -36,6 +36,14 @@ object TextQueries {
          |  FROM toks)
          |""".stripMargin
 
+  /** q184's stopword gate — a small common-English set (the Gopher rule
+    * asks for ≥ 2 of a fixed list, not a full stopword lexicon).
+    */
+  private val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def gopherStopSql: String =
+    GopherStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Approximate distinct-token cardinality per language via HLL++
     // sketches — the 100 TB replacement for countDistinct: partial sketches
@@ -310,6 +318,40 @@ object TextQueries {
           round(avgTokenLen(col("text")), 4).as("avg_token_len")
         )
         .orderBy(col("doc_id"))),
+
+    // GOPHER RULE GATE (Rae et al. 2021 §A1.1; the Dolma/RefinedWeb
+    // hard-filter family): per-document pass/fail with an auditable REASON
+    // BITMASK, thresholds as published. Every predicate is EXACT INTEGER
+    // arithmetic (3w ≤ chars ≤ 10w instead of a float mean; 10·alpha ≥ 8·w
+    // instead of a ratio), so the gate is bit-portable across engines — a
+    // production run filters with `keep = 1` and reports drop counts by
+    // reason bit. Narrow one-pass projection; no shuffle except the output
+    // sort.
+    //   bit 1: word count outside [50, 100000]
+    //   bit 2: mean word length outside [3, 10]
+    //   bit 4: alphabetic-word ratio < 0.8
+    //   bit 8: fewer than 2 of the 8 required stopwords
+    "q184_gopher_rules" -> ((s, dir) => {
+      val toks  = filter(tokens(col("text")), x => x =!= "")
+      val chars = aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          chars.as("n_chars"),
+          size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long").as("alpha_words"),
+          size(filter(toks, x => lower(x).isin(GopherStopwords: _*))).cast("long").as("stop_words"))
+        .withColumn(
+          "reasons",
+          when(col("n_words") < 50 || col("n_words") > 100000, 1L).otherwise(0L)
+            + when(col("n_chars") < col("n_words") * 3 || col("n_chars") > col("n_words") * 10, 2L)
+              .otherwise(0L)
+            + when(col("alpha_words") * 10 < col("n_words") * 8, 4L).otherwise(0L)
+            + when(col("stop_words") < 2, 8L).otherwise(0L))
+        .withColumn("keep", when(col("reasons") === 0L, 1L).otherwise(0L))
+        .orderBy(col("doc_id"))
+    }),
 
     // Language ID (n-gram/stopword heuristic) + agreement with the labeled
     // lang column, aggregated.
@@ -1122,6 +1164,30 @@ object TextQueries {
   private val PScale      = 1099511627776.0 // 2^40 — exact exponent shift (q117 probability quantizer)
 
   val oracles: Map[String, String] = Map(
+    // Exact-integer rule mirror: same bitmask arithmetic, same token
+    // stream (regexp_split + empty-token drop), BIGINT throughout.
+    "q184_gopher_rules" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+           |  FROM documents),
+           | m AS (
+           |  SELECT doc_id,
+           |    CAST(len(toks) AS BIGINT) AS n_words,
+           |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS n_chars,
+           |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+           |    CAST(len(list_filter(toks, x -> lower(x) IN $gopherStopSql)) AS BIGINT) AS stop_words
+           |  FROM t)
+           |SELECT doc_id, n_words, n_chars, alpha_words, stop_words,
+           |  CAST(CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+           |     + CASE WHEN n_chars < 3 * n_words OR n_chars > 10 * n_words THEN 2 ELSE 0 END
+           |     + CASE WHEN alpha_words * 10 < n_words * 8 THEN 4 ELSE 0 END
+           |     + CASE WHEN stop_words < 2 THEN 8 ELSE 0 END AS BIGINT) AS reasons,
+           |  CAST(CASE WHEN (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+           |     + CASE WHEN n_chars < 3 * n_words OR n_chars > 10 * n_words THEN 2 ELSE 0 END
+           |     + CASE WHEN alpha_words * 10 < n_words * 8 THEN 4 ELSE 0 END
+           |     + CASE WHEN stop_words < 2 THEN 8 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM m ORDER BY doc_id""".stripMargin,
+
     // The same quantized-summand BM25: idf floored at 2^20 so both engines
     // feed identical doubles into the product chain, per-term summands
     // floored at 2^40 into an order-independent BIGINT sum.

@@ -428,6 +428,51 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
       "restart-recovered custom-state sessions differ from the uninterrupted run")
   }
 
+  test("q182: per-micro-batch as-of enrichment equals the batch custom-node join; idempotent sink, no sentinel") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q182_stream_asof_enrich")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(r => r.getLong(0) < 0 || r.getLong(2) < 0), "a sentinel row leaked into the enriched sink")
+    // left-outer completeness: every click exactly once
+    val clicks = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "click").count()
+    assert(rows.length.toLong == clicks, "every click must enrich exactly once")
+    assert(rows.count(_.getLong(3) == -1L) > 0 && rows.count(_.getLong(3) >= 0) > 0,
+      "fixture must exercise both the matched and the no-history path")
+    // the batch custom node over the same slices agrees row for row
+    val ev = graft.sources.Tables.events(spark, dir)
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts"), col("user_id"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_event_id"))
+    val batch = graft.plans.AsofJoinOps
+      .asof(l, r, l.col("user_id"), l.col("ts"), r.col("p_user"), r.col("p_ts"), r.col("p_event_id"),
+        leftOuter = true)
+      .select(col("click_id"), col("ts"), col("user_id"),
+        coalesce(col("p_event_id"), lit(-1L)).as("p_event_id"),
+        coalesce(col("p_ts"), timestamp_seconds(lit(0))).as("p_ts"))
+      .orderBy(col("click_id"))
+      .collect()
+    assert(rows.toSeq == batch.toSeq, "streamed as-of enrichment differs from the batch custom node")
+  }
+
+  test("q183: sliding windows emit exactly once per (window, type); every event lands in two windows") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q183_sliding_windows_stream")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getString(1) == "__sentinel__"), "neither sentinel window may close")
+    val keys = rows.map(r => (r.getTimestamp(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length, "append mode re-emitted a closed sliding window")
+    // length/slide = 2: total counted rows are exactly twice the events
+    val nEvents = graft.sources.Tables.events(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum == 2L * nEvents, "each event must contribute to exactly two windows")
+    val batch = graft.streaming.EventStreams
+      .slidingStats(graft.sources.Tables.events(spark, dir), "1 hour", "30 minutes")
+      .orderBy(col("window_start"), col("event_type"))
+      .collect()
+    assert(rows.toSeq == batch.toSeq, "streamed sliding windows differ from the batch twin")
+  }
+
   test("q172: every real (window, event_type) emits exactly once; totals match the batch twin") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q172_event_windows_stream")(spark, dir).collect()

@@ -19,6 +19,26 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
+  test("q184 gopher gate: bitmask is consistent with its own counted inputs; keep iff no reason") {
+    val rows = SparkEntry.queries("q184_gopher_rules")(spark, dir)
+      .select("doc_id", "n_words", "n_chars", "alpha_words", "stop_words", "reasons", "keep")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, c, aw, sw, reasons, keep) =>
+      val expect =
+        (if (w < 50 || w > 100000) 1L else 0L) +
+          (if (c < 3 * w || c > 10 * w) 2L else 0L) +
+          (if (aw * 10 < w * 8) 4L else 0L) +
+          (if (sw < 2) 8L else 0L)
+      assert(reasons == expect, s"doc $id bitmask $reasons != recomputed $expect")
+      assert(keep == (if (reasons == 0L) 1L else 0L), s"doc $id keep/reasons inconsistent")
+      assert(aw <= w && sw <= w && c >= w, s"doc $id counts impossible (aw=$aw sw=$sw c=$c w=$w)")
+    }
+    // the corpus must exercise both outcomes and more than one reason bit
+    assert(rows.exists(_._7 == 1L) && rows.exists(_._7 == 0L), "gate must both keep and drop")
+    assert(rows.filter(_._6 != 0L).map(_._6).distinct.length > 1, "fixture should trip more than one rule")
+  }
+
   test("q148 packing manifest is a contiguous chunking of the concatenated token stream") {
     val rows = SparkEntry.queries("q148_seq_packing")(spark, dir)
       .select("doc_id", "n_tokens", "start_off", "first_blk", "last_blk", "n_blocks")
