@@ -250,6 +250,69 @@ object StreamQueries {
       .write.mode("append").partitionBy("side").parquet(s"$b/in")
   }
 
+  /** q187's two-epoch arrival layout: the on-time slice
+    * (`event_id % 10 != 0`, partition `arrival=0`) plus the watermark
+    * sentinel, and the held-out slice (`arrival=1`) that the registered
+    * query delivers only AFTER the sentinel has pushed the watermark past
+    * every real window — by then the stream must DROP every held-out row.
+    * ONE events scan: both arrival epochs ride a single
+    * `partitionBy("arrival")` write (the joinBuild pattern) with the
+    * full-corpus `max(ts)` as an observed metric. Arrival ORDER is not
+    * encoded here (file-source listing order is an implementation detail,
+    * not a contract): the query hardlinks each epoch's files into a fresh
+    * watched directory between two `processAllAvailable()` calls — a real
+    * late delivery against a live query, deterministic by construction.
+    */
+  private def lateInput(s: SparkSession, dir: String): String =
+    graft.sources.SessionMemo.dir(s, "stream-in-late", dir)(lateBuild(s, dir, _))
+
+  private def lateBuild(s: SparkSession, dir: String, b: String): Unit = {
+    val obs = org.apache.spark.sql.Observation()
+    Tables.events(s, dir)
+      .select(
+        col("ts"),
+        col("event_type"),
+        col("value"),
+        when(col("event_id") % 10 === 0, 1).otherwise(0).as("arrival"))
+      .observe(obs, max(unix_micros(col("ts"))).as("max_us"))
+      .write.partitionBy("arrival").parquet(s"$b/in")
+    val maxUs = obs.get.get("max_us").flatMap(Option(_)) match {
+      case Some(l: java.lang.Long) => l.longValue()
+      case _                       => 0L
+    }
+    s.range(1).select(
+      timestamp_micros(lit(maxUs + 2L * 3600L * 1000000L)).as("ts"),
+      lit("__sentinel__").as("event_type"),
+      lit(0.0).as("value"),
+      lit(0).as("arrival"))
+      .write.mode("append").partitionBy("arrival").parquet(s"$b/in")
+  }
+
+  /** Hardlink every non-hidden data file under `src` into `dst` under a
+    * `prefix`-tagged name — q187's arrival-epoch delivery: making a file
+    * visible to a running file-source query without copying a byte (links
+    * fall back to a copy only on filesystems that refuse them). A no-op
+    * when `src` is absent (an empty corpus writes no `arrival=1`
+    * partition).
+    */
+  private def linkDataFiles(src: String, dst: String, prefix: String): Unit = {
+    val sp = java.nio.file.Paths.get(src)
+    if (java.nio.file.Files.exists(sp)) {
+      val st = java.nio.file.Files.list(sp)
+      try st.forEach { f =>
+        val n = f.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")) {
+          val t = java.nio.file.Paths.get(dst, s"$prefix-$n")
+          try java.nio.file.Files.createLink(t, f)
+          catch {
+            case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+              java.nio.file.Files.copy(f, t); ()
+          }
+        }
+      } finally st.close()
+    }
+  }
+
   /** Pre-materialize every streaming family's session-memoized input for
     * `dir` — the Bench steady-state protocol's `stream` family: without
     * this, a single-rep deep-scale probe folds the one-time input copy
@@ -263,6 +326,7 @@ object StreamQueries {
     curateInput(s, dir)
     joinInput(s, dir)
     sessInput(s, dir)
+    lateInput(s, dir)
     ()
   }
 
@@ -279,6 +343,7 @@ object StreamQueries {
     curateBuild(s, dir, s"$root/curate")
     joinBuild(s, dir, s"$root/join")
     sessBuild(s, dir, s"$root/sess")
+    lateBuild(s, dir, s"$root/late")
   }
 
   /** q172's memo-build frame: the events projection with `max(ts)` attached
@@ -707,6 +772,103 @@ object StreamQueries {
         .filter(col("rn") === 1)
         .select(col("fromAccount").as("from_account"), col("balance").as("balance_cents"))
         .orderBy(col("from_account"))
+    }),
+
+    // COMPLETE OUTPUT MODE under the byte gate — the last of the three
+    // streaming output modes without a bytes proof (append: q171-q183,
+    // update: q174/q181): per-event-type running totals re-emitted WHOLE
+    // every micro-batch. `maxFilesPerTrigger=1` forces one batch per input
+    // file (≥2 by construction: the data write plus the appended sentinel
+    // file), so the sink log holds one full table per batch; the registered
+    // result is the FINAL batch's complete emission, selected declaratively
+    // (broadcast one-row max-batch-id join — no driver-side action), which
+    // must equal the batch grouped aggregate exactly. Complete mode keeps
+    // EVERY group in state forever — correct only because event_type is
+    // low-cardinality; that bounded-dashboard stance is the documented
+    // production contract (a high-cardinality key must use update/append).
+    // Cross-batch re-emission semantics (batch k's table = the aggregate of
+    // files 0..k) are pinned in StreamQueriesSpec on a deterministic
+    // two-file input.
+    "q186_complete_mode_stream" -> ((s, dir) => {
+      val in = s"${eventwinInput(s, dir)}/in"
+      val log = withStatePartitions(s)(runSinked(s, "complete") { (ckpt, sink) =>
+        s.readStream
+          .schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in)
+          .filter(col("event_type") =!= "__sentinel__") // no watermark exists to retire it
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            sink(batch.withColumn("batch_id", lit(bid)))
+            ()
+          }
+          .start()
+      })
+      val lastBid = log.select(max(col("batch_id")).as("mb"))
+      log
+        .join(broadcast(lastBid), col("batch_id") === col("mb"))
+        .select(
+          col("event_type"),
+          col("n"),
+          round(col("cents") / 100.0, 2).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
+    // LATE-DATA DROP under the byte gate — every row q171-q186 ever hashed
+    // was on time; this row proves the watermark DISCARDS. Two arrival
+    // epochs against ONE live query: epoch 1 hardlinks the on-time slice
+    // (event_id % 10 != 0) plus the future-dated sentinel into the watched
+    // directory and drains it — the sentinel pushes the watermark past
+    // every real window, so append mode closes and emits them all; epoch 2
+    // then delivers the held-out slice (event_id % 10 == 0) and drains
+    // again — every row is now behind the watermark and the stream must
+    // silently drop it (no state update, no emission). The oracle is the
+    // batch hourly aggregate over the on-time slice ALONE, so a single
+    // undropped late row breaks count and cents. Delivery order is by
+    // construction (files appear between the two processAllAvailable
+    // calls), not by file-listing order — no reliance on source internals.
+    // Together with q172 (same transform, nothing late) this pins both
+    // sides of the watermark contract.
+    "q187_late_data_drop_stream" -> ((s, dir) => {
+      val root  = lateInput(s, dir)
+      val tmp   = freshTmp("late")
+      val watch = s"$tmp/watch"
+      val outP  = s"$tmp/out"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+      linkDataFiles(s"$root/in/arrival=0", watch, "ontime")
+      withStatePartitions(s) {
+        val q = eventWindowCents(
+          s.readStream
+            .schema(s.read.parquet(s"$root/in/arrival=0").schema)
+            .parquet(watch)
+            .withWatermark("ts", "0 seconds"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outP)
+            ()
+          }
+          .start()
+        try {
+          q.processAllAvailable() // epoch 1: on-time + sentinel → all real windows emit
+          linkDataFiles(s"$root/in/arrival=1", watch, "late")
+          q.processAllAvailable() // epoch 2: held-out rows are late → dropped
+        } finally q.stop()
+      }
+      s.read.parquet(outP)
+        .select(
+          col("window_start"),
+          col("event_type"),
+          col("n"),
+          round(col("cents") / 100.0, 2).as("total"))
+        .orderBy(col("window_start"), col("event_type"))
     })
   )
 
@@ -930,7 +1092,24 @@ object StreamQueries {
       "q181_state_v2_stream" ->
         raw"""SELECT CAST(user_id AS VARCHAR) AS from_account,
              |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS balance_cents
-             |FROM events GROUP BY 1 ORDER BY from_account""".stripMargin
+             |FROM events GROUP BY 1 ORDER BY from_account""".stripMargin,
+
+      // The final complete-mode emission = the whole-table grouped
+      // aggregate (exact integer cents, one display division).
+      "q186_complete_mode_stream" ->
+        raw"""SELECT event_type, count(*) AS n,
+             |  round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS total
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+      // The q172 hourly aggregate restricted to the ON-TIME slice — every
+      // held-out row (event_id % 10 = 0) arrived late and must be absent.
+      "q187_late_data_drop_stream" ->
+        raw"""WITH c AS (
+             |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             |    count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             |  FROM events WHERE event_id % 10 <> 0 GROUP BY 1, 2)
+             |SELECT window_start, event_type, n, round(cents / 100.0, 2) AS total
+             |FROM c ORDER BY window_start, event_type""".stripMargin
     )
   }
 

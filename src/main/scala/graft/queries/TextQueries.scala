@@ -3,7 +3,7 @@ package graft.queries
 import graft.functions.TextFunctions._
 import graft.plans.CacheScope
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over the `documents` table — language ID, quality
@@ -43,6 +43,68 @@ object TextQueries {
 
   private def gopherStopSql: String =
     GopherStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** q185's per-document repetition signals — the Gopher REPETITION rule
+    * family (Rae et al. 2021 §A1.1, word-n-gram form; reference has no
+    * analytics — this is the LLM-curation tier): quantized top-2/top-3-gram
+    * character fractions and the duplicate-5-gram occurrence fraction, plus
+    * the published-threshold gate as a reason bitmask. Conventions, pinned
+    * so the gate is bit-portable across engines:
+    *   - gram chars = sum of the member words' lengths (separators
+    *     excluded); total chars = sum of all token lengths.
+    *   - every fraction is quantized as floor(1e6·num/den) in pure BIGINT
+    *     arithmetic (`DIV`) — no float division anywhere.
+    *   - tie rule: among equally-frequent grams the lexicographically
+    *     GREATEST wins (array_max over (cnt, gram) structs = struct
+    *     ordering), mirrored by the oracle's ORDER BY cnt DESC, gram DESC.
+    *   - bit 1: top-2-gram char fraction > 0.20; bit 2: top-3-gram > 0.18;
+    *     bit 4: duplicate-5-gram fraction > 0.15 (occurrence form — the
+    *     line/paragraph rules are inapplicable here: the corpus carries no
+    *     newlines, and a vacuous gate would be padding).
+    *
+    * Physical shape: ENTIRELY per-row higher-order-function work — zero
+    * shuffle. The argmax-n-gram runs inside the row over the distinct grams
+    * (O(k²) char compares on a bounded per-document k), which at 100 TB
+    * means embarrassingly parallel map tasks instead of exploding every
+    * n-gram occurrence into a corpus-wide groupBy shuffle.
+    */
+  private[graft] def repetitionSignals(docs: DataFrame): DataFrame = {
+    val ws = filter(tokens(col("text")), x => x =!= "")
+    def topGram(grams: Column): Column =
+      array_max(transform(array_distinct(grams), g =>
+        struct(size(filter(grams, x => x === g)).cast("long").as("cnt"), g.as("gram"))))
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(col("ws"), lit(0L), (a, x) => a + length(x).cast("long")).as("total_chars"),
+        shinglesOf(col("ws"), 2).as("g2"),
+        shinglesOf(col("ws"), 3).as("g3"),
+        shinglesOf(col("ws"), 5).as("g5"))
+      .withColumn("t2", topGram(col("g2")))
+      .withColumn("t3", topGram(col("g3")))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("total_chars"),
+        when(size(col("g2")) === 0, 0L)
+          .otherwise(expr("(t2.cnt * CAST(length(t2.gram) - 1 AS BIGINT) * 1000000) DIV total_chars"))
+          .as("top2_q"),
+        when(size(col("g3")) === 0, 0L)
+          .otherwise(expr("(t3.cnt * CAST(length(t3.gram) - 2 AS BIGINT) * 1000000) DIV total_chars"))
+          .as("top3_q"),
+        when(size(col("g5")) === 0, 0L)
+          .otherwise(
+            expr("(CAST(size(g5) - size(array_distinct(g5)) AS BIGINT) * 1000000) DIV size(g5)"))
+          .as("dup5_q"))
+      .withColumn(
+        "reasons",
+        when(col("top2_q") > 200000L, 1L).otherwise(0L)
+          + when(col("top3_q") > 180000L, 2L).otherwise(0L)
+          + when(col("dup5_q") > 150000L, 4L).otherwise(0L))
+      .withColumn("keep", when(col("reasons") === 0L, 1L).otherwise(0L))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Approximate distinct-token cardinality per language via HLL++
@@ -352,6 +414,15 @@ object TextQueries {
         .withColumn("keep", when(col("reasons") === 0L, 1L).otherwise(0L))
         .orderBy(col("doc_id"))
     }),
+
+    // GOPHER REPETITION GATE — the companion to q184's hard thresholds:
+    // top-n-gram character fractions + duplicate-5-gram fraction per
+    // document with the published thresholds as a reason bitmask (see
+    // [[repetitionSignals]] for the pinned conventions and the zero-shuffle
+    // physical shape). Distinct from q38 (shingle distinct-ratio SIGNAL):
+    // this is the argmax-n-gram char-weighted family and the GATE.
+    "q185_gopher_repetition" -> ((s, dir) =>
+      repetitionSignals(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
     // Language ID (n-gram/stopword heuristic) + agreement with the labeled
     // lang column, aggregated.
@@ -1187,6 +1258,47 @@ object TextQueries {
            |     + CASE WHEN alpha_words * 10 < n_words * 8 THEN 4 ELSE 0 END
            |     + CASE WHEN stop_words < 2 THEN 8 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
            |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q185: same tokenization; n-grams via list_slice, top gram per doc via
+    // row_number (cnt DESC, gram DESC — the struct-max tie rule), every
+    // fraction floor-quantized with BIGINT `//`.
+    "q185_gopher_repetition" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+           |  FROM documents),
+           | b AS (
+           |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words,
+           |    CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS total_chars,
+           |    list_transform(range(1, len(ws)), i -> array_to_string(list_slice(ws, i, i + 1), ' ')) AS g2,
+           |    list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' ')) AS g3,
+           |    list_transform(range(1, len(ws) - 3), i -> array_to_string(list_slice(ws, i, i + 4), ' ')) AS g5
+           |  FROM t),
+           | c2 AS (
+           |  SELECT doc_id, gram, count(*) AS cnt,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram DESC) AS rn
+           |  FROM (SELECT doc_id, unnest(g2) AS gram FROM b) GROUP BY doc_id, gram),
+           | c3 AS (
+           |  SELECT doc_id, gram, count(*) AS cnt,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram DESC) AS rn
+           |  FROM (SELECT doc_id, unnest(g3) AS gram FROM b) GROUP BY doc_id, gram),
+           | q AS (
+           |  SELECT b.doc_id, b.n_words, b.total_chars,
+           |    coalesce((t2.cnt * CAST(length(t2.gram) - 1 AS BIGINT) * 1000000) // b.total_chars, 0) AS top2_q,
+           |    coalesce((t3.cnt * CAST(length(t3.gram) - 2 AS BIGINT) * 1000000) // b.total_chars, 0) AS top3_q,
+           |    CASE WHEN len(b.g5) = 0 THEN 0
+           |         ELSE (CAST(len(b.g5) - len(list_distinct(b.g5)) AS BIGINT) * 1000000) // len(b.g5) END AS dup5_q
+           |  FROM b
+           |  LEFT JOIN (SELECT doc_id, gram, cnt FROM c2 WHERE rn = 1) t2 USING (doc_id)
+           |  LEFT JOIN (SELECT doc_id, gram, cnt FROM c3 WHERE rn = 1) t3 USING (doc_id))
+           |SELECT doc_id, n_words, total_chars,
+           |  CAST(top2_q AS BIGINT) AS top2_q, CAST(top3_q AS BIGINT) AS top3_q,
+           |  CAST(dup5_q AS BIGINT) AS dup5_q,
+           |  CAST(CASE WHEN top2_q > 200000 THEN 1 ELSE 0 END
+           |     + CASE WHEN top3_q > 180000 THEN 2 ELSE 0 END
+           |     + CASE WHEN dup5_q > 150000 THEN 4 ELSE 0 END AS BIGINT) AS reasons,
+           |  CAST(CASE WHEN top2_q <= 200000 AND top3_q <= 180000 AND dup5_q <= 150000
+           |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM q ORDER BY doc_id""".stripMargin,
 
     // The same quantized-summand BM25: idf floored at 2^20 so both engines
     // feed identical doubles into the product chain, per-term summands

@@ -498,4 +498,97 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
         s"stream vs batch mismatch at ${r.getTimestamp(0)}/${r.getString(1)}")
     }
   }
+
+  test("q186 complete mode: every batch re-emits the WHOLE table; per-key counts only grow") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic two-file input: which file lands in batch 0 is a source
+    // implementation detail, so the assertions are order-symmetric
+    val tmp = java.nio.file.Files.createTempDirectory("graft-complete-")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val in   = s"$tmp/in"
+    val outP = s"$tmp/out"
+    val mk = (rows: Seq[(String, Long)]) =>
+      rows.toDF("event_type", "cents").coalesce(1)
+    mk(Seq(("A", 100L), ("A", 250L), ("B", 40L))).write.parquet(in)
+    mk(Seq(("A", 7L), ("C", 11L))).write.mode("append").parquet(in)
+    val q = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        b.withColumn("batch_id", lit(bid)).write.mode("append").parquet(outP)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val log = spark.read.parquet(outP)
+      .collect()
+      .map(r => (r.getLong(3), r.getString(0)) -> ((r.getLong(1), r.getLong(2))))
+      .groupBy(_._1._1)
+      .view.mapValues(_.map { case ((_, k), v) => k -> v }.toMap).toMap
+    assert(log.keySet == Set(0L, 1L), s"expected one batch per file, got ${log.keySet}")
+    val fileA = Map("A" -> ((2L, 350L)), "B" -> ((1L, 40L)))
+    val fileB = Map("A" -> ((1L, 7L)), "C" -> ((1L, 11L)))
+    val full  = Map("A" -> ((3L, 357L)), "B" -> ((1L, 40L)), "C" -> ((1L, 11L)))
+    // batch 0 = exactly one file's aggregate; batch 1 = the COMPLETE table
+    assert(log(0L) == fileA || log(0L) == fileB, s"batch 0 is not a single file's table: ${log(0L)}")
+    assert(log(1L) == full, s"final complete emission must be the whole aggregate: ${log(1L)}")
+    // complete-mode monotonicity: a key's count never shrinks across batches
+    log(0L).foreach { case (k, (n0, _)) => assert(n0 <= full(k)._1) }
+    // and the registered row equals the batch grouped twin
+    val got = SparkEntry.queries("q186_complete_mode_stream")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val twin = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(expr("CAST(round(value * 100) AS BIGINT)")) / 100.0, 2).as("total"))
+      .orderBy(col("event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == twin.toSeq, "final complete snapshot != batch aggregate")
+  }
+
+  test("q187: late arrivals land in already-emitted windows and are provably dropped") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q187_late_data_drop_stream")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getTimestamp(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length, "append mode re-emitted a closed window")
+    val events = graft.sources.Tables.events(spark, dir)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(expr("CAST(round(value * 100) AS BIGINT)")) / 100.0, 2).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // the emitted table IS the on-time-only aggregate
+    val onTime = agg(events.filter(col("event_id") % 10 =!= 0))
+    val got    = rows.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == onTime.toSet, "stream output != on-time batch twin")
+    // non-vacuous: held-out rows exist AND fall inside windows the stream
+    // emitted — the watermark drop, not window absence, excluded them
+    val lateKeys = events.filter(col("event_id") % 10 === 0)
+      .select(window(col("ts"), "1 hour")("start").as("window_start"), col("event_type"))
+      .distinct()
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+    assert(lateKeys.nonEmpty, "fixture has no late slice")
+    val overlap = lateKeys.toSet.intersect(keys.toSet)
+    assert(overlap.nonEmpty, "no late row targeted an emitted window — drop untested")
+    // and on at least one overlapping key the full aggregate differs
+    val fullMap = agg(events).map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    val gotMap  = got.map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(overlap.exists(k => fullMap(k) != gotMap(k)),
+      "late rows never changed any emitted window's aggregate — drop unobservable")
+  }
 }

@@ -39,6 +39,45 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.filter(_._6 != 0L).map(_._6).distinct.length > 1, "fixture should trip more than one rule")
   }
 
+  test("q185 repetition signals: hand-computed fractions, struct-max tie rule, gate consistency") {
+    val docs = Seq(
+      (1L, "x x x x x y"),                       // dominated by one repeated word
+      (2L, "a b c a"),                           // all 2-grams tied → greatest gram wins
+      (3L, "p q r s t p q r s t p q r s t"),     // period-5 → heavy duplicate 5-grams
+      (4L, "")                                   // empty → all-zero signals, keep
+    ).toDF("doc_id", "text")
+    val rows = TextQueries
+      .repetitionSignals(docs)
+      .select("doc_id", "n_words", "total_chars", "top2_q", "top3_q", "dup5_q", "reasons", "keep")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+    // doc 1: top 2-gram "x x" ×4 (2 chars) / 6 chars → floor(8e6/6); top
+    // 3-gram "x x x" ×3 (3 chars) → floor(9e6/6); only 2 distinct 5-grams,
+    // both unique → dup5 = 0. Both top-gram rules trip.
+    assert(rows(0) == ((1L, 6L, 6L, 1333333L, 1500000L, 0L, 3L, 0L)))
+    // doc 2: every 2-gram occurs once — the tie resolves to the
+    // lexicographically greatest ("c a", 2 chars): floor(2e6/4) = 500000.
+    assert(rows(1)._4 == 500000L)
+    // doc 3: 11 sliding 5-grams, 5 distinct rotations → dup = 6 →
+    // floor(6e6/11); the duplicate-5-gram rule trips.
+    assert(rows(2)._6 == 545454L && (rows(2)._7 & 4L) == 4L)
+    // doc 4: no tokens → every signal zero, gate keeps
+    assert(rows(3) == ((4L, 0L, 0L, 0L, 0L, 0L, 0L, 1L)))
+    // corpus-level: bitmask always equals its own thresholds; keep iff 0
+    val corpus = SparkEntry.queries("q185_gopher_repetition")(spark, dir)
+      .select("doc_id", "top2_q", "top3_q", "dup5_q", "reasons", "keep")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (id, t2, t3, d5, reasons, keep) =>
+      val expect = (if (t2 > 200000L) 1L else 0L) +
+        (if (t3 > 180000L) 2L else 0L) + (if (d5 > 150000L) 4L else 0L)
+      assert(reasons == expect, s"doc $id bitmask $reasons != recomputed $expect")
+      assert(keep == (if (reasons == 0L) 1L else 0L), s"doc $id keep/reasons inconsistent")
+    }
+    assert(corpus.exists(_._6 == 1L) && corpus.exists(_._6 == 0L), "gate must both keep and drop")
+  }
+
   test("q148 packing manifest is a contiguous chunking of the concatenated token stream") {
     val rows = SparkEntry.queries("q148_seq_packing")(spark, dir)
       .select("doc_id", "n_tokens", "start_off", "first_blk", "last_blk", "n_blocks")
