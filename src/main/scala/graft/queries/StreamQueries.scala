@@ -295,6 +295,73 @@ object StreamQueries {
     * when `src` is absent (an empty corpus writes no `arrival=1`
     * partition).
     */
+  /** q188's two-epoch INGEST layout: the corpus range-partitioned on `ts`
+    * into [[IncrFiles]] files — the first (early) half stays in `/in` as
+    * "yesterday's" ingest; the second half moves to `/in2` as "today's".
+    * Range partitioning guarantees every `/in2` row is at-or-after every
+    * `/in` row, so a 0-second watermark carried across the two
+    * AvailableNow runs never drops anything; the future-dated sentinel
+    * (`/sent`, its own one-row file) rides with run 2 to close every real
+    * window. ONE events scan (the range exchange's internal bounds
+    * sampling is Spark shuffle machinery, not a second scan of this plan);
+    * max(ts) rides the write as an observed metric (the q172 pattern).
+    * The file moves are a bounded driver-side rename of [[IncrFiles]]/2
+    * names — file-name order IS partition order IS ts order under a range
+    * exchange.
+    */
+  private def incrInput(s: SparkSession, dir: String): String =
+    graft.sources.SessionMemo.dir(s, "stream-in-incr", dir)(incrBuild(s, dir, _))
+
+  /** Files per epoch ride the range split: enough that an epoch's
+    * micro-batch parallelizes at scale, few enough that the rename pass
+    * stays trivially bounded.
+    */
+  private val IncrFiles = 16
+
+  private def incrBuild(s: SparkSession, dir: String, b: String): Unit = {
+    val obs = org.apache.spark.sql.Observation()
+    Tables.events(s, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .repartitionByRange(IncrFiles, col("ts"))
+      .observe(obs, max(unix_micros(col("ts"))).as("max_us"))
+      .write.parquet(s"$b/in")
+    val maxUs = obs.get.get("max_us").flatMap(Option(_)) match {
+      case Some(l: java.lang.Long) => l.longValue()
+      case _                       => 0L
+    }
+    s.range(1).select(
+      timestamp_micros(lit(maxUs + 2L * 3600L * 1000000L)).as("ts"),
+      lit("__sentinel__").as("event_type"),
+      lit(0.0).as("value"))
+      .write.parquet(s"$b/sent")
+    val in2 = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$b/in2"))
+    val parts = {
+      val st  = java.nio.file.Files.list(java.nio.file.Paths.get(s"$b/in"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      try st.forEach { p =>
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")) buf += p
+      } finally st.close()
+      buf.sortBy(_.getFileName.toString).toSeq
+    }
+    parts.drop((parts.size + 1) / 2).foreach { p =>
+      java.nio.file.Files.move(p, in2.resolve(p.getFileName))
+    }
+  }
+
+  /** Non-hidden data files under a stream-input root — q186 sizes its
+    * trigger off this (a bounded driver-side directory listing, not a data
+    * read) so its micro-batch COUNT stays fixed as the corpus grows.
+    */
+  private def dataFileCount(root: String): Int = {
+    val st = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    try st.filter { f =>
+      val n = f.getFileName.toString
+      java.nio.file.Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+    }.count().toInt
+    finally st.close()
+  }
+
   private def linkDataFiles(src: String, dst: String, prefix: String): Unit = {
     val sp = java.nio.file.Paths.get(src)
     if (java.nio.file.Files.exists(sp)) {
@@ -327,6 +394,7 @@ object StreamQueries {
     joinInput(s, dir)
     sessInput(s, dir)
     lateInput(s, dir)
+    incrInput(s, dir)
     ()
   }
 
@@ -344,6 +412,7 @@ object StreamQueries {
     joinBuild(s, dir, s"$root/join")
     sessBuild(s, dir, s"$root/sess")
     lateBuild(s, dir, s"$root/late")
+    incrBuild(s, dir, s"$root/incr")
   }
 
   /** q172's memo-build frame: the events projection with `max(ts)` attached
@@ -659,7 +728,7 @@ object StreamQueries {
     // purchase at-or-before its event time (backward as-of, greatest-tie)
     // from the static side. Stateless by design — no watermark, no
     // cross-batch state, late rows enrich whenever they arrive — so the
-    // multi-batch split (`maxFilesPerTrigger=1`) exercises the per-batch
+    // multi-batch split (file-count-bounded trigger) exercises the per-batch
     // re-planning of the custom node without any ordering hazard. The sink
     // is the IDEMPOTENT per-batch-id overwrite recipe (a replayed batch
     // rewrites its own partition, never double-appends). Streams the q177
@@ -668,10 +737,16 @@ object StreamQueries {
     "q182_stream_asof_enrich" -> ((s, dir) => {
       val root = joinInput(s, dir)
       val tmp  = freshTmp("asofe")
+      // multi-batch split sized off the FILE COUNT (≥2 batches always, the
+      // q186 treatment): the per-micro-batch re-plan of the custom node
+      // costs one static-side pass per batch, so one-file triggers would
+      // multiply that pass by the corpus's file count (measured: 14.4 s at
+      // 10×'s 32 files vs 3.1 s with the bounded split, same bytes)
+      val perTrigger = math.max(1, (dataFileCount(s"$root/in/side=L") + 1) / 2)
       withStatePartitions(s) {
         val stream = s.readStream
           .schema(s.read.parquet(s"$root/in/side=L").schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", perTrigger.toString)
           .parquet(s"$root/in/side=L")
           .filter(col("user_id") >= 0)
           .withColumnRenamed("event_id", "click_id")
@@ -777,24 +852,30 @@ object StreamQueries {
     // COMPLETE OUTPUT MODE under the byte gate — the last of the three
     // streaming output modes without a bytes proof (append: q171-q183,
     // update: q174/q181): per-event-type running totals re-emitted WHOLE
-    // every micro-batch. `maxFilesPerTrigger=1` forces one batch per input
-    // file (≥2 by construction: the data write plus the appended sentinel
-    // file), so the sink log holds one full table per batch; the registered
-    // result is the FINAL batch's complete emission, selected declaratively
-    // (broadcast one-row max-batch-id join — no driver-side action), which
-    // must equal the batch grouped aggregate exactly. Complete mode keeps
-    // EVERY group in state forever — correct only because event_type is
-    // low-cardinality; that bounded-dashboard stance is the documented
-    // production contract (a high-cardinality key must use update/append).
-    // Cross-batch re-emission semantics (batch k's table = the aggregate of
-    // files 0..k) are pinned in StreamQueriesSpec on a deterministic
-    // two-file input.
+    // every micro-batch. `maxFilesPerTrigger` = HALF the input file count
+    // forces a multi-batch run (≥2 batches at every corpus size: the data
+    // write plus the appended sentinel file guarantee ≥2 files) while
+    // keeping the BATCH COUNT fixed as the corpus grows — a
+    // one-file-per-trigger run would pay the complete-mode re-emission
+    // once per input file, turning file count into wall time (measured:
+    // 17 s at 10×'s 33 files vs 2.3 s here). The sink log holds one full
+    // table per batch; the registered result is the FINAL batch's complete
+    // emission, selected declaratively (broadcast one-row max-batch-id
+    // join — no driver-side action), which must equal the batch grouped
+    // aggregate exactly. Complete mode keeps EVERY group in state forever —
+    // correct only because event_type is low-cardinality; that
+    // bounded-dashboard stance is the documented production contract (a
+    // high-cardinality key must use update/append). Cross-batch
+    // re-emission semantics (batch k's table = the aggregate of files
+    // 0..k) are pinned in StreamQueriesSpec on a deterministic two-file
+    // input.
     "q186_complete_mode_stream" -> ((s, dir) => {
       val in = s"${eventwinInput(s, dir)}/in"
+      val perTrigger = math.max(1, (dataFileCount(in) + 1) / 2)
       val log = withStatePartitions(s)(runSinked(s, "complete") { (ckpt, sink) =>
         s.readStream
           .schema(s.read.parquet(in).schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", perTrigger.toString)
           .parquet(in)
           .filter(col("event_type") =!= "__sentinel__") // no watermark exists to retire it
           .groupBy(col("event_type"))
@@ -869,8 +950,132 @@ object StreamQueries {
           col("n"),
           round(col("cents") / 100.0, 2).as("total"))
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // TRIGGER.AVAILABLENOW INCREMENTAL INGEST under the byte gate — the
+    // nightly production pattern (BackfillSpec's subject, previously
+    // spec-only): TWO planned runs of the SAME query against ONE
+    // checkpoint, each `Trigger.AvailableNow()` so the query processes
+    // what has landed and TERMINATES ITSELF (awaitTermination returns
+    // without a stop signal). Run 1 ingests the early half of the corpus
+    // ([[incrInput]]'s range-split epochs) and emits every window fully
+    // before its watermark; run 2 picks up only the files landed since —
+    // the checkpoint's source log, not any dedup logic, guarantees that —
+    // restores the windows still open at run 1's end, and closes
+    // everything via the sentinel. A window STRADDLING the epoch boundary
+    // emits once, in run 2, with contributions from BOTH runs — so the
+    // full-corpus oracle breaks if cross-run state restore, the carried
+    // watermark, or the source's file log is wrong. Same transform and
+    // oracle as q172: the proof here is the two-run execution shape.
+    "q188_available_now_incremental" -> ((s, dir) => {
+      val root  = incrInput(s, dir)
+      val tmp   = freshTmp("incr")
+      val watch = s"$tmp/watch"
+      val outP  = s"$tmp/out"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+      def drain(): Unit = {
+        val q = eventWindowCents(
+          s.readStream
+            .schema(s.read.parquet(s"$root/sent").schema) // sent always has a file
+            .parquet(watch)
+            .withWatermark("ts", "0 seconds"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outP)
+            ()
+          }
+          .start()
+        try q.awaitTermination() // AvailableNow stops the query itself
+        finally q.stop()
+      }
+      withStatePartitions(s) {
+        linkDataFiles(s"$root/in", watch, "run1")
+        drain() // run 1: early epoch → pre-boundary windows emit
+        linkDataFiles(s"$root/in2", watch, "run2")
+        linkDataFiles(s"$root/sent", watch, "sent")
+        drain() // run 2: late epoch + sentinel → open + remaining windows emit
+      }
+      s.read.parquet(outP)
+        .select(
+          col("window_start"),
+          col("event_type"),
+          col("n"),
+          round(col("cents") / 100.0, 2).as("total"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // STREAMING CARDINALITY SKETCH under the byte gate — chained stateful
+    // aggregates carrying HLL REGISTER state: level 1 closes the (hourly
+    // window, bucket) max-rho cells, level 2 folds each window's closed
+    // cells into the exact-integer harmonic denominator and the q126
+    // portable estimate (see [[windowedHll]]). This is the production
+    // per-window distinct-user monitor at 100 TB: state is ≤ 64 cells per
+    // open window regardless of corpus size — the sketch, not a distinct
+    // set, absorbs duplicates — and the estimate is bit-portable, so even
+    // the float lands hash-identical in DuckDB. Streams the q178 memoized
+    // events projection; the sentinel's cell never closes and never
+    // reaches level two.
+    "q189_windowed_hll_stream" -> ((s, dir) => {
+      val in = s"${sessInput(s, dir)}/in"
+      withStatePartitions(s)(runSinked(s, "whll") { (ckpt, sink) =>
+        windowedHll(streamFrom(s, in).withWatermark("ts", "0 seconds")).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) => sink(batch); () }
+          .start()
+      }).orderBy(col("window_start"))
     })
   )
+
+  /** q189's two-level windowed portable HLL (M = 64 registers, the q126
+    * construction per hourly window over `user_id`): per event, bucket =
+    * h mod 64 and rho = leading-zero rank of the remaining 54 md5 bits;
+    * level 1 aggregates max-rho per (window, bucket) — the REGISTER cells,
+    * ≤ 64 rows per window; level 2 re-aggregates the CLOSED cells of the
+    * same hourly window (`window_time`, the q180 chaining) into the exact
+    * integer harmonic denominator q = Σ 2^(55−M_j) (empty buckets
+    * contribute 2^55 via the 64−count term — no dense cell fill needed),
+    * the zero-register count v, and the estimate with the q126 small-range
+    * linear-counting switch. Batch/stream agnostic; the spec cross-checks
+    * the stream against this same transform run in batch.
+    */
+  private[graft] def windowedHll(df: DataFrame): DataFrame = {
+    val M = 64
+    val cells = df
+      .select(
+        col("ts"),
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .select(col("ts"), (col("h") % M).cast("int").as("bucket"), expr(s"h div $M").as("w"))
+      .select(
+        col("ts"),
+        col("bucket"),
+        when(col("w") === 0, lit(55)).otherwise(lit(55) - length(bin(col("w")))).cast("long").as("rho"))
+      .groupBy(window(col("ts"), "1 hour"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    cells
+      .groupBy(window(window_time(col("window")), "1 hour"))
+      .agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))"))
+          + (lit(M.toLong) - count(lit(1))) * lit(1L << 55)).as("q"),
+        (lit(M.toLong) - count(lit(1))).as("v"))
+      .select(
+        col("window.start").as("window_start"),
+        col("q"),
+        col("v"),
+        (lit(0.709) * M * M * lit(36028797018963968.0) / col("q").cast("double")).as("raw"))
+      .select(
+        col("window_start"),
+        col("q"),
+        col("v"),
+        round(
+          when(col("raw") <= 2.5 * M && col("v") > 0,
+            lit(M.toDouble) * log(lit(M.toDouble) / col("v")))
+            .otherwise(col("raw")),
+          4).as("hll_estimate"))
+  }
 
   private[graft] val JoinWithinSec  = 86400L // q177 interval: purchases within a day of the click
   private[graft] val JoinDelayDays  = 32L    // q177 watermark delay > the corpus event-time span
@@ -1109,7 +1314,51 @@ object StreamQueries {
              |    count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS cents
              |  FROM events WHERE event_id % 10 <> 0 GROUP BY 1, 2)
              |SELECT window_start, event_type, n, round(cents / 100.0, 2) AS total
-             |FROM c ORDER BY window_start, event_type""".stripMargin
+             |FROM c ORDER BY window_start, event_type""".stripMargin,
+
+      // q172's oracle text verbatim: the two AvailableNow runs must land
+      // the SAME whole-corpus aggregate a single uninterrupted stream does.
+      "q188_available_now_incremental" ->
+        raw"""WITH c AS (
+             |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             |    count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             |  FROM events GROUP BY 1, 2)
+             |SELECT window_start, event_type, n, round(cents / 100.0, 2) AS total
+             |FROM c ORDER BY window_start, event_type""".stripMargin,
+
+      // The q126 portable-HLL formula per hourly window over user_id:
+      // identical 60-bit md5 fold, bucket/rho split, max-rho registers,
+      // exact-integer harmonic denominator with empty buckets as the
+      // (64 − count)·2^55 term, and the small-range linear-counting switch.
+      "q189_windowed_hll_stream" ->
+        raw"""WITH e AS (
+             |  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, CAST(user_id AS VARCHAR) AS u
+             |  FROM events),
+             | h AS (
+             |  SELECT ws, CAST(list_reduce(list_transform(range(1, 16),
+             |    i -> (strpos('0123456789abcdef', substr(md5(u), i::INT, 1)) - 1)::BIGINT),
+             |    (a, c) -> a * 16 + c) AS BIGINT) AS h
+             |  FROM e),
+             | rb AS (SELECT ws, (h % 64)::INT AS bucket, h // 64 AS w FROM h),
+             | reg AS (
+             |  SELECT ws, bucket,
+             |    max(CASE WHEN w = 0 THEN 55 ELSE 55 - strlen(bin(w)) END) AS m
+             |  FROM rb GROUP BY 1, 2),
+             | agg AS (
+             |  SELECT ws,
+             |    sum(CAST(pow(2, 55 - m) AS BIGINT))
+             |      + (64 - count(*)) * CAST(pow(2, 55) AS BIGINT) AS q,
+             |    64 - count(*) AS v
+             |  FROM reg GROUP BY ws),
+             | est AS (
+             |  SELECT ws, q, v,
+             |    0.709::DOUBLE * 64 * 64 * 36028797018963968.0::DOUBLE / CAST(q AS DOUBLE) AS raw
+             |  FROM agg)
+             |SELECT ws AS window_start, CAST(q AS BIGINT) AS q, CAST(v AS BIGINT) AS v,
+             |  round(CASE WHEN raw <= 2.5 * 64 AND v > 0
+             |             THEN 64.0::DOUBLE * ln(64.0::DOUBLE / v)
+             |             ELSE raw END, 4) AS hll_estimate
+             |FROM est ORDER BY window_start""".stripMargin
     )
   }
 

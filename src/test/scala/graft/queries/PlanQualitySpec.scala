@@ -104,6 +104,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       "unexpected explode in the signature path:\n" + plan.take(800))
   }
 
+  test("q185 repetition signals are per-row work: no shuffle except the output sort") {
+    // The argmax-n-gram and every fraction run INSIDE the row (higher-order
+    // functions over the document's own grams) — a groupBy/explode
+    // formulation would shuffle every n-gram occurrence corpus-wide at
+    // 100 TB. Only the final orderBy's range exchange is allowed.
+    val plan = executedPlan("q185_gopher_repetition")
+    assert(!plan.contains("Exchange hashpartitioning"), "per-row op acquired a hash shuffle:\n" + plan.take(800))
+    assert(!plan.contains("Generate explode"), "n-grams exploded into rows:\n" + plan.take(800))
+  }
+
   test("q55 quantization is a narrow pass: no shuffle except the output sort") {
     // Codes/errors never leave their row — the only exchange in the plan is
     // the final orderBy's range partitioning. A groupBy or join sneaking in

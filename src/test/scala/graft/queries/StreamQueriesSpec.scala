@@ -556,6 +556,96 @@ class StreamQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == twin.toSeq, "final complete snapshot != batch aggregate")
   }
 
+  test("q188/AvailableNow: run 1 emits early windows and stops itself; run 2 carries state across the restart") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand-built corpus: window A [0h,1h) entirely in epoch 1; window B
+    // [1h,2h) STRADDLES the epochs (one event per run) — cross-run state
+    // carry is observable only if B's final count includes run 1's event
+    val tmp = java.nio.file.Files.createTempDirectory("graft-avnow-")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val watch = s"$tmp/watch"
+    val outP  = s"$tmp/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+    def writeEpoch(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("sec", "event_type", "value")
+        .select(timestamp_seconds(col("sec")).as("ts"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("append").parquet(watch)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .parquet(watch)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outP)
+          ()
+        }
+        .start()
+      try q.awaitTermination() // AvailableNow terminates the query itself
+      finally q.stop()
+    }
+    writeEpoch(Seq((100L, "a", 1.0), (200L, "a", 2.0), (3900L, "b", 3.0)))
+    drain() // watermark → 3900: window A closes, straddling B stays open
+    val run1 = spark.read.parquet(outP).collect()
+      .map(r => (r.getTimestamp(0).toInstant.getEpochSecond, r.getString(1), r.getLong(2)))
+    assert(run1.toSet == Set((0L, "a", 2L)), s"run 1 must emit exactly window A: ${run1.toSeq}")
+    writeEpoch(Seq((3960L, "b", 4.0), (36000L, "__sentinel__", 0.0)))
+    drain() // restart from the checkpoint: B must close with BOTH events
+    val fin = spark.read.parquet(outP).collect()
+      .map(r => (r.getTimestamp(0).toInstant.getEpochSecond, r.getString(1), r.getLong(2)))
+    assert(fin.toSet == Set((0L, "a", 2L), (3600L, "b", 2L)),
+      s"state did not carry across the AvailableNow restart: ${fin.toSeq}")
+    assert(fin.length == 2, s"append mode re-emitted a window across runs: ${fin.toSeq}")
+  }
+
+  test("q188 registered row equals the full-corpus batch twin") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q188_available_now_incremental")(spark, dir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length, "duplicate window emission")
+    val twin = graft.sources.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(expr("CAST(round(value * 100) AS BIGINT)")) / 100.0, 2).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == twin.toSet, "two-run incremental sink != whole-corpus aggregate")
+  }
+
+  test("q189: streaming two-level HLL equals the batch transform; registers bounded; sentinel-free") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q189_windowed_hll_stream")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(_.getTimestamp(0))
+    assert(keys.distinct.length == keys.length, "append mode re-emitted a closed window")
+    rows.foreach { r =>
+      val (q, v) = (r.getLong(1), r.getLong(2))
+      assert(v >= 0L && v <= 64L, s"zero-register count out of range: $v")
+      // q = Σ 2^(55-m) over 64 registers: bounded by [64·2^0, 64·2^55]
+      assert(q >= 64L && q <= 64L * (1L << 55), s"harmonic denominator out of range: $q")
+      assert(r.getDouble(3) >= 0.0)
+    }
+    // the batch twin: the IDENTICAL transform applied to the events table
+    // in batch mode must land byte-identical windows and estimates
+    val batch = graft.queries.StreamQueries
+      .windowedHll(graft.sources.Tables.events(spark, dir).select(col("ts"), col("user_id")))
+      .orderBy(col("window_start"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = rows.map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == batch.toSeq, "stream vs batch HLL mismatch")
+  }
+
   test("q187: late arrivals land in already-emitted windows and are provably dropped") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q187_late_data_drop_stream")(spark, dir).collect()
