@@ -141,12 +141,8 @@ object StreamQueries {
   private def eventwinBuild(s: SparkSession, dir: String, b: String): Unit = {
     val (observed, obs) = observedEventsInput(s, dir)
     observed.write.parquet(s"$b/in")
-    val maxUs = obs.get.get("max_us").flatMap(Option(_)) match {
-      case Some(l: java.lang.Long) => l.longValue()
-      case _                       => 0L
-    }
     s.range(1).select(
-      timestamp_micros(lit(maxUs + 2L * 3600L * 1000000L)).as("ts"),
+      timestamp_micros(lit(observedMaxUs(obs) + SentinelMarginUs)).as("ts"),
       lit("__sentinel__").as("event_type"),
       lit(0.0).as("value"))
       .write.mode("append").parquet(s"$b/in")
@@ -192,13 +188,9 @@ object StreamQueries {
   private def sessBuild(s: SparkSession, dir: String, b: String): Unit = {
     val (observed, obs) = observedSessEvents(s, dir)
     observed.write.parquet(s"$b/in")
-    val maxUs = obs.get.get("max_us").flatMap(Option(_)) match {
-      case Some(l: java.lang.Long) => l.longValue()
-      case _                       => 0L
-    }
     s.range(1)
       .select(
-        timestamp_micros(lit(maxUs + SessionGapUs + 2L * 3600L * 1000000L)).as("ts"),
+        timestamp_micros(lit(observedMaxUs(obs) + SessionGapUs + SentinelMarginUs)).as("ts"),
         lit(-1L).as("user_id"),
         lit(0L).as("cents"))
       .write.mode("append").parquet(s"$b/in")
@@ -238,11 +230,7 @@ object StreamQueries {
         when(col("event_type") === "click", "L").otherwise("R").as("side"))
       .observe(obs, max(unix_micros(col("ts"))).as("max_us"))
       .write.partitionBy("side").parquet(s"$b/in")
-    val maxUs = obs.get.get("max_us").flatMap(Option(_)) match {
-      case Some(l: java.lang.Long) => l.longValue()
-      case _                       => 0L
-    }
-    val sentUs = maxUs + (JoinDelayDays + 1L) * 86400L * 1000000L + 2L * 3600L * 1000000L
+    val sentUs = observedMaxUs(obs) + (JoinDelayDays + 1L) * 86400L * 1000000L + SentinelMarginUs
     s.createDataFrame(java.util.List.of(
         org.apache.spark.sql.Row(-1L, -1L, "L"), org.apache.spark.sql.Row(-2L, -2L, "R")),
         org.apache.spark.sql.types.StructType.fromDDL("user_id BIGINT, event_id BIGINT, side STRING"))
@@ -276,25 +264,32 @@ object StreamQueries {
         when(col("event_id") % 10 === 0, 1).otherwise(0).as("arrival"))
       .observe(obs, max(unix_micros(col("ts"))).as("max_us"))
       .write.partitionBy("arrival").parquet(s"$b/in")
-    val maxUs = obs.get.get("max_us").flatMap(Option(_)) match {
-      case Some(l: java.lang.Long) => l.longValue()
-      case _                       => 0L
-    }
     s.range(1).select(
-      timestamp_micros(lit(maxUs + 2L * 3600L * 1000000L)).as("ts"),
+      timestamp_micros(lit(observedMaxUs(obs) + SentinelMarginUs)).as("ts"),
       lit("__sentinel__").as("event_type"),
       lit(0.0).as("value"),
       lit(0).as("arrival"))
       .write.mode("append").partitionBy("arrival").parquet(s"$b/in")
   }
 
-  /** Hardlink every non-hidden data file under `src` into `dst` under a
-    * `prefix`-tagged name — q187's arrival-epoch delivery: making a file
-    * visible to a running file-source query without copying a byte (links
-    * fall back to a copy only on filesystems that refuse them). A no-op
-    * when `src` is absent (an empty corpus writes no `arrival=1`
-    * partition).
+  /** The observed-metric unwrap every memo build shares: the `max_us`
+    * value from a completed [[org.apache.spark.sql.Observation]], 0 when
+    * the corpus was empty (the metric is NULL — the sentinel then anchors
+    * at the epoch and only its never-closing window exists).
     */
+  private def observedMaxUs(obs: org.apache.spark.sql.Observation): Long =
+    obs.get.get("max_us").flatMap(Option(_)) match {
+      case Some(l: java.lang.Long) => l.longValue()
+      case _                       => 0L
+    }
+
+  /** Sentinel dating margin past the observed corpus max — comfortably
+    * beyond any window/session close so the final watermark shuts every
+    * real window (families with their own horizons add to it, e.g.
+    * sessBuild's gap and joinBuild's delay).
+    */
+  private val SentinelMarginUs = 2L * 3600L * 1000000L
+
   /** q188's two-epoch INGEST layout: the corpus range-partitioned on `ts`
     * into [[IncrFiles]] files — the first (early) half stays in `/in` as
     * "yesterday's" ingest; the second half moves to `/in2` as "today's".
@@ -325,60 +320,52 @@ object StreamQueries {
       .repartitionByRange(IncrFiles, col("ts"))
       .observe(obs, max(unix_micros(col("ts"))).as("max_us"))
       .write.parquet(s"$b/in")
-    val maxUs = obs.get.get("max_us").flatMap(Option(_)) match {
-      case Some(l: java.lang.Long) => l.longValue()
-      case _                       => 0L
-    }
     s.range(1).select(
-      timestamp_micros(lit(maxUs + 2L * 3600L * 1000000L)).as("ts"),
+      timestamp_micros(lit(observedMaxUs(obs) + SentinelMarginUs)).as("ts"),
       lit("__sentinel__").as("event_type"),
       lit(0.0).as("value"))
       .write.parquet(s"$b/sent")
-    val in2 = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$b/in2"))
-    val parts = {
-      val st  = java.nio.file.Files.list(java.nio.file.Paths.get(s"$b/in"))
-      val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-      try st.forEach { p =>
-        val n = p.getFileName.toString
-        if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")) buf += p
-      } finally st.close()
-      buf.sortBy(_.getFileName.toString).toSeq
-    }
+    val in2   = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$b/in2"))
+    val parts = listDataFiles(s"$b/in")
     parts.drop((parts.size + 1) / 2).foreach { p =>
       java.nio.file.Files.move(p, in2.resolve(p.getFileName))
     }
   }
 
-  /** Non-hidden data files under a stream-input root — q186 sizes its
-    * trigger off this (a bounded driver-side directory listing, not a data
-    * read) so its micro-batch COUNT stays fixed as the corpus grows.
+  /** The non-hidden data files under a stream-input root, name-sorted — the
+    * ONE definition of "data file" the trigger sizing (q186/q182), the
+    * epoch move (incrBuild), and the arrival delivery (linkDataFiles) all
+    * share. A bounded driver-side directory listing, not a data read;
+    * empty when `root` is absent (an empty corpus writes no `arrival=1`
+    * partition).
     */
-  private def dataFileCount(root: String): Int = {
-    val st = java.nio.file.Files.list(java.nio.file.Paths.get(root))
-    try st.filter { f =>
-      val n = f.getFileName.toString
-      java.nio.file.Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
-    }.count().toInt
-    finally st.close()
+  private def listDataFiles(root: String): Seq[java.nio.file.Path] = {
+    val rp = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(rp)) return Seq.empty
+    val st  = java.nio.file.Files.list(rp)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    try st.forEach { p =>
+      val n = p.getFileName.toString
+      if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")) buf += p
+    } finally st.close()
+    buf.sortBy(_.getFileName.toString).toSeq
   }
 
-  private def linkDataFiles(src: String, dst: String, prefix: String): Unit = {
-    val sp = java.nio.file.Paths.get(src)
-    if (java.nio.file.Files.exists(sp)) {
-      val st = java.nio.file.Files.list(sp)
-      try st.forEach { f =>
-        val n = f.getFileName.toString
-        if (java.nio.file.Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")) {
-          val t = java.nio.file.Paths.get(dst, s"$prefix-$n")
-          try java.nio.file.Files.createLink(t, f)
-          catch {
-            case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-              java.nio.file.Files.copy(f, t); ()
-          }
-        }
-      } finally st.close()
+  /** Hardlink every data file under `src` into `dst` under a
+    * `prefix`-tagged name — the arrival-epoch delivery (q187/q188): making
+    * a file visible to a running file-source query without copying a byte
+    * (links fall back to a copy only on filesystems that refuse them).
+    * A no-op when `src` is absent.
+    */
+  private def linkDataFiles(src: String, dst: String, prefix: String): Unit =
+    listDataFiles(src).foreach { f =>
+      val t = java.nio.file.Paths.get(dst, s"$prefix-${f.getFileName}")
+      try java.nio.file.Files.createLink(t, f)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          java.nio.file.Files.copy(f, t); ()
+      }
     }
-  }
 
   /** Pre-materialize every streaming family's session-memoized input for
     * `dir` — the Bench steady-state protocol's `stream` family: without
@@ -741,8 +728,8 @@ object StreamQueries {
       // q186 treatment): the per-micro-batch re-plan of the custom node
       // costs one static-side pass per batch, so one-file triggers would
       // multiply that pass by the corpus's file count (measured: 14.4 s at
-      // 10×'s 32 files vs 3.1 s with the bounded split, same bytes)
-      val perTrigger = math.max(1, (dataFileCount(s"$root/in/side=L") + 1) / 2)
+      // 10×'s 32 files vs 1.5 s with the bounded split, same bytes)
+      val perTrigger = math.max(1, (listDataFiles(s"$root/in/side=L").size + 1) / 2)
       withStatePartitions(s) {
         val stream = s.readStream
           .schema(s.read.parquet(s"$root/in/side=L").schema)
@@ -858,7 +845,7 @@ object StreamQueries {
     // keeping the BATCH COUNT fixed as the corpus grows — a
     // one-file-per-trigger run would pay the complete-mode re-emission
     // once per input file, turning file count into wall time (measured:
-    // 17 s at 10×'s 33 files vs 2.3 s here). The sink log holds one full
+    // 17.3 s at 10×'s 33 files vs 1.4 s bounded). The sink log holds one full
     // table per batch; the registered result is the FINAL batch's complete
     // emission, selected declaratively (broadcast one-row max-batch-id
     // join — no driver-side action), which must equal the batch grouped
@@ -871,7 +858,7 @@ object StreamQueries {
     // input.
     "q186_complete_mode_stream" -> ((s, dir) => {
       val in = s"${eventwinInput(s, dir)}/in"
-      val perTrigger = math.max(1, (dataFileCount(in) + 1) / 2)
+      val perTrigger = math.max(1, (listDataFiles(in).size + 1) / 2)
       val log = withStatePartitions(s)(runSinked(s, "complete") { (ckpt, sink) =>
         s.readStream
           .schema(s.read.parquet(in).schema)
@@ -1043,7 +1030,7 @@ object StreamQueries {
     * the stream against this same transform run in batch.
     */
   private[graft] def windowedHll(df: DataFrame): DataFrame = {
-    val M = 64
+    val M = graft.functions.PortableHll.M
     val cells = df
       .select(
         col("ts"),
@@ -1059,22 +1046,13 @@ object StreamQueries {
       .groupBy(window(window_time(col("window")), "1 hour"))
       .agg(
         (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))"))
-          + (lit(M.toLong) - count(lit(1))) * lit(1L << 55)).as("q"),
+          + (lit(M.toLong) - count(lit(1))) * lit(graft.functions.PortableHll.HarmonicScale)).as("q"),
         (lit(M.toLong) - count(lit(1))).as("v"))
       .select(
         col("window.start").as("window_start"),
         col("q"),
         col("v"),
-        (lit(0.709) * M * M * lit(36028797018963968.0) / col("q").cast("double")).as("raw"))
-      .select(
-        col("window_start"),
-        col("q"),
-        col("v"),
-        round(
-          when(col("raw") <= 2.5 * M && col("v") > 0,
-            lit(M.toDouble) * log(lit(M.toDouble) / col("v")))
-            .otherwise(col("raw")),
-          4).as("hll_estimate"))
+        graft.functions.PortableHll.estimate(col("q"), col("v")).as("hll_estimate"))
   }
 
   private[graft] val JoinWithinSec  = 86400L // q177 interval: purchases within a day of the click

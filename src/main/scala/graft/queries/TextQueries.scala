@@ -584,7 +584,7 @@ object TextQueries {
     // q108's bounded sketch: 64 cells per group regardless of corpus
     // size, map-side combined max.
     "q126_hll_registers" -> ((s, dir) => CacheScope.scoped(s) { keep =>
-      val M = 64 // registers (b = 6 bucket bits)
+      val M = graft.functions.PortableHll.M // registers (b = 6 bucket bits)
       val hashed = keep(Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("lang"), explode(tokens(col("text"))).as("tok"))
@@ -628,16 +628,7 @@ object TextQueries {
         )
         .select(
           col("lang"),
-          (lit(0.709) * M * M * lit(36028797018963968.0) / col("q").cast("double")).as("raw"), // 2^55
-          col("v")
-        )
-        .select(
-          col("lang"),
-          round(
-            when(col("raw") <= 2.5 * M && col("v") > 0, lit(M.toDouble) * log(lit(M.toDouble) / col("v")))
-              .otherwise(col("raw")),
-            4
-          ).as("hll_estimate")
+          graft.functions.PortableHll.estimate(col("q"), col("v")).as("hll_estimate")
         )
       cells
         .join(est, Seq("lang"))
