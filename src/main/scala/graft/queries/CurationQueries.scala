@@ -27,6 +27,12 @@ object CurationQueries {
 
   private val SourceCap = 5 // q121: max docs kept per source
 
+  /** q190: total documents the temperature mix allocates across languages
+    * (`private[graft]` — the spec asserts the seat total and flattening
+    * against it).
+    */
+  private[graft] val MixBudget = 100L
+
   /** q164 stride table: language mixture weights {en:4, de:2, fr:2, es:1,
     * zh:1} expressed as integer STRIDES L/w with L = lcm(weights) = 4, so
     * virtual times (2k−1)·stride stay exact integers. Unlisted languages
@@ -184,6 +190,55 @@ object CurationQueries {
         .filter(col("rnk") <= SourceCap)
         .select(col("source"), col("doc_id"), col("quality"), col("rnk").cast("long").as("rnk"))
         .orderBy(col("source"), col("rnk"))),
+
+    // TEMPERATURE-BASED MIXTURE SAMPLING — the multilingual rebalancing
+    // rule (XLM-R/mBERT α-sampling: p_l ∝ n_l^α, α = 1/2): high-resource
+    // languages are down-weighted, the tail up-weighted. Exact and
+    // bit-portable end to end: α = 1/2 is chosen deliberately because
+    // sqrt is the ONE power IEEE 754 requires correctly rounded (ln/exp
+    // powers are libm-dependent), so the weight w_l = floor(sqrt(n_l)·2^20)
+    // is a BIGINT both engines agree on; the budget (MixBudget docs) is
+    // then allocated by the largest-remainder (Hamilton) method in pure
+    // integer arithmetic (base = B·w DIV W, leftover seats by remainder
+    // DESC with a lang tie-break), and each language's quota is filled by
+    // deterministic md5-rank selection — a reproducible sample, no RNG.
+    // Plan shape: the count aggregate map-side combines; every mixture
+    // computation after it runs on the LANGUAGE dimension (a handful of
+    // rows — the dim-sized window rule, q150's); the allocation broadcasts
+    // back onto the per-doc rank window (partial top-k, the q121 shape).
+    // A language smaller than its quota just fills what it has — both
+    // engines rank-filter the same rows.
+    "q190_temperature_mix" -> ((s, dir) => {
+      val docs   = Tables.documents(s, dir)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val alloc0 = counts
+        .select(
+          col("lang"),
+          col("n"),
+          expr("CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT)").as("wq"))
+        .crossJoin(broadcast(
+          counts.agg(sum(expr("CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT)")).as("tw"))))
+        .select(
+          col("lang"),
+          col("n"),
+          expr(s"($MixBudget * wq) DIV tw").as("base"),
+          expr(s"($MixBudget * wq) % tw").as("rem"))
+      val alloc = alloc0
+        .crossJoin(broadcast(alloc0.agg((lit(MixBudget) - sum(col("base"))).as("extra"))))
+        .withColumn("rr", row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+        .select(
+          col("lang"),
+          (col("base") + when(col("rr") <= col("extra"), 1L).otherwise(0L)).as("alloc"))
+      docs
+        .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))
+        .withColumn(
+          "rk",
+          row_number().over(Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))).cast("long"))
+        .join(broadcast(alloc), Seq("lang"))
+        .filter(col("rk") <= col("alloc"))
+        .select(col("lang"), col("rk"), col("doc_id"), col("alloc"))
+        .orderBy(col("lang"), col("rk"))
+    }),
 
     // GLOBAL QUALITY RANKING at scale — every document's corpus-wide rank
     // by quality, via [[graft.operators.RankOps.globalRowNumber]]: range
@@ -870,6 +925,34 @@ object CurationQueries {
          |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
          |  FROM q)
          |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+    // Identical α = 1/2 mixture chain: IEEE-correctly-rounded sqrt → 2^20
+    // floor quantization, Hamilton allocation in BIGINT `//`/`%` with the
+    // remainder-DESC/lang tie-break, md5-rank quota fill.
+    "q190_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         | w AS (
+         |  SELECT lang, n,
+         |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS wq
+         |  FROM c),
+         | t AS (SELECT sum(wq) AS tw FROM w),
+         | a AS (
+         |  SELECT lang, n, ($MixBudget * wq) // tw AS base, ($MixBudget * wq) % tw AS rem
+         |  FROM w CROSS JOIN t),
+         | e AS (SELECT $MixBudget - sum(base) AS extra FROM a),
+         | r AS (
+         |  SELECT lang,
+         |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= extra
+         |                THEN 1 ELSE 0 END AS alloc
+         |  FROM a CROSS JOIN e),
+         | s AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents)
+         |SELECT s.lang, CAST(s.rk AS BIGINT) AS rk, s.doc_id, CAST(r.alloc AS BIGINT) AS alloc
+         |FROM s JOIN r USING (lang) WHERE s.rk <= r.alloc
+         |ORDER BY lang, rk""".stripMargin,
+
     "q66_weighted_sample" ->
       s"""WITH q AS (
          |  SELECT doc_id, lang, source, $qualitySql AS quality,

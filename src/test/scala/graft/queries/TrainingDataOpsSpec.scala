@@ -78,6 +78,41 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(corpus.exists(_._6 == 1L) && corpus.exists(_._6 == 0L), "gate must both keep and drop")
   }
 
+  test("q190 temperature mix: exact seat total, contiguous quotas, tail up-weighted") {
+    val rows = SparkEntry.queries("q190_temperature_mix")(spark, dir)
+      .select("lang", "rk", "doc_id", "alloc")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val counts = Tables.documents(spark, dir).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val total  = counts.values.sum
+    val allocs = rows.map(r => r._1 -> r._4).toMap
+    // Hamilton allocation: seats sum exactly to the budget (every language
+    // here is larger than its quota, so nothing is left unfilled)
+    assert(allocs.values.sum == CurationQueries.MixBudget, s"seat total ${allocs.values.sum}")
+    // each language's selected ranks are a contiguous 1..alloc prefix
+    rows.groupBy(_._1).foreach { case (l, rs) =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1L to allocs(l)), s"$l quota not a contiguous prefix: $ranks")
+    }
+    // α = 1/2 flattening, the operator's point: the largest language's
+    // allocation share sits BELOW its corpus share, the smallest ABOVE
+    val (maxLang, maxN) = counts.maxBy(_._2)
+    val (minLang, minN) = counts.minBy(_._2)
+    assert(maxN > minN, "fixture must be skewed for the flattening check")
+    val b = CurationQueries.MixBudget
+    assert(allocs(maxLang) * total < maxN * b,
+      s"$maxLang not down-weighted: ${allocs(maxLang)}/$b vs $maxN/$total")
+    assert(allocs(minLang) * total > minN * b,
+      s"$minLang not up-weighted: ${allocs(minLang)}/$b vs $minN/$total")
+    // allocation is monotone in corpus size up to the ±1 Hamilton seat
+    val byN = counts.toSeq.sortBy(_._2).map { case (l, _) => allocs(l) }
+    byN.sliding(2).foreach {
+      case Seq(a, bigger) => assert(a <= bigger + 1, s"allocation inversion: $byN")
+      case _              =>
+    }
+  }
+
   test("q148 packing manifest is a contiguous chunking of the concatenated token stream") {
     val rows = SparkEntry.queries("q148_seq_packing")(spark, dir)
       .select("doc_id", "n_tokens", "start_off", "first_blk", "last_blk", "n_blocks")
