@@ -62,7 +62,9 @@ object Plans {
     "q166_bucket_diff",       // 256-bucket additive summaries, full-outer summary join
     "q168_length_batching",   // per-bucket strata windows (log2-many), integer bit-length buckets
     "q169_ndcg",              // both rank chains + hardcoded-weight dims + histogram ideal
-    "q170_mad_outliers"       // group-local median/MAD percentile aggs, map-side combined
+    "q170_mad_outliers",      // group-local median/MAD percentile aggs, map-side combined
+    "q185_gopher_repetition", // in-row argmax-n-gram signals: zero hash exchanges, no explode
+    "q190_temperature_mix"    // dim-sized Hamilton allocation broadcast onto partial-top-k ranks
   )
 
   /** Plans dumped from builders outside the driver registry: the dedup
