@@ -202,29 +202,30 @@ object CurationQueries {
     // integer arithmetic (base = B·w DIV W, leftover seats by remainder
     // DESC with a lang tie-break), and each language's quota is filled by
     // deterministic md5-rank selection — a reproducible sample, no RNG.
-    // Plan shape: the count aggregate map-side combines; every mixture
-    // computation after it runs on the LANGUAGE dimension (a handful of
-    // rows — the dim-sized window rule, q150's); the allocation broadcasts
-    // back onto the per-doc rank window (partial top-k, the q121 shape).
-    // A language smaller than its quota just fills what it has — both
-    // engines rank-filter the same rows.
+    // Plan shape (plan-gated): the count aggregate map-side combines; every
+    // mixture computation after it runs on the LANGUAGE dimension (a
+    // handful of rows — the dim-sized window rule, q150's); the per-doc
+    // rank window carries a FOLDABLE budget bound so a WindowGroupLimit
+    // forwards at most MixBudget rows per language out of each partition
+    // (partial top-k, the q121 shape), and the allocation broadcasts onto
+    // the survivors. NULL-lang documents are excluded up front: an inner
+    // join would drop their filled seats AFTER allocation, silently
+    // shrinking the seat total. A language smaller than its quota just
+    // fills what it has — both engines rank-filter the same rows.
     "q190_temperature_mix" -> ((s, dir) => {
-      val docs   = Tables.documents(s, dir)
-      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      val alloc0 = counts
-        .select(
-          col("lang"),
-          col("n"),
-          expr("CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT)").as("wq"))
-        .crossJoin(broadcast(
-          counts.agg(sum(expr("CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT)")).as("tw"))))
-        .select(
-          col("lang"),
-          col("n"),
-          expr(s"($MixBudget * wq) DIV tw").as("base"),
-          expr(s"($MixBudget * wq) % tw").as("rem"))
-      val alloc = alloc0
-        .crossJoin(broadcast(alloc0.agg((lit(MixBudget) - sum(col("base"))).as("extra"))))
+      val docs = Tables.documents(s, dir).filter(col("lang").isNotNull)
+      // every mixture computation after the count runs on the LANGUAGE
+      // dimension — a handful of rows, so the empty-partition windows are
+      // the dim-sized-window rule (q150's), and the whole allocation is
+      // ONE pass over one counts frame (no self-joins, no re-aggregation)
+      val dim = Window.partitionBy()
+      val alloc = docs
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("wq", expr("CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT)"))
+        .withColumn("tw", sum(col("wq")).over(dim))
+        .withColumn("base", expr(s"($MixBudget * wq) DIV tw"))
+        .withColumn("rem", expr(s"($MixBudget * wq) % tw"))
+        .withColumn("extra", lit(MixBudget) - sum(col("base")).over(dim))
         .withColumn("rr", row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
         .select(
           col("lang"),
@@ -234,6 +235,7 @@ object CurationQueries {
         .withColumn(
           "rk",
           row_number().over(Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))).cast("long"))
+        .filter(col("rk") <= lit(MixBudget)) // foldable bound → WindowGroupLimit partial top-k
         .join(broadcast(alloc), Seq("lang"))
         .filter(col("rk") <= col("alloc"))
         .select(col("lang"), col("rk"), col("doc_id"), col("alloc"))
@@ -929,7 +931,8 @@ object CurationQueries {
     // floor quantization, Hamilton allocation in BIGINT `//`/`%` with the
     // remainder-DESC/lang tie-break, md5-rank quota fill.
     "q190_temperature_mix" ->
-      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      s"""WITH c AS (
+         |  SELECT lang, count(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY lang),
          | w AS (
          |  SELECT lang, n,
          |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS wq
@@ -948,7 +951,7 @@ object CurationQueries {
          |  SELECT doc_id, lang,
          |    row_number() OVER (PARTITION BY lang
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-         |  FROM documents)
+         |  FROM documents WHERE lang IS NOT NULL)
          |SELECT s.lang, CAST(s.rk AS BIGINT) AS rk, s.doc_id, CAST(r.alloc AS BIGINT) AS alloc
          |FROM s JOIN r USING (lang) WHERE s.rk <= r.alloc
          |ORDER BY lang, rk""".stripMargin,

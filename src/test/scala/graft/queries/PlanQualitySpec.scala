@@ -114,6 +114,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Generate explode"), "n-grams exploded into rows:\n" + plan.take(800))
   }
 
+  test("q190 rank fill is a partial top-k; mixture math stays on the dimension") {
+    // The foldable budget bound must engage WindowGroupLimit so each
+    // partition forwards at most MixBudget rows per language to the rank
+    // exchange — without it the whole corpus sorts through the window at
+    // 100 TB. The allocation side joins back as a broadcast (dim-sized).
+    val plan = executedPlan("q190_temperature_mix")
+    assert(plan.contains("WindowGroupLimit"), "rank fill lost the partial top-k:\n" + plan.take(800))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      "allocation no longer broadcasts:\n" + plan.take(800))
+  }
+
   test("q55 quantization is a narrow pass: no shuffle except the output sort") {
     // Codes/errors never leave their row — the only exchange in the plan is
     // the final orderBy's range partitioning. A groupBy or join sneaking in

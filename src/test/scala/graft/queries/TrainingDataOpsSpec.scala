@@ -83,12 +83,19 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
       .select("lang", "rk", "doc_id", "alloc")
       .as[(String, Long, Long, Long)].collect()
     assert(rows.nonEmpty)
-    val counts = Tables.documents(spark, dir).groupBy("lang").count()
+    val counts = Tables.documents(spark, dir).filter(col("lang").isNotNull)
+      .groupBy("lang").count()
       .as[(String, Long)].collect().toMap
     val total  = counts.values.sum
     val allocs = rows.map(r => r._1 -> r._4).toMap
-    // Hamilton allocation: seats sum exactly to the budget (every language
-    // here is larger than its quota, so nothing is left unfilled)
+    // the seat-total premise, asserted rather than assumed: every language
+    // must be at least as large as its quota or seats go unfilled (a lang
+    // with alloc = 0 would also be absent from the output entirely)
+    counts.foreach { case (l, n) =>
+      assert(n >= allocs.getOrElse(l, 0L), s"$l smaller than its quota: $n < ${allocs.get(l)}")
+    }
+    assert(counts.keySet == allocs.keySet, s"languages missing from the mix: ${counts.keySet -- allocs.keySet}")
+    // Hamilton allocation: seats sum exactly to the budget
     assert(allocs.values.sum == CurationQueries.MixBudget, s"seat total ${allocs.values.sum}")
     // each language's selected ranks are a contiguous 1..alloc prefix
     rows.groupBy(_._1).foreach { case (l, rs) =>
@@ -101,10 +108,10 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     val (minLang, minN) = counts.minBy(_._2)
     assert(maxN > minN, "fixture must be skewed for the flattening check")
     val b = CurationQueries.MixBudget
-    assert(allocs(maxLang) * total < maxN * b,
-      s"$maxLang not down-weighted: ${allocs(maxLang)}/$b vs $maxN/$total")
-    assert(allocs(minLang) * total > minN * b,
-      s"$minLang not up-weighted: ${allocs(minLang)}/$b vs $minN/$total")
+    assert(allocs.getOrElse(maxLang, 0L) * total < maxN * b,
+      s"$maxLang not down-weighted: ${allocs.get(maxLang)}/$b vs $maxN/$total")
+    assert(allocs.getOrElse(minLang, 0L) * total > minN * b,
+      s"$minLang not up-weighted: ${allocs.get(minLang)}/$b vs $minN/$total")
     // allocation is monotone in corpus size up to the ±1 Hamilton seat
     val byN = counts.toSeq.sortBy(_._2).map { case (l, _) => allocs(l) }
     byN.sliding(2).foreach {
