@@ -3,6 +3,7 @@ package graft.queries
 import graft.sources.Tables
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream batch queries beyond the reference's surface: JSON property
@@ -11,6 +12,22 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle.
   */
 object EventQueries {
+
+  /** q191: each funnel step must follow the previous within this bound
+    * (the per-step conversion window every funnel product defines), and
+    * the whole chain must complete within [[FunnelHorizonHours]] of the
+    * first view for `completed` = 1 (`private[graft]` — the spec reads
+    * them).
+    */
+  private[graft] val FunnelStepHours    = 24L
+  private[graft] val FunnelHorizonHours = 36L
+  private val FunnelStepUs              = FunnelStepHours * 3600L * 1000000L
+  private val FunnelHorizonUs           = FunnelHorizonHours * 3600L * 1000000L
+
+  /** q192: the open-interval end sentinel for the current version (a bare
+    * NULL would be dtype-unstable under the driver's string-hash compare).
+    */
+  private val ScdOpenEnd = "9999-12-31 23:59:59"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Scalar JSON property extraction from the props payload (the
@@ -155,6 +172,83 @@ object EventQueries {
         .orderBy(col("cohort_wk"), col("week_no"))
     }),
 
+    // SEQUENTIAL CONVERSION FUNNEL — the ordered multi-stage pattern
+    // (view → click → purchase, each stage STRICTLY after the previous
+    // and within [[FunnelStepHours]] of it): per user, t1 = first view,
+    // t2 = first qualifying click, t3 = first qualifying purchase;
+    // completion additionally requires the whole chain inside
+    // [[FunnelHorizonHours]] of t1. This is dependent aggregation —
+    // each stage's filter references the previous stage's result — which
+    // a plain groupBy cannot express; the cascade of equi-join + min
+    // re-aggregations IS the scale shape: after stage one every frame is
+    // user-dimension-sized (one row per funnel entrant), each stage is a
+    // partial-agg min behind a key shuffle, and no per-user event array
+    // is ever materialized (the MATCH_RECOGNIZE-style sort-and-scan
+    // alternative holds a user's whole history in one task). Strict `>`
+    // between stages makes the chain deterministic under timestamp ties;
+    // users with no view never entered the funnel and are absent.
+    "q191_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t1") &&
+          unix_micros(col("ts")) - unix_micros(col("t1")) <= FunnelStepUs)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t2") &&
+          unix_micros(col("ts")) - unix_micros(col("t2")) <= FunnelStepUs)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(
+          col("user_id"),
+          col("t1"),
+          coalesce(col("t2"), timestamp_seconds(lit(0))).as("t2"),
+          coalesce(col("t3"), timestamp_seconds(lit(0))).as("t3"),
+          (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+            + when(col("t3").isNotNull, 1L).otherwise(0L)).as("stage"),
+          when(
+            col("t3").isNotNull &&
+              unix_micros(col("t3")) - unix_micros(col("t1")) <= FunnelHorizonUs,
+            1L).otherwise(0L).as("completed"))
+        .orderBy(col("user_id"))
+    }),
+
+    // SCD TYPE-2 DIMENSION HISTORY BUILD — the table the as-of family
+    // (q105-q114) consumes, built from a raw change feed: per user, the
+    // integer-cents attribute's CHANGE POINTS (consecutive duplicates
+    // collapsed — the no-op-update dedup every SCD build needs), each
+    // carrying a [valid_from, valid_to) interval (next change, or the
+    // open-interval sentinel 9999-12-31) and a version number. One hash
+    // shuffle on the key; the change-point filter and both interval
+    // windows share the same partitioning AND ordering, so Catalyst
+    // reuses one exchange + one sort for the whole build. Total order
+    // under timestamp ties via (ts, event_id).
+    "q192_scd2_history" -> ((s, dir) => {
+      val byKey = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(
+          col("user_id"),
+          col("ts"),
+          col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("prev", lag(col("cents"), 1).over(byKey))
+        .filter(col("prev").isNull || col("cents") =!= col("prev"))
+        .select(
+          col("user_id"),
+          row_number().over(byKey).cast("long").as("version"),
+          col("cents"),
+          col("ts").as("valid_from"),
+          coalesce(lead(col("ts"), 1).over(byKey), lit(ScdOpenEnd).cast("timestamp")).as("valid_to"))
+        .withColumn(
+          "is_current",
+          when(col("valid_to") === lit(ScdOpenEnd).cast("timestamp"), 1L).otherwise(0L))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
     // UNPIVOT/MELT — q16's inverse reshape, through Spark's native
     // `Dataset.unpivot` (one scan + an Expand operator, never N
     // self-unions). Wide lineitem metrics melt to (flag, metric, value)
@@ -283,6 +377,52 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Identical dependent-aggregation cascade: first view, first click
+    // strictly after it, first purchase strictly after that; the horizon
+    // bound in integer microseconds, outer nulls as the epoch sentinel.
+    "q191_funnel" ->
+      s"""WITH v AS (
+         |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+         | c AS (
+         |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+         |  WHERE e.event_type = 'click' AND e.ts > v.t1
+         |    AND epoch_us(e.ts) - epoch_us(v.t1) <= ${FunnelStepHours * 3600L * 1000000L}
+         |  GROUP BY e.user_id),
+         | p AS (
+         |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+         |    AND epoch_us(e.ts) - epoch_us(c.t2) <= ${FunnelStepHours * 3600L * 1000000L}
+         |  GROUP BY e.user_id)
+         |SELECT v.user_id, v.t1,
+         |  coalesce(c.t2, make_timestamp(0)) AS t2,
+         |  coalesce(p.t3, make_timestamp(0)) AS t3,
+         |  CAST(1 + CASE WHEN c.t2 IS NOT NULL THEN 1 ELSE 0 END
+         |         + CASE WHEN p.t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+         |  CAST(CASE WHEN p.t3 IS NOT NULL
+         |              AND epoch_us(p.t3) - epoch_us(v.t1) <= ${FunnelHorizonHours * 3600L * 1000000L}
+         |            THEN 1 ELSE 0 END AS BIGINT) AS completed
+         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         |ORDER BY user_id""".stripMargin,
+
+    // The same change-point chain: lag-dedup on (ts, event_id) total
+    // order, lead for the interval end, the 9999-12-31 open sentinel.
+    "q192_scd2_history" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         | l AS (
+         |  SELECT user_id, ts, event_id, cents,
+         |    lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM e),
+         | ch AS (SELECT user_id, ts, event_id, cents FROM l WHERE prev IS NULL OR cents <> prev)
+         |SELECT user_id,
+         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+         |  cents, ts AS valid_from,
+         |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+         |           TIMESTAMP '$ScdOpenEnd') AS valid_to,
+         |  CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |            THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         |FROM ch ORDER BY user_id, version""".stripMargin,
+
     // The same two-level count-of-counts per key column.
     "q165_key_skew" ->
       """WITH l AS (SELECT 'lineitem.l_orderkey' AS rel, fanout, count(*)::BIGINT AS n_keys FROM (
