@@ -64,7 +64,9 @@ object Plans {
     "q169_ndcg",              // both rank chains + hardcoded-weight dims + histogram ideal
     "q170_mad_outliers",      // group-local median/MAD percentile aggs, map-side combined
     "q185_gopher_repetition", // in-row argmax-n-gram signals: zero hash exchanges, no explode
-    "q190_temperature_mix"    // dim-sized Hamilton allocation broadcast onto partial-top-k ranks
+    "q190_temperature_mix",   // dim-sized Hamilton allocation broadcast onto partial-top-k ranks
+    "q191_funnel",            // dependent-aggregation cascade: per-stage equi joins + partial mins
+    "q192_scd2_history"       // one key exchange + one sort shared by lag/lead/row_number windows
   )
 
   /** Plans dumped from builders outside the driver registry: the dedup

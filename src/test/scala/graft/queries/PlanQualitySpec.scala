@@ -114,6 +114,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Generate explode"), "n-grams exploded into rows:\n" + plan.take(800))
   }
 
+  test("q192 SCD build: one key exchange, one window sort reused by all three windows") {
+    // The change filter and the lag/lead/row_number windows all share
+    // (user_id) partitioning and (ts, event_id) ordering — the plan must
+    // carry exactly ONE hash exchange and at most two sorts (the shared
+    // window sort + the output orderBy); a second key exchange or a
+    // re-sort between windows would double the shuffle at 100 TB.
+    val plan  = executedPlan("q192_scd2_history")
+    val exchs = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val sorts = "Sort \\[".r.findAllIn(plan).size
+    assert(exchs == 1, s"$exchs key exchanges (window reuse lost):\n" + plan.take(800))
+    assert(sorts <= 2, s"$sorts sorts (window sort not reused):\n" + plan.take(800))
+  }
+
+  test("q191 funnel stages join hash-equi, never nested-loop") {
+    val plan = executedPlan("q191_funnel")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "a funnel stage degenerated to a nested loop:\n" + plan.take(800))
+  }
+
   test("q190 rank fill is a partial top-k; mixture math stays on the dimension") {
     // The foldable budget bound must engage WindowGroupLimit so each
     // partition forwards at most MixBudget rows per language to the rank
