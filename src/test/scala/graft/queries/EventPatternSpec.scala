@@ -48,11 +48,20 @@ class EventPatternSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q192 SCD-2: contiguous intervals, one open version per key, no no-op versions") {
-    val rows = SparkEntry.queries("q192_scd2_history")(spark, dir)
+    // sf0.1, not the suite default: it is the one fixture where the
+    // change-point filter actually collapses duplicate updates, so the
+    // no-op invariant below is exercised rather than vacuously true
+    val scdDir = "/root/testdata/sf0.1"
+    val rows = SparkEntry.queries("q192_scd2_history")(spark, scdDir)
       .select("user_id", "version", "cents", "valid_from", "valid_to", "is_current")
       .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
       .collect()
     assert(rows.nonEmpty)
+    // non-vacuity: the dedup branch must have dropped at least one no-op
+    // update (delete the lag filter and this count goes to zero)
+    val feed = graft.sources.Tables.events(spark, scdDir).count()
+    assert(feed - rows.length > 0,
+      s"fixture has no duplicate updates to collapse ($feed events, ${rows.length} versions)")
     rows.groupBy(_._1).foreach { case (u, rs) =>
       val hist = rs.sortBy(_._2)
       // versions are contiguous from 1
@@ -72,7 +81,7 @@ class EventPatternSpec extends AnyFunSuite with SparkSpec {
     }
     // reconstruction: the latest version's cents equals the last event's
     // cents per user (the SCD build must end on the live value)
-    val last = graft.sources.Tables.events(spark, dir)
+    val last = graft.sources.Tables.events(spark, scdDir)
       .select(
         col("user_id"),
         struct(col("ts"), col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents")).as("s"))
