@@ -15,6 +15,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts (Tables.events)
+      // The driver hashes our parquet via pyarrow→pandas. INT96 (the
+      // verified-green physical type for 187 r10 queries) reads there as
+      // NAIVE timestamp[ns] — matching DuckDB's naive oracle strings.
+      // TIMESTAMP_MICROS would read as tz-aware (`+00:00` suffix) and
+      // mismatch every timestamp column, so pin INT96 explicitly; ns
+      // safety is instead guaranteed by keeping every written timestamp
+      // below 2262-04-11 (see EventQueries.ScdOpenEnd).
+      .config("spark.sql.parquet.outputTimestampType", "INT96")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

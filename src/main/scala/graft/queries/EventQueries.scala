@@ -21,13 +21,17 @@ object EventQueries {
     */
   private[graft] val FunnelStepHours    = 24L
   private[graft] val FunnelHorizonHours = 36L
-  private val FunnelStepUs              = FunnelStepHours * 3600L * 1000000L
-  private val FunnelHorizonUs           = FunnelHorizonHours * 3600L * 1000000L
+  private[graft] val FunnelStepUs       = FunnelStepHours * 3600L * 1000000L
+  private[graft] val FunnelHorizonUs    = FunnelHorizonHours * 3600L * 1000000L
 
-  /** q192: the open-interval end sentinel for the current version (a bare
-    * NULL would be dtype-unstable under the driver's string-hash compare).
+  /** q192/q193: the open-interval end sentinel for the current version (a
+    * bare NULL would be dtype-unstable under the driver's string-hash
+    * compare). NOT 9999-12-31: the compare path reads parquet via
+    * pyarrow→pandas, whose datetime64[ns] tops out at 2262-04-11 — a
+    * year-9999 value silently WRAPS there (round-10 driver red).
+    * 2200-01-01 is above any corpus timestamp yet ns-representable.
     */
-  private val ScdOpenEnd = "9999-12-31 23:59:59"
+  private[graft] val ScdOpenEnd = "2200-01-01 00:00:00"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Scalar JSON property extraction from the props payload (the
@@ -231,11 +235,14 @@ object EventQueries {
     // integer-cents attribute's CHANGE POINTS (consecutive duplicates
     // collapsed — the no-op-update dedup every SCD build needs), each
     // carrying a [valid_from, valid_to) interval (next change, or the
-    // open-interval sentinel 9999-12-31) and a version number. One hash
-    // shuffle on the key; the change-point filter and both interval
-    // windows share the same partitioning AND ordering, so Catalyst
-    // reuses one exchange + one sort for the whole build. Total order
-    // under timestamp ties via (ts, event_id).
+    // open-interval [[ScdOpenEnd]] sentinel) and a version number.
+    // Equal-timestamp change points collapse to the LAST event_id first
+    // (last-write-wins at a shared ts), so valid_from is strictly
+    // increasing per user and no zero-width [from,to) version — dead
+    // weight to any half-open as-of consumer — is ever emitted. One hash
+    // shuffle on the key; the tie-collapse, the change-point filter and
+    // both interval windows share the same partitioning AND ordering, so
+    // Catalyst reuses one exchange + one sort for the whole build.
     "q192_scd2_history" -> ((s, dir) => {
       val byKey = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, dir)
@@ -244,6 +251,9 @@ object EventQueries {
           col("ts"),
           col("event_id"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("nxt_ts", lead(col("ts"), 1).over(byKey))
+        .filter(col("nxt_ts").isNull || col("nxt_ts") =!= col("ts"))
+        .drop("nxt_ts")
         .withColumn("prev", lag(col("cents"), 1).over(byKey))
         .filter(col("prev").isNull || col("cents") =!= col("prev"))
         .select(
@@ -413,15 +423,21 @@ object EventQueries {
          |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
          |ORDER BY user_id""".stripMargin,
 
-    // The same change-point chain: lag-dedup on (ts, event_id) total
-    // order, lead for the interval end, the 9999-12-31 open sentinel.
+    // The same chain: equal-ts last-write-wins collapse, lag-dedup on the
+    // (ts, event_id) total order, lead for the interval end, the
+    // ns-representable open sentinel.
     "q192_scd2_history" ->
       s"""WITH e AS (
          |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         | d AS (
+         |  SELECT user_id, ts, event_id, cents,
+         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+         |  FROM e),
+         | dd AS (SELECT user_id, ts, event_id, cents FROM d WHERE nxt IS NULL OR nxt <> ts),
          | l AS (
          |  SELECT user_id, ts, event_id, cents,
          |    lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-         |  FROM e),
+         |  FROM dd),
          | ch AS (SELECT user_id, ts, event_id, cents FROM l WHERE prev IS NULL OR cents <> prev)
          |SELECT user_id,
          |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,

@@ -76,9 +76,19 @@ class EventPatternSpec extends AnyFunSuite with SparkSpec {
           assert(a._3 != b._3, s"user $u no-op version v${b._2}")
         case _ =>
       }
-      // every closed interval is well-formed (equal-ts change points allowed)
-      hist.init.foreach(h => assert(!h._5.before(h._4), s"user $u inverted interval v${h._2}"))
+      // every closed interval is strictly positive-width: the equal-ts
+      // last-write-wins collapse means a half-open [from,to) consumer can
+      // select every version (no dead zero-width rows — ADVICE r10)
+      hist.init.foreach(h => assert(h._5.after(h._4), s"user $u non-positive interval v${h._2}"))
     }
+    // the open sentinel is ns-representable (pyarrow datetime64[ns] tops
+    // out at 2262-04-11; round-10's 9999-12-31 sentinel wrapped there)
+    // yet above every real timestamp in the corpus
+    val open = rows.filter(_._6 == 1L).map(_._5).distinct
+    assert(open.length == 1, s"open versions must share one sentinel, got ${open.toSeq}")
+    assert(open.head.toInstant.isBefore(java.time.Instant.parse("2262-04-11T00:00:00Z")))
+    val maxClosed = rows.filter(_._6 == 0L).map(_._5).max
+    assert(open.head.after(maxClosed), "sentinel must exceed every real valid_to")
     // reconstruction: the latest version's cents equals the last event's
     // cents per user (the SCD build must end on the live value)
     val last = graft.sources.Tables.events(spark, scdDir)
@@ -91,5 +101,38 @@ class EventPatternSpec extends AnyFunSuite with SparkSpec {
     rows.filter(_._6 == 1L).foreach { case (u, _, cents, _, _, _) =>
       assert(cents == last(u), s"user $u current version != last event value")
     }
+  }
+
+  test("q192 SCD-2: equal-ts change points collapse last-write-wins (synthetic ties)") {
+    // The shipped corpora carry no (user_id, ts) ties, so the collapse
+    // branch needs its own fixture: two users whose change feeds tie at a
+    // shared timestamp, one where the winner CHANGES the attribute and one
+    // where the winner makes the tie a no-op against the prior version.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd-tie").toString
+    Seq(
+      // user 1: tie at Jan-1 (1.00 then 2.00) — event_id 11 wins; Jan-2 changes again
+      (10L, ts("2024-01-01 00:00:00"), 1L, "update", 1.00, "{}"),
+      (11L, ts("2024-01-01 00:00:00"), 1L, "update", 2.00, "{}"),
+      (12L, ts("2024-01-02 00:00:00"), 1L, "update", 3.00, "{}"),
+      // user 2: Jan-3 tie resolves to 5.00 — a no-op vs the open v1, so the
+      // tie must produce NO new version at all
+      (20L, ts("2024-01-01 00:00:00"), 2L, "update", 5.00, "{}"),
+      (21L, ts("2024-01-03 00:00:00"), 2L, "update", 7.00, "{}"),
+      (22L, ts("2024-01-03 00:00:00"), 2L, "update", 5.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val hist = SparkEntry.queries("q192_scd2_history")(spark, tmp)
+      .select("user_id", "version", "cents", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(hist.map(r => (r._1, r._2, r._3, r._6)) == Seq(
+      (1L, 1L, 200L, 0L), // the tie's LAST event_id won, not the first
+      (1L, 2L, 300L, 1L),
+      (2L, 1L, 500L, 1L)), // the tie collapsed to a no-op: single version
+      s"got $hist")
+    // strictly positive closed intervals — the zero-width artifact is gone
+    hist.filter(_._6 == 0L).foreach(h => assert(h._5.after(h._4)))
+    assert(hist.head._4 == ts("2024-01-01 00:00:00") && hist.head._5 == ts("2024-01-02 00:00:00"))
   }
 }

@@ -5,6 +5,8 @@ row multisets exactly). Not part of the engine — the Scala library has no
 Python dependency."""
 import json, sys, glob, os
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -22,7 +24,13 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(d):
             continue
         files = glob.glob(f"{d}/*.parquet")
-        got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+        # Read the Spark side the way the DRIVER does — pyarrow → pandas,
+        # datetime64[ns] coercion and all — so an ns-unrepresentable value
+        # (e.g. a year-9999 sentinel, round-10's q192 red) fails HERE, not
+        # only at the driver. DuckDB read would mask the coercion.
+        got = pd.concat(
+            [pq.read_table(f).to_pandas() for f in sorted(files)],
+            ignore_index=True) if files else pd.DataFrame()
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(got)} rows")
             continue
