@@ -332,6 +332,56 @@ object StreamQueries {
     }
   }
 
+  /** q193's CDC change-feed layout — the incrBuild two-epoch range split
+    * over the SCD build's exact input projection (`user_id, ts, event_id,
+    * cents`). The range exchange guarantees every `/in2` event is
+    * at-or-after every `/in` event, which is [[graft.streaming.ScdStore]]'s
+    * batch-ordering contract (and means equal-ts ties never straddle the
+    * epoch boundary — equal keys land in one range partition). No sentinel:
+    * the apply stream has no watermarked state, its state lives in the
+    * store.
+    */
+  private def scdInput(s: SparkSession, dir: String): String =
+    graft.sources.SessionMemo.dir(s, "stream-in-scd", dir)(scdBuild(s, dir, _))
+
+  private def scdBuild(s: SparkSession, dir: String, b: String): Unit = {
+    Tables.events(s, dir)
+      .select(
+        col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .repartitionByRange(IncrFiles, col("ts"))
+      .write.parquet(s"$b/in")
+    val in2   = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$b/in2"))
+    val parts = listDataFiles(s"$b/in")
+    parts.drop((parts.size + 1) / 2).foreach { p =>
+      java.nio.file.Files.move(p, in2.resolve(p.getFileName))
+    }
+  }
+
+  /** q194's funnel stream input: the events projection the funnel needs
+    * (`ts, user_id, event_type`) plus a future-dated watermark sentinel.
+    * The sentinel sits `2·step` PAST the corpus max so the final watermark
+    * strictly clears every entrant's close deadline (`t1 + 2·step`) —
+    * FunnelTracker emits only on watermark proof.
+    */
+  private def funnelInput(s: SparkSession, dir: String): String =
+    graft.sources.SessionMemo.dir(s, "stream-in-funnel", dir)(funnelBuild(s, dir, _))
+
+  private def funnelBuild(s: SparkSession, dir: String, b: String): Unit = {
+    val obs = org.apache.spark.sql.Observation()
+    Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .observe(obs, max(unix_micros(col("ts"))).as("max_us"))
+      .write.parquet(s"$b/in")
+    s.range(1)
+      .select(
+        timestamp_micros(lit(
+          observedMaxUs(obs) + 2L * EventQueries.FunnelStepUs + SentinelMarginUs)).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("__sentinel__").as("event_type"))
+      .write.mode("append").parquet(s"$b/in")
+  }
+
   /** The non-hidden data files under a stream-input root, name-sorted — the
     * ONE definition of "data file" the trigger sizing (q186/q182), the
     * epoch move (incrBuild), and the arrival delivery (linkDataFiles) all
@@ -382,6 +432,8 @@ object StreamQueries {
     sessInput(s, dir)
     lateInput(s, dir)
     incrInput(s, dir)
+    scdInput(s, dir)
+    funnelInput(s, dir)
     ()
   }
 
@@ -400,6 +452,8 @@ object StreamQueries {
     sessBuild(s, dir, s"$root/sess")
     lateBuild(s, dir, s"$root/late")
     incrBuild(s, dir, s"$root/incr")
+    scdBuild(s, dir, s"$root/scd")
+    funnelBuild(s, dir, s"$root/funnel")
   }
 
   /** q172's memo-build frame: the events projection with `max(ts)` attached
@@ -1014,6 +1068,84 @@ object StreamQueries {
           .foreachBatch { (batch: DataFrame, _: Long) => sink(batch); () }
           .start()
       }).orderBy(col("window_start"))
+    }),
+
+    // INCREMENTAL SCD-2 APPLY under the byte gate — the MERGE/CDC-upsert
+    // consumer of q192's one-shot build: TWO Trigger.AvailableNow runs
+    // over ONE checkpoint (q188's execution shape), each foreachBatch an
+    // ScdStore.merge that closes the affected OPEN versions and appends
+    // the batch's new ones on the parquet changelog (the hand-built Delta
+    // MERGE; the reference's KTable is this store with an unversioned
+    // value). The store snapshot after run 2 must hash-equal the one-shot
+    // q192 oracle — a user whose history STRADDLES the epoch boundary
+    // only lands right if run 2 seeded from run 1's open version (carried
+    // cents for the no-op dedup, carried version number, and the close
+    // row's valid_to stitching the interval chain across the runs).
+    "q193_scd2_incremental" -> ((s, dir) => {
+      val root  = scdInput(s, dir)
+      val tmp   = freshTmp("scdinc")
+      val watch = s"$tmp/watch"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+      val store = new graft.streaming.ScdStore(s, s"$tmp/store", EventQueries.ScdOpenEnd)
+      def drain(): Unit = {
+        val q = s.readStream
+          .schema(s.read.parquet(s"$root/in").schema)
+          .parquet(watch) // no maxFilesPerTrigger: each run is ONE batch
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) => store.merge(batch, id); () }
+          .start()
+        try q.awaitTermination() // AvailableNow stops the query itself
+        finally q.stop()
+      }
+      withStatePartitions(s) {
+        linkDataFiles(s"$root/in", watch, "run1")
+        drain() // run 1: early epoch → versions build, last per user open
+        linkDataFiles(s"$root/in2", watch, "run2")
+        drain() // run 2: late epoch → opens close, new versions append
+      }
+      store.snapshotDf.orderBy(col("user_id"), col("version"))
+    }),
+
+    // THE SEQUENTIAL FUNNEL AS A STATEFUL STREAM — q191's ordered
+    // view→click→purchase pattern through flatMapGroupsWithState +
+    // event-time timers (the q179 custom-state machinery carrying
+    // ORDERED-PATTERN state instead of interval-merge state): per user, a
+    // buffered-candidate funnel state; ONE row per entrant, emitted only
+    // when the watermark strictly passes the funnel's close deadline
+    // (t1 + 2·step). Hashes against the identical oracle as q191 — the
+    // batch cascade and the stream's watermark-proof emission must land
+    // byte-identical rows or one of them is wrong (the q178/q179
+    // cross-proof pattern, applied to the funnel). Non-funnel event types
+    // are filtered BEFORE the key shuffle; the sentinel survives the
+    // filter (user −1) to advance the watermark, and never forms state.
+    "q194_funnel_stream" -> ((s, dir) => {
+      import s.implicits._
+      val in = s"${funnelInput(s, dir)}/in"
+      withStatePartitions(s)(runSinked(s, "funnel") { (ckpt, sink) =>
+        val evs = streamFrom(s, in)
+          .filter(
+            col("event_type").isin("view", "click", "purchase") || col("user_id") === -1L)
+          .select(
+            col("ts"), unix_micros(col("ts")).as("us"), col("user_id"), col("event_type"))
+          .as[graft.streaming.FunnelTracker.FunnelEvent]
+        graft.streaming.FunnelTracker
+          .funnels(evs, EventQueries.FunnelStepUs, EventQueries.FunnelHorizonUs)
+          .toDF()
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) => sink(batch); () }
+          .start()
+      }).select(
+        col("user_id"),
+        timestamp_micros(col("t1_us")).as("t1"),
+        timestamp_micros(col("t2_us")).as("t2"), // 0 µs = the q191 epoch sentinel
+        timestamp_micros(col("t3_us")).as("t3"),
+        col("stage"),
+        col("completed"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1336,7 +1468,17 @@ object StreamQueries {
              |  round(CASE WHEN raw <= 2.5 * 64 AND v > 0
              |             THEN 64.0::DOUBLE * ln(64.0::DOUBLE / v)
              |             ELSE raw END, 4) AS hll_estimate
-             |FROM est ORDER BY window_start""".stripMargin
+             |FROM est ORDER BY window_start""".stripMargin,
+
+      // q192's oracle text verbatim: the two-run incremental apply must
+      // reconstruct the EXACT one-shot history — versions, interval
+      // stitching across the epoch boundary, open-sentinel rows and all.
+      "q193_scd2_incremental" -> EventQueries.oracles("q192_scd2_history"),
+
+      // q191's oracle text verbatim: the stream's watermark-proof emission
+      // must land the batch funnel's exact rows (the q178/q179 shared-
+      // oracle cross-proof pattern).
+      "q194_funnel_stream" -> EventQueries.oracles("q191_funnel")
     )
   }
 

@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental SCD TYPE-2 APPLY — the MERGE/CDC-upsert consumer of the
+  * one-shot history build (q192): a time-ordered change batch arrives, the
+  * affected users' OPEN versions close, and the batch's new change points
+  * append as new versions — the Delta `MERGE WHEN MATCHED UPDATE / WHEN NOT
+  * MATCHED INSERT` shape, hand-built on an append-only parquet changelog
+  * exactly like `PaymentPipeline.BalanceStore` (the reference's KTable IS a
+  * changelog-upsert store, `PaymentTopology.java:78-88`; this generalizes
+  * the running-sum value to a versioned dimension history).
+  *
+  * Changelog row = one SCD version (`user_id, version, …, batch_id`);
+  * upsert = appending a row for an existing `(user_id, version)` with a
+  * higher `batch_id` (the close of a previously-open version). Readers
+  * reconstruct the table as latest-row-per-(user, version) — a map-side-
+  * combinable groupBy, never a driver collect.
+  *
+  * Replay safety (foreachBatch may redeliver a batch whose write landed
+  * but whose checkpoint commit did not): [[merge]] seeds the open-version
+  * lookup from rows with `batch_id < ` the incoming batch id, so a replay
+  * recomputes against the SAME pre-batch state and appends byte-identical
+  * rows, which the latest-per-key read deduplicates.
+  *
+  * Batch contract (standard CDC): batches are per-user time-ordered —
+  * every event for a user in batch N is at-or-after every batch N−1 event
+  * (the range-partitioned epoch layout guarantees it here; a Kafka source
+  * gives it per partition). Equal-ts ties therefore never straddle a batch
+  * boundary, and the within-batch last-write-wins collapse (q192's rule)
+  * is complete.
+  *
+  * Scale notes: one key shuffle per batch (the open-version join and the
+  * per-user windows share `user_id` partitioning); the open-version side
+  * is `is_current = 1` — dimension-sized, a parquet-pushed filter over the
+  * changelog; written rows are bounded by the batch's CHANGE volume, never
+  * by history. [[compact]] bounds the read amplification the append-only
+  * log accrues, with BalanceStore's safe append-then-delete order.
+  */
+final class ScdStore(spark: SparkSession, dir: String, openEnd: String) {
+
+  private val schema =
+    "user_id BIGINT, version BIGINT, cents BIGINT, valid_from TIMESTAMP, " +
+      "valid_to TIMESTAMP, is_current BIGINT, batch_id BIGINT"
+
+  private def changelog: Option[DataFrame] =
+    if (new java.io.File(dir).exists()) Some(spark.read.schema(schema).parquet(dir))
+    else None // no batch committed yet
+
+  /** Latest committed row per (user_id, version) among batches strictly
+    * below `beforeBatch` (Long.MaxValue = the full table) — the one
+    * reconstruction rule [[snapshotDf]] and [[merge]]'s seed share.
+    */
+  private def latestRows(beforeBatch: Long): Option[DataFrame] =
+    changelog.map(
+      _.filter(col("batch_id") < beforeBatch)
+        .groupBy(col("user_id"), col("version"))
+        .agg(max_by(
+          struct(col("cents"), col("valid_from"), col("valid_to"), col("is_current")),
+          col("batch_id")).as("r"))
+        .select(
+          col("user_id"), col("version"),
+          col("r.cents").as("cents"),
+          col("r.valid_from").as("valid_from"),
+          col("r.valid_to").as("valid_to"),
+          col("r.is_current").as("is_current")))
+
+  /** The reconstructed SCD-2 table (q192's exact schema) as a DISTRIBUTED
+    * frame — latest committed row per (user, version).
+    */
+  def snapshotDf: DataFrame =
+    latestRows(Long.MaxValue).getOrElse(
+      spark.range(0).selectExpr(
+        "CAST(NULL AS BIGINT) AS user_id", "CAST(NULL AS BIGINT) AS version",
+        "CAST(NULL AS BIGINT) AS cents", "CAST(NULL AS TIMESTAMP) AS valid_from",
+        "CAST(NULL AS TIMESTAMP) AS valid_to", "CAST(NULL AS BIGINT) AS is_current"))
+
+  /** Apply one change batch (`user_id, ts, event_id, cents`): q192's exact
+    * change-point chain — equal-ts last-write-wins collapse, then the
+    * no-op-update dedup SEEDED by each user's carried-in open cents — then
+    * one append of (a) the batch's new versions, the last one open, and
+    * (b) a close row for each previously-open version a new change point
+    * supersedes (valid_to = the user's first new change ts).
+    */
+  def merge(batchRaw: DataFrame, batchId: Long): Unit = {
+    val byKey = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val collapsed = batchRaw
+      .withColumn("nxt_ts", lead(col("ts"), 1).over(byKey))
+      .filter(col("nxt_ts").isNull || col("nxt_ts") =!= col("ts"))
+      .drop("nxt_ts")
+    val open = latestRows(batchId)
+      .map(_.filter(col("is_current") === 1L))
+      .getOrElse(spark.range(0).selectExpr(
+        "CAST(NULL AS BIGINT) AS user_id", "CAST(NULL AS BIGINT) AS version",
+        "CAST(NULL AS BIGINT) AS cents", "CAST(NULL AS TIMESTAMP) AS valid_from",
+        "CAST(NULL AS TIMESTAMP) AS valid_to", "CAST(NULL AS BIGINT) AS is_current"))
+      .select(
+        col("user_id"),
+        col("version").as("open_version"),
+        col("cents").as("open_cents"),
+        col("valid_from").as("open_from"))
+    val ch = collapsed
+      .join(open, Seq("user_id"), "left")
+      .withColumn("prev", coalesce(lag(col("cents"), 1).over(byKey), col("open_cents")))
+      .filter(col("prev").isNull || col("cents") =!= col("prev"))
+    val openEndTs = lit(openEnd).cast("timestamp")
+    val newRows = ch.select(
+      col("user_id"),
+      (coalesce(col("open_version"), lit(0L)) + row_number().over(byKey).cast("long")).as("version"),
+      col("cents"),
+      col("ts").as("valid_from"),
+      coalesce(lead(col("ts"), 1).over(byKey), openEndTs).as("valid_to"))
+      .withColumn("is_current", when(col("valid_to") === openEndTs, 1L).otherwise(0L))
+    val closes = ch
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("ts")).as("valid_to"), // the first new change point closes the open version
+        min(col("open_version")).as("version"), // constant per user; min is null-safe
+        min(col("open_cents")).as("cents"),
+        min(col("open_from")).as("valid_from"))
+      .filter(col("version").isNotNull) // users with no prior open version insert only
+      .select(
+        col("user_id"), col("version"), col("cents"),
+        col("valid_from"), col("valid_to"), lit(0L).as("is_current"))
+    newRows
+      .unionByName(closes)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(dir)
+  }
+
+  /** Rewrite the changelog to latest-per-(user, version), keeping each
+    * row's winning `batch_id` so [[merge]]'s `< batchId` seed stays
+    * correct. BalanceStore's safe order: append the compacted rows (the
+    * scan planned against the old files), then delete the old files —
+    * every intermediate state reads correctly.
+    */
+  def compact(): Unit = changelog.foreach { log =>
+    val old = dataFiles
+    log
+      .groupBy(col("user_id"), col("version"))
+      .agg(max_by(
+        struct(col("cents"), col("valid_from"), col("valid_to"), col("is_current"), col("batch_id")),
+        col("batch_id")).as("r"))
+      .select(
+        col("user_id"), col("version"),
+        col("r.cents").as("cents"),
+        col("r.valid_from").as("valid_from"),
+        col("r.valid_to").as("valid_to"),
+        col("r.is_current").as("is_current"),
+        col("r.batch_id").as("batch_id"))
+      .coalesce(1)
+      .write.mode("append").parquet(dir)
+    old.foreach(f => { java.nio.file.Files.delete(f); () })
+  }
+
+  /** Data files currently in the changelog (the boundedness [[compact]]
+    * guarantees is asserted on this).
+    */
+  def dataFileCount: Int = dataFiles.length
+
+  private def dataFiles: Seq[java.nio.file.Path] = {
+    val rp = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(rp)) return Seq.empty
+    val st  = java.nio.file.Files.list(rp)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    try st.forEach { p =>
+      val n = p.getFileName.toString
+      if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")) buf += p
+    } finally st.close()
+    buf.toSeq
+  }
+}

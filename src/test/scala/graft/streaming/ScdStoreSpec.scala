@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** ScdStore's incremental MERGE must reconstruct the one-shot q192 build
+  * exactly under ANY time-ordered batch split — the q193 byte gate proves
+  * it for the two-epoch range split at 3 SFs; this spec pins the
+  * mechanisms the gate can't isolate: the open-version seed across the
+  * boundary (carried cents for the no-op dedup, carried version numbers,
+  * the close row's interval stitching), equal-ts ties inside a batch,
+  * crash-replay idempotence, and compaction boundedness.
+  */
+class ScdStoreSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val OpenEnd = "2200-01-01 00:00:00"
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** (event_id, ts, user_id, value) → the store's batch projection. */
+  private def batchDf(rows: Seq[(Long, String, Long, Double)]): DataFrame =
+    rows.map { case (e, t, u, v) => (u, ts(t), e, math.round(v * 100)) }
+      .toDF("user_id", "ts", "event_id", "cents")
+
+  private def freshStore(): ScdStore = {
+    val tmp = Files.createTempDirectory("graft-scd-store")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    new ScdStore(spark, s"$tmp/store", OpenEnd)
+  }
+
+  private def snap(store: ScdStore): Seq[(Long, Long, Long, String, String, Long)] =
+    store.snapshotDf
+      .select(
+        col("user_id"), col("version"), col("cents"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"), col("is_current"))
+      .as[(Long, Long, Long, String, String, Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+
+  // The shared fixture: user 1 changes straddle the batch boundary with a
+  // cross-boundary NO-OP (batch 2 opens with the cents batch 1 closed on);
+  // user 2's batch-2 tie resolves last-write-wins to a no-op; user 3 is
+  // batch-2-only (pure insert).
+  private val Batch1 = Seq(
+    (10L, "2024-01-01 00:00:00", 1L, 1.00),
+    (11L, "2024-01-02 00:00:00", 1L, 2.00),
+    (20L, "2024-01-01 12:00:00", 2L, 5.00))
+  private val Batch2 = Seq(
+    (12L, "2024-01-03 00:00:00", 1L, 2.00), // no-op vs the carried open cents — must NOT version
+    (13L, "2024-01-04 00:00:00", 1L, 3.00),
+    (21L, "2024-01-03 06:00:00", 2L, 7.00), // tie, loses to 22
+    (22L, "2024-01-03 06:00:00", 2L, 5.00), // tie winner — no-op vs open v1
+    (30L, "2024-01-03 09:00:00", 3L, 9.00))
+
+  private def expectedOneShot: Seq[(Long, Long, Long, String, String, Long)] = {
+    // the one-shot q192 build over the combined feed, run on a temp corpus
+    val tmp = Files.createTempDirectory("graft-scd-oneshot")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    (Batch1 ++ Batch2)
+      .map { case (e, t, u, v) => (e, ts(t), u, "update", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    SparkEntry.queries("q192_scd2_history")(spark, tmp.toString)
+      .select(
+        col("user_id"), col("version"), col("cents"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"), col("is_current"))
+      .as[(Long, Long, Long, String, String, Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+  }
+
+  test("two-batch merge == the one-shot q192 build (open-version seed, tie collapse, cross-boundary no-op)") {
+    val store = freshStore()
+    store.merge(batchDf(Batch1), 0L)
+    // mid-state sanity: user 1's v2 is OPEN after batch 1
+    val mid = snap(store)
+    assert(mid.filter(r => r._1 == 1L && r._6 == 1L).map(_._2) == Seq(2L), s"mid: $mid")
+    store.merge(batchDf(Batch2), 1L)
+    val got = snap(store)
+    assert(got == expectedOneShot, s"incremental != one-shot:\n got $got\n exp $expectedOneShot")
+    // the cross-boundary no-op really was exercised: user 1 has exactly 3
+    // versions (1.00, 2.00, 3.00), not 4
+    assert(got.count(_._1 == 1L) == 3)
+    // and the close row stitched the boundary: v2's valid_to = batch 2's
+    // first real change point
+    val v2 = got.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(v2._5 == "2024-01-04 00:00:00" && v2._6 == 0L, s"v2: $v2")
+  }
+
+  test("crash replay: re-merging the same batch id appends byte-identical rows the read dedups") {
+    val store = freshStore()
+    store.merge(batchDf(Batch1), 0L)
+    store.merge(batchDf(Batch2), 1L)
+    val before = snap(store)
+    store.merge(batchDf(Batch2), 1L) // foreachBatch redelivery after a crash-before-commit
+    assert(snap(store) == before, "replay must be invisible to readers")
+  }
+
+  test("compact: bounded files, snapshot unchanged, still merge-able after") {
+    val store = freshStore()
+    store.merge(batchDf(Batch1), 0L)
+    store.merge(batchDf(Batch2), 1L)
+    val before = snap(store)
+    assert(store.dataFileCount > 1)
+    store.compact()
+    assert(store.dataFileCount == 1, "compaction must leave one data file")
+    assert(snap(store) == before, "compaction must not change the logical table")
+    // a post-compaction batch still seeds correctly (batch_ids survive)
+    store.merge(batchDf(Seq((40L, "2024-01-05 00:00:00", 1L, 4.00))), 2L)
+    val after = snap(store)
+    assert(after.count(_._1 == 1L) == 4 &&
+      after.filter(r => r._1 == 1L && r._6 == 1L).map(_._3) == Seq(400L))
+  }
+}

@@ -141,4 +141,50 @@ class SessionizerSpec extends AnyFunSuite with SparkSpec {
         s"the late session must close exactly once after the advance: $fin")
     } finally q.stop()
   }
+
+  test("NATIVE session_window at the exact boundary: last+gap merges, +1µs splits (the pin the cross-proof rests on)") {
+    // The q178/q179 cross-proof claims the custom sessionizer reproduces
+    // the BUILT-IN's boundary rule, but the corpus fixtures carry random
+    // microseconds that essentially never produce an exact last+gap tie —
+    // so this drives the native operator itself (EventStreams.sessionCents,
+    // the exact frame q178 streams) with deterministic tie data, mirroring
+    // the `insert:` boundary test above. If Spark's rule were exclusive,
+    // user 1 would emit TWO sessions here and the byte-identity claim
+    // would be dead.
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val t0 = 1700000000L * 1000000L + 123456L // non-ms-aligned µs
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val tmp   = Files.createTempDirectory("graft-sess-native")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val name = s"sess_native_${System.nanoTime()}"
+    val q = EventStreams
+      .sessionCents(input.toDS().toDF(), gapMinutes = 30, watermark = Some("0 seconds"))
+      .writeStream
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory")
+      .start()
+    try {
+      input.addData(ev(1, t0), ev(1, t0 + GapUs), ev(2, t0), ev(2, t0 + GapUs + 1L))
+      q.processAllAvailable()
+      input.addData(ev(99, t0 + 2L * GapUs + 8L * 3600L * 1000000L)) // watermark past every close
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select(
+        col("user_id"),
+        unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"),
+        col("n_events"), col("cents"))
+      .as[(Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(rows.filter(_._1 == 1L) == Seq((1L, t0, t0 + 2L * GapUs, 2L, 2L)),
+      s"native rule must be boundary-INCLUSIVE (merge at exactly last+gap): $rows")
+    assert(rows.filter(_._1 == 2L) == Seq(
+      (2L, t0, t0 + GapUs, 1L, 1L),
+      (2L, t0 + GapUs + 1L, t0 + 2L * GapUs + 1L, 1L, 1L)),
+      s"native rule must SPLIT one µs beyond the gap: $rows")
+  }
 }
