@@ -34,10 +34,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: one key shuffle per batch (the open-version join and the
   * per-user windows share `user_id` partitioning); the open-version side
-  * is `is_current = 1` — dimension-sized, a parquet-pushed filter over the
-  * changelog; written rows are bounded by the batch's CHANGE volume, never
-  * by history. [[compact]] bounds the read amplification the append-only
-  * log accrues, with BalanceStore's safe append-then-delete order.
+  * is dimension-sized (one row per user) but the `is_current = 1` filter
+  * applies AFTER the latest-per-(user, version) reconstruction — a close
+  * row flips an older row's flag, so it cannot push to parquet; the scan
+  * cost is therefore the changelog size, which is exactly what [[compact]]
+  * bounds (BalanceStore's safe append-then-delete order). A deployment
+  * partitioning the store by a user-hash bucket would additionally prune
+  * the seed scan to the batch's buckets. Written rows are bounded by the
+  * batch's CHANGE volume, never by history.
   */
 final class ScdStore(spark: SparkSession, dir: String, openEnd: String) {
 
