@@ -78,7 +78,23 @@ object Plans {
     "dedup_memo_build" -> ((s, d) => graft.queries.DedupQueries.memoBuildPlan(s, d)),
     "kmeans_refine_build" -> ((s, d) => graft.queries.SimilarityQueries.refineBuildPlan(s, d)),
     "kmeans_adaptive_build" -> ((s, d) => graft.queries.SimilarityQueries.adaptiveBuildPlan(s, d)),
-    "pca_scatter_build" -> ((s, d) => graft.queries.SimilarityQueries.pcaScatterPlan(s, d))
+    "pca_scatter_build" -> ((s, d) => graft.queries.SimilarityQueries.pcaScatterPlan(s, d)),
+    // q193's per-batch MERGE machinery (the registered query is the two-run
+    // harness; the plan that matters is one change batch applied against a
+    // non-empty store): epoch 1 seeds the store, the dump is epoch 2's
+    // mergeRows — tie-collapse window, open-version join, lag-dedup and
+    // numbering windows, all on one batch-side key exchange.
+    "scd_merge_apply" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scd-plan").toString
+      val store = new graft.streaming.ScdStore(s, s"$tmp/store", graft.queries.EventQueries.ScdOpenEnd)
+      val feed = graft.sources.Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val split = "2024-01-15 00:00:00"
+      store.merge(feed.filter(col("ts") < split), 0L)
+      store.mergeRows(feed.filter(col("ts") >= split), 1L)
+    })
   )
 
   def main(args: Array[String]): Unit = {

@@ -88,7 +88,16 @@ final class ScdStore(spark: SparkSession, dir: String, openEnd: String) {
     * (b) a close row for each previously-open version a new change point
     * supersedes (valid_to = the user's first new change ts).
     */
-  def merge(batchRaw: DataFrame, batchId: Long): Unit = {
+  def merge(batchRaw: DataFrame, batchId: Long): Unit =
+    mergeRows(batchRaw, batchId)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(dir)
+
+  /** The rows [[merge]] appends, as a frame (exposed for the plan gate:
+    * the batch side must carry ONE key exchange shared by the tie-collapse
+    * window, the open-version join, and the change-point windows).
+    */
+  private[graft] def mergeRows(batchRaw: DataFrame, batchId: Long): DataFrame = {
     val byKey = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val collapsed = batchRaw
       .withColumn("nxt_ts", lead(col("ts"), 1).over(byKey))
@@ -128,10 +137,7 @@ final class ScdStore(spark: SparkSession, dir: String, openEnd: String) {
       .select(
         col("user_id"), col("version"), col("cents"),
         col("valid_from"), col("valid_to"), lit(0L).as("is_current"))
-    newRows
-      .unionByName(closes)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(dir)
+    newRows.unionByName(closes)
   }
 
   /** Rewrite the changelog to latest-per-(user, version), keeping each

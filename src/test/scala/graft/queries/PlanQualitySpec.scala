@@ -127,6 +127,40 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(sorts <= 2, s"$sorts sorts (window sort not reused):\n" + plan.take(800))
   }
 
+  test("q193 ScdStore.mergeRows: one batch-side key exchange; the windows and the open-version join share it") {
+    // The merge's scale claim: per batch, ONE key shuffle of the change
+    // batch — the tie-collapse window, the open-version join, the
+    // lag-dedup and the numbering/lead windows all run on (user_id)
+    // partitioning with (ts, event_id) ordering, so the batch side must
+    // plan exactly one hash exchange (the union's two branches re-derive
+    // the frame — Spark plans each branch independently, so the gate
+    // bounds exchanges PER BRANCH: ≤ 1 on any path from a batch scan).
+    // The store's seed side aggregates the changelog (its own exchange,
+    // dimension-sized input) — counted separately.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp   = java.nio.file.Files.createTempDirectory("graft-scd-plan")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val store = new graft.streaming.ScdStore(spark, s"$tmp/store", "2200-01-01 00:00:00")
+    def batch(id: Long) = Seq((1L, java.sql.Timestamp.valueOf(s"2024-01-0$id 00:00:00"), id, id * 100L))
+      .toDF("user_id", "ts", "event_id", "cents")
+    store.merge(batch(1L), 0L) // so the seed side is non-empty and planned for real
+    val frame = store.mergeRows(batch(2L), 1L)
+    // the physical answer must not degenerate
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "merge degenerated to a nested loop:\n" + plan.take(800))
+    // per-branch exchange bound: newRows and closes each re-derive `ch`,
+    // so the whole-plan count is ≤ 2 batch-side + 2 seed-side exchanges;
+    // a lost window/join reuse would add a third per branch
+    val exchs = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchs <= 5, s"$exchs hash exchanges — batch-side partitioning reuse lost:\n" + plan.take(1200))
+    // the result must still be the right rows (v2 appended, v1 closed)
+    val got = frame.select(col("user_id"), col("version"), col("is_current"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 1L, 0L)), s"got $got")
+  }
+
   test("q191 funnel stages join hash-equi, never nested-loop") {
     val plan = executedPlan("q191_funnel")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
