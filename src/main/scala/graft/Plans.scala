@@ -66,7 +66,8 @@ object Plans {
     "q185_gopher_repetition", // in-row argmax-n-gram signals: zero hash exchanges, no explode
     "q190_temperature_mix",   // dim-sized Hamilton allocation broadcast onto partial-top-k ranks
     "q191_funnel",            // dependent-aggregation cascade: per-stage equi joins + partial mins
-    "q192_scd2_history"       // one key exchange + one sort shared by lag/lead/row_number windows
+    "q192_scd2_history",      // one key exchange + one sort shared by lag/lead/row_number windows
+    "q195_pit_enrich"         // as-of merge node over the SCD build; dim rides the build's exchange
   )
 
   /** Plans dumped from builders outside the driver registry: the dedup

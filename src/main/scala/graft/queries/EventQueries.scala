@@ -243,29 +243,37 @@ object EventQueries {
     // shuffle on the key; the tie-collapse, the change-point filter and
     // both interval windows share the same partitioning AND ordering, so
     // Catalyst reuses one exchange + one sort for the whole build.
-    "q192_scd2_history" -> ((s, dir) => {
-      val byKey = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
-        .select(
-          col("user_id"),
-          col("ts"),
-          col("event_id"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-        .withColumn("nxt_ts", lead(col("ts"), 1).over(byKey))
-        .filter(col("nxt_ts").isNull || col("nxt_ts") =!= col("ts"))
-        .drop("nxt_ts")
-        .withColumn("prev", lag(col("cents"), 1).over(byKey))
-        .filter(col("prev").isNull || col("cents") =!= col("prev"))
-        .select(
-          col("user_id"),
-          row_number().over(byKey).cast("long").as("version"),
-          col("cents"),
-          col("ts").as("valid_from"),
-          coalesce(lead(col("ts"), 1).over(byKey), lit(ScdOpenEnd).cast("timestamp")).as("valid_to"))
-        .withColumn(
-          "is_current",
-          when(col("valid_to") === lit(ScdOpenEnd).cast("timestamp"), 1L).otherwise(0L))
-        .orderBy(col("user_id"), col("version"))
+    "q192_scd2_history" -> ((s, dir) =>
+      scdHistory(s, dir).orderBy(col("user_id"), col("version"))),
+
+    // POINT-IN-TIME ENRICHMENT (q195) — the half-open consumer the SCD
+    // table exists for (and the leakage-safe feature join every training
+    // pipeline needs: each example sees the dimension value AS OF its own
+    // event time, never a later one): every event picks up its user's
+    // version with valid_from ≤ ts < valid_to. Executed through the
+    // custom as-of merge node (plans/AsofJoin, backward on valid_from):
+    // the intervals TILE each user's timeline from the first event on, so
+    // "latest valid_from at-or-before ts" IS the containing interval —
+    // one single-pass merge per key partition instead of an
+    // interval-predicate pair join, and exactly one row per event (the
+    // strictly-positive interval widths from the equal-ts collapse make
+    // zero-width swallow-ups impossible). The dimension side re-aliases
+    // its key (d_user) — fresh attribute ids, the node's self-join guard.
+    "q195_pit_enrich" -> ((s, dir) => {
+      val probe = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+      val dim = scdHistory(s, dir).select(
+        col("user_id").as("d_user"),
+        col("version"),
+        col("cents").as("cents_asof"),
+        col("valid_from"))
+      graft.plans.AsofJoinOps
+        .asof(
+          probe, dim,
+          probe.col("user_id"), probe.col("ts"),
+          dim.col("d_user"), dim.col("valid_from"), dim.col("version"),
+          direction = graft.plans.AsofDirection.Backward)
+        .select(col("event_id"), col("user_id"), col("version"), col("cents_asof"))
+        .orderBy(col("event_id"))
     }),
 
     // UNPIVOT/MELT — q16's inverse reshape, through Spark's native
@@ -395,6 +403,63 @@ object EventQueries {
     })
   )
 
+  /** The q192 SCD-2 build, un-ordered (q192 orders it for the gate; q195
+    * consumes it as the as-of dimension side). One hash shuffle on the
+    * key; the equal-ts tie collapse, the change-point filter and both
+    * interval windows share the same partitioning AND ordering, so
+    * Catalyst reuses one exchange + one sort for the whole build.
+    */
+  private[graft] def scdHistory(s: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("nxt_ts", lead(col("ts"), 1).over(byKey))
+      .filter(col("nxt_ts").isNull || col("nxt_ts") =!= col("ts"))
+      .drop("nxt_ts")
+      .withColumn("prev", lag(col("cents"), 1).over(byKey))
+      .filter(col("prev").isNull || col("cents") =!= col("prev"))
+      .select(
+        col("user_id"),
+        row_number().over(byKey).cast("long").as("version"),
+        col("cents"),
+        col("ts").as("valid_from"),
+        coalesce(lead(col("ts"), 1).over(byKey), lit(ScdOpenEnd).cast("timestamp")).as("valid_to"))
+      .withColumn(
+        "is_current",
+        when(col("valid_to") === lit(ScdOpenEnd).cast("timestamp"), 1L).otherwise(0L))
+  }
+
+  /** The q192/q195 shared oracle CTE chain (through `scd`): equal-ts
+    * last-write-wins collapse, lag-dedup change points, lead interval
+    * ends, the ns-representable open sentinel.
+    */
+  private def scdOracleCtes: String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+       | d AS (
+       |  SELECT user_id, ts, event_id, cents,
+       |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+       |  FROM e),
+       | dd AS (SELECT user_id, ts, event_id, cents FROM d WHERE nxt IS NULL OR nxt <> ts),
+       | l AS (
+       |  SELECT user_id, ts, event_id, cents,
+       |    lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM dd),
+       | ch AS (SELECT user_id, ts, event_id, cents FROM l WHERE prev IS NULL OR cents <> prev),
+       | scd AS (
+       |  SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+       |    cents, ts AS valid_from,
+       |    coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |             TIMESTAMP '$ScdOpenEnd') AS valid_to,
+       |    CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |              THEN 1 ELSE 0 END AS BIGINT) AS is_current
+       |  FROM ch)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Identical dependent-aggregation cascade: first view, first click
     // strictly after it, first purchase strictly after that; the horizon
@@ -423,30 +488,26 @@ object EventQueries {
          |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
          |ORDER BY user_id""".stripMargin,
 
-    // The same chain: equal-ts last-write-wins collapse, lag-dedup on the
-    // (ts, event_id) total order, lead for the interval end, the
-    // ns-representable open sentinel.
+    // The shared chain (scdOracleCtes): equal-ts last-write-wins collapse,
+    // lag-dedup on the (ts, event_id) total order, lead for the interval
+    // end, the ns-representable open sentinel.
     "q192_scd2_history" ->
-      s"""WITH e AS (
-         |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-         | d AS (
-         |  SELECT user_id, ts, event_id, cents,
-         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-         |  FROM e),
-         | dd AS (SELECT user_id, ts, event_id, cents FROM d WHERE nxt IS NULL OR nxt <> ts),
-         | l AS (
-         |  SELECT user_id, ts, event_id, cents,
-         |    lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-         |  FROM dd),
-         | ch AS (SELECT user_id, ts, event_id, cents FROM l WHERE prev IS NULL OR cents <> prev)
-         |SELECT user_id,
-         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
-         |  cents, ts AS valid_from,
-         |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-         |           TIMESTAMP '$ScdOpenEnd') AS valid_to,
-         |  CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-         |            THEN 1 ELSE 0 END AS BIGINT) AS is_current
-         |FROM ch ORDER BY user_id, version""".stripMargin,
+      s"""$scdOracleCtes
+         |SELECT user_id, version, cents, valid_from, valid_to, is_current
+         |FROM scd ORDER BY user_id, version""".stripMargin,
+
+    // The INDEPENDENT formulation of the as-of: an explicit half-open
+    // interval join. Every event joins exactly one version (the intervals
+    // tile each user's timeline from their first event), so the custom
+    // merge node's "latest valid_from at-or-before ts" must reproduce
+    // this row-for-row — including events AT a change point (they belong
+    // to the version the change opened) and tie-collapsed boundaries.
+    "q195_pit_enrich" ->
+      s"""$scdOracleCtes
+         |SELECT p.event_id, p.user_id, s.version, s.cents AS cents_asof
+         |FROM events p JOIN scd s
+         |  ON p.user_id = s.user_id AND p.ts >= s.valid_from AND p.ts < s.valid_to
+         |ORDER BY p.event_id""".stripMargin,
 
     // The same two-level count-of-counts per key column.
     "q165_key_skew" ->

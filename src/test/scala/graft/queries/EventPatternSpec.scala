@@ -134,5 +134,21 @@ class EventPatternSpec extends AnyFunSuite with SparkSpec {
     // strictly positive closed intervals — the zero-width artifact is gone
     hist.filter(_._6 == 0L).foreach(h => assert(h._5.after(h._4)))
     assert(hist.head._4 == ts("2024-01-01 00:00:00") && hist.head._5 == ts("2024-01-02 00:00:00"))
+
+    // q195 over the same fixture: the half-open boundary rule. Every event
+    // enriches 1:1; an event AT a change point sees the version the change
+    // OPENED (half-open [from,to)), and the tie-losing event still lands
+    // in the version its winning twin defined.
+    val pit = SparkEntry.queries("q195_pit_enrich")(spark, tmp)
+      .select("event_id", "user_id", "version", "cents_asof")
+      .as[(Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(pit.map(_._1) == Seq(10L, 11L, 12L, 20L, 21L, 22L), s"1:1 coverage broken: $pit")
+    val byEvent = pit.map(r => r._1 -> (r._3, r._4)).toMap
+    assert(byEvent(10L) == ((1L, 200L)), "tie loser at the v1 boundary must see v1 (the tie winner's value)")
+    assert(byEvent(11L) == ((1L, 200L)))
+    assert(byEvent(12L) == ((2L, 300L)), "the change-point event itself opens the NEW version")
+    assert(byEvent(21L) == ((1L, 500L)) && byEvent(22L) == ((1L, 500L)),
+      "a tie that collapsed to a no-op keeps both events in the standing version")
   }
 }

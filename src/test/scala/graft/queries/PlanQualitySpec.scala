@@ -161,6 +161,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((1L, 2L, 1L), (1L, 1L, 0L)), s"got $got")
   }
 
+  test("q195 PIT enrichment runs through the custom as-of merge node, never an interval pair join") {
+    // The scale claim: one single-pass merge per key partition. A lost
+    // strategy registration would fall back to... nothing (AsofJoin has no
+    // built-in lowering) or a caller rewrite to a range-predicate join —
+    // both must fail here.
+    val plan = executedPlan("q195_pit_enrich")
+    assert(plan.contains("AsofJoin "), "custom as-of node missing:\n" + plan.take(800)) // AsofJoinExec renders as "AsofJoin"
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "PIT enrichment degenerated to a pair join:\n" + plan.take(800))
+    // the dimension side must ride the SCD build's OWN key exchange into
+    // the merge (same user_id partitioning) — probe + build + output sort
+    val exchs = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchs <= 2, s"$exchs hash exchanges — the dim side re-shuffled for the merge:\n" + plan.take(1200))
+  }
+
   test("q191 funnel stages join hash-equi, never nested-loop") {
     val plan = executedPlan("q191_funnel")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
