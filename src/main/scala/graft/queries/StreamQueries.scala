@@ -1108,6 +1108,67 @@ object StreamQueries {
       store.snapshotDf.orderBy(col("user_id"), col("version"))
     }),
 
+    // CDC-MAINTAINED DIMENSION + PER-BATCH PIT ENRICHMENT — the composite
+    // production pipeline (maintain slowly-changing features AND serve
+    // them point-in-time correct to the event stream): each micro-batch
+    // first MERGES into the ScdStore (q193's upsert), then enriches its
+    // own events against the store's as-of state through the custom merge
+    // node (q195's join). Per-batch enrichment is FINAL under the CDC
+    // time-order contract: any version created by a LATER batch has
+    // valid_from at-or-after that batch's earliest event, which is after
+    // every current-batch event (equal-ts rows can't straddle the range
+    // split), so "latest valid_from ≤ ts" over the store-so-far equals
+    // the one-shot q195 answer — no event ever sees a feature from its
+    // future, and none is enriched against a stale one. The sink is the
+    // q182 idempotent per-batch-partition overwrite (a replayed batch
+    // rewrites its own partition). Byte-gated against q195's oracle.
+    "q196_cdc_pit_stream" -> ((s, dir) => {
+      val root  = scdInput(s, dir)
+      val tmp   = freshTmp("cdcpit")
+      val watch = s"$tmp/watch"
+      val outP  = s"$tmp/out"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+      val store = new graft.streaming.ScdStore(s, s"$tmp/store", EventQueries.ScdOpenEnd)
+      def drain(): Unit = {
+        val q = s.readStream
+          .schema(s.read.parquet(s"$root/in").schema)
+          .parquet(watch)
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            store.merge(batch, id)
+            val probe = batch.select(col("user_id"), col("ts"), col("event_id"))
+            val dim = store.snapshotDf.select(
+              col("user_id").as("d_user"),
+              col("version"),
+              col("cents").as("cents_asof"),
+              col("valid_from"))
+            graft.plans.AsofJoinOps
+              .asof(
+                probe, dim,
+                probe.col("user_id"), probe.col("ts"),
+                dim.col("d_user"), dim.col("valid_from"), dim.col("version"),
+                direction = graft.plans.AsofDirection.Backward)
+              .select(col("event_id"), col("user_id"), col("version"), col("cents_asof"))
+              .write.mode("overwrite").parquet(s"$outP/batch=$id")
+            ()
+          }
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+      withStatePartitions(s) {
+        linkDataFiles(s"$root/in", watch, "run1")
+        drain()
+        linkDataFiles(s"$root/in2", watch, "run2")
+        drain()
+      }
+      s.read.parquet(s"$outP/batch=*")
+        .select(col("event_id"), col("user_id"), col("version"), col("cents_asof"))
+        .orderBy(col("event_id"))
+    }),
+
     // THE SEQUENTIAL FUNNEL AS A STATEFUL STREAM — q191's ordered
     // view→click→purchase pattern through flatMapGroupsWithState +
     // event-time timers (the q179 custom-state machinery carrying
@@ -1478,7 +1539,12 @@ object StreamQueries {
       // q191's oracle text verbatim: the stream's watermark-proof emission
       // must land the batch funnel's exact rows (the q178/q179 shared-
       // oracle cross-proof pattern).
-      "q194_funnel_stream" -> EventQueries.oracles("q191_funnel")
+      "q194_funnel_stream" -> EventQueries.oracles("q191_funnel"),
+
+      // q195's oracle text verbatim: per-batch enrichment against the
+      // evolving store must equal the one-shot PIT join — the no-future-
+      // leakage / no-staleness proof in one hash.
+      "q196_cdc_pit_stream" -> EventQueries.oracles("q195_pit_enrich")
     )
   }
 

@@ -151,4 +151,19 @@ class EventPatternSpec extends AnyFunSuite with SparkSpec {
     assert(byEvent(21L) == ((1L, 500L)) && byEvent(22L) == ((1L, 500L)),
       "a tie that collapsed to a no-op keeps both events in the standing version")
   }
+
+  test("q196 streaming CDC enrichment row-for-row equals the one-shot q195 PIT join") {
+    // The direct cross-proof (the oracle proves it against DuckDB; this
+    // proves it Spark-vs-Spark with full row identity): per-batch as-of
+    // against the evolving store == the batch interval join over the
+    // final history. A staleness bug (enriching before the merge) or a
+    // future-leak (a batch seeing versions it shouldn't) breaks version
+    // numbers or cents here.
+    val stream = SparkEntry.queries("q196_cdc_pit_stream")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val oneShot = SparkEntry.queries("q195_pit_enrich")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stream.nonEmpty && stream == oneShot,
+      s"stream/batch PIT divergence: ${stream.diff(oneShot).take(3)} vs ${oneShot.diff(stream).take(3)}")
+  }
 }
