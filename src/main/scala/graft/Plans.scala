@@ -87,7 +87,9 @@ object Plans {
     // numbering windows, all on one batch-side key exchange.
     "scd_merge_apply" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, expr}
-      val tmp = java.nio.file.Files.createTempDirectory("graft-scd-plan").toString
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft-scd-plan")
+      graft.sources.SessionMemo.deleteOnExit(tmpDir)
+      val tmp = tmpDir.toString
       val store = new graft.streaming.ScdStore(s, s"$tmp/store", graft.queries.EventQueries.ScdOpenEnd)
       val feed = graft.sources.Tables.events(s, d).select(
         col("user_id"), col("ts"), col("event_id"),

@@ -259,22 +259,11 @@ object EventQueries {
     // strictly-positive interval widths from the equal-ts collapse make
     // zero-width swallow-ups impossible). The dimension side re-aliases
     // its key (d_user) — fresh attribute ids, the node's self-join guard.
-    "q195_pit_enrich" -> ((s, dir) => {
-      val probe = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
-      val dim = scdHistory(s, dir).select(
-        col("user_id").as("d_user"),
-        col("version"),
-        col("cents").as("cents_asof"),
-        col("valid_from"))
-      graft.plans.AsofJoinOps
-        .asof(
-          probe, dim,
-          probe.col("user_id"), probe.col("ts"),
-          dim.col("d_user"), dim.col("valid_from"), dim.col("version"),
-          direction = graft.plans.AsofDirection.Backward)
-        .select(col("event_id"), col("user_id"), col("version"), col("cents_asof"))
-        .orderBy(col("event_id"))
-    }),
+    "q195_pit_enrich" -> ((s, dir) =>
+      pitEnrich(
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id")),
+        scdHistory(s, dir))
+        .orderBy(col("event_id"))),
 
     // UNPIVOT/MELT — q16's inverse reshape, through Spark's native
     // `Dataset.unpivot` (one scan + an Expand operator, never N
@@ -459,6 +448,29 @@ object EventQueries {
        |    CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
        |              THEN 1 ELSE 0 END AS BIGINT) AS is_current
        |  FROM ch)""".stripMargin
+
+  /** The q195/q196 shared enrichment: a probe frame (`user_id, ts,
+    * event_id`) against an SCD frame (q192's schema) through the custom
+    * as-of merge node — backward on `valid_from`, so with tiled intervals
+    * "latest at-or-before" IS interval containment. One definition keeps
+    * the batch row and the per-micro-batch streaming row semantically
+    * identical, which is what makes their shared oracle a valid
+    * cross-proof.
+    */
+  private[graft] def pitEnrich(probe: DataFrame, scd: DataFrame): DataFrame = {
+    val dim = scd.select(
+      col("user_id").as("d_user"),
+      col("version"),
+      col("cents").as("cents_asof"),
+      col("valid_from"))
+    graft.plans.AsofJoinOps
+      .asof(
+        probe, dim,
+        probe.col("user_id"), probe.col("ts"),
+        dim.col("d_user"), dim.col("valid_from"), dim.col("version"),
+        direction = graft.plans.AsofDirection.Backward)
+      .select(col("event_id"), col("user_id"), col("version"), col("cents_asof"))
+  }
 
   val oracles: Map[String, String] = Map(
     // Identical dependent-aggregation cascade: first view, first click

@@ -382,24 +382,15 @@ object StreamQueries {
       .write.mode("append").parquet(s"$b/in")
   }
 
-  /** The non-hidden data files under a stream-input root, name-sorted — the
-    * ONE definition of "data file" the trigger sizing (q186/q182), the
-    * epoch move (incrBuild), and the arrival delivery (linkDataFiles) all
-    * share. A bounded driver-side directory listing, not a data read;
-    * empty when `root` is absent (an empty corpus writes no `arrival=1`
-    * partition).
+  /** The non-hidden data files under a stream-input root, name-sorted —
+    * `graft.sources.DataFiles.list`, the ONE definition the trigger sizing
+    * (q186/q182), the epoch move (incrBuild/scdBuild), the arrival
+    * delivery (linkDataFiles) and the changelog stores' compaction all
+    * share. Empty when `root` is absent (an empty corpus writes no
+    * `arrival=1` partition).
     */
-  private def listDataFiles(root: String): Seq[java.nio.file.Path] = {
-    val rp = java.nio.file.Paths.get(root)
-    if (!java.nio.file.Files.exists(rp)) return Seq.empty
-    val st  = java.nio.file.Files.list(rp)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    try st.forEach { p =>
-      val n = p.getFileName.toString
-      if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")) buf += p
-    } finally st.close()
-    buf.sortBy(_.getFileName.toString).toSeq
-  }
+  private def listDataFiles(root: String): Seq[java.nio.file.Path] =
+    graft.sources.DataFiles.list(root)
 
   /** Hardlink every data file under `src` into `dst` under a
     * `prefix`-tagged name — the arrival-epoch delivery (q187/q188): making
@@ -1138,19 +1129,8 @@ object StreamQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, id: Long) =>
             store.merge(batch, id)
-            val probe = batch.select(col("user_id"), col("ts"), col("event_id"))
-            val dim = store.snapshotDf.select(
-              col("user_id").as("d_user"),
-              col("version"),
-              col("cents").as("cents_asof"),
-              col("valid_from"))
-            graft.plans.AsofJoinOps
-              .asof(
-                probe, dim,
-                probe.col("user_id"), probe.col("ts"),
-                dim.col("d_user"), dim.col("valid_from"), dim.col("version"),
-                direction = graft.plans.AsofDirection.Backward)
-              .select(col("event_id"), col("user_id"), col("version"), col("cents_asof"))
+            EventQueries
+              .pitEnrich(batch.select(col("user_id"), col("ts"), col("event_id")), store.snapshotDf)
               .write.mode("overwrite").parquet(s"$outP/batch=$id")
             ()
           }

@@ -49,10 +49,17 @@ object FunnelTracker {
 
   /** Per-user open funnel. `t1` = Long.MaxValue until the first view
     * arrives; `clicks`/`purchases` buffer the still-qualifiable candidate
-    * stage times (see class doc).
+    * stage times (see class doc). `done` = the row has emitted: the state
+    * becomes an empty TOMBSTONE so a view arriving after emission (always
+    * later than t1 — it passed the watermark that closed the funnel)
+    * cannot re-enter the user and emit a second row; q191's one-row-per-
+    * entrant/global-min-t1 contract holds under ANY batch delivery, not
+    * just the single-batch bounded run. Tombstones are user-dimension
+    * state — the irreducible memory of "first view EVER" semantics; a
+    * production deployment bounds them with an entrant TTL.
     */
-  final case class FunnelState(t1: Long, clicks: List[Long], purchases: List[Long]) {
-    def isEmpty: Boolean = t1 == Long.MaxValue && clicks.isEmpty && purchases.isEmpty
+  final case class FunnelState(t1: Long, clicks: List[Long], purchases: List[Long], done: Boolean = false) {
+    def isEmpty: Boolean = t1 == Long.MaxValue && clicks.isEmpty && purchases.isEmpty && !done
   }
 
   private[streaming] val NoView = Long.MaxValue
@@ -86,7 +93,8 @@ object FunnelTracker {
     FunnelState(
       st.t1,
       st.clicks.filter(c => c > floor && (st.t1 == NoView || c <= st.t1 + stepUs)),
-      st.purchases.filter(p => p > floor && (st.t1 == NoView || p <= st.t1 + 2 * stepUs)))
+      st.purchases.filter(p => p > floor && (st.t1 == NoView || p <= st.t1 + 2 * stepUs)),
+      st.done)
   }
 
   /** Resolve the final funnel row from a closed state: first qualifying
@@ -134,10 +142,16 @@ object FunnelTracker {
         }
         if (state.hasTimedOut) {
           val st = prune(state.get, wmUs, stepUs)
-          if (st.t1 != NoView && wmUs > st.t1 + 2 * stepUs) {
+          if (st.done) {
+            Iterator.empty // tombstone; no timer — nothing left to do
+          } else if (st.t1 != NoView && wmUs > st.t1 + 2 * stepUs) {
             // final: every event ≤ t1 + 2·step has arrived (wm is strictly
-            // past it, and the µs watermark is ≥ the ms-truncated wmUs)
-            state.remove()
+            // past it, and the µs watermark is ≥ the ms-truncated wmUs).
+            // Leave a tombstone, not remove(): a post-emission view (its
+            // ts passed this watermark, so it is later than t1 and changes
+            // nothing in q191's global-min semantics) must not re-open the
+            // funnel and emit a duplicate row.
+            state.update(FunnelState(st.t1, Nil, Nil, done = true))
             resolve(uid, st, stepUs, horizonUs).iterator
           } else if (st.isEmpty) {
             state.remove()
@@ -148,9 +162,11 @@ object FunnelTracker {
           }
         } else {
           val st0 = state.getOption.getOrElse(FunnelState(NoView, Nil, Nil))
-          val st  = prune(evs.foldLeft(st0)((a, e) => fold(a, e, stepUs)), wmUs, stepUs)
+          val st =
+            if (st0.done) st0 // emitted: ignore stragglers, keep the tombstone
+            else prune(evs.foldLeft(st0)((a, e) => fold(a, e, stepUs)), wmUs, stepUs)
           if (st.isEmpty) { if (state.exists) state.remove() }
-          else { state.update(st); arm(st) }
+          else { state.update(st); if (!st.done) arm(st) }
           Iterator.empty
         }
       }

@@ -71,15 +71,20 @@ final class ScdStore(spark: SparkSession, dir: String, openEnd: String) {
           col("r.valid_to").as("valid_to"),
           col("r.is_current").as("is_current")))
 
+  /** The no-rows-yet frame — q192's schema (the changelog schema minus
+    * batch_id), shared by [[snapshotDf]] and [[mergeRows]]' seed fallback
+    * so the two cannot drift from the schema string.
+    */
+  private def emptySnapshot: DataFrame =
+    spark.range(0).selectExpr(
+      schema.split(", ").filterNot(_.startsWith("batch_id"))
+        .map { f => val Array(n, t) = f.split(" "); s"CAST(NULL AS $t) AS $n" }.toIndexedSeq: _*)
+
   /** The reconstructed SCD-2 table (q192's exact schema) as a DISTRIBUTED
     * frame — latest committed row per (user, version).
     */
   def snapshotDf: DataFrame =
-    latestRows(Long.MaxValue).getOrElse(
-      spark.range(0).selectExpr(
-        "CAST(NULL AS BIGINT) AS user_id", "CAST(NULL AS BIGINT) AS version",
-        "CAST(NULL AS BIGINT) AS cents", "CAST(NULL AS TIMESTAMP) AS valid_from",
-        "CAST(NULL AS TIMESTAMP) AS valid_to", "CAST(NULL AS BIGINT) AS is_current"))
+    latestRows(Long.MaxValue).getOrElse(emptySnapshot)
 
   /** Apply one change batch (`user_id, ts, event_id, cents`): q192's exact
     * change-point chain — equal-ts last-write-wins collapse, then the
@@ -105,10 +110,7 @@ final class ScdStore(spark: SparkSession, dir: String, openEnd: String) {
       .drop("nxt_ts")
     val open = latestRows(batchId)
       .map(_.filter(col("is_current") === 1L))
-      .getOrElse(spark.range(0).selectExpr(
-        "CAST(NULL AS BIGINT) AS user_id", "CAST(NULL AS BIGINT) AS version",
-        "CAST(NULL AS BIGINT) AS cents", "CAST(NULL AS TIMESTAMP) AS valid_from",
-        "CAST(NULL AS TIMESTAMP) AS valid_to", "CAST(NULL AS BIGINT) AS is_current"))
+      .getOrElse(emptySnapshot)
       .select(
         col("user_id"),
         col("version").as("open_version"),
@@ -140,15 +142,29 @@ final class ScdStore(spark: SparkSession, dir: String, openEnd: String) {
     newRows.unionByName(closes)
   }
 
-  /** Rewrite the changelog to latest-per-(user, version), keeping each
-    * row's winning `batch_id` so [[merge]]'s `< batchId` seed stays
-    * correct. BalanceStore's safe order: append the compacted rows (the
-    * scan planned against the old files), then delete the old files —
-    * every intermediate state reads correctly.
+  /** Rewrite the PART of the changelog the streaming checkpoint can no
+    * longer replay — rows with `batch_id < safeBelowBatch` — to
+    * latest-per-(user, version), keeping each surviving row's winning
+    * `batch_id` so [[merge]]'s `< batchId` seed stays correct. Rows at or
+    * above the cutoff are carried verbatim: a redelivered batch
+    * `N ≥ safeBelowBatch` must still reconstruct its exact pre-N state,
+    * and compacting a superseded pre-N open version away would make the
+    * replay renumber the user from version 1 (pass the last COMMITTED
+    * batch id as the cutoff — batches below it can never replay).
+    * BalanceStore's safe order: append the compacted rows (the scan
+    * planned against the old files), then delete the old files — every
+    * intermediate state reads correctly.
+    *
+    * The no-argument overload compacts everything; callers use it only
+    * when no replay is possible (all writes checkpoint-committed, e.g.
+    * after `awaitTermination` of an AvailableNow run).
     */
-  def compact(): Unit = changelog.foreach { log =>
+  def compact(): Unit = compact(Long.MaxValue)
+
+  def compact(safeBelowBatch: Long): Unit = changelog.foreach { log =>
     val old = dataFiles
-    log
+    val compacted = log
+      .filter(col("batch_id") < safeBelowBatch)
       .groupBy(col("user_id"), col("version"))
       .agg(max_by(
         struct(col("cents"), col("valid_from"), col("valid_to"), col("is_current"), col("batch_id")),
@@ -160,6 +176,8 @@ final class ScdStore(spark: SparkSession, dir: String, openEnd: String) {
         col("r.valid_to").as("valid_to"),
         col("r.is_current").as("is_current"),
         col("r.batch_id").as("batch_id"))
+    compacted
+      .unionByName(log.filter(col("batch_id") >= safeBelowBatch))
       .coalesce(1)
       .write.mode("append").parquet(dir)
     old.foreach(f => { java.nio.file.Files.delete(f); () })
@@ -170,15 +188,5 @@ final class ScdStore(spark: SparkSession, dir: String, openEnd: String) {
     */
   def dataFileCount: Int = dataFiles.length
 
-  private def dataFiles: Seq[java.nio.file.Path] = {
-    val rp = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(rp)) return Seq.empty
-    val st  = java.nio.file.Files.list(rp)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    try st.forEach { p =>
-      val n = p.getFileName.toString
-      if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")) buf += p
-    } finally st.close()
-    buf.toSeq
-  }
+  private def dataFiles: Seq[java.nio.file.Path] = graft.sources.DataFiles.list(dir)
 }

@@ -141,7 +141,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val tmp   = java.nio.file.Files.createTempDirectory("graft-scd-plan")
     graft.sources.SessionMemo.deleteOnExit(tmp)
-    val store = new graft.streaming.ScdStore(spark, s"$tmp/store", "2200-01-01 00:00:00")
+    val store = new graft.streaming.ScdStore(spark, s"$tmp/store", EventQueries.ScdOpenEnd)
     def batch(id: Long) = Seq((1L, java.sql.Timestamp.valueOf(s"2024-01-0$id 00:00:00"), id, id * 100L))
       .toDF("user_id", "ts", "event_id", "cents")
     store.merge(batch(1L), 0L) // so the seed side is non-empty and planned for real

@@ -159,6 +159,20 @@ class FunnelTrackerSpec extends AnyFunSuite with SparkSpec {
       s"t1 re-anchor must re-qualify buffered clicks: $out")
   }
 
+  test("stream: a view arriving AFTER the user's row emitted never re-opens the funnel (tombstone)") {
+    val h = 3600L * 1000000L
+    val out = runStream(Seq(
+      Seq(ev(1, T0, "view"), ev(1, T0 + h, "click")),
+      Seq(ev(-1L, T0 + 2L * StepUs + h, "__sentinel__")), // closes and emits user 1
+      // a second view for user 1, well past the close — batch q191 keeps
+      // t1 = the global min view, so this must change NOTHING
+      Seq(ev(1, T0 + 2L * StepUs + 2L * h, "view")),
+      Seq(ev(-1L, T0 + 5L * StepUs, "__sentinel__"))
+    ))
+    assert(out == Seq(FunnelRow(1L, T0, T0 + h, 0L, 2L, 0L)),
+      s"exactly one row per entrant under multi-batch delivery: $out")
+  }
+
   test("stream: never-viewed users emit nothing and their buffers retire with the watermark") {
     val out = runStream(Seq(
       Seq(ev(7L, T0, "click"), ev(7L, T0 + 1L, "purchase")),

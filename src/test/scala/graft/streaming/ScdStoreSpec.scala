@@ -18,7 +18,7 @@ import java.nio.file.Files
 class ScdStoreSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  private val OpenEnd = "2200-01-01 00:00:00"
+  private val OpenEnd = graft.queries.EventQueries.ScdOpenEnd // the production sentinel, never a stale copy
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
@@ -113,5 +113,24 @@ class ScdStoreSpec extends AnyFunSuite with SparkSpec {
     val after = snap(store)
     assert(after.count(_._1 == 1L) == 4 &&
       after.filter(r => r._1 == 1L && r._6 == 1L).map(_._3) == Seq(400L))
+  }
+
+  test("compact with a replay cutoff: a batch at/above the cutoff can still redeliver correctly") {
+    // The crash window: batch 1's write landed, its checkpoint commit did
+    // not, and compaction ran in between. With the cutoff at the last
+    // COMMITTED batch (1 ⇒ only batch 0's rows compact), batch 1's
+    // superseded pre-state survives verbatim, so the redelivery seeds from
+    // the exact pre-batch-1 state and re-appends byte-identical rows. A
+    // full compact here would erase the superseded open version and the
+    // replay would renumber user 1 from version 1.
+    val store = freshStore()
+    store.merge(batchDf(Batch1), 0L)
+    store.merge(batchDf(Batch2), 1L)
+    val before = snap(store)
+    store.compact(safeBelowBatch = 1L)
+    assert(snap(store) == before, "cutoff compaction must not change the logical table")
+    store.merge(batchDf(Batch2), 1L) // the redelivery
+    assert(snap(store) == before, "replay after cutoff compaction must be invisible")
+    assert(snap(store) == expectedOneShot)
   }
 }
