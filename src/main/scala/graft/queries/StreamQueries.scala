@@ -359,18 +359,23 @@ object StreamQueries {
   }
 
   /** q194's funnel stream input: the events projection the funnel needs
-    * (`ts, user_id, event_type`) plus a future-dated watermark sentinel.
-    * The sentinel sits `2·step` PAST the corpus max so the final watermark
-    * strictly clears every entrant's close deadline (`t1 + 2·step`) —
-    * FunnelTracker emits only on watermark proof.
+    * (`ts, user_id, event_type`), range-partitioned on `ts` into the
+    * incrBuild two-epoch layout (`/in` = the early half, `/in2` = the
+    * late half — every `/in2` row at-or-after every `/in` row, so a
+    * 0-second watermark carried across two AvailableNow runs never drops
+    * anything), plus a future-dated watermark sentinel in its own `/sent`
+    * file. The sentinel sits `2·step` PAST the corpus max so the final
+    * watermark strictly clears every entrant's close deadline
+    * (`t1 + 2·step`) — FunnelTracker emits only on watermark proof.
     */
   private def funnelInput(s: SparkSession, dir: String): String =
-    graft.sources.SessionMemo.dir(s, "stream-in-funnel", dir)(funnelBuild(s, dir, _))
+    graft.sources.SessionMemo.dir(s, "stream-in-funnel2", dir)(funnelBuild(s, dir, _))
 
   private def funnelBuild(s: SparkSession, dir: String, b: String): Unit = {
     val obs = org.apache.spark.sql.Observation()
     Tables.events(s, dir)
       .select(col("ts"), col("user_id"), col("event_type"))
+      .repartitionByRange(IncrFiles, col("ts"))
       .observe(obs, max(unix_micros(col("ts"))).as("max_us"))
       .write.parquet(s"$b/in")
     s.range(1)
@@ -379,7 +384,12 @@ object StreamQueries {
           observedMaxUs(obs) + 2L * EventQueries.FunnelStepUs + SentinelMarginUs)).as("ts"),
         lit(-1L).as("user_id"),
         lit("__sentinel__").as("event_type"))
-      .write.mode("append").parquet(s"$b/in")
+      .write.parquet(s"$b/sent")
+    val in2   = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$b/in2"))
+    val parts = listDataFiles(s"$b/in")
+    parts.drop((parts.size + 1) / 2).foreach { p =>
+      java.nio.file.Files.move(p, in2.resolve(p.getFileName))
+    }
   }
 
   /** The non-hidden data files under a stream-input root, name-sorted —
@@ -1149,37 +1159,63 @@ object StreamQueries {
         .orderBy(col("event_id"))
     }),
 
-    // THE SEQUENTIAL FUNNEL AS A STATEFUL STREAM — q191's ordered
-    // view→click→purchase pattern through flatMapGroupsWithState +
-    // event-time timers (the q179 custom-state machinery carrying
+    // THE SEQUENTIAL FUNNEL AS AN INCREMENTAL STATEFUL STREAM — q191's
+    // ordered view→click→purchase pattern through flatMapGroupsWithState
+    // + event-time timers (the q179 custom-state machinery carrying
     // ORDERED-PATTERN state instead of interval-merge state): per user, a
     // buffered-candidate funnel state; ONE row per entrant, emitted only
     // when the watermark strictly passes the funnel's close deadline
-    // (t1 + 2·step). Hashes against the identical oracle as q191 — the
-    // batch cascade and the stream's watermark-proof emission must land
-    // byte-identical rows or one of them is wrong (the q178/q179
-    // cross-proof pattern, applied to the funnel). Non-funnel event types
-    // are filtered BEFORE the key shuffle; the sentinel survives the
-    // filter (user −1) to advance the watermark, and never forms state.
+    // (t1 + 2·step). TWO Trigger.AvailableNow runs over ONE checkpoint
+    // (the q188 ingest shape) split the corpus at the range boundary: a
+    // funnel STRADDLING the epochs emits with stages from both runs only
+    // if the restored custom state and the carried watermark are right,
+    // run-1-closed entrants' rows must not re-emit when run 2 delivers
+    // more of the user's events (the tombstone contract), and run 2's
+    // sentinel closes the rest. Hashes against the identical oracle as
+    // q191 — batch cascade vs incremental watermark-proof emission, byte
+    // for byte (the q178/q179 cross-proof pattern, applied to the
+    // funnel). Non-funnel event types are filtered BEFORE the key
+    // shuffle; the sentinel survives the filter (user −1) to advance the
+    // watermark, and never forms state.
     "q194_funnel_stream" -> ((s, dir) => {
       import s.implicits._
-      val in = s"${funnelInput(s, dir)}/in"
-      withStatePartitions(s)(runSinked(s, "funnel") { (ckpt, sink) =>
-        val evs = streamFrom(s, in)
+      val root  = funnelInput(s, dir)
+      val tmp   = freshTmp("funnel")
+      val watch = s"$tmp/watch"
+      val outP  = s"$tmp/out"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+      def drain(): Unit = {
+        val evs = s.readStream
+          .schema(s.read.parquet(s"$root/sent").schema) // sent always has a file
+          .parquet(watch)
           .filter(
             col("event_type").isin("view", "click", "purchase") || col("user_id") === -1L)
           .select(
             col("ts"), unix_micros(col("ts")).as("us"), col("user_id"), col("event_type"))
           .as[graft.streaming.FunnelTracker.FunnelEvent]
-        graft.streaming.FunnelTracker
+        val q = graft.streaming.FunnelTracker
           .funnels(evs, EventQueries.FunnelStepUs, EventQueries.FunnelHorizonUs)
           .toDF()
           .writeStream
           .outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: DataFrame, _: Long) => sink(batch); () }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outP)
+            ()
+          }
           .start()
-      }).select(
+        try q.awaitTermination() // AvailableNow stops the query itself
+        finally q.stop()
+      }
+      withStatePartitions(s) {
+        linkDataFiles(s"$root/in", watch, "run1")
+        drain() // run 1: early epoch → early entrants close and emit
+        linkDataFiles(s"$root/in2", watch, "run2")
+        linkDataFiles(s"$root/sent", watch, "sent")
+        drain() // run 2: late epoch + sentinel → straddlers + the rest emit
+      }
+      s.read.parquet(outP).select(
         col("user_id"),
         timestamp_micros(col("t1_us")).as("t1"),
         timestamp_micros(col("t2_us")).as("t2"), // 0 µs = the q191 epoch sentinel
