@@ -86,7 +86,7 @@ object Plans {
     // mergeRows — tie-collapse window, open-version join, lag-dedup and
     // numbering windows, all on one batch-side key exchange.
     "scd_merge_apply" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
       val tmpDir = java.nio.file.Files.createTempDirectory("graft-scd-plan")
       graft.sources.SessionMemo.deleteOnExit(tmpDir)
       val tmp = tmpDir.toString
@@ -94,9 +94,14 @@ object Plans {
       val feed = graft.sources.Tables.events(s, d).select(
         col("user_id"), col("ts"), col("event_id"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      val split = "2024-01-15 00:00:00"
-      store.merge(feed.filter(col("ts") < split), 0L)
-      store.mergeRows(feed.filter(col("ts") >= split), 1L)
+      // split at the data's own median so both epochs are non-empty on ANY
+      // corpus (a wall-clock literal would silently dump a degenerate
+      // merge-against-empty-store plan on a shifted date range)
+      val split = feed
+        .agg(timestamp_micros(expr("percentile_approx(unix_micros(ts), 0.5)")).as("m"))
+        .head().getTimestamp(0)
+      store.merge(feed.filter(col("ts") < lit(split)), 0L)
+      store.mergeRows(feed.filter(col("ts") >= lit(split)), 1L)
     })
   )
 

@@ -325,11 +325,23 @@ object StreamQueries {
       lit("__sentinel__").as("event_type"),
       lit(0.0).as("value"))
       .write.parquet(s"$b/sent")
+    splitEpochs(b)
+  }
+
+  /** Move the LATE half of `b/in`'s range-partitioned files to `b/in2` —
+    * the ONE definition of the two-epoch split (file-name order IS
+    * partition order IS ts order under a range exchange) that incrBuild,
+    * scdBuild and funnelBuild share: ScdStore's batch-ordering contract
+    * and the 0-second cross-run watermark carry both rest on this exact
+    * invariant, so it must not fork.
+    */
+  private def splitEpochs(b: String): Unit = {
     val in2   = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$b/in2"))
     val parts = listDataFiles(s"$b/in")
     parts.drop((parts.size + 1) / 2).foreach { p =>
       java.nio.file.Files.move(p, in2.resolve(p.getFileName))
     }
+    ()
   }
 
   /** q193's CDC change-feed layout — the incrBuild two-epoch range split
@@ -351,11 +363,7 @@ object StreamQueries {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .repartitionByRange(IncrFiles, col("ts"))
       .write.parquet(s"$b/in")
-    val in2   = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$b/in2"))
-    val parts = listDataFiles(s"$b/in")
-    parts.drop((parts.size + 1) / 2).foreach { p =>
-      java.nio.file.Files.move(p, in2.resolve(p.getFileName))
-    }
+    splitEpochs(b)
   }
 
   /** q194's funnel stream input: the events projection the funnel needs
@@ -385,11 +393,7 @@ object StreamQueries {
         lit(-1L).as("user_id"),
         lit("__sentinel__").as("event_type"))
       .write.parquet(s"$b/sent")
-    val in2   = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$b/in2"))
-    val parts = listDataFiles(s"$b/in")
-    parts.drop((parts.size + 1) / 2).foreach { p =>
-      java.nio.file.Files.move(p, in2.resolve(p.getFileName))
-    }
+    splitEpochs(b)
   }
 
   /** The non-hidden data files under a stream-input root, name-sorted —
@@ -1200,8 +1204,11 @@ object StreamQueries {
           .outputMode("append")
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(outP)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // idempotent per-batch-partition overwrite (the q196/q182
+            // recipe): a batch replayed after a crash-between-write-and-
+            // commit rewrites its own partition, never double-appends
+            batch.write.mode("overwrite").parquet(s"$outP/batch=$id")
             ()
           }
           .start()
@@ -1215,7 +1222,7 @@ object StreamQueries {
         linkDataFiles(s"$root/sent", watch, "sent")
         drain() // run 2: late epoch + sentinel → straddlers + the rest emit
       }
-      s.read.parquet(outP).select(
+      s.read.parquet(s"$outP/batch=*").select(
         col("user_id"),
         timestamp_micros(col("t1_us")).as("t1"),
         timestamp_micros(col("t2_us")).as("t2"), // 0 µs = the q191 epoch sentinel

@@ -84,11 +84,12 @@ class EventPatternSpec extends AnyFunSuite with SparkSpec {
     // the open sentinel is ns-representable (pyarrow datetime64[ns] tops
     // out at 2262-04-11; round-10's 9999-12-31 sentinel wrapped there)
     // yet above every real timestamp in the corpus
-    val open = rows.filter(_._6 == 1L).map(_._5).distinct
+    val open   = rows.filter(_._6 == 1L).map(_._5).distinct
+    val closed = rows.filter(_._6 == 0L).map(_._5)
     assert(open.length == 1, s"open versions must share one sentinel, got ${open.toSeq}")
+    assert(closed.nonEmpty, "fixture must include closed versions or the sentinel checks are vacuous")
     assert(open.head.toInstant.isBefore(java.time.Instant.parse("2262-04-11T00:00:00Z")))
-    val maxClosed = rows.filter(_._6 == 0L).map(_._5).max
-    assert(open.head.after(maxClosed), "sentinel must exceed every real valid_to")
+    assert(open.head.after(closed.max), "sentinel must exceed every real valid_to")
     // reconstruction: the latest version's cents equals the last event's
     // cents per user (the SCD build must end on the live value)
     val last = graft.sources.Tables.events(spark, scdDir)
@@ -109,7 +110,9 @@ class EventPatternSpec extends AnyFunSuite with SparkSpec {
     // shared timestamp, one where the winner CHANGES the attribute and one
     // where the winner makes the tie a no-op against the prior version.
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-scd-tie").toString
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-scd-tie")
+    graft.sources.SessionMemo.deleteOnExit(tmpDir)
+    val tmp = tmpDir.toString
     Seq(
       // user 1: tie at Jan-1 (1.00 then 2.00) — event_id 11 wins; Jan-2 changes again
       (10L, ts("2024-01-01 00:00:00"), 1L, "update", 1.00, "{}"),
