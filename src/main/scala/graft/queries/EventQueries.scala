@@ -265,6 +265,28 @@ object EventQueries {
         scdHistory(s, dir))
         .orderBy(col("event_id"))),
 
+    // TIME-TRAVEL SNAPSHOT (q197) — the dimension AS OF one instant (the
+    // other half-open read every SCD consumer needs: q195 reads at each
+    // event's own time, this reconstructs the whole table at a fixed T —
+    // the "what did the dimension look like last Tuesday" audit query).
+    // T is DATA-DERIVED (corpus min + 14 days, exact µs arithmetic in
+    // both engines — never a wall-clock literal that silently empties on
+    // a shifted corpus) and rides a 1-row broadcast scalar onto the
+    // history; at most one version per user survives the containment
+    // filter. Users whose history starts after T are correctly absent
+    // (the dimension did not know them yet).
+    "q197_scd2_snapshot" -> ((s, dir) => {
+      val t0 = Tables.events(s, dir).agg(
+        timestamp_micros(min(unix_micros(col("ts"))) + lit(14L * 86400L * 1000000L)).as("t0"))
+      scdHistory(s, dir)
+        .crossJoin(broadcast(t0)) // 1-row scalar
+        .filter(col("valid_from") <= col("t0") && col("t0") < col("valid_to"))
+        .select(
+          col("user_id"), col("version"), col("cents"), col("valid_from"),
+          col("t0").as("snapshot_ts"))
+        .orderBy(col("user_id"))
+    }),
+
     // UNPIVOT/MELT — q16's inverse reshape, through Spark's native
     // `Dataset.unpivot` (one scan + an Expand operator, never N
     // self-unions). Wide lineitem metrics melt to (flag, metric, value)
@@ -520,6 +542,16 @@ object EventQueries {
          |FROM events p JOIN scd s
          |  ON p.user_id = s.user_id AND p.ts >= s.valid_from AND p.ts < s.valid_to
          |ORDER BY p.event_id""".stripMargin,
+
+    // The same data-derived instant (corpus min + 14 days, exact µs
+    // arithmetic) and the same half-open containment.
+    "q197_scd2_snapshot" ->
+      s"""$scdOracleCtes,
+         | t AS (SELECT min(ts) + INTERVAL 14 DAY AS t0 FROM events)
+         |SELECT s.user_id, s.version, s.cents, s.valid_from, t.t0 AS snapshot_ts
+         |FROM scd s, t
+         |WHERE s.valid_from <= t.t0 AND t.t0 < s.valid_to
+         |ORDER BY s.user_id""".stripMargin,
 
     // The same two-level count-of-counts per key column.
     "q165_key_skew" ->

