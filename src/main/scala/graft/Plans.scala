@@ -96,12 +96,24 @@ object Plans {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       // split at the data's own median so both epochs are non-empty on ANY
       // corpus (a wall-clock literal would silently dump a degenerate
-      // merge-against-empty-store plan on a shifted date range)
-      val split = feed
-        .agg(timestamp_micros(expr("percentile_approx(unix_micros(ts), 0.5)")).as("m"))
-        .head().getTimestamp(0)
-      store.merge(feed.filter(col("ts") < lit(split)), 0L)
-      store.mergeRows(feed.filter(col("ts") >= lit(split)), 1L)
+      // merge-against-empty-store plan on a shifted date range). Guard the
+      // degenerate median: when >=50% of rows share the minimum ts the
+      // approx median can EQUAL the min, emptying the early epoch — fall
+      // back to min+1µs (early = the min-ts rows, late = everything
+      // after), and fail loudly if the corpus has only one distinct ts
+      // (no two-epoch plan exists to dump).
+      val stats = feed.agg(
+        expr("min(unix_micros(ts))").as("mn"),
+        expr("max(unix_micros(ts))").as("mx"),
+        expr("percentile_approx(unix_micros(ts), 0.5)").as("med"))
+        .head()
+      val (mnUs, mxUs, medUs) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      require(mxUs > mnUs,
+        "scd_merge_apply: all events share one timestamp — a two-epoch merge plan cannot be dumped")
+      val splitUs = if (medUs > mnUs) medUs else mnUs + 1L
+      val split   = timestamp_micros(lit(splitUs))
+      store.merge(feed.filter(col("ts") < split), 0L)
+      store.mergeRows(feed.filter(col("ts") >= split), 1L)
     })
   )
 

@@ -165,16 +165,42 @@ class EventPatternSpec extends AnyFunSuite with SparkSpec {
     val t0s = rows.map(_._4).distinct
     assert(t0s.length == 1, s"one shared snapshot instant, got ${t0s.length}")
     rows.foreach { case (u, _, from, t0) => assert(!from.after(t0), s"user $u valid_from > T") }
-    // non-vacuity both ways: some users are absent (their history starts
-    // after T) and some present users are NOT on their final version at T
+    // every snapshotted user must exist in the history (the snapshot is a
+    // filter of it), and T must catch at least one user mid-history or the
+    // time-travel is vacuous. On the shipped corpora every user's history
+    // starts before T (verified: first_ts > min+14d has zero users at all
+    // 3 SFs), so the ABSENT-user branch gets its own synthetic fixture
+    // below rather than a vacuous disjunction here.
     val hist = SparkEntry.queries("q192_scd2_history")(spark, dir)
       .groupBy("user_id").count().as[(Long, Long)].collect().toMap
-    assert(rows.length < hist.size || hist.keySet.size == rows.length) // absent users allowed
+    assert(rows.map(_._1).toSet.subsetOf(hist.keySet), "snapshot users must come from the history")
     val finalVersions = SparkEntry.queries("q192_scd2_history")(spark, dir)
       .filter(col("is_current") === 1L)
       .select("user_id", "version").as[(Long, Long)].collect().toMap
     assert(rows.exists { case (u, v, _, _) => finalVersions.get(u).exists(_ != v) },
       "T must catch at least one user mid-history or the time-travel is vacuous")
+  }
+
+  test("q197 snapshot: a user whose history starts after T is absent (synthetic)") {
+    // T is data-derived (corpus min + 14 days): user 1 anchors the corpus
+    // min and stays present across T; user 2's first event is 20 days in —
+    // the dimension did not know them at T, so the snapshot must omit them.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-scd-absent")
+    graft.sources.SessionMemo.deleteOnExit(tmpDir)
+    val tmp = tmpDir.toString
+    Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1L, "update", 1.00, "{}"),
+      (11L, ts("2024-01-10 00:00:00"), 1L, "update", 2.00, "{}"),
+      (12L, ts("2024-01-20 00:00:00"), 1L, "update", 3.00, "{}"),
+      (20L, ts("2024-01-21 00:00:00"), 2L, "update", 5.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = SparkEntry.queries("q197_scd2_snapshot")(spark, tmp)
+      .select("user_id", "version", "cents")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // T = Jan-15: user 1 is on v2 (the Jan-10 change), user 2 is absent
+    assert(rows == Seq((1L, 2L, 200L)), s"got $rows")
   }
 
   test("q196 streaming CDC enrichment row-for-row equals the one-shot q195 PIT join") {
