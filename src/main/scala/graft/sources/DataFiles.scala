@@ -10,6 +10,29 @@ package graft.sources
   * is absent.
   */
 object DataFiles {
+
+  /** [[list]] extended one level into non-hidden subdirectories — the
+    * hash-bucket-partitioned changelog layout (`bucket=N/part-*.parquet`,
+    * ScdStore): data files at the root AND inside each `bucket=N` dir,
+    * name-sorted by relative path. Hidden entries (`_`/`.` prefixes —
+    * `_SUCCESS`, `.crc`) are skipped at both levels.
+    */
+  def listPartitioned(root: String): Seq[java.nio.file.Path] = {
+    val rp = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(rp)) return Seq.empty
+    val dirs = {
+      val st  = java.nio.file.Files.list(rp)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      try st.forEach { p =>
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isDirectory(p) && !n.startsWith("_") && !n.startsWith(".")) buf += p
+      } finally st.close()
+      buf.toSeq
+    }
+    (list(root) ++ dirs.flatMap(d => list(d.toString)))
+      .sortBy(p => rp.relativize(p).toString)
+  }
+
   def list(root: String): Seq[java.nio.file.Path] = {
     val rp = java.nio.file.Paths.get(root)
     if (!java.nio.file.Files.exists(rp)) return Seq.empty

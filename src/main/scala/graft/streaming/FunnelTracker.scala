@@ -55,8 +55,13 @@ object FunnelTracker {
     * cannot re-enter the user and emit a second row; q191's one-row-per-
     * entrant/global-min-t1 contract holds under ANY batch delivery, not
     * just the single-batch bounded run. Tombstones are user-dimension
-    * state — the irreducible memory of "first view EVER" semantics; a
-    * production deployment bounds them with an entrant TTL.
+    * state — the irreducible memory of "first view EVER" semantics; the
+    * `tombstoneTtlUs` parameter of [[funnels]] bounds them with an
+    * entrant TTL (event-time: the tombstone is dropped once the watermark
+    * passes close-deadline + TTL, after which a new view re-enters the
+    * user as a fresh entrant — "first view ever" relaxes to "first view
+    * within TTL", the standard production bound). Results within the TTL
+    * horizon are byte-identical to the unbounded run (q199's gate).
     */
   final case class FunnelState(t1: Long, clicks: List[Long], purchases: List[Long], done: Boolean = false) {
     def isEmpty: Boolean = t1 == Long.MaxValue && clicks.isEmpty && purchases.isEmpty && !done
@@ -114,11 +119,33 @@ object FunnelTracker {
       Some(FunnelRow(uid, t1, t2.getOrElse(0L), t3.getOrElse(0L), stage, completed))
     }
 
+  /** Saturating add for event-time deadlines (TTL = Long.MaxValue must
+    * read as "never", not wrap negative).
+    */
+  private[streaming] def satAdd(a: Long, b: Long): Long = {
+    val s = a + b
+    if (((a ^ s) & (b ^ s)) < 0L) Long.MaxValue else s
+  }
+
   /** Per-user funnel rows over an event-time stream; run with
     * `outputMode(Append)`. One row per user with ≥1 view, emitted when the
     * watermark passes `t1 + 2·step`.
+    *
+    * @param tombstoneTtlUs entrant TTL: once the watermark passes
+    *        close-deadline (t1 + 2·step) + TTL, the emitted entrant's
+    *        tombstone is REMOVED — state per key returns to zero — and a
+    *        later view re-enters the user as a fresh entrant (a second
+    *        row). Long.MaxValue (the default) keeps the exact
+    *        one-row-per-entrant-EVER semantics at one tombstone per
+    *        entrant of state. Any event at-or-before close+TTL is folded
+    *        identically under both settings, so in-TTL results are
+    *        byte-identical to the unbounded run.
     */
-  def funnels(events: Dataset[FunnelEvent], stepUs: Long, horizonUs: Long): Dataset[FunnelRow] = {
+  def funnels(
+      events: Dataset[FunnelEvent],
+      stepUs: Long,
+      horizonUs: Long,
+      tombstoneTtlUs: Long = Long.MaxValue): Dataset[FunnelRow] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "0 seconds")
@@ -140,18 +167,32 @@ object FunnelTracker {
             else (st.clicks ++ st.purchases).min
           state.setTimeoutTimestamp(math.max(deadlineUs / 1000L + 1L, wmMs + 1L))
         }
+        // The tombstone's event-time expiry (close-deadline + TTL); armTtl
+        // re-arms it on every invocation that keeps the tombstone — the
+        // Sessionizer timer discipline, clamped strictly past the ms clock.
+        def ttlEndUs(st: FunnelState): Long = satAdd(st.t1 + 2 * stepUs, tombstoneTtlUs)
+        def armTtl(st: FunnelState): Unit =
+          if (tombstoneTtlUs != Long.MaxValue)
+            state.setTimeoutTimestamp(math.max(ttlEndUs(st) / 1000L + 1L, wmMs + 1L))
         if (state.hasTimedOut) {
           val st = prune(state.get, wmUs, stepUs)
           if (st.done) {
-            Iterator.empty // tombstone; no timer — nothing left to do
+            // tombstone: expire it once the watermark proves no in-TTL
+            // event can still arrive; an early ms-clock fire re-arms
+            if (tombstoneTtlUs != Long.MaxValue && wmUs > ttlEndUs(st)) state.remove()
+            else armTtl(st)
+            Iterator.empty
           } else if (st.t1 != NoView && wmUs > st.t1 + 2 * stepUs) {
             // final: every event ≤ t1 + 2·step has arrived (wm is strictly
             // past it, and the µs watermark is ≥ the ms-truncated wmUs).
             // Leave a tombstone, not remove(): a post-emission view (its
             // ts passed this watermark, so it is later than t1 and changes
             // nothing in q191's global-min semantics) must not re-open the
-            // funnel and emit a duplicate row.
-            state.update(FunnelState(st.t1, Nil, Nil, done = true))
+            // funnel and emit a duplicate row. With a finite TTL the
+            // tombstone carries its own expiry timer.
+            val tomb = FunnelState(st.t1, Nil, Nil, done = true)
+            state.update(tomb)
+            armTtl(tomb)
             resolve(uid, st, stepUs, horizonUs).iterator
           } else if (st.isEmpty) {
             state.remove()
@@ -166,7 +207,7 @@ object FunnelTracker {
             if (st0.done) st0 // emitted: ignore stragglers, keep the tombstone
             else prune(evs.foldLeft(st0)((a, e) => fold(a, e, stepUs)), wmUs, stepUs)
           if (st.isEmpty) { if (state.exists) state.remove() }
-          else { state.update(st); if (!st.done) arm(st) }
+          else { state.update(st); if (!st.done) arm(st) else armTtl(st) }
           Iterator.empty
         }
       }

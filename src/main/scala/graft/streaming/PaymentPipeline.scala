@@ -135,6 +135,14 @@ object PaymentPipeline {
       * snapshot the current data files, append the compacted rows (the scan
       * plans against the snapshot — the new file doesn't exist yet), then
       * delete the snapshot. Every intermediate state serves correct reads.
+      *
+      * The rewrite is `repartition(compactPartitions, key)`, never
+      * `coalesce`: coalesce(1) would collapse the latest-per-key
+      * AGGREGATION itself into one task (the upstream stages inherit the
+      * coalesced parallelism), while the key-hash repartition keeps the
+      * aggregation at full width and only bounds the WRITE to
+      * `compactPartitions` parallel tasks/files — the shape that still
+      * works when the live-key volume is cluster-sized.
       */
     def compact(): Unit = changelog.foreach { log =>
       val old = partFiles(dir)
@@ -144,7 +152,7 @@ object PaymentPipeline {
           max_by(col("balance"), col("batch_id")).as("balance"),
           max(col("batch_id")).as("batch_id")
         )
-        .coalesce(compactPartitions)
+        .repartition(compactPartitions, col("fromAccount"))
         .write
         .mode("append")
         .parquet(dir)
@@ -258,7 +266,12 @@ object PaymentPipeline {
       base
         .unionByName(keep.select(col("fromAccount"), col("delta"), col("batch_id")))
         .select(col("fromAccount"), col("delta"), col("batch_id"))
-        .coalesce(1)
+        // key-hash repartition, not coalesce(1): the write stays bounded
+        // (one file here — tiny local state) without collapsing the
+        // upstream merge aggregation into a single task (BalanceStore's
+        // compact discipline; a deployment raises the partition count to
+        // live-key volume / 128 MB)
+        .repartition(1, col("fromAccount"))
         .write
         .mode("append")
         .parquet(dir)

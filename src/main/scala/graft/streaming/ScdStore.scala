@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,22 +32,42 @@ import org.apache.spark.sql.functions._
   * boundary, and the within-batch last-write-wins collapse (q192's rule)
   * is complete.
   *
+  * Store layout: the changelog is HASH-BUCKET-PARTITIONED on the key —
+  * `bucket=N/part-*.parquet` with `bucket = pmod(xxhash64(user_id),
+  * buckets)` — so [[merge]]'s open-version seed scan PRUNES to the
+  * incoming batch's buckets at the file listing (a partition filter, never
+  * a data read of untouched buckets): the per-batch seed cost is the
+  * TOUCHED fraction of the store, not the whole changelog. `buckets` is a
+  * store-lifetime constant (it is baked into the directory layout); a
+  * 100 TB deployment sizes it to live-key volume / 128 MB.
+  *
   * Scale notes: one key shuffle per batch (the open-version join and the
   * per-user windows share `user_id` partitioning); the open-version side
   * is dimension-sized (one row per user) but the `is_current = 1` filter
   * applies AFTER the latest-per-(user, version) reconstruction — a close
   * row flips an older row's flag, so it cannot push to parquet; the scan
-  * cost is therefore the changelog size, which is exactly what [[compact]]
-  * bounds (BalanceStore's safe append-then-delete order). A deployment
-  * partitioning the store by a user-hash bucket would additionally prune
-  * the seed scan to the batch's buckets. Written rows are bounded by the
-  * batch's CHANGE volume, never by history.
+  * cost is therefore the TOUCHED BUCKETS' share of the changelog, which
+  * bucket pruning bounds per batch and [[compact]] bounds over time
+  * (BalanceStore's safe append-then-delete order). Written rows are
+  * bounded by the batch's CHANGE volume, never by history.
   */
-final class ScdStore(spark: SparkSession, dir: String, openEnd: String) {
+final class ScdStore(
+    spark: SparkSession,
+    dir: String,
+    openEnd: String,
+    buckets: Int = 8
+) {
 
   private val schema =
     "user_id BIGINT, version BIGINT, cents BIGINT, valid_from TIMESTAMP, " +
-      "valid_to TIMESTAMP, is_current BIGINT, batch_id BIGINT"
+      "valid_to TIMESTAMP, is_current BIGINT, batch_id BIGINT, bucket INT"
+
+  /** The key→bucket map — ONE definition shared by the writes (layout),
+    * the seed prune (partition filter) and the compaction re-derivation,
+    * so the three cannot drift.
+    */
+  private def bucketOf(key: Column): Column =
+    pmod(xxhash64(key), lit(buckets.toLong)).cast("int")
 
   private def changelog: Option[DataFrame] =
     if (new java.io.File(dir).exists()) Some(spark.read.schema(schema).parquet(dir))
@@ -56,10 +76,14 @@ final class ScdStore(spark: SparkSession, dir: String, openEnd: String) {
   /** Latest committed row per (user_id, version) among batches strictly
     * below `beforeBatch` (Long.MaxValue = the full table) — the one
     * reconstruction rule [[snapshotDf]] and [[merge]]'s seed share.
+    * `onlyBuckets` restricts the scan to the given buckets (a PARTITION
+    * filter — pruned at the file listing); None reads everything.
     */
-  private def latestRows(beforeBatch: Long): Option[DataFrame] =
-    changelog.map(
-      _.filter(col("batch_id") < beforeBatch)
+  private def latestRows(beforeBatch: Long, onlyBuckets: Option[Seq[Int]]): Option[DataFrame] =
+    changelog.map { log =>
+      onlyBuckets
+        .fold(log)(bs => log.filter(col("bucket").isin(bs.map(Integer.valueOf): _*)))
+        .filter(col("batch_id") < beforeBatch)
         .groupBy(col("user_id"), col("version"))
         .agg(max_by(
           struct(col("cents"), col("valid_from"), col("valid_to"), col("is_current")),
@@ -69,46 +93,59 @@ final class ScdStore(spark: SparkSession, dir: String, openEnd: String) {
           col("r.cents").as("cents"),
           col("r.valid_from").as("valid_from"),
           col("r.valid_to").as("valid_to"),
-          col("r.is_current").as("is_current")))
+          col("r.is_current").as("is_current"))
+    }
 
   /** The no-rows-yet frame — q192's schema (the changelog schema minus
-    * batch_id), shared by [[snapshotDf]] and [[mergeRows]]' seed fallback
-    * so the two cannot drift from the schema string.
+    * batch_id and the bucket partition column), shared by [[snapshotDf]]
+    * and [[mergeRows]]' seed fallback so the two cannot drift from the
+    * schema string.
     */
   private def emptySnapshot: DataFrame =
     spark.range(0).selectExpr(
-      schema.split(", ").filterNot(_.startsWith("batch_id"))
+      schema.split(", ").filterNot(f => f.startsWith("batch_id") || f.startsWith("bucket"))
         .map { f => val Array(n, t) = f.split(" "); s"CAST(NULL AS $t) AS $n" }.toIndexedSeq: _*)
 
   /** The reconstructed SCD-2 table (q192's exact schema) as a DISTRIBUTED
     * frame — latest committed row per (user, version).
     */
   def snapshotDf: DataFrame =
-    latestRows(Long.MaxValue).getOrElse(emptySnapshot)
+    latestRows(Long.MaxValue, None).getOrElse(emptySnapshot)
 
   /** Apply one change batch (`user_id, ts, event_id, cents`): q192's exact
     * change-point chain — equal-ts last-write-wins collapse, then the
     * no-op-update dedup SEEDED by each user's carried-in open cents — then
     * one append of (a) the batch's new versions, the last one open, and
     * (b) a close row for each previously-open version a new change point
-    * supersedes (valid_to = the user's first new change ts).
+    * supersedes (valid_to = the user's first new change ts). The write is
+    * repartitioned onto the bucket layout: at most `buckets` files per
+    * batch, written in parallel.
     */
   def merge(batchRaw: DataFrame, batchId: Long): Unit =
     mergeRows(batchRaw, batchId)
       .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(dir)
+      .withColumn("bucket", bucketOf(col("user_id")))
+      .repartition(buckets, col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(dir)
 
   /** The rows [[merge]] appends, as a frame (exposed for the plan gate:
     * the batch side must carry ONE key exchange shared by the tie-collapse
-    * window, the open-version join, and the change-point windows).
+    * window, the open-version join, and the change-point windows, and the
+    * seed scan must carry the bucket PartitionFilters prune).
     */
   private[graft] def mergeRows(batchRaw: DataFrame, batchId: Long): DataFrame = {
+    // The batch's bucket set — a bounded driver list (≤ `buckets` rows by
+    // construction, a store constant), never data-sized; it becomes the
+    // seed scan's partition filter.
+    val batchBuckets: Seq[Int] =
+      batchRaw.select(bucketOf(col("user_id")).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
     val byKey = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val collapsed = batchRaw
       .withColumn("nxt_ts", lead(col("ts"), 1).over(byKey))
       .filter(col("nxt_ts").isNull || col("nxt_ts") =!= col("ts"))
       .drop("nxt_ts")
-    val open = latestRows(batchId)
+    val open = latestRows(batchId, Some(batchBuckets))
       .map(_.filter(col("is_current") === 1L))
       .getOrElse(emptySnapshot)
       .select(
@@ -155,6 +192,12 @@ final class ScdStore(spark: SparkSession, dir: String, openEnd: String) {
     * planned against the old files), then delete the old files — every
     * intermediate state reads correctly.
     *
+    * The rewrite is PARALLEL and file-bounded: repartitioned onto the
+    * bucket layout (bucket = the user-hash), one task per bucket writing
+    * its own partition directory — at most `buckets` data files survive a
+    * full compact, and a version history of any size rewrites with
+    * `buckets`-way parallelism instead of one task.
+    *
     * The no-argument overload compacts everything; callers use it only
     * when no replay is possible (all writes checkpoint-committed, e.g.
     * after `awaitTermination` of an AvailableNow run).
@@ -176,17 +219,19 @@ final class ScdStore(spark: SparkSession, dir: String, openEnd: String) {
         col("r.valid_to").as("valid_to"),
         col("r.is_current").as("is_current"),
         col("r.batch_id").as("batch_id"))
+      .withColumn("bucket", bucketOf(col("user_id")))
     compacted
       .unionByName(log.filter(col("batch_id") >= safeBelowBatch))
-      .coalesce(1)
-      .write.mode("append").parquet(dir)
+      .repartition(buckets, col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(dir)
     old.foreach(f => { java.nio.file.Files.delete(f); () })
   }
 
   /** Data files currently in the changelog (the boundedness [[compact]]
-    * guarantees is asserted on this).
+    * guarantees is asserted on this) — the bucket-partitioned listing.
     */
   def dataFileCount: Int = dataFiles.length
 
-  private def dataFiles: Seq[java.nio.file.Path] = graft.sources.DataFiles.list(dir)
+  private def dataFiles: Seq[java.nio.file.Path] =
+    graft.sources.DataFiles.listPartitioned(dir)
 }

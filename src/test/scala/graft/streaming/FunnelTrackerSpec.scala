@@ -82,14 +82,16 @@ class FunnelTrackerSpec extends AnyFunSuite with SparkSpec {
 
   // ---- end-to-end via MemoryStream
 
-  private def runStream(batches: Seq[Seq[FunnelEvent]]): Seq[FunnelRow] = {
+  private def runStream(
+      batches: Seq[Seq[FunnelEvent]],
+      tombstoneTtlUs: Long = Long.MaxValue): Seq[FunnelRow] = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[FunnelEvent]
     val tmp   = Files.createTempDirectory("graft-funnel-spec")
     graft.sources.SessionMemo.deleteOnExit(tmp)
     val name = s"funnel_spec_${System.nanoTime()}"
     val q = FunnelTracker
-      .funnels(input.toDS(), StepUs, HorizonUs)
+      .funnels(input.toDS(), StepUs, HorizonUs, tombstoneTtlUs)
       .writeStream
       .queryName(name)
       .outputMode("append")
@@ -171,6 +173,64 @@ class FunnelTrackerSpec extends AnyFunSuite with SparkSpec {
     ))
     assert(out == Seq(FunnelRow(1L, T0, T0 + h, 0L, 2L, 0L)),
       s"exactly one row per entrant under multi-batch delivery: $out")
+  }
+
+  test("tombstone TTL: in-TTL events fold identically to the unbounded run (straggler still ignored)") {
+    val h = 3600L * 1000000L
+    // the tombstone test's exact delivery, once unbounded and once with a
+    // TTL that covers every delivered event — the rows must be identical:
+    // the straggler view lands BEFORE close+TTL, so the tombstone is still
+    // alive and q191's one-row-per-entrant contract holds under both
+    val batches = Seq(
+      Seq(ev(1, T0, "view"), ev(1, T0 + h, "click")),
+      Seq(ev(-1L, T0 + 2L * StepUs + h, "__sentinel__")), // closes and emits user 1
+      Seq(ev(1, T0 + 2L * StepUs + 2L * h, "view")),      // straggler, inside the TTL
+      Seq(ev(-1L, T0 + 4L * StepUs, "__sentinel__"))
+    )
+    val unbounded = runStream(batches)
+    val bounded   = runStream(batches, tombstoneTtlUs = 10L * StepUs)
+    assert(unbounded == Seq(FunnelRow(1L, T0, T0 + h, 0L, 2L, 0L)))
+    assert(bounded == unbounded, s"in-TTL results must be byte-identical: $bounded vs $unbounded")
+  }
+
+  test("tombstone TTL: past the TTL the entrant's state is dropped and a new view re-enters") {
+    val h   = 3600L * 1000000L
+    val ttl = 2L * h
+    // close deadline = T0 + 2·step; TTL expiry = close + 2h. The watermark
+    // then passes the expiry (sentinel), the tombstone is REMOVED (the
+    // 100 TB state bound: zero bytes per retired entrant), and a later
+    // view re-enters user 1 as a fresh entrant — a SECOND row with the
+    // new t1, which is exactly the relaxed "first view within TTL"
+    // semantics the bound buys.
+    val t1b = T0 + 2L * StepUs + ttl + 2L * h // the re-entry view, past the expiry watermark
+    val out = runStream(
+      Seq(
+        Seq(ev(1, T0, "view"), ev(1, T0 + h, "click")),
+        Seq(ev(-1L, T0 + 2L * StepUs + h, "__sentinel__")),  // emits row 1, arms the TTL
+        Seq(ev(-1L, T0 + 2L * StepUs + ttl + h, "__sentinel__")), // wm past close+TTL → tombstone drops
+        Seq(ev(1, t1b, "view")),                              // re-entry as a fresh entrant
+        Seq(ev(-1L, t1b + 3L * StepUs, "__sentinel__"))       // closes the second funnel
+      ),
+      tombstoneTtlUs = ttl)
+    assert(out == Seq(
+      FunnelRow(1L, T0, T0 + h, 0L, 2L, 0L),
+      FunnelRow(1L, t1b, 0L, 0L, 1L, 0L)),
+      s"expected re-entry after TTL expiry: $out")
+    // and WITHOUT the final re-entry view the expiry leaves no row behind
+    val silent = runStream(
+      Seq(
+        Seq(ev(1, T0, "view"), ev(1, T0 + h, "click")),
+        Seq(ev(-1L, T0 + 2L * StepUs + h, "__sentinel__")),
+        Seq(ev(-1L, T0 + 2L * StepUs + ttl + h, "__sentinel__"))
+      ),
+      tombstoneTtlUs = ttl)
+    assert(silent == Seq(FunnelRow(1L, T0, T0 + h, 0L, 2L, 0L)), s"expiry must emit nothing: $silent")
+  }
+
+  test("satAdd saturates instead of wrapping (TTL = MaxValue reads as never)") {
+    assert(FunnelTracker.satAdd(Long.MaxValue - 5L, 10L) == Long.MaxValue)
+    assert(FunnelTracker.satAdd(5L, Long.MaxValue) == Long.MaxValue)
+    assert(FunnelTracker.satAdd(3L, 4L) == 7L)
   }
 
   test("stream: never-viewed users emit nothing and their buffers retire with the watermark") {

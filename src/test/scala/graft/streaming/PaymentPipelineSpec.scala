@@ -155,6 +155,24 @@ class PaymentPipelineSpec extends AnyFunSuite with SparkSpec {
     topo.stop()
   }
 
+  test("parallel compaction (compactPartitions > 1): same logical table, bounded files") {
+    // the read path must be unchanged by HOW the rewrite is parallelized:
+    // a 4-way key-hash repartitioned compact serves the exact snapshot the
+    // single-file compact would, with at most compactPartitions data files
+    val tmp = Files.createTempDirectory("graft-compact-par").toString
+    val store = new PaymentPipeline.BalanceStore(
+      spark, s"$tmp/totals", compactEvery = 0L, compactPartitions = 4)
+    (0L to 9L).foreach { b =>
+      store.append(Seq((s"A$b", 10L * b), ("SHARED", 100L * b)).toDF("fromAccount", "balance"), b)
+    }
+    val before = store.snapshot
+    assert(store.dataFileCount > 4, s"fixture must start un-compacted, got ${store.dataFileCount}")
+    store.compact()
+    assert(store.dataFileCount <= 4, s"expected <= 4 files, got ${store.dataFileCount}")
+    assert(store.snapshot == before, "parallel compaction must not change the logical table")
+    assert(store.get("SHARED").contains(900L) && store.get("A3").contains(30L))
+  }
+
   test("delta-store compaction: cutoff rides in the base tag, every mixed state reads correctly") {
     val tmp   = Files.createTempDirectory("graft-delta-compact").toString
     val store = new PaymentPipeline.DeltaBalanceStore(spark, s"$tmp/deltas")

@@ -106,13 +106,49 @@ class ScdStoreSpec extends AnyFunSuite with SparkSpec {
     val before = snap(store)
     assert(store.dataFileCount > 1)
     store.compact()
-    assert(store.dataFileCount == 1, "compaction must leave one data file")
+    // the PARALLEL rewrite (repartition on the user-hash bucket) is bounded
+    // by the bucket count, never by history or by parallelism settings
+    assert(store.dataFileCount <= 8, s"compaction must leave <= buckets files, got ${store.dataFileCount}")
     assert(snap(store) == before, "compaction must not change the logical table")
     // a post-compaction batch still seeds correctly (batch_ids survive)
     store.merge(batchDf(Seq((40L, "2024-01-05 00:00:00", 1L, 4.00))), 2L)
     val after = snap(store)
     assert(after.count(_._1 == 1L) == 4 &&
       after.filter(r => r._1 == 1L && r._6 == 1L).map(_._3) == Seq(400L))
+  }
+
+  test("seed scan prunes to the batch's buckets (partition filter, plan-gated) and stays correct") {
+    // Many users spread across all 4 buckets in batch 1; batch 2 touches
+    // ONE user — the open-version seed scan must list only that user's
+    // bucket directory (a PartitionFilters prune, visible in the scan),
+    // and the merge result must be identical to the unpruned semantics.
+    val tmp = Files.createTempDirectory("graft-scd-prune")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val store = new ScdStore(spark, s"$tmp/store", OpenEnd, buckets = 4)
+    val wide = (1L to 32L).map(u => (100L + u, "2024-01-01 00:00:00", u, u.toDouble))
+    store.merge(batchDf(wide), 0L)
+    // the layout really is hive-bucketed on the user hash
+    val bucketDirs = new java.io.File(s"$tmp/store").listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bucket=")).toSeq.sorted
+    assert(bucketDirs.size == 4, s"expected 4 bucket dirs, got $bucketDirs")
+    val one = batchDf(Seq((200L, "2024-01-02 00:00:00", 7L, 7.50)))
+    val rows = store.mergeRows(one, 1L)
+    val scans = rows.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    // the filter is a real prune, not decoration: the store scan's
+    // PartitionFilters names the bucket column with ONE value (a
+    // single-element isin folds to an equality — accept both spellings)
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(scans).map(_.group(1)).filter(_.contains("bucket")).toSeq
+    assert(pf.nonEmpty, "seed scan must carry a bucket partition filter:\n" + scans.take(1200))
+    val pruned = "bucket#\\d+ (?:= \\d+|IN \\(\\d+\\))".r
+    assert(pf.exists(f => pruned.findFirstIn(f).isDefined),
+      s"expected a single-bucket partition filter, got $pf")
+    store.merge(one, 1L)
+    val got = snap(store).filter(_._1 == 7L)
+    assert(got.map(r => (r._2, r._3, r._6)) == Seq((1L, 700L, 0L), (2L, 750L, 1L)),
+      s"pruned merge produced wrong history: $got")
+    // untouched users' open versions are intact
+    assert(snap(store).count(_._6 == 1L) == 32)
   }
 
   test("compact with a replay cutoff: a batch at/above the cutoff can still redeliver correctly") {
