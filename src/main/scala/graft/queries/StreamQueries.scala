@@ -396,6 +396,42 @@ object StreamQueries {
     splitEpochs(b)
   }
 
+  /** q198's as-of join input: quotes (views, carrying cents) and trades
+    * (purchases) as ONE union-tagged projection (`ts, user_id, side,
+    * event_id, cents`), range-partitioned on `ts` into the incrBuild
+    * two-epoch layout, plus a future-dated watermark sentinel in `/sent`.
+    * Non-participating event types are dropped at the BUILD — before the
+    * stream's key shuffle ever sees them. The sentinel needs only to clear
+    * the last trade's timestamp (resolution fires on wm strictly past the
+    * trade), so the plain margin suffices.
+    */
+  private def asofInput(s: SparkSession, dir: String): String =
+    graft.sources.SessionMemo.dir(s, "stream-in-asof", dir)(asofBuild(s, dir, _))
+
+  private def asofBuild(s: SparkSession, dir: String, b: String): Unit = {
+    val obs = org.apache.spark.sql.Observation()
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(
+        col("ts"),
+        col("user_id"),
+        when(col("event_type") === "view", "q").otherwise("t").as("side"),
+        col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .repartitionByRange(IncrFiles, col("ts"))
+      .observe(obs, max(unix_micros(col("ts"))).as("max_us"))
+      .write.parquet(s"$b/in")
+    s.range(1)
+      .select(
+        timestamp_micros(lit(observedMaxUs(obs) + SentinelMarginUs)).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("__sentinel__").as("side"),
+        lit(-1L).as("event_id"),
+        lit(0L).as("cents"))
+      .write.parquet(s"$b/sent")
+    splitEpochs(b)
+  }
+
   /** The non-hidden data files under a stream-input root, name-sorted —
     * `graft.sources.DataFiles.list`, the ONE definition the trigger sizing
     * (q186/q182), the epoch move (incrBuild/scdBuild), the arrival
@@ -439,6 +475,7 @@ object StreamQueries {
     incrInput(s, dir)
     scdInput(s, dir)
     funnelInput(s, dir)
+    asofInput(s, dir)
     ()
   }
 
@@ -459,6 +496,7 @@ object StreamQueries {
     incrBuild(s, dir, s"$root/incr")
     scdBuild(s, dir, s"$root/scd")
     funnelBuild(s, dir, s"$root/funnel")
+    asofBuild(s, dir, s"$root/asof")
   }
 
   /** q172's memo-build frame: the events projection with `max(ts)` attached
@@ -1230,6 +1268,127 @@ object StreamQueries {
         col("stage"),
         col("completed"))
         .orderBy(col("user_id"))
+    }),
+
+    // THE STREAMING FUNNEL UNDER A FINITE ENTRANT TTL — q194's exact
+    // pipeline with FunnelTracker's tombstone TTL armed at the CORPUS
+    // SPAN (data-derived, one cheap events agg — never a wall-clock
+    // literal): every event in the corpus lands at-or-before every
+    // entrant's close-deadline + TTL, so the bounded-state run must stay
+    // byte-identical to q191's oracle — which is exactly the TTL's
+    // contract ("in-TTL results unchanged"), proven here at 3 SFs on the
+    // real corpus while FunnelTrackerSpec proves the expiry/re-entry path
+    // on synthetic deliveries. At 100 TB this is the variant a deployment
+    // actually runs: per-entrant state goes to ZERO once the watermark
+    // passes close + TTL, instead of one tombstone per entrant forever.
+    "q199_funnel_ttl_stream" -> ((s, dir) => {
+      import s.implicits._
+      val spanUs = Tables.events(s, dir)
+        .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span"))
+        .head().getLong(0)
+      val root  = funnelInput(s, dir)
+      val tmp   = freshTmp("funnelttl")
+      val watch = s"$tmp/watch"
+      val outP  = s"$tmp/out"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+      def drain(): Unit = {
+        val evs = s.readStream
+          .schema(s.read.parquet(s"$root/sent").schema)
+          .parquet(watch)
+          .filter(
+            col("event_type").isin("view", "click", "purchase") || col("user_id") === -1L)
+          .select(
+            col("ts"), unix_micros(col("ts")).as("us"), col("user_id"), col("event_type"))
+          .as[graft.streaming.FunnelTracker.FunnelEvent]
+        val q = graft.streaming.FunnelTracker
+          .funnels(
+            evs, EventQueries.FunnelStepUs, EventQueries.FunnelHorizonUs,
+            tombstoneTtlUs = spanUs)
+          .toDF()
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$outP/batch=$id")
+            ()
+          }
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+      withStatePartitions(s) {
+        linkDataFiles(s"$root/in", watch, "run1")
+        drain()
+        linkDataFiles(s"$root/in2", watch, "run2")
+        linkDataFiles(s"$root/sent", watch, "sent")
+        drain()
+      }
+      s.read.parquet(s"$outP/batch=*").select(
+        col("user_id"),
+        timestamp_micros(col("t1_us")).as("t1"),
+        timestamp_micros(col("t2_us")).as("t2"),
+        timestamp_micros(col("t3_us")).as("t3"),
+        col("stage"),
+        col("completed"))
+        .orderBy(col("user_id"))
+    }),
+
+    // STREAM-STREAM AS-OF JOIN — the missing as-of flavor: the batch
+    // family (q80–q114) covers 3 directions × inner/outer × tolerance and
+    // q182 covers stream-STATIC; this is "latest quote at-or-before each
+    // trade with BOTH sides LIVE" (trades×quotes, the streaming twin of
+    // q195's feature join), on the engine's own custom-state machinery —
+    // see streaming/AsofStreamJoin for the finality proof and the
+    // anchor-compaction state bound. TWO AvailableNow runs over ONE
+    // checkpoint (the q188/q194 shape): a trade in epoch 2 whose latest
+    // quote lives in epoch 1 only lands right if the restored ANCHOR
+    // carried across the checkpoint; epoch-1 trades near the range
+    // boundary stay pending through the restore and resolve in run 2.
+    // Byte-gated against the independent SQL argmax formulation.
+    "q198_asof_stream" -> ((s, dir) => {
+      import s.implicits._
+      val root  = asofInput(s, dir)
+      val tmp   = freshTmp("asofjoin")
+      val watch = s"$tmp/watch"
+      val outP  = s"$tmp/out"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+      def drain(): Unit = {
+        val evs = s.readStream
+          .schema(s.read.parquet(s"$root/sent").schema)
+          .parquet(watch)
+          .select(
+            col("ts"), unix_micros(col("ts")).as("us"), col("user_id"),
+            col("side"), col("event_id"), col("cents"))
+          .as[graft.streaming.AsofStreamJoin.SideEvent]
+        val q = graft.streaming.AsofStreamJoin.joined(evs)
+          .toDF()
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$outP/batch=$id")
+            ()
+          }
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+      withStatePartitions(s) {
+        linkDataFiles(s"$root/in", watch, "run1")
+        drain() // run 1: early epoch — boundary trades stay PENDING state
+        linkDataFiles(s"$root/in2", watch, "run2")
+        linkDataFiles(s"$root/sent", watch, "sent")
+        drain() // run 2: late epoch + sentinel — everything resolves
+      }
+      s.read.parquet(s"$outP/batch=*").select(
+        col("event_id"),
+        col("user_id"),
+        timestamp_micros(col("t_us")).as("ts"),
+        when(col("matched") === 1L, timestamp_micros(col("q_us"))).as("quote_ts"),
+        when(col("matched") === 1L, col("q_cents")).as("quote_cents"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1567,7 +1726,32 @@ object StreamQueries {
       // q195's oracle text verbatim: per-batch enrichment against the
       // evolving store must equal the one-shot PIT join — the no-future-
       // leakage / no-staleness proof in one hash.
-      "q196_cdc_pit_stream" -> EventQueries.oracles("q195_pit_enrich")
+      "q196_cdc_pit_stream" -> EventQueries.oracles("q195_pit_enrich"),
+
+      // q191's oracle text verbatim: the TTL covers the corpus span, so
+      // the bounded-tombstone run must be byte-identical to the unbounded
+      // funnel — the TTL contract itself, hashed on the real corpus.
+      "q199_funnel_ttl_stream" -> EventQueries.oracles("q191_funnel"),
+
+      // The INDEPENDENT formulation of the stream-stream as-of: an
+      // explicit pair join + per-trade argmax by (quote ts, event_id),
+      // LEFT-preserved so quote-less trades hash their NULLs too. The
+      // stream's anchor compaction, pending-trade buffering and
+      // watermark-proof emission must land these exact rows.
+      "q198_asof_stream" ->
+        """WITH t AS (
+          |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+          | q AS (
+          |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events WHERE event_type = 'view'),
+          | j AS (
+          |  SELECT t.event_id, q.ts AS qts, q.cents,
+          |    row_number() OVER (
+          |      PARTITION BY t.event_id ORDER BY q.ts DESC, q.event_id DESC) AS rn
+          |  FROM t JOIN q ON t.user_id = q.user_id AND q.ts <= t.ts)
+          |SELECT t.event_id, t.user_id, t.ts, j.qts AS quote_ts, j.cents AS quote_cents
+          |FROM t LEFT JOIN j ON j.event_id = t.event_id AND j.rn = 1
+          |ORDER BY t.event_id""".stripMargin
     )
   }
 

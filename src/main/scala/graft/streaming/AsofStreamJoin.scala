@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** STREAM-STREAM AS-OF JOIN — the classic trades×quotes shape with BOTH
+  * sides live: for every trade, the latest quote at-or-before the trade's
+  * event time on the same key (ties at one quote timestamp resolve to the
+  * highest event_id — last-write-wins, the SCD discipline). Spark has no
+  * native stream-stream as-of operator (its interval join needs a
+  * two-sided bound and emits ALL matches, not the latest), so this runs
+  * on the custom-state machinery the engine already owns (the
+  * Sessionizer/FunnelTracker `flatMapGroupsWithState` + event-time-timer
+  * discipline): both sides arrive as one union-tagged stream keyed by the
+  * join key, each key carries a small buffer, and a trade's row is
+  * emitted exactly once — when the WATERMARK proves no earlier-or-equal
+  * quote can still arrive. The batch twin is the custom as-of merge node
+  * (`plans/AsofJoin`, q195's operator); the q198 board row byte-gates
+  * this stream against the same independent SQL oracle.
+  *
+  * Finality rule: a trade at `t` resolves once the watermark is strictly
+  * past `t` — any later-arriving quote has `ts ≥ watermark > t`, so it
+  * cannot be at-or-before the trade. Resolution happens on timer firings
+  * only (never on within-batch evidence: a same-batch quote may still be
+  * folded before the timer's watermark proof).
+  *
+  * State bound (the 100 TB sizing argument): pending trades are those at
+  * or above the watermark (bounded by the in-flight window); quotes
+  * compact to ONE ANCHOR — the floor is `min(watermark, earliest pending
+  * trade)`, every future or pending trade is at-or-after it, so among
+  * quotes at-or-below the floor only the greatest (ts, event_id) can ever
+  * win an argmax and the rest are dropped. Steady state per key = one
+  * anchor quote + the in-flight window, independent of history length.
+  * The anchor itself is dimension-sized state (one row per key — the
+  * irreducible memory of "latest quote EVER at-or-before"); a deployment
+  * that can tolerate bounded lookback adds a quote TTL exactly like
+  * [[FunnelTracker]]'s entrant TTL.
+  */
+object AsofStreamJoin {
+
+  /** Union-tagged input row: `side` = "q" (quote, `cents` meaningful) or
+    * "t" (trade); anything else (the watermark sentinel) never forms
+    * state. `ts` carries the watermark; `us` is the same instant in exact
+    * epoch-µs (GroupState's clock is ms-granular — the Sessionizer
+    * discipline).
+    */
+  final case class SideEvent(
+      ts: java.sql.Timestamp, us: Long, user_id: Long, side: String, event_id: Long, cents: Long)
+
+  final case class Quote(us: Long, event_id: Long, cents: Long)
+  final case class Trade(us: Long, event_id: Long)
+
+  /** Per-key buffers: `anchor` = the single surviving quote at-or-below
+    * the prune floor; `quotes` = quotes above the floor (still
+    * individually addressable by pending/future trades); `trades` =
+    * unresolved trades (at-or-above the watermark).
+    */
+  final case class JoinState(anchor: Option[Quote], quotes: List[Quote], trades: List[Trade]) {
+    def isEmpty: Boolean = anchor.isEmpty && quotes.isEmpty && trades.isEmpty
+  }
+
+  /** Emitted row: `matched` = 0 ⇒ the trade had no at-or-before quote
+    * (q fields are the 0 sentinel — the caller maps them to SQL NULLs).
+    */
+  final case class AsofRow(
+      event_id: Long, user_id: Long, t_us: Long, q_us: Long, q_eid: Long, q_cents: Long, matched: Long)
+
+  private def better(a: Quote, b: Quote): Quote =
+    if (a.us > b.us || (a.us == b.us && a.event_id >= b.event_id)) a else b
+
+  private[streaming] def fold(st: JoinState, e: SideEvent): JoinState = e.side match {
+    case "q" => st.copy(quotes = Quote(e.us, e.event_id, e.cents) :: st.quotes)
+    case "t" => st.copy(trades = Trade(e.us, e.event_id) :: st.trades)
+    case _   => st // sentinel: advances the watermark, never forms state
+  }
+
+  /** Latest at-or-before quote for a trade — the argmax by (us, event_id)
+    * over the anchor and the buffered quotes at-or-before the trade.
+    */
+  private[streaming] def resolve(uid: Long, t: Trade, st: JoinState): AsofRow = {
+    val cands = st.anchor.toList ++ st.quotes.filter(_.us <= t.us)
+    cands.reduceOption(better) match {
+      case Some(q) => AsofRow(t.event_id, uid, t.us, q.us, q.event_id, q.cents, 1L)
+      case None    => AsofRow(t.event_id, uid, t.us, 0L, 0L, 0L, 0L)
+    }
+  }
+
+  /** Compact quotes at-or-below `floor` into the single dominating anchor
+    * (see class doc for why the argmax is preserved).
+    */
+  private[streaming] def prune(st: JoinState, floor: Long): JoinState = {
+    val (below, above) = st.quotes.partition(_.us <= floor)
+    val anchor = (st.anchor.toList ++ below).reduceOption(better)
+    JoinState(anchor, above, st.trades)
+  }
+
+  /** Per-trade as-of rows over an event-time stream of union-tagged
+    * quotes and trades; run with `outputMode(Append)`. Exactly one row
+    * per trade, emitted when the watermark passes the trade's timestamp.
+    */
+  def joined(events: Dataset[SideEvent]): Dataset[AsofRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[JoinState, AsofRow](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()
+      ) { (uid: Long, evs: Iterator[SideEvent], state: GroupState[JoinState]) =>
+        val wmMs = state.getCurrentWatermarkMs
+        val wmUs = wmMs * 1000L
+        // Fold new arrivals (a no-op on timer firings), then resolve every
+        // trade the watermark has finalized, then compact the quote buffer.
+        val st0 = evs.foldLeft(state.getOption.getOrElse(JoinState(None, Nil, Nil)))(fold)
+        val (ripe, pending) = st0.trades.partition(_.us < wmUs)
+        // emission order is deterministic for the byte gate's sake only in
+        // aggregate (the sink re-sorts by event_id); resolve against the
+        // PRE-prune buffers so an equal-floor quote is still addressable
+        val rows = ripe.sortBy(t => (t.us, t.event_id)).map(t => resolve(uid, t, st0))
+        val floor = (wmUs :: pending.map(_.us)).min
+        val st = prune(st0.copy(trades = pending), floor)
+        if (st.isEmpty) { if (state.exists) state.remove() }
+        else {
+          state.update(st)
+          // Timer discipline: fire at the earliest instant more work
+          // becomes final — the earliest pending trade, or the newest
+          // buffered quote (whose passage compacts the buffer to the
+          // anchor). Anchor-only state carries no timer (nothing to do).
+          val deadlines = pending.map(_.us) ++ st.quotes.map(_.us).maxOption.toList
+          deadlines.minOption.foreach { d =>
+            state.setTimeoutTimestamp(math.max(d / 1000L + 1L, wmMs + 1L))
+          }
+        }
+        rows.iterator
+      }
+  }
+}

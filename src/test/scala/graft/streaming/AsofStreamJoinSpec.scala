@@ -1,0 +1,170 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.AsofStreamJoin.{AsofRow, JoinState, Quote, SideEvent, Trade}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The stream-stream as-of join (q198's operator) must land the batch
+  * argmax semantics exactly — the board row byte-gates it against the
+  * independent SQL formulation at 3 SFs; this spec pins the boundaries
+  * and the state machinery the corpus never isolates:
+  *   - INCLUSIVE at-or-before (a quote at exactly the trade's ts
+  *     qualifies; one µs after does not), ties to the highest event_id;
+  *   - emission only on watermark proof, exactly once per trade;
+  *   - anchor compaction: quotes behind the floor collapse to ONE record
+  *     that still wins any later trade's argmax (the per-key state bound);
+  *   - quote-less trades emit the matched=0 sentinel row;
+  *   - same-batch delivery order is irrelevant (resolution is
+  *     timer-driven, never within-batch).
+  */
+class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val T0 = 1700000000L * 1000000L + 777L // non-ms-aligned µs
+
+  private def ev(uid: Long, us: Long, side: String, eid: Long, cents: Long = 0L): SideEvent = {
+    val ts = new java.sql.Timestamp(us / 1000L)
+    ts.setNanos(((us % 1000000L) * 1000L).toInt)
+    SideEvent(ts, us, uid, side, eid, cents)
+  }
+
+  // ---- the pure kernel
+
+  test("resolve: inclusive at-or-before to the µs; ties break to the highest event_id") {
+    val st = JoinState(None, List(Quote(T0, 1L, 100L), Quote(T0, 2L, 200L), Quote(T0 + 5L, 3L, 300L)), Nil)
+    // trade AT the later quote's instant: that quote qualifies (inclusive)
+    assert(AsofStreamJoin.resolve(9L, Trade(T0 + 5L, 50L), st) ==
+      AsofRow(50L, 9L, T0 + 5L, T0 + 5L, 3L, 300L, 1L))
+    // one µs before it: falls back to the T0 tie, higher event_id wins
+    assert(AsofStreamJoin.resolve(9L, Trade(T0 + 4L, 51L), st) ==
+      AsofRow(51L, 9L, T0 + 4L, T0, 2L, 200L, 1L))
+    // before every quote: the matched=0 sentinel row
+    assert(AsofStreamJoin.resolve(9L, Trade(T0 - 1L, 52L), st) ==
+      AsofRow(52L, 9L, T0 - 1L, 0L, 0L, 0L, 0L))
+  }
+
+  test("prune: quotes at-or-below the floor collapse to the single dominating anchor") {
+    val st = JoinState(
+      Some(Quote(T0 - 10L, 1L, 10L)),
+      List(Quote(T0, 2L, 20L), Quote(T0 + 1L, 3L, 30L), Quote(T0 + 100L, 4L, 40L)),
+      Nil)
+    val pruned = AsofStreamJoin.prune(st, floor = T0 + 1L)
+    assert(pruned.anchor.contains(Quote(T0 + 1L, 3L, 30L)), s"got ${pruned.anchor}")
+    assert(pruned.quotes == List(Quote(T0 + 100L, 4L, 40L)))
+    // and the compacted state still resolves a later trade identically
+    assert(AsofStreamJoin.resolve(9L, Trade(T0 + 50L, 60L), pruned).q_eid == 3L)
+  }
+
+  // ---- end-to-end via MemoryStream
+
+  private def runStream(batches: Seq[Seq[SideEvent]]): Seq[AsofRow] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SideEvent]
+    val tmp   = Files.createTempDirectory("graft-asof-spec")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val name = s"asof_spec_${System.nanoTime()}"
+    val q = AsofStreamJoin
+      .joined(input.toDS())
+      .writeStream
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory")
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).as[AsofRow].collect().toSeq.sortBy(r => (r.event_id, r.t_us))
+  }
+
+  test("stream: emission only on watermark proof, exactly once, same-batch order irrelevant") {
+    val h = 3600L * 1000000L
+    // trade delivered BEFORE its quote in the same batch — resolution is
+    // timer-driven, so the quote is folded first regardless
+    val out = runStream(Seq(
+      Seq(ev(1, T0 + h, "t", 100L), ev(1, T0, "q", 10L, 500L)),
+      // watermark at the trade's instant is NOT strictly past it → pending
+      Seq(ev(-1L, T0 + h, "__sentinel__", -1L)),
+      Seq(ev(-1L, T0 + 2L * h, "__sentinel__", -1L))
+    ))
+    assert(out == Seq(AsofRow(100L, 1L, T0 + h, T0, 10L, 500L, 1L)), s"got $out")
+  }
+
+  test("stream: nothing emits while the trade's instant is still reachable by new quotes") {
+    val h = 3600L * 1000000L
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SideEvent]
+    val tmp   = Files.createTempDirectory("graft-asof-spec")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val name = s"asof_spec_${System.nanoTime()}"
+    val q = AsofStreamJoin.joined(input.toDS())
+      .writeStream.queryName(name).outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt").format("memory").start()
+    try {
+      input.addData(ev(1, T0 + h, "t", 100L), ev(1, T0, "q", 10L, 500L))
+      q.processAllAvailable()
+      assert(spark.table(name).isEmpty,
+        "a trade must wait for watermark proof — a same-instant quote could still arrive")
+      // the late-but-admitted BETTER quote (at the trade's exact instant)
+      input.addData(ev(1, T0 + h, "q", 11L, 900L))
+      q.processAllAvailable()
+      input.addData(ev(-1L, T0 + 3L * h, "__sentinel__", -1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[AsofRow].collect().toSeq
+    assert(out == Seq(AsofRow(100L, 1L, T0 + h, T0 + h, 11L, 900L, 1L)),
+      s"the at-instant quote must win once the watermark proves finality: $out")
+  }
+
+  test("stream: the anchor carries an old quote to a much later trade (state stays compacted)") {
+    val h = 3600L * 1000000L
+    val lateTrade = T0 + 1000L * h
+    val out = runStream(Seq(
+      Seq(ev(2, T0, "q", 10L, 700L)),
+      Seq(ev(-1L, T0 + 500L * h, "__sentinel__", -1L)), // wm passes the quote — it compacts to the anchor
+      Seq(ev(2, lateTrade, "t", 200L)),
+      Seq(ev(-1L, lateTrade + h, "__sentinel__", -1L))
+    ))
+    assert(out == Seq(AsofRow(200L, 2L, lateTrade, T0, 10L, 700L, 1L)),
+      s"the anchor must survive arbitrary watermark advance: $out")
+  }
+
+  test("stream: quote-less trades emit the matched=0 sentinel; sentinels form no state") {
+    val h = 3600L * 1000000L
+    val out = runStream(Seq(
+      Seq(ev(3, T0, "t", 300L)),
+      Seq(ev(-1L, T0 + h, "__sentinel__", -1L))
+    ))
+    assert(out == Seq(AsofRow(300L, 3L, T0, 0L, 0L, 0L, 0L)), s"got $out")
+  }
+
+  test("stream matches the batch argmax on an adversarial mixed fixture") {
+    val h = 3600L * 1000000L
+    // two users, interleaved quotes/trades, ties, quote-less trades,
+    // same-instant quote+trade, multiple trades sharing one quote
+    val quotes = Seq(
+      (1L, T0, 1L, 100L), (1L, T0 + 2L * h, 2L, 200L), (1L, T0 + 2L * h, 3L, 300L),
+      (2L, T0 + h, 4L, 400L))
+    val trades = Seq(
+      (1L, T0 - h, 50L), (1L, T0 + 2L * h, 51L), (1L, T0 + 5L * h, 52L),
+      (2L, T0 + h, 53L), (2L, T0 + 9L * h, 54L))
+    val evs = quotes.map { case (u, us, e, c) => ev(u, us, "q", e, c) } ++
+      trades.map { case (u, us, e) => ev(u, us, "t", e) }
+    val out = runStream(Seq(evs, Seq(ev(-1L, T0 + 100L * h, "__sentinel__", -1L))))
+    // batch truth, computed by the oracle rule (argmax by ts then event_id)
+    def expect(uid: Long, tus: Long, teid: Long): AsofRow = {
+      val c = quotes.filter(q => q._1 == uid && q._2 <= tus)
+      if (c.isEmpty) AsofRow(teid, uid, tus, 0L, 0L, 0L, 0L)
+      else {
+        val b = c.maxBy(q => (q._2, q._3))
+        AsofRow(teid, uid, tus, b._2, b._3, b._4, 1L)
+      }
+    }
+    val expected = trades.map { case (u, us, e) => expect(u, us, e) }
+      .sortBy(r => (r.event_id, r.t_us))
+    assert(out == expected, s"\n got $out\n exp $expected")
+  }
+}
