@@ -1181,8 +1181,14 @@ object StreamQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, id: Long) =>
             store.merge(batch, id)
+            // snapshotDfFor prunes the per-batch reconstruction to the
+            // batch's buckets (versions outside them cannot join the
+            // batch) — the store-side cost per micro-batch is the touched
+            // fraction of the changelog, not the whole history
             EventQueries
-              .pitEnrich(batch.select(col("user_id"), col("ts"), col("event_id")), store.snapshotDf)
+              .pitEnrich(
+                batch.select(col("user_id"), col("ts"), col("event_id")),
+                store.snapshotDfFor(batch))
               .write.mode("overwrite").parquet(s"$outP/batch=$id")
             ()
           }

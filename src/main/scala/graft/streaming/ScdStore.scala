@@ -77,9 +77,10 @@ final class ScdStore(
     * below `beforeBatch` (Long.MaxValue = the full table) — the one
     * reconstruction rule [[snapshotDf]] and [[merge]]'s seed share.
     * `onlyBuckets` restricts the scan to the given buckets (a PARTITION
-    * filter — pruned at the file listing); None reads everything.
+    * filter — pruned at the file listing); None reads everything. By-name
+    * so a no-changelog store never computes the bucket list at all.
     */
-  private def latestRows(beforeBatch: Long, onlyBuckets: Option[Seq[Int]]): Option[DataFrame] =
+  private def latestRows(beforeBatch: Long, onlyBuckets: => Option[Seq[Int]]): Option[DataFrame] =
     changelog.map { log =>
       onlyBuckets
         .fold(log)(bs => log.filter(col("bucket").isin(bs.map(Integer.valueOf): _*)))
@@ -112,6 +113,22 @@ final class ScdStore(
   def snapshotDf: DataFrame =
     latestRows(Long.MaxValue, None).getOrElse(emptySnapshot)
 
+  /** [[snapshotDf]] PRUNED to the buckets of `keys`' user_ids — the
+    * per-batch point-in-time-enrich read (q196): a version for a user
+    * outside the batch's buckets cannot join the batch, so the scan skips
+    * those partition directories entirely. Same bounded bucket listing as
+    * the merge seed (≤ `buckets` driver rows).
+    */
+  def snapshotDfFor(keys: DataFrame): DataFrame =
+    latestRows(Long.MaxValue, Some(bucketsOf(keys))).getOrElse(emptySnapshot)
+
+  /** The distinct buckets of a key frame — a bounded driver list (≤
+    * `buckets` rows by construction, a store constant), never data-sized.
+    */
+  private def bucketsOf(keys: DataFrame): Seq[Int] =
+    keys.select(bucketOf(col("user_id")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
   /** Apply one change batch (`user_id, ts, event_id, cents`): q192's exact
     * change-point chain — equal-ts last-write-wins collapse, then the
     * no-op-update dedup SEEDED by each user's carried-in open cents — then
@@ -134,12 +151,10 @@ final class ScdStore(
     * seed scan must carry the bucket PartitionFilters prune).
     */
   private[graft] def mergeRows(batchRaw: DataFrame, batchId: Long): DataFrame = {
-    // The batch's bucket set — a bounded driver list (≤ `buckets` rows by
-    // construction, a store constant), never data-sized; it becomes the
-    // seed scan's partition filter.
-    val batchBuckets: Seq[Int] =
-      batchRaw.select(bucketOf(col("user_id")).as("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq
+    // The batch's bucket set becomes the seed scan's partition filter —
+    // lazy so the FIRST batch (no changelog yet → no seed scan) never
+    // pays the listing pass over the batch.
+    lazy val batchBuckets: Seq[Int] = bucketsOf(batchRaw)
     val byKey = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val collapsed = batchRaw
       .withColumn("nxt_ts", lead(col("ts"), 1).over(byKey))

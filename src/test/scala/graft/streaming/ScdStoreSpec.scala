@@ -149,6 +149,16 @@ class ScdStoreSpec extends AnyFunSuite with SparkSpec {
       s"pruned merge produced wrong history: $got")
     // untouched users' open versions are intact
     assert(snap(store).count(_._6 == 1L) == 32)
+    // the pruned per-batch snapshot (q196's enrich read) carries the same
+    // partition filter and returns exactly the touched bucket's users
+    val snapPruned = store.snapshotDfFor(one)
+    val snapScans = snapPruned.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(pruned.findFirstIn(snapScans).isDefined,
+      s"snapshotDfFor must prune to the key frame's bucket:\n${snapScans.take(800)}")
+    val prunedUsers = snapPruned.select("user_id").distinct()
+      .as[Long].collect().toSet
+    assert(prunedUsers.contains(7L), "the touched user's versions must be in the pruned snapshot")
+    assert(prunedUsers.subsetOf((1L to 32L).toSet))
   }
 
   test("compact with a replay cutoff: a batch at/above the cutoff can still redeliver correctly") {
