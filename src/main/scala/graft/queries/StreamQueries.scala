@@ -1352,51 +1352,78 @@ object StreamQueries {
     // carried across the checkpoint; epoch-1 trades near the range
     // boundary stay pending through the restore and resolve in run 2.
     // Byte-gated against the independent SQL argmax formulation.
-    "q198_asof_stream" -> ((s, dir) => {
-      import s.implicits._
-      val root  = asofInput(s, dir)
-      val tmp   = freshTmp("asofjoin")
-      val watch = s"$tmp/watch"
-      val outP  = s"$tmp/out"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
-      def drain(): Unit = {
-        val evs = s.readStream
-          .schema(s.read.parquet(s"$root/sent").schema)
-          .parquet(watch)
-          .select(
-            col("ts"), unix_micros(col("ts")).as("us"), col("user_id"),
-            col("side"), col("event_id"), col("cents"))
-          .as[graft.streaming.AsofStreamJoin.SideEvent]
-        val q = graft.streaming.AsofStreamJoin.joined(evs)
-          .toDF()
-          .writeStream
-          .outputMode("append")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            batch.write.mode("overwrite").parquet(s"$outP/batch=$id")
-            ()
-          }
-          .start()
-        try q.awaitTermination()
-        finally q.stop()
-      }
-      withStatePartitions(s) {
-        linkDataFiles(s"$root/in", watch, "run1")
-        drain() // run 1: early epoch — boundary trades stay PENDING state
-        linkDataFiles(s"$root/in2", watch, "run2")
-        linkDataFiles(s"$root/sent", watch, "sent")
-        drain() // run 2: late epoch + sentinel — everything resolves
-      }
-      s.read.parquet(s"$outP/batch=*").select(
-        col("event_id"),
-        col("user_id"),
-        timestamp_micros(col("t_us")).as("ts"),
-        when(col("matched") === 1L, timestamp_micros(col("q_us"))).as("quote_ts"),
-        when(col("matched") === 1L, col("q_cents")).as("quote_cents"))
-        .orderBy(col("event_id"))
-    })
+    "q198_asof_stream" -> ((s, dir) => asofStreamRun(s, dir, "asofjoin", Long.MaxValue)),
+
+    // THE TOLERANCE-BOUNDED STREAM-STREAM AS-OF — the batch family's
+    // q89/q112/q114 lookback-tolerance flavor, streamed: a trade matches
+    // only quotes within 48 h at-or-before it (57/43% matched/unmatched
+    // on every shipped corpus — both row classes hash), and the per-key
+    // ANCHOR EXPIRES once every reachable trade's window has moved past
+    // it — quote-only keys hold ZERO steady state, the fully-bounded
+    // variant of q198's one-anchor floor (the same discipline as q199's
+    // entrant TTL). Same two-epoch checkpointed execution; byte-gated
+    // against the windowed SQL argmax.
+    "q200_asof_tolerance_stream" -> ((s, dir) =>
+      asofStreamRun(s, dir, "asoftol", AsofToleranceHours * 3600L * 1000000L))
   )
+
+  /** 48 h — wide enough that most trades match (the shipped corpora sit
+    * at ~57% matched), narrow enough that the unmatched class is never
+    * vacuous. Mirrored literally in q200's oracle SQL.
+    */
+  private val AsofToleranceHours = 48L
+
+  /** The q198/q200 shared execution: the union-tagged quotes/trades feed
+    * through [[graft.streaming.AsofStreamJoin.joined]] as TWO
+    * Trigger.AvailableNow runs over ONE checkpoint (the q188/q194
+    * shape), idempotent per-batch-partition sink, matched=0 sentinel
+    * fields surfaced as SQL NULLs.
+    */
+  private def asofStreamRun(
+      s: SparkSession, dir: String, tag: String, toleranceUs: Long): DataFrame = {
+    import s.implicits._
+    val root  = asofInput(s, dir)
+    val tmp   = freshTmp(tag)
+    val watch = s"$tmp/watch"
+    val outP  = s"$tmp/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+    def drain(): Unit = {
+      val evs = s.readStream
+        .schema(s.read.parquet(s"$root/sent").schema)
+        .parquet(watch)
+        .select(
+          col("ts"), unix_micros(col("ts")).as("us"), col("user_id"),
+          col("side"), col("event_id"), col("cents"))
+        .as[graft.streaming.AsofStreamJoin.SideEvent]
+      val q = graft.streaming.AsofStreamJoin.joined(evs, toleranceUs)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$outP/batch=$id")
+          ()
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    withStatePartitions(s) {
+      linkDataFiles(s"$root/in", watch, "run1")
+      drain() // run 1: early epoch — boundary trades stay PENDING state
+      linkDataFiles(s"$root/in2", watch, "run2")
+      linkDataFiles(s"$root/sent", watch, "sent")
+      drain() // run 2: late epoch + sentinel — everything resolves
+    }
+    s.read.parquet(s"$outP/batch=*").select(
+      col("event_id"),
+      col("user_id"),
+      timestamp_micros(col("t_us")).as("ts"),
+      when(col("matched") === 1L, timestamp_micros(col("q_us"))).as("quote_ts"),
+      when(col("matched") === 1L, col("q_cents")).as("quote_cents"))
+      .orderBy(col("event_id"))
+  }
 
   /** q189's two-level windowed portable HLL (M = 64 registers, the q126
     * construction per hourly window over `user_id`): per event, bucket =
@@ -1744,22 +1771,34 @@ object StreamQueries {
       // LEFT-preserved so quote-less trades hash their NULLs too. The
       // stream's anchor compaction, pending-trade buffering and
       // watermark-proof emission must land these exact rows.
-      "q198_asof_stream" ->
-        """WITH t AS (
-          |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-          | q AS (
-          |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
-          |  FROM events WHERE event_type = 'view'),
-          | j AS (
-          |  SELECT t.event_id, q.ts AS qts, q.cents,
-          |    row_number() OVER (
-          |      PARTITION BY t.event_id ORDER BY q.ts DESC, q.event_id DESC) AS rn
-          |  FROM t JOIN q ON t.user_id = q.user_id AND q.ts <= t.ts)
-          |SELECT t.event_id, t.user_id, t.ts, j.qts AS quote_ts, j.cents AS quote_cents
-          |FROM t LEFT JOIN j ON j.event_id = t.event_id AND j.rn = 1
-          |ORDER BY t.event_id""".stripMargin
+      "q198_asof_stream" -> asofOracle(window = ""),
+
+      // Same formulation with the 48 h lookback window — the matched=0
+      // class (a trade whose nearest quote is too old, or none at all)
+      // hashes its NULLs like any other row.
+      "q200_asof_tolerance_stream" ->
+        asofOracle(window = s" AND q.ts >= t.ts - INTERVAL $AsofToleranceHours HOUR")
     )
   }
+
+  /** The q198/q200 shared oracle: explicit pair join + per-trade argmax
+    * by (quote ts, event_id), LEFT-preserved; `window` appends the
+    * tolerance bound to the join predicate.
+    */
+  private def asofOracle(window: String): String =
+    s"""WITH t AS (
+       |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       | q AS (
+       |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'view'),
+       | j AS (
+       |  SELECT t.event_id, q.ts AS qts, q.cents,
+       |    row_number() OVER (
+       |      PARTITION BY t.event_id ORDER BY q.ts DESC, q.event_id DESC) AS rn
+       |  FROM t JOIN q ON t.user_id = q.user_id AND q.ts <= t.ts$window)
+       |SELECT t.event_id, t.user_id, t.ts, j.qts AS quote_ts, j.cents AS quote_cents
+       |FROM t LEFT JOIN j ON j.event_id = t.event_id AND j.rn = 1
+       |ORDER BY t.event_id""".stripMargin
 
   /** The q178/q179 shared session oracle: gaps-and-islands with the
     * built-in's exact boundary rule — STRICT split (`delta > gap` starts a

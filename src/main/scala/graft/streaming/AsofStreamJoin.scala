@@ -74,11 +74,14 @@ object AsofStreamJoin {
     case _   => st // sentinel: advances the watermark, never forms state
   }
 
-  /** Latest at-or-before quote for a trade — the argmax by (us, event_id)
-    * over the anchor and the buffered quotes at-or-before the trade.
+  /** Latest at-or-before quote for a trade within the lookback tolerance
+    * — the argmax by (us, event_id) over the anchor and the buffered
+    * quotes in the trade's window.
     */
-  private[streaming] def resolve(uid: Long, t: Trade, st: JoinState): AsofRow = {
-    val cands = st.anchor.toList ++ st.quotes.filter(_.us <= t.us)
+  private[streaming] def resolve(
+      uid: Long, t: Trade, st: JoinState, tolUs: Long = Long.MaxValue): AsofRow = {
+    val cands = (st.anchor.toList ++ st.quotes)
+      .filter(q => q.us <= t.us && t.us - q.us <= tolUs)
     cands.reduceOption(better) match {
       case Some(q) => AsofRow(t.event_id, uid, t.us, q.us, q.event_id, q.cents, 1L)
       case None    => AsofRow(t.event_id, uid, t.us, 0L, 0L, 0L, 0L)
@@ -86,19 +89,35 @@ object AsofStreamJoin {
   }
 
   /** Compact quotes at-or-below `floor` into the single dominating anchor
-    * (see class doc for why the argmax is preserved).
+    * (see class doc for why the argmax is preserved). Under a finite
+    * lookback tolerance the anchor itself EXPIRES once every future or
+    * pending trade's window has moved past it (`floor - anchor.us > tol`)
+    * — per-key state then goes to zero for quote-only keys, the bounded
+    * variant the unbounded join's scaladoc promises.
     */
-  private[streaming] def prune(st: JoinState, floor: Long): JoinState = {
+  private[streaming] def prune(
+      st: JoinState, floor: Long, tolUs: Long = Long.MaxValue): JoinState = {
     val (below, above) = st.quotes.partition(_.us <= floor)
     val anchor = (st.anchor.toList ++ below).reduceOption(better)
+      .filter(a => floor - a.us <= tolUs)
     JoinState(anchor, above, st.trades)
   }
 
   /** Per-trade as-of rows over an event-time stream of union-tagged
     * quotes and trades; run with `outputMode(Append)`. Exactly one row
     * per trade, emitted when the watermark passes the trade's timestamp.
+    *
+    * @param toleranceUs bounded lookback (the batch family's
+    *        q89/q112/q114 tolerance flavor, streamed): a trade matches
+    *        only quotes with `t.us − q.us ≤ tolerance`; a stale anchor
+    *        expires once every reachable trade's window has moved past
+    *        it, so quote-only keys hold ZERO steady state.
+    *        Long.MaxValue (default) = the unbounded latest-ever join
+    *        with its one-anchor-per-key floor.
     */
-  def joined(events: Dataset[SideEvent]): Dataset[AsofRow] = {
+  def joined(
+      events: Dataset[SideEvent],
+      toleranceUs: Long = Long.MaxValue): Dataset[AsofRow] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "0 seconds")
@@ -116,9 +135,9 @@ object AsofStreamJoin {
         // emission order is deterministic for the byte gate's sake only in
         // aggregate (the sink re-sorts by event_id); resolve against the
         // PRE-prune buffers so an equal-floor quote is still addressable
-        val rows = ripe.sortBy(t => (t.us, t.event_id)).map(t => resolve(uid, t, st0))
+        val rows = ripe.sortBy(t => (t.us, t.event_id)).map(t => resolve(uid, t, st0, toleranceUs))
         val floor = (wmUs :: pending.map(_.us)).min
-        val st = prune(st0.copy(trades = pending), floor)
+        val st = prune(st0.copy(trades = pending), floor, toleranceUs)
         if (st.isEmpty) { if (state.exists) state.remove() }
         else {
           state.update(st)

@@ -141,6 +141,48 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(AsofRow(300L, 3L, T0, 0L, 0L, 0L, 0L)), s"got $out")
   }
 
+  test("tolerance: in-window results identical to unbounded; out-of-window trades get matched=0") {
+    val h   = 3600L * 1000000L
+    val tol = 10L * h
+    // kernel: exactly at the tolerance bound qualifies, one µs past it out
+    val st = JoinState(None, List(Quote(T0, 1L, 100L)), Nil)
+    assert(AsofStreamJoin.resolve(9L, Trade(T0 + tol, 50L), st, tol).matched == 1L)
+    assert(AsofStreamJoin.resolve(9L, Trade(T0 + tol + 1L, 51L), st, tol).matched == 0L)
+    // prune: a stale anchor expires once the floor's window passes it
+    val withAnchor = JoinState(Some(Quote(T0, 1L, 100L)), Nil, Nil)
+    assert(AsofStreamJoin.prune(withAnchor, T0 + tol, tol).anchor.isDefined)
+    assert(AsofStreamJoin.prune(withAnchor, T0 + tol + 1L, tol).anchor.isEmpty,
+      "quote-only keys must hold zero steady state under a finite tolerance")
+  }
+
+  test("tolerance stream: a trade past the window emits matched=0 even though a quote existed") {
+    val h   = 3600L * 1000000L
+    val tol = 5L * h
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SideEvent]
+    val tmp   = Files.createTempDirectory("graft-asof-spec")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val name = s"asof_spec_${System.nanoTime()}"
+    val q = AsofStreamJoin.joined(input.toDS(), tol)
+      .writeStream.queryName(name).outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt").format("memory").start()
+    try {
+      input.addData(ev(1, T0, "q", 10L, 500L), ev(1, T0 + h, "t", 100L)) // in window
+      q.processAllAvailable()
+      input.addData(ev(-1L, T0 + 20L * h, "__sentinel__", -1L)) // resolves 100; expires the anchor
+      q.processAllAvailable()
+      input.addData(ev(1, T0 + 30L * h, "t", 101L)) // way out of the quote's window
+      q.processAllAvailable()
+      input.addData(ev(-1L, T0 + 40L * h, "__sentinel__", -1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[AsofRow].collect().toSeq.sortBy(_.event_id)
+    assert(out == Seq(
+      AsofRow(100L, 1L, T0 + h, T0, 10L, 500L, 1L),
+      AsofRow(101L, 1L, T0 + 30L * h, 0L, 0L, 0L, 0L)),
+      s"got $out")
+  }
+
   test("stream matches the batch argmax on an adversarial mixed fixture") {
     val h = 3600L * 1000000L
     // two users, interleaved quotes/trades, ties, quote-less trades,
