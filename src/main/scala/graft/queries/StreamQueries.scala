@@ -399,11 +399,12 @@ object StreamQueries {
   /** q198's as-of join input: quotes (views, carrying cents) and trades
     * (purchases) as ONE union-tagged projection (`ts, user_id, side,
     * event_id, cents`), range-partitioned on `ts` into the incrBuild
-    * two-epoch layout, plus a future-dated watermark sentinel in `/sent`.
+    * two-epoch layout, plus TWO future-dated watermark sentinels: `/sent`
+    * (max + margin — the BACKWARD runs q198/q200 need only wm strictly
+    * past the last trade) and `/sentf` (max + tolerance + margin — the
+    * FORWARD run q201 must prove every trade's look-AHEAD window closed).
     * Non-participating event types are dropped at the BUILD — before the
-    * stream's key shuffle ever sees them. The sentinel needs only to clear
-    * the last trade's timestamp (resolution fires on wm strictly past the
-    * trade), so the plain margin suffices.
+    * stream's key shuffle ever sees them.
     */
   private def asofInput(s: SparkSession, dir: String): String =
     graft.sources.SessionMemo.dir(s, "stream-in-asof", dir)(asofBuild(s, dir, _))
@@ -421,14 +422,19 @@ object StreamQueries {
       .repartitionByRange(IncrFiles, col("ts"))
       .observe(obs, max(unix_micros(col("ts"))).as("max_us"))
       .write.parquet(s"$b/in")
-    s.range(1)
-      .select(
-        timestamp_micros(lit(observedMaxUs(obs) + SentinelMarginUs)).as("ts"),
-        lit(-1L).as("user_id"),
-        lit("__sentinel__").as("side"),
-        lit(-1L).as("event_id"),
-        lit(0L).as("cents"))
-      .write.parquet(s"$b/sent")
+    val maxUs = observedMaxUs(obs)
+    for ((sub, sentUs) <- Seq(
+        "sent"  -> (maxUs + SentinelMarginUs),
+        "sentf" -> (maxUs + AsofToleranceHours * 3600L * 1000000L + SentinelMarginUs))) {
+      s.range(1)
+        .select(
+          timestamp_micros(lit(sentUs)).as("ts"),
+          lit(-1L).as("user_id"),
+          lit("__sentinel__").as("side"),
+          lit(-1L).as("event_id"),
+          lit(0L).as("cents"))
+        .write.parquet(s"$b/$sub")
+    }
     splitEpochs(b)
   }
 
@@ -1364,7 +1370,20 @@ object StreamQueries {
     // entrant TTL). Same two-epoch checkpointed execution; byte-gated
     // against the windowed SQL argmax.
     "q200_asof_tolerance_stream" -> ((s, dir) =>
-      asofStreamRun(s, dir, "asoftol", AsofToleranceHours * 3600L * 1000000L))
+      asofStreamRun(s, dir, "asoftol", AsofToleranceHours * 3600L * 1000000L)),
+
+    // THE FORWARD STREAM-STREAM AS-OF — earliest quote at-or-AFTER each
+    // trade within the 48 h window (the batch q105/q112/q113 direction,
+    // streamed): a genuinely different state discipline from q198/q200 —
+    // no anchor at all (a quote behind the floor precedes every reachable
+    // trade and can never serve a forward window again; retired keys hold
+    // ZERO bytes), trades buffer until the watermark proves their
+    // look-AHEAD window closed (wm strictly past t + tolerance — only
+    // then can no in-window quote still arrive), and the sentinel must
+    // clear max + tolerance (`/sentf`). Byte-gated against the windowed
+    // ASC argmin SQL formulation.
+    "q201_asof_forward_stream" -> ((s, dir) =>
+      asofStreamRun(s, dir, "asoffwd", AsofToleranceHours * 3600L * 1000000L, forward = true))
   )
 
   /** 48 h — wide enough that most trades match (the shipped corpora sit
@@ -1380,7 +1399,8 @@ object StreamQueries {
     * fields surfaced as SQL NULLs.
     */
   private def asofStreamRun(
-      s: SparkSession, dir: String, tag: String, toleranceUs: Long): DataFrame = {
+      s: SparkSession, dir: String, tag: String, toleranceUs: Long,
+      forward: Boolean = false): DataFrame = {
     import s.implicits._
     val root  = asofInput(s, dir)
     val tmp   = freshTmp(tag)
@@ -1395,7 +1415,10 @@ object StreamQueries {
           col("ts"), unix_micros(col("ts")).as("us"), col("user_id"),
           col("side"), col("event_id"), col("cents"))
         .as[graft.streaming.AsofStreamJoin.SideEvent]
-      val q = graft.streaming.AsofStreamJoin.joined(evs, toleranceUs)
+      val joined =
+        if (forward) graft.streaming.AsofStreamJoin.joinedForward(evs, toleranceUs)
+        else graft.streaming.AsofStreamJoin.joined(evs, toleranceUs)
+      val q = joined
         .toDF()
         .writeStream
         .outputMode("append")
@@ -1413,7 +1436,7 @@ object StreamQueries {
       linkDataFiles(s"$root/in", watch, "run1")
       drain() // run 1: early epoch — boundary trades stay PENDING state
       linkDataFiles(s"$root/in2", watch, "run2")
-      linkDataFiles(s"$root/sent", watch, "sent")
+      linkDataFiles(if (forward) s"$root/sentf" else s"$root/sent", watch, "sent")
       drain() // run 2: late epoch + sentinel — everything resolves
     }
     s.read.parquet(s"$outP/batch=*").select(
@@ -1777,15 +1800,24 @@ object StreamQueries {
       // class (a trade whose nearest quote is too old, or none at all)
       // hashes its NULLs like any other row.
       "q200_asof_tolerance_stream" ->
-        asofOracle(window = s" AND q.ts >= t.ts - INTERVAL $AsofToleranceHours HOUR")
+        asofOracle(window = s" AND q.ts >= t.ts - INTERVAL $AsofToleranceHours HOUR"),
+
+      // The FORWARD direction: window flipped to [t, t + tol], argmin by
+      // (ts, event_id) ascending — the earliest at-or-after quote.
+      "q201_asof_forward_stream" ->
+        asofOracle(
+          window = s" AND q.ts <= t.ts + INTERVAL $AsofToleranceHours HOUR",
+          forward = true)
     )
   }
 
-  /** The q198/q200 shared oracle: explicit pair join + per-trade argmax
-    * by (quote ts, event_id), LEFT-preserved; `window` appends the
+  /** The q198/q200/q201 shared oracle: explicit pair join + per-trade
+    * argmax (backward: latest at-or-before, DESC) or argmin (forward:
+    * earliest at-or-after, ASC), LEFT-preserved; `window` appends the
     * tolerance bound to the join predicate.
     */
-  private def asofOracle(window: String): String =
+  private def asofOracle(window: String, forward: Boolean = false): String = {
+    val (cmp, ord) = if (forward) (">=", "ASC") else ("<=", "DESC")
     s"""WITH t AS (
        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
        | q AS (
@@ -1794,11 +1826,12 @@ object StreamQueries {
        | j AS (
        |  SELECT t.event_id, q.ts AS qts, q.cents,
        |    row_number() OVER (
-       |      PARTITION BY t.event_id ORDER BY q.ts DESC, q.event_id DESC) AS rn
-       |  FROM t JOIN q ON t.user_id = q.user_id AND q.ts <= t.ts$window)
+       |      PARTITION BY t.event_id ORDER BY q.ts $ord, q.event_id $ord) AS rn
+       |  FROM t JOIN q ON t.user_id = q.user_id AND q.ts $cmp t.ts$window)
        |SELECT t.event_id, t.user_id, t.ts, j.qts AS quote_ts, j.cents AS quote_cents
        |FROM t LEFT JOIN j ON j.event_id = t.event_id AND j.rn = 1
        |ORDER BY t.event_id""".stripMargin
+  }
 
   /** The q178/q179 shared session oracle: gaps-and-islands with the
     * built-in's exact boundary rule — STRICT split (`delta > gap` starts a

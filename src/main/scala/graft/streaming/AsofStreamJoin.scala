@@ -103,6 +103,74 @@ object AsofStreamJoin {
     JoinState(anchor, above, st.trades)
   }
 
+  private def earlier(a: Quote, b: Quote): Quote =
+    if (a.us < b.us || (a.us == b.us && a.event_id <= b.event_id)) a else b
+
+  /** Saturating add (FunnelTracker.satAdd's rule) for window deadlines. */
+  private def satAdd(a: Long, b: Long): Long = FunnelTracker.satAdd(a, b)
+
+  /** EARLIEST quote at-or-after the trade within the window — the FORWARD
+    * direction (argmin by (us, event_id) over `[t, t + tol]`), the
+    * streaming twin of the batch q105/q112/q113 flavors.
+    */
+  private[streaming] def resolveForward(uid: Long, t: Trade, st: JoinState, tolUs: Long): AsofRow = {
+    val cands = st.quotes.filter(q => q.us >= t.us && q.us - t.us <= tolUs)
+    cands.reduceOption(earlier) match {
+      case Some(q) => AsofRow(t.event_id, uid, t.us, q.us, q.event_id, q.cents, 1L)
+      case None    => AsofRow(t.event_id, uid, t.us, 0L, 0L, 0L, 0L)
+    }
+  }
+
+  /** Forward pruning needs NO anchor at all: a reachable trade sits at or
+    * after `floor`, and a forward window only looks ahead — a quote
+    * strictly below the floor precedes every reachable trade and can
+    * never serve one again. Per-key steady state = the quotes inside the
+    * in-flight window + pending trades; a retired key holds ZERO bytes.
+    */
+  private[streaming] def pruneForward(st: JoinState, floor: Long): JoinState =
+    JoinState(None, st.quotes.filter(_.us >= floor), st.trades)
+
+  /** FORWARD stream-stream as-of: one row per trade — the earliest quote
+    * at-or-after it within `toleranceUs` — emitted when the watermark
+    * proves the window closed (wm strictly past t + tolerance; only then
+    * can no in-window quote still arrive). The tolerance is REQUIRED
+    * finite: an unbounded forward join could never prove a quote-less
+    * trade final (the qualifying quote may forever be "still coming").
+    */
+  def joinedForward(events: Dataset[SideEvent], toleranceUs: Long): Dataset[AsofRow] = {
+    require(toleranceUs < Long.MaxValue, "forward as-of needs a finite tolerance to ever finalize")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[JoinState, AsofRow](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()
+      ) { (uid: Long, evs: Iterator[SideEvent], state: GroupState[JoinState]) =>
+        val wmMs = state.getCurrentWatermarkMs
+        val wmUs = wmMs * 1000L
+        val st0 = evs.foldLeft(state.getOption.getOrElse(JoinState(None, Nil, Nil)))(fold)
+        // a trade is final when the watermark is strictly past its WINDOW
+        // END (any later quote has ts ≥ wm > t + tol — out of window)
+        val (ripe, pending) = st0.trades.partition(t => satAdd(t.us, toleranceUs) < wmUs)
+        val rows = ripe.sortBy(t => (t.us, t.event_id)).map(t => resolveForward(uid, t, st0, toleranceUs))
+        val floor = (wmUs :: pending.map(_.us)).min
+        val st = pruneForward(st0.copy(trades = pending), floor)
+        if (st.isEmpty) { if (state.exists) state.remove() }
+        else {
+          state.update(st)
+          // earliest instant more work becomes final: a pending trade's
+          // window end, or the newest quote's own ts (whose passage lets
+          // the floor retire a trade-less quote buffer)
+          val deadlines = pending.map(t => satAdd(t.us, toleranceUs)) ++ st.quotes.map(_.us).maxOption.toList
+          deadlines.minOption.foreach { d =>
+            state.setTimeoutTimestamp(math.max(d / 1000L + 1L, wmMs + 1L))
+          }
+        }
+        rows.iterator
+      }
+  }
+
   /** Per-trade as-of rows over an event-time stream of union-tagged
     * quotes and trades; run with `outputMode(Append)`. Exactly one row
     * per trade, emitted when the watermark passes the trade's timestamp.

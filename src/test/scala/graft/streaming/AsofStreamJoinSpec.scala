@@ -60,14 +60,19 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
 
   // ---- end-to-end via MemoryStream
 
-  private def runStream(batches: Seq[Seq[SideEvent]]): Seq[AsofRow] = {
+  private def runStream(batches: Seq[Seq[SideEvent]]): Seq[AsofRow] =
+    runStreamWith(batches, ds => AsofStreamJoin.joined(ds))
+
+  private def runStreamWith(
+      batches: Seq[Seq[SideEvent]],
+      join: org.apache.spark.sql.Dataset[SideEvent] => org.apache.spark.sql.Dataset[AsofRow])
+      : Seq[AsofRow] = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SideEvent]
     val tmp   = Files.createTempDirectory("graft-asof-spec")
     graft.sources.SessionMemo.deleteOnExit(tmp)
     val name = s"asof_spec_${System.nanoTime()}"
-    val q = AsofStreamJoin
-      .joined(input.toDS())
+    val q = join(input.toDS())
       .writeStream
       .queryName(name)
       .outputMode("append")
@@ -181,6 +186,64 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
       AsofRow(100L, 1L, T0 + h, T0, 10L, 500L, 1L),
       AsofRow(101L, 1L, T0 + 30L * h, 0L, 0L, 0L, 0L)),
       s"got $out")
+  }
+
+  test("forward kernel: inclusive [t, t+tol] window, EARLIEST wins, ties to the LOWEST event_id") {
+    val h   = 3600L * 1000000L
+    val tol = 10L * h
+    val st = JoinState(None, List(Quote(T0, 2L, 200L), Quote(T0, 1L, 100L), Quote(T0 + h, 3L, 300L)), Nil)
+    // trade AT the first quotes' instant: at-or-after inclusive, tie → eid 1
+    assert(AsofStreamJoin.resolveForward(9L, Trade(T0, 50L), st, tol) ==
+      AsofRow(50L, 9L, T0, T0, 1L, 100L, 1L))
+    // between the ties and the later quote: only the later one is ahead
+    assert(AsofStreamJoin.resolveForward(9L, Trade(T0 + 1L, 51L), st, tol).q_eid == 3L)
+    // exactly at the window end qualifies; one µs past it does not
+    assert(AsofStreamJoin.resolveForward(9L, Trade(T0 + h - tol, 52L), st, tol).matched == 1L)
+    assert(AsofStreamJoin.resolveForward(9L, Trade(T0 + h + 1L, 53L), st, tol).matched == 0L)
+    // forward pruning keeps no anchor: everything below the floor drops
+    val pruned = AsofStreamJoin.pruneForward(st, T0 + 1L)
+    assert(pruned.anchor.isEmpty && pruned.quotes == List(Quote(T0 + h, 3L, 300L)))
+  }
+
+  test("forward stream: trade waits for its window END; an in-window later quote wins over none") {
+    val h   = 3600L * 1000000L
+    val tol = 5L * h
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SideEvent]
+    val tmp   = Files.createTempDirectory("graft-asof-spec")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val name = s"asof_spec_${System.nanoTime()}"
+    val q = AsofStreamJoin.joinedForward(input.toDS(), tol)
+      .writeStream.queryName(name).outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt").format("memory").start()
+    try {
+      input.addData(ev(1, T0, "t", 100L))
+      q.processAllAvailable()
+      // wm past the trade itself but NOT past its look-ahead window:
+      // the qualifying quote may still be coming — nothing may emit
+      input.addData(ev(-1L, T0 + 2L * h, "__sentinel__", -1L))
+      q.processAllAvailable()
+      assert(spark.table(name).isEmpty,
+        "a forward trade must wait for its window END, not its own instant")
+      input.addData(ev(1, T0 + 3L * h, "q", 10L, 800L)) // lands inside the window
+      q.processAllAvailable()
+      input.addData(ev(-1L, T0 + tol + h, "__sentinel__", -1L)) // window closed
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[AsofRow].collect().toSeq
+    assert(out == Seq(AsofRow(100L, 1L, T0, T0 + 3L * h, 10L, 800L, 1L)), s"got $out")
+  }
+
+  test("forward stream: quote-only keys retire to zero state; out-of-window trades emit matched=0") {
+    val h   = 3600L * 1000000L
+    val tol = 5L * h
+    val out = runStreamWith(Seq(
+      Seq(ev(2, T0, "q", 10L, 700L)),                       // a quote, then silence
+      Seq(ev(-1L, T0 + 2L * tol, "__sentinel__", -1L)),     // floor passes it → buffer retires
+      Seq(ev(2, T0 + 3L * tol, "t", 200L)),                 // far-later trade: nothing ahead of it
+      Seq(ev(-1L, T0 + 5L * tol, "__sentinel__", -1L))
+    ), ds => AsofStreamJoin.joinedForward(ds, tol))
+    assert(out == Seq(AsofRow(200L, 2L, T0 + 3L * tol, 0L, 0L, 0L, 0L)), s"got $out")
   }
 
   test("stream matches the batch argmax on an adversarial mixed fixture") {
