@@ -1383,7 +1383,18 @@ object StreamQueries {
     // clear max + tolerance (`/sentf`). Byte-gated against the windowed
     // ASC argmin SQL formulation.
     "q201_asof_forward_stream" -> ((s, dir) =>
-      asofStreamRun(s, dir, "asoffwd", AsofToleranceHours * 3600L * 1000000L, forward = true))
+      asofStreamRun(s, dir, "asoffwd", AsofToleranceHours * 3600L * 1000000L, mode = "forward")),
+
+    // THE NEAREST STREAM-STREAM AS-OF — least |quote ts − trade ts|
+    // within ±48 h (the batch q106/q114 direction, streamed), with the
+    // batch merge node's exact tie chain (backward-first, then
+    // greatest-backward-key / least-forward-key). Completes the
+    // streaming as-of family: all THREE directions of the batch family
+    // (q80–q114) now have live-both-sides twins. A trade is final when
+    // the watermark clears its FORWARD half-window; the quote buffer is
+    // bounded to the ±tolerance span around the floor, no anchor.
+    "q202_asof_nearest_stream" -> ((s, dir) =>
+      asofStreamRun(s, dir, "asofnear", AsofToleranceHours * 3600L * 1000000L, mode = "nearest"))
   )
 
   /** 48 h — wide enough that most trades match (the shipped corpora sit
@@ -1400,7 +1411,7 @@ object StreamQueries {
     */
   private def asofStreamRun(
       s: SparkSession, dir: String, tag: String, toleranceUs: Long,
-      forward: Boolean = false): DataFrame = {
+      mode: String = "backward"): DataFrame = {
     import s.implicits._
     val root  = asofInput(s, dir)
     val tmp   = freshTmp(tag)
@@ -1415,9 +1426,11 @@ object StreamQueries {
           col("ts"), unix_micros(col("ts")).as("us"), col("user_id"),
           col("side"), col("event_id"), col("cents"))
         .as[graft.streaming.AsofStreamJoin.SideEvent]
-      val joined =
-        if (forward) graft.streaming.AsofStreamJoin.joinedForward(evs, toleranceUs)
-        else graft.streaming.AsofStreamJoin.joined(evs, toleranceUs)
+      val joined = mode match {
+        case "forward" => graft.streaming.AsofStreamJoin.joinedForward(evs, toleranceUs)
+        case "nearest" => graft.streaming.AsofStreamJoin.joinedNearest(evs, toleranceUs)
+        case _         => graft.streaming.AsofStreamJoin.joined(evs, toleranceUs)
+      }
       val q = joined
         .toDF()
         .writeStream
@@ -1436,7 +1449,8 @@ object StreamQueries {
       linkDataFiles(s"$root/in", watch, "run1")
       drain() // run 1: early epoch — boundary trades stay PENDING state
       linkDataFiles(s"$root/in2", watch, "run2")
-      linkDataFiles(if (forward) s"$root/sentf" else s"$root/sent", watch, "sent")
+      // forward/nearest must clear max + tolerance (the far sentinel)
+      linkDataFiles(if (mode == "backward") s"$root/sent" else s"$root/sentf", watch, "sent")
       drain() // run 2: late epoch + sentinel — everything resolves
     }
     s.read.parquet(s"$outP/batch=*").select(
@@ -1807,7 +1821,30 @@ object StreamQueries {
       "q201_asof_forward_stream" ->
         asofOracle(
           window = s" AND q.ts <= t.ts + INTERVAL $AsofToleranceHours HOUR",
-          forward = true)
+          forward = true),
+
+      // The NEAREST direction: q106/q114's exact rank chain — least µs
+      // distance, backward-first, greatest-backward-key /
+      // least-forward-key — inside the ±tolerance pair join.
+      "q202_asof_nearest_stream" -> {
+        val tolUs = AsofToleranceHours * 3600L * 1000000L
+        s"""WITH t AS (
+           |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           | q AS (
+           |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events WHERE event_type = 'view'),
+           | j AS (
+           |  SELECT t.event_id, q.ts AS qts, q.cents,
+           |    row_number() OVER (PARTITION BY t.event_id
+           |      ORDER BY abs(epoch_us(q.ts) - epoch_us(t.ts)) ASC,
+           |               (q.ts <= t.ts) DESC,
+           |               CASE WHEN q.ts <= t.ts THEN -q.event_id ELSE q.event_id END ASC) AS rn
+           |  FROM t JOIN q ON t.user_id = q.user_id
+           |    AND abs(epoch_us(q.ts) - epoch_us(t.ts)) <= $tolUs)
+           |SELECT t.event_id, t.user_id, t.ts, j.qts AS quote_ts, j.cents AS quote_cents
+           |FROM t LEFT JOIN j ON j.event_id = t.event_id AND j.rn = 1
+           |ORDER BY t.event_id""".stripMargin
+      }
     )
   }
 

@@ -171,6 +171,83 @@ object AsofStreamJoin {
       }
   }
 
+  /** The NEAREST candidate rule — the custom batch merge node's exact
+    * tie chain (q106/q114): least |Δ|, then backward-first, then
+    * greatest-backward-key / least-forward-key.
+    */
+  private def nearer(t: Long)(a: Quote, b: Quote): Quote = {
+    val (da, db) = (math.abs(a.us - t), math.abs(b.us - t))
+    if (da != db) { if (da < db) a else b }
+    else {
+      val (ba, bb) = (a.us <= t, b.us <= t)
+      if (ba != bb) { if (ba) a else b }
+      else if (ba) { if (a.event_id >= b.event_id) a else b }
+      else { if (a.event_id <= b.event_id) a else b }
+    }
+  }
+
+  /** Nearest quote within ±tolerance of the trade (q106/q114's direction,
+    * streamed): min microsecond distance, ties backward-first then the
+    * batch node's key rules.
+    */
+  private[streaming] def resolveNearest(uid: Long, t: Trade, st: JoinState, tolUs: Long): AsofRow = {
+    val cands = st.quotes.filter(q => math.abs(q.us - t.us) <= tolUs)
+    cands.reduceOption(nearer(t.us)) match {
+      case Some(q) => AsofRow(t.event_id, uid, t.us, q.us, q.event_id, q.cents, 1L)
+      case None    => AsofRow(t.event_id, uid, t.us, 0L, 0L, 0L, 0L)
+    }
+  }
+
+  /** Nearest pruning: a reachable trade sits at-or-after `floor`, and its
+    * two-sided window reaches back at most `tol` — quotes strictly below
+    * `floor − tol` are out of every reachable window. No anchor (each
+    * trade's nearest depends on its own position, but the window bounds
+    * the buffer to tol + in-flight span); retired keys hold zero bytes.
+    */
+  private[streaming] def pruneNearest(st: JoinState, floor: Long, tolUs: Long): JoinState =
+    JoinState(None, st.quotes.filter(q => floor - q.us <= tolUs), st.trades)
+
+  /** NEAREST stream-stream as-of: one row per trade — the quote with the
+    * least |ts − trade ts| within ±tolerance (ties: the batch merge
+    * node's backward-first/key rules) — emitted when the watermark
+    * clears the trade's FORWARD half-window (wm strictly past t + tol;
+    * the backward half was final at the trade's own instant). Tolerance
+    * required finite, as for [[joinedForward]].
+    */
+  def joinedNearest(events: Dataset[SideEvent], toleranceUs: Long): Dataset[AsofRow] = {
+    require(toleranceUs < Long.MaxValue, "nearest as-of needs a finite tolerance to ever finalize")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[JoinState, AsofRow](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()
+      ) { (uid: Long, evs: Iterator[SideEvent], state: GroupState[JoinState]) =>
+        val wmMs = state.getCurrentWatermarkMs
+        val wmUs = wmMs * 1000L
+        val st0 = evs.foldLeft(state.getOption.getOrElse(JoinState(None, Nil, Nil)))(fold)
+        val (ripe, pending) = st0.trades.partition(t => satAdd(t.us, toleranceUs) < wmUs)
+        val rows = ripe.sortBy(t => (t.us, t.event_id)).map(t => resolveNearest(uid, t, st0, toleranceUs))
+        val floor = (wmUs :: pending.map(_.us)).min
+        val st = pruneNearest(st0.copy(trades = pending), floor, toleranceUs)
+        if (st.isEmpty) { if (state.exists) state.remove() }
+        else {
+          state.update(st)
+          // earliest instant more work becomes final: a pending trade's
+          // forward half-window end, or the newest quote's window end
+          // (whose passage retires a trade-less buffer to zero)
+          val deadlines =
+            pending.map(t => satAdd(t.us, toleranceUs)) ++
+              st.quotes.map(_.us).maxOption.map(satAdd(_, toleranceUs)).toList
+          deadlines.minOption.foreach { d =>
+            state.setTimeoutTimestamp(math.max(d / 1000L + 1L, wmMs + 1L))
+          }
+        }
+        rows.iterator
+      }
+  }
+
   /** Per-trade as-of rows over an event-time stream of union-tagged
     * quotes and trades; run with `outputMode(Append)`. Exactly one row
     * per trade, emitted when the watermark passes the trade's timestamp.

@@ -246,6 +246,61 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(AsofRow(200L, 2L, T0 + 3L * tol, 0L, 0L, 0L, 0L)), s"got $out")
   }
 
+  test("nearest kernel: least |distance|, ties backward-first then the batch node's key rules") {
+    val h   = 3600L * 1000000L
+    val tol = 10L * h
+    val st = JoinState(None, List(
+      Quote(T0 - 2L * h, 1L, 100L), Quote(T0 + h / 2L, 2L, 200L),
+      Quote(T0 - h, 3L, 300L), Quote(T0 - h, 4L, 400L)), Nil)
+    // STRICTLY nearest wins regardless of side (forward +30min beats backward −1h)
+    assert(AsofStreamJoin.resolveNearest(9L, Trade(T0, 50L), st, tol).q_eid == 2L)
+    // equidistant backward/forward: backward wins (q106/q114's rule)
+    val eq = JoinState(None, List(Quote(T0 - h, 1L, 100L), Quote(T0 + h, 2L, 200L)), Nil)
+    assert(AsofStreamJoin.resolveNearest(9L, Trade(T0, 51L), eq, tol).q_eid == 1L)
+    // two backward at the same distance: GREATEST event_id
+    val bb = JoinState(None, List(Quote(T0 - h, 3L, 300L), Quote(T0 - h, 4L, 400L)), Nil)
+    assert(AsofStreamJoin.resolveNearest(9L, Trade(T0, 52L), bb, tol).q_eid == 4L)
+    // two forward at the same distance: LEAST event_id
+    val ff = JoinState(None, List(Quote(T0 + h, 5L, 500L), Quote(T0 + h, 6L, 600L)), Nil)
+    assert(AsofStreamJoin.resolveNearest(9L, Trade(T0, 53L), ff, tol).q_eid == 5L)
+    // the ±tolerance bound is inclusive to the µs
+    val edge = JoinState(None, List(Quote(T0 - tol, 7L, 700L)), Nil)
+    assert(AsofStreamJoin.resolveNearest(9L, Trade(T0, 54L), edge, tol).matched == 1L)
+    assert(AsofStreamJoin.resolveNearest(9L, Trade(T0 + 1L, 55L), edge, tol).matched == 0L)
+    // pruning keeps the full back half-window (floor − tol), no anchor
+    val pr = AsofStreamJoin.pruneNearest(st, T0, tol)
+    assert(pr.anchor.isEmpty && pr.quotes.length == 4)
+    assert(AsofStreamJoin.pruneNearest(st, T0 + tol - h, tol).quotes.map(_.event_id).toSet == Set(2L, 3L, 4L))
+  }
+
+  test("nearest stream: a LATER closer quote beats an earlier one; emission waits for the forward half-window") {
+    val h   = 3600L * 1000000L
+    val tol = 5L * h
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SideEvent]
+    val tmp   = Files.createTempDirectory("graft-asof-spec")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val name = s"asof_spec_${System.nanoTime()}"
+    val q = AsofStreamJoin.joinedNearest(input.toDS(), tol)
+      .writeStream.queryName(name).outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt").format("memory").start()
+    try {
+      input.addData(ev(1, T0 - 2L * h, "q", 10L, 100L), ev(1, T0, "t", 100L))
+      q.processAllAvailable()
+      input.addData(ev(-1L, T0 + h, "__sentinel__", -1L)) // past the trade, NOT past t+tol
+      q.processAllAvailable()
+      assert(spark.table(name).isEmpty,
+        "nearest must wait for the forward half-window — a closer later quote may still arrive")
+      input.addData(ev(1, T0 + h, "q", 11L, 200L)) // closer, on the forward side
+      q.processAllAvailable()
+      input.addData(ev(-1L, T0 + tol + h, "__sentinel__", -1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[AsofRow].collect().toSeq
+    assert(out == Seq(AsofRow(100L, 1L, T0, T0 + h, 11L, 200L, 1L)),
+      s"the closer forward quote must win: $out")
+  }
+
   test("stream matches the batch argmax on an adversarial mixed fixture") {
     val h = 3600L * 1000000L
     // two users, interleaved quotes/trades, ties, quote-less trades,
