@@ -1143,7 +1143,15 @@ object StreamQueries {
           .writeStream
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, id: Long) => store.merge(batch, id); () }
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // persist: merge evaluates the micro-batch twice (the bucket
+            // listing's collect + the changelog write) — one source read,
+            // not one per pass
+            batch.persist()
+            try store.merge(batch, id)
+            finally { batch.unpersist(); () }
+            ()
+          }
           .start()
         try q.awaitTermination() // AvailableNow stops the query itself
         finally q.stop()
@@ -1186,16 +1194,24 @@ object StreamQueries {
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            store.merge(batch, id)
-            // snapshotDfFor prunes the per-batch reconstruction to the
-            // batch's buckets (versions outside them cannot join the
-            // batch) — the store-side cost per micro-batch is the touched
-            // fraction of the changelog, not the whole history
-            EventQueries
-              .pitEnrich(
-                batch.select(col("user_id"), col("ts"), col("event_id")),
-                store.snapshotDfFor(batch))
-              .write.mode("overwrite").parquet(s"$outP/batch=$id")
+            // The micro-batch feeds FOUR consumers (bucket listing, merge
+            // write, enrich probe, enrich write) — persist it and compute
+            // the bucket set ONCE, shared by the merge seed and the
+            // snapshot read: one source pass per trigger, not 3-4.
+            batch.persist()
+            try {
+              val touched = store.bucketsOf(batch)
+              store.merge(batch, id, Some(touched))
+              // snapshotDfFor prunes the per-batch reconstruction to the
+              // batch's buckets (versions outside them cannot join the
+              // batch) — the store-side cost per micro-batch is the touched
+              // fraction of the changelog, not the whole history
+              EventQueries
+                .pitEnrich(
+                  batch.select(col("user_id"), col("ts"), col("event_id")),
+                  store.snapshotDfFor(touched))
+                .write.mode("overwrite").parquet(s"$outP/batch=$id")
+            } finally { batch.unpersist(); () }
             ()
           }
           .start()
@@ -1423,9 +1439,9 @@ object StreamQueries {
         .schema(s.read.parquet(s"$root/sent").schema)
         .parquet(watch)
         .select(
-          col("ts"), unix_micros(col("ts")).as("us"), col("user_id"),
-          col("side"), col("event_id"), col("cents"))
-        .as[graft.streaming.AsofStreamJoin.SideEvent]
+          col("ts"), unix_micros(col("ts")).as("us"), col("user_id").as("key"),
+          col("side"), col("event_id"), col("cents").as("payload"))
+        .as[graft.streaming.AsofStreamJoin.SideEvent[Long, Long]]
       val joined = mode match {
         case "forward" => graft.streaming.AsofStreamJoin.joinedForward(evs, toleranceUs)
         case "nearest" => graft.streaming.AsofStreamJoin.joinedNearest(evs, toleranceUs)
@@ -1455,10 +1471,10 @@ object StreamQueries {
     }
     s.read.parquet(s"$outP/batch=*").select(
       col("event_id"),
-      col("user_id"),
+      col("key").as("user_id"),
       timestamp_micros(col("t_us")).as("ts"),
       when(col("matched") === 1L, timestamp_micros(col("q_us"))).as("quote_ts"),
-      when(col("matched") === 1L, col("q_cents")).as("quote_cents"))
+      when(col("matched") === 1L, col("q_payload")).as("quote_cents"))
       .orderBy(col("event_id"))
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, Encoder}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** STREAM-STREAM AS-OF JOIN — the classic trades×quotes shape with BOTH
@@ -17,6 +17,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * quote can still arrive. The batch twin is the custom as-of merge node
   * (`plans/AsofJoin`, q195's operator); the q198 board row byte-gates
   * this stream against the same independent SQL oracle.
+  *
+  * The operator is GENERIC in the join key `K` and the quote payload `P`
+  * (matching the batch node's schema-genericity): the board rows
+  * instantiate `K = Long, P = Long` (user ids carrying cents), and the
+  * spec proves a `String`-keyed, multi-column-payload instantiation on
+  * the same kernel. Ordering/semantic columns (`us`, `event_id`) stay
+  * explicit — the argmax is over (us, event_id) regardless of payload.
   *
   * Finality rule: a trade at `t` resolves once the watermark is strictly
   * past `t` — any later-arriving quote has `ts ≥ watermark > t`, so it
@@ -38,16 +45,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object AsofStreamJoin {
 
-  /** Union-tagged input row: `side` = "q" (quote, `cents` meaningful) or
-    * "t" (trade); anything else (the watermark sentinel) never forms
+  /** Union-tagged input row: `side` = "q" (quote, `payload` meaningful)
+    * or "t" (trade); anything else (the watermark sentinel) never forms
     * state. `ts` carries the watermark; `us` is the same instant in exact
     * epoch-µs (GroupState's clock is ms-granular — the Sessionizer
     * discipline).
     */
-  final case class SideEvent(
-      ts: java.sql.Timestamp, us: Long, user_id: Long, side: String, event_id: Long, cents: Long)
+  final case class SideEvent[K, P](
+      ts: java.sql.Timestamp, us: Long, key: K, side: String, event_id: Long, payload: P)
 
-  final case class Quote(us: Long, event_id: Long, cents: Long)
+  final case class Quote[P](us: Long, event_id: Long, payload: P)
   final case class Trade(us: Long, event_id: Long)
 
   /** Per-key buffers: `anchor` = the single surviving quote at-or-below
@@ -55,36 +62,45 @@ object AsofStreamJoin {
     * individually addressable by pending/future trades); `trades` =
     * unresolved trades (at-or-above the watermark).
     */
-  final case class JoinState(anchor: Option[Quote], quotes: List[Quote], trades: List[Trade]) {
+  final case class JoinState[P](
+      anchor: Option[Quote[P]], quotes: List[Quote[P]], trades: List[Trade]) {
     def isEmpty: Boolean = anchor.isEmpty && quotes.isEmpty && trades.isEmpty
   }
 
-  /** Emitted row: `matched` = 0 ⇒ the trade had no at-or-before quote
-    * (q fields are the 0 sentinel — the caller maps them to SQL NULLs).
+  /** Emitted row: `matched` = 0 ⇒ the trade had no in-window quote
+    * (`q_payload` = None and the q columns carry the 0 sentinel — the
+    * caller maps them to SQL NULLs).
     */
-  final case class AsofRow(
-      event_id: Long, user_id: Long, t_us: Long, q_us: Long, q_eid: Long, q_cents: Long, matched: Long)
+  final case class AsofRow[K, P](
+      event_id: Long, key: K, t_us: Long, q_us: Long, q_eid: Long,
+      q_payload: Option[P], matched: Long)
 
-  private def better(a: Quote, b: Quote): Quote =
+  private def better[P](a: Quote[P], b: Quote[P]): Quote[P] =
     if (a.us > b.us || (a.us == b.us && a.event_id >= b.event_id)) a else b
 
-  private[streaming] def fold(st: JoinState, e: SideEvent): JoinState = e.side match {
-    case "q" => st.copy(quotes = Quote(e.us, e.event_id, e.cents) :: st.quotes)
-    case "t" => st.copy(trades = Trade(e.us, e.event_id) :: st.trades)
-    case _   => st // sentinel: advances the watermark, never forms state
-  }
+  private[streaming] def fold[P](st: JoinState[P], e: SideEvent[_, P]): JoinState[P] =
+    e.side match {
+      case "q" => st.copy(quotes = Quote(e.us, e.event_id, e.payload) :: st.quotes)
+      case "t" => st.copy(trades = Trade(e.us, e.event_id) :: st.trades)
+      case _   => st // sentinel: advances the watermark, never forms state
+    }
+
+  private[streaming] def emptyState[P]: JoinState[P] = JoinState[P](None, Nil, Nil)
+
+  private def unmatched[K, P](key: K, t: Trade): AsofRow[K, P] =
+    AsofRow(t.event_id, key, t.us, 0L, 0L, None, 0L)
 
   /** Latest at-or-before quote for a trade within the lookback tolerance
     * — the argmax by (us, event_id) over the anchor and the buffered
     * quotes in the trade's window.
     */
-  private[streaming] def resolve(
-      uid: Long, t: Trade, st: JoinState, tolUs: Long = Long.MaxValue): AsofRow = {
+  private[streaming] def resolve[K, P](
+      key: K, t: Trade, st: JoinState[P], tolUs: Long = Long.MaxValue): AsofRow[K, P] = {
     val cands = (st.anchor.toList ++ st.quotes)
       .filter(q => q.us <= t.us && t.us - q.us <= tolUs)
-    cands.reduceOption(better) match {
-      case Some(q) => AsofRow(t.event_id, uid, t.us, q.us, q.event_id, q.cents, 1L)
-      case None    => AsofRow(t.event_id, uid, t.us, 0L, 0L, 0L, 0L)
+    cands.reduceOption(better[P]) match {
+      case Some(q) => AsofRow(t.event_id, key, t.us, q.us, q.event_id, Some(q.payload), 1L)
+      case None    => unmatched(key, t)
     }
   }
 
@@ -95,29 +111,30 @@ object AsofStreamJoin {
     * — per-key state then goes to zero for quote-only keys, the bounded
     * variant the unbounded join's scaladoc promises.
     */
-  private[streaming] def prune(
-      st: JoinState, floor: Long, tolUs: Long = Long.MaxValue): JoinState = {
+  private[streaming] def prune[P](
+      st: JoinState[P], floor: Long, tolUs: Long = Long.MaxValue): JoinState[P] = {
     val (below, above) = st.quotes.partition(_.us <= floor)
-    val anchor = (st.anchor.toList ++ below).reduceOption(better)
+    val anchor = (st.anchor.toList ++ below).reduceOption(better[P])
       .filter(a => floor - a.us <= tolUs)
     JoinState(anchor, above, st.trades)
   }
 
-  private def earlier(a: Quote, b: Quote): Quote =
+  private def earlier[P](a: Quote[P], b: Quote[P]): Quote[P] =
     if (a.us < b.us || (a.us == b.us && a.event_id <= b.event_id)) a else b
 
   /** Saturating add (FunnelTracker.satAdd's rule) for window deadlines. */
-  private def satAdd(a: Long, b: Long): Long = FunnelTracker.satAdd(a, b)
+  private[streaming] def satAdd(a: Long, b: Long): Long = FunnelTracker.satAdd(a, b)
 
   /** EARLIEST quote at-or-after the trade within the window — the FORWARD
     * direction (argmin by (us, event_id) over `[t, t + tol]`), the
     * streaming twin of the batch q105/q112/q113 flavors.
     */
-  private[streaming] def resolveForward(uid: Long, t: Trade, st: JoinState, tolUs: Long): AsofRow = {
+  private[streaming] def resolveForward[K, P](
+      key: K, t: Trade, st: JoinState[P], tolUs: Long): AsofRow[K, P] = {
     val cands = st.quotes.filter(q => q.us >= t.us && q.us - t.us <= tolUs)
-    cands.reduceOption(earlier) match {
-      case Some(q) => AsofRow(t.event_id, uid, t.us, q.us, q.event_id, q.cents, 1L)
-      case None    => AsofRow(t.event_id, uid, t.us, 0L, 0L, 0L, 0L)
+    cands.reduceOption(earlier[P]) match {
+      case Some(q) => AsofRow(t.event_id, key, t.us, q.us, q.event_id, Some(q.payload), 1L)
+      case None    => unmatched(key, t)
     }
   }
 
@@ -127,7 +144,7 @@ object AsofStreamJoin {
     * never serve one again. Per-key steady state = the quotes inside the
     * in-flight window + pending trades; a retired key holds ZERO bytes.
     */
-  private[streaming] def pruneForward(st: JoinState, floor: Long): JoinState =
+  private[streaming] def pruneForward[P](st: JoinState[P], floor: Long): JoinState[P] =
     JoinState(None, st.quotes.filter(_.us >= floor), st.trades)
 
   /** FORWARD stream-stream as-of: one row per trade — the earliest quote
@@ -137,23 +154,25 @@ object AsofStreamJoin {
     * finite: an unbounded forward join could never prove a quote-less
     * trade final (the qualifying quote may forever be "still coming").
     */
-  def joinedForward(events: Dataset[SideEvent], toleranceUs: Long): Dataset[AsofRow] = {
+  def joinedForward[K, P](events: Dataset[SideEvent[K, P]], toleranceUs: Long)(
+      implicit kEnc: Encoder[K],
+      stEnc: Encoder[JoinState[P]],
+      outEnc: Encoder[AsofRow[K, P]]): Dataset[AsofRow[K, P]] = {
     require(toleranceUs < Long.MaxValue, "forward as-of needs a finite tolerance to ever finalize")
-    import events.sparkSession.implicits._
     events
       .withWatermark("ts", "0 seconds")
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[JoinState, AsofRow](
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[JoinState[P], AsofRow[K, P]](
         OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()
-      ) { (uid: Long, evs: Iterator[SideEvent], state: GroupState[JoinState]) =>
+      ) { (key: K, evs: Iterator[SideEvent[K, P]], state: GroupState[JoinState[P]]) =>
         val wmMs = state.getCurrentWatermarkMs
         val wmUs = wmMs * 1000L
-        val st0 = evs.foldLeft(state.getOption.getOrElse(JoinState(None, Nil, Nil)))(fold)
+        val st0 = evs.foldLeft(state.getOption.getOrElse(emptyState[P]))(fold[P])
         // a trade is final when the watermark is strictly past its WINDOW
         // END (any later quote has ts ≥ wm > t + tol — out of window)
         val (ripe, pending) = st0.trades.partition(t => satAdd(t.us, toleranceUs) < wmUs)
-        val rows = ripe.sortBy(t => (t.us, t.event_id)).map(t => resolveForward(uid, t, st0, toleranceUs))
+        val rows = ripe.sortBy(t => (t.us, t.event_id)).map(t => resolveForward(key, t, st0, toleranceUs))
         val floor = (wmUs :: pending.map(_.us)).min
         val st = pruneForward(st0.copy(trades = pending), floor)
         if (st.isEmpty) { if (state.exists) state.remove() }
@@ -175,7 +194,7 @@ object AsofStreamJoin {
     * tie chain (q106/q114): least |Δ|, then backward-first, then
     * greatest-backward-key / least-forward-key.
     */
-  private def nearer(t: Long)(a: Quote, b: Quote): Quote = {
+  private def nearer[P](t: Long)(a: Quote[P], b: Quote[P]): Quote[P] = {
     val (da, db) = (math.abs(a.us - t), math.abs(b.us - t))
     if (da != db) { if (da < db) a else b }
     else {
@@ -190,11 +209,12 @@ object AsofStreamJoin {
     * streamed): min microsecond distance, ties backward-first then the
     * batch node's key rules.
     */
-  private[streaming] def resolveNearest(uid: Long, t: Trade, st: JoinState, tolUs: Long): AsofRow = {
+  private[streaming] def resolveNearest[K, P](
+      key: K, t: Trade, st: JoinState[P], tolUs: Long): AsofRow[K, P] = {
     val cands = st.quotes.filter(q => math.abs(q.us - t.us) <= tolUs)
-    cands.reduceOption(nearer(t.us)) match {
-      case Some(q) => AsofRow(t.event_id, uid, t.us, q.us, q.event_id, q.cents, 1L)
-      case None    => AsofRow(t.event_id, uid, t.us, 0L, 0L, 0L, 0L)
+    cands.reduceOption(nearer[P](t.us)) match {
+      case Some(q) => AsofRow(t.event_id, key, t.us, q.us, q.event_id, Some(q.payload), 1L)
+      case None    => unmatched(key, t)
     }
   }
 
@@ -204,7 +224,7 @@ object AsofStreamJoin {
     * trade's nearest depends on its own position, but the window bounds
     * the buffer to tol + in-flight span); retired keys hold zero bytes.
     */
-  private[streaming] def pruneNearest(st: JoinState, floor: Long, tolUs: Long): JoinState =
+  private[streaming] def pruneNearest[P](st: JoinState[P], floor: Long, tolUs: Long): JoinState[P] =
     JoinState(None, st.quotes.filter(q => floor - q.us <= tolUs), st.trades)
 
   /** NEAREST stream-stream as-of: one row per trade — the quote with the
@@ -214,21 +234,23 @@ object AsofStreamJoin {
     * the backward half was final at the trade's own instant). Tolerance
     * required finite, as for [[joinedForward]].
     */
-  def joinedNearest(events: Dataset[SideEvent], toleranceUs: Long): Dataset[AsofRow] = {
+  def joinedNearest[K, P](events: Dataset[SideEvent[K, P]], toleranceUs: Long)(
+      implicit kEnc: Encoder[K],
+      stEnc: Encoder[JoinState[P]],
+      outEnc: Encoder[AsofRow[K, P]]): Dataset[AsofRow[K, P]] = {
     require(toleranceUs < Long.MaxValue, "nearest as-of needs a finite tolerance to ever finalize")
-    import events.sparkSession.implicits._
     events
       .withWatermark("ts", "0 seconds")
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[JoinState, AsofRow](
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[JoinState[P], AsofRow[K, P]](
         OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()
-      ) { (uid: Long, evs: Iterator[SideEvent], state: GroupState[JoinState]) =>
+      ) { (key: K, evs: Iterator[SideEvent[K, P]], state: GroupState[JoinState[P]]) =>
         val wmMs = state.getCurrentWatermarkMs
         val wmUs = wmMs * 1000L
-        val st0 = evs.foldLeft(state.getOption.getOrElse(JoinState(None, Nil, Nil)))(fold)
+        val st0 = evs.foldLeft(state.getOption.getOrElse(emptyState[P]))(fold[P])
         val (ripe, pending) = st0.trades.partition(t => satAdd(t.us, toleranceUs) < wmUs)
-        val rows = ripe.sortBy(t => (t.us, t.event_id)).map(t => resolveNearest(uid, t, st0, toleranceUs))
+        val rows = ripe.sortBy(t => (t.us, t.event_id)).map(t => resolveNearest(key, t, st0, toleranceUs))
         val floor = (wmUs :: pending.map(_.us)).min
         val st = pruneNearest(st0.copy(trades = pending), floor, toleranceUs)
         if (st.isEmpty) { if (state.exists) state.remove() }
@@ -260,27 +282,27 @@ object AsofStreamJoin {
     *        Long.MaxValue (default) = the unbounded latest-ever join
     *        with its one-anchor-per-key floor.
     */
-  def joined(
-      events: Dataset[SideEvent],
-      toleranceUs: Long = Long.MaxValue): Dataset[AsofRow] = {
-    import events.sparkSession.implicits._
+  def joined[K, P](events: Dataset[SideEvent[K, P]], toleranceUs: Long = Long.MaxValue)(
+      implicit kEnc: Encoder[K],
+      stEnc: Encoder[JoinState[P]],
+      outEnc: Encoder[AsofRow[K, P]]): Dataset[AsofRow[K, P]] = {
     events
       .withWatermark("ts", "0 seconds")
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[JoinState, AsofRow](
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[JoinState[P], AsofRow[K, P]](
         OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()
-      ) { (uid: Long, evs: Iterator[SideEvent], state: GroupState[JoinState]) =>
+      ) { (key: K, evs: Iterator[SideEvent[K, P]], state: GroupState[JoinState[P]]) =>
         val wmMs = state.getCurrentWatermarkMs
         val wmUs = wmMs * 1000L
         // Fold new arrivals (a no-op on timer firings), then resolve every
         // trade the watermark has finalized, then compact the quote buffer.
-        val st0 = evs.foldLeft(state.getOption.getOrElse(JoinState(None, Nil, Nil)))(fold)
+        val st0 = evs.foldLeft(state.getOption.getOrElse(emptyState[P]))(fold[P])
         val (ripe, pending) = st0.trades.partition(_.us < wmUs)
         // emission order is deterministic for the byte gate's sake only in
         // aggregate (the sink re-sorts by event_id); resolve against the
         // PRE-prune buffers so an equal-floor quote is still addressable
-        val rows = ripe.sortBy(t => (t.us, t.event_id)).map(t => resolve(uid, t, st0, toleranceUs))
+        val rows = ripe.sortBy(t => (t.us, t.event_id)).map(t => resolve(key, t, st0, toleranceUs))
         val floor = (wmUs :: pending.map(_.us)).min
         val st = prune(st0.copy(trades = pending), floor, toleranceUs)
         if (st.isEmpty) { if (state.exists) state.remove() }
@@ -289,8 +311,17 @@ object AsofStreamJoin {
           // Timer discipline: fire at the earliest instant more work
           // becomes final — the earliest pending trade, or the newest
           // buffered quote (whose passage compacts the buffer to the
-          // anchor). Anchor-only state carries no timer (nothing to do).
-          val deadlines = pending.map(_.us) ++ st.quotes.map(_.us).maxOption.toList
+          // anchor). Under the UNBOUNDED join anchor-only state carries no
+          // timer (the anchor is the irreducible one-row memory; nothing
+          // ever retires it). Under a FINITE tolerance the anchor itself
+          // has a deadline — the instant every reachable trade's window
+          // has moved past it (anchor.us + tol; [[prune]] then drops it) —
+          // so a key that never sees traffic again STILL goes to zero
+          // state, the bound the tolerance flavor promises.
+          val anchorExpiry =
+            if (toleranceUs < Long.MaxValue) st.anchor.map(a => satAdd(a.us, toleranceUs)).toList
+            else Nil
+          val deadlines = pending.map(_.us) ++ st.quotes.map(_.us).maxOption.toList ++ anchorExpiry
           deadlines.minOption.foreach { d =>
             state.setTimeoutTimestamp(math.max(d / 1000L + 1L, wmMs + 1L))
           }

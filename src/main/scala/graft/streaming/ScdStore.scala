@@ -69,8 +69,27 @@ final class ScdStore(
   private def bucketOf(key: Column): Column =
     pmod(xxhash64(key), lit(buckets.toLong)).cast("int")
 
+  /** Layout guard, checked once per instance at the first read: every row
+    * this store ever wrote lives under a `bucket=N/` partition directory
+    * ([[merge]] and [[compact]] both `partitionBy("bucket")`), so a data
+    * file at the ROOT can only be a store written by a different (flat)
+    * layout. Reading one through the partitioned schema would surface
+    * `bucket` as NULL and the seed scan's partition filter would silently
+    * drop every open version — merges would renumber users from version 1
+    * with no error. Fail fast instead: the layout is part of the store's
+    * on-disk contract.
+    */
+  private lazy val layoutOk: Boolean = {
+    val atRoot = graft.sources.DataFiles.list(dir)
+    if (atRoot.nonEmpty) throw new IllegalStateException(
+      s"ScdStore at $dir holds ${atRoot.length} data file(s) outside bucket=N/ partitions " +
+        s"(e.g. ${atRoot.head.getFileName}) — a flat-layout store is not readable through the " +
+        "bucket-partitioned layout; rebuild the store or migrate its files into bucket directories")
+    true
+  }
+
   private def changelog: Option[DataFrame] =
-    if (new java.io.File(dir).exists()) Some(spark.read.schema(schema).parquet(dir))
+    if (new java.io.File(dir).exists() && layoutOk) Some(spark.read.schema(schema).parquet(dir))
     else None // no batch committed yet
 
   /** Latest committed row per (user_id, version) among batches strictly
@@ -117,15 +136,22 @@ final class ScdStore(
     * per-batch point-in-time-enrich read (q196): a version for a user
     * outside the batch's buckets cannot join the batch, so the scan skips
     * those partition directories entirely. Same bounded bucket listing as
-    * the merge seed (≤ `buckets` driver rows).
+    * the merge seed (≤ `buckets` driver rows). A caller that already
+    * computed the batch's bucket set (to share it with [[merge]] — one
+    * pass over the micro-batch, not one per consumer) uses the
+    * `Seq[Int]` overload directly.
     */
-  def snapshotDfFor(keys: DataFrame): DataFrame =
-    latestRows(Long.MaxValue, Some(bucketsOf(keys))).getOrElse(emptySnapshot)
+  def snapshotDfFor(keys: DataFrame): DataFrame = snapshotDfFor(bucketsOf(keys))
+
+  def snapshotDfFor(keyBuckets: Seq[Int]): DataFrame =
+    latestRows(Long.MaxValue, Some(keyBuckets)).getOrElse(emptySnapshot)
 
   /** The distinct buckets of a key frame — a bounded driver list (≤
     * `buckets` rows by construction, a store constant), never data-sized.
+    * `private[graft]` so a foreachBatch that both merges AND enriches can
+    * compute it ONCE per trigger and hand it to each consumer.
     */
-  private def bucketsOf(keys: DataFrame): Seq[Int] =
+  private[graft] def bucketsOf(keys: DataFrame): Seq[Int] =
     keys.select(bucketOf(col("user_id")).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq
 
@@ -138,8 +164,15 @@ final class ScdStore(
     * repartitioned onto the bucket layout: at most `buckets` files per
     * batch, written in parallel.
     */
-  def merge(batchRaw: DataFrame, batchId: Long): Unit =
-    mergeRows(batchRaw, batchId)
+  def merge(batchRaw: DataFrame, batchId: Long): Unit = merge(batchRaw, batchId, None)
+
+  /** [[merge]] with the batch's bucket set already known (`knownBuckets`)
+    * — the shared-pass form for a foreachBatch that also enriches against
+    * [[snapshotDfFor]]: the caller computes [[bucketsOf]] once on the
+    * (persisted) micro-batch and neither consumer re-scans it.
+    */
+  def merge(batchRaw: DataFrame, batchId: Long, knownBuckets: Option[Seq[Int]]): Unit =
+    mergeRows(batchRaw, batchId, knownBuckets)
       .withColumn("batch_id", lit(batchId))
       .withColumn("bucket", bucketOf(col("user_id")))
       .repartition(buckets, col("bucket"))
@@ -150,11 +183,12 @@ final class ScdStore(
     * window, the open-version join, and the change-point windows, and the
     * seed scan must carry the bucket PartitionFilters prune).
     */
-  private[graft] def mergeRows(batchRaw: DataFrame, batchId: Long): DataFrame = {
+  private[graft] def mergeRows(
+      batchRaw: DataFrame, batchId: Long, knownBuckets: Option[Seq[Int]] = None): DataFrame = {
     // The batch's bucket set becomes the seed scan's partition filter —
     // lazy so the FIRST batch (no changelog yet → no seed scan) never
     // pays the listing pass over the batch.
-    lazy val batchBuckets: Seq[Int] = bucketsOf(batchRaw)
+    lazy val batchBuckets: Seq[Int] = knownBuckets.getOrElse(bucketsOf(batchRaw))
     val byKey = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val collapsed = batchRaw
       .withColumn("nxt_ts", lead(col("ts"), 1).over(byKey))

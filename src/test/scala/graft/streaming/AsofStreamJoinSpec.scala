@@ -7,6 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
 
+/** A multi-column quote payload for the genericity test — bid/ask plus a
+  * venue tag (top-level so the product encoder derives cleanly).
+  */
+final case class PxPayload(bid: Long, ask: Long, venue: String)
+
 /** The stream-stream as-of join (q198's operator) must land the batch
   * argmax semantics exactly — the board row byte-gates it against the
   * independent SQL formulation at 3 SFs; this spec pins the boundaries
@@ -18,18 +23,32 @@ import java.nio.file.Files
   *     that still wins any later trade's argmax (the per-key state bound);
   *   - quote-less trades emit the matched=0 sentinel row;
   *   - same-batch delivery order is irrelevant (resolution is
-  *     timer-driven, never within-batch).
+  *     timer-driven, never within-batch);
+  *   - GENERICITY: the operator is typed in (key, payload) — the Long/Long
+  *     board instantiation and a String-keyed multi-column-payload one run
+  *     the same kernel.
   */
 class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
   private val T0 = 1700000000L * 1000000L + 777L // non-ms-aligned µs
 
-  private def ev(uid: Long, us: Long, side: String, eid: Long, cents: Long = 0L): SideEvent = {
+  private def mkTs(us: Long): java.sql.Timestamp = {
     val ts = new java.sql.Timestamp(us / 1000L)
     ts.setNanos(((us % 1000000L) * 1000L).toInt)
-    SideEvent(ts, us, uid, side, eid, cents)
+    ts
   }
+
+  private def ev(uid: Long, us: Long, side: String, eid: Long, cents: Long = 0L): SideEvent[Long, Long] =
+    SideEvent(mkTs(us), us, uid, side, eid, cents)
+
+  /** The board instantiation's row: matched carries Some(cents), the
+    * matched=0 sentinel zeroes the q columns and has no payload.
+    */
+  private def row(
+      eid: Long, uid: Long, tus: Long, qus: Long, qeid: Long, cents: Long, m: Long): AsofRow[Long, Long] =
+    if (m == 1L) AsofRow(eid, uid, tus, qus, qeid, Some(cents), 1L)
+    else AsofRow(eid, uid, tus, 0L, 0L, None, 0L)
 
   // ---- the pure kernel
 
@@ -37,13 +56,13 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
     val st = JoinState(None, List(Quote(T0, 1L, 100L), Quote(T0, 2L, 200L), Quote(T0 + 5L, 3L, 300L)), Nil)
     // trade AT the later quote's instant: that quote qualifies (inclusive)
     assert(AsofStreamJoin.resolve(9L, Trade(T0 + 5L, 50L), st) ==
-      AsofRow(50L, 9L, T0 + 5L, T0 + 5L, 3L, 300L, 1L))
+      row(50L, 9L, T0 + 5L, T0 + 5L, 3L, 300L, 1L))
     // one µs before it: falls back to the T0 tie, higher event_id wins
     assert(AsofStreamJoin.resolve(9L, Trade(T0 + 4L, 51L), st) ==
-      AsofRow(51L, 9L, T0 + 4L, T0, 2L, 200L, 1L))
+      row(51L, 9L, T0 + 4L, T0, 2L, 200L, 1L))
     // before every quote: the matched=0 sentinel row
     assert(AsofStreamJoin.resolve(9L, Trade(T0 - 1L, 52L), st) ==
-      AsofRow(52L, 9L, T0 - 1L, 0L, 0L, 0L, 0L))
+      row(52L, 9L, T0 - 1L, 0L, 0L, 0L, 0L))
   }
 
   test("prune: quotes at-or-below the floor collapse to the single dominating anchor") {
@@ -60,15 +79,15 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
 
   // ---- end-to-end via MemoryStream
 
-  private def runStream(batches: Seq[Seq[SideEvent]]): Seq[AsofRow] =
+  private def runStream(batches: Seq[Seq[SideEvent[Long, Long]]]): Seq[AsofRow[Long, Long]] =
     runStreamWith(batches, ds => AsofStreamJoin.joined(ds))
 
   private def runStreamWith(
-      batches: Seq[Seq[SideEvent]],
-      join: org.apache.spark.sql.Dataset[SideEvent] => org.apache.spark.sql.Dataset[AsofRow])
-      : Seq[AsofRow] = {
+      batches: Seq[Seq[SideEvent[Long, Long]]],
+      join: org.apache.spark.sql.Dataset[SideEvent[Long, Long]] => org.apache.spark.sql.Dataset[AsofRow[Long, Long]])
+      : Seq[AsofRow[Long, Long]] = {
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[SideEvent]
+    val input = MemoryStream[SideEvent[Long, Long]]
     val tmp   = Files.createTempDirectory("graft-asof-spec")
     graft.sources.SessionMemo.deleteOnExit(tmp)
     val name = s"asof_spec_${System.nanoTime()}"
@@ -82,7 +101,7 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
     try {
       batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
     } finally q.stop()
-    spark.table(name).as[AsofRow].collect().toSeq.sortBy(r => (r.event_id, r.t_us))
+    spark.table(name).as[AsofRow[Long, Long]].collect().toSeq.sortBy(r => (r.event_id, r.t_us))
   }
 
   test("stream: emission only on watermark proof, exactly once, same-batch order irrelevant") {
@@ -95,13 +114,13 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
       Seq(ev(-1L, T0 + h, "__sentinel__", -1L)),
       Seq(ev(-1L, T0 + 2L * h, "__sentinel__", -1L))
     ))
-    assert(out == Seq(AsofRow(100L, 1L, T0 + h, T0, 10L, 500L, 1L)), s"got $out")
+    assert(out == Seq(row(100L, 1L, T0 + h, T0, 10L, 500L, 1L)), s"got $out")
   }
 
   test("stream: nothing emits while the trade's instant is still reachable by new quotes") {
     val h = 3600L * 1000000L
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[SideEvent]
+    val input = MemoryStream[SideEvent[Long, Long]]
     val tmp   = Files.createTempDirectory("graft-asof-spec")
     graft.sources.SessionMemo.deleteOnExit(tmp)
     val name = s"asof_spec_${System.nanoTime()}"
@@ -119,8 +138,8 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
       input.addData(ev(-1L, T0 + 3L * h, "__sentinel__", -1L))
       q.processAllAvailable()
     } finally q.stop()
-    val out = spark.table(name).as[AsofRow].collect().toSeq
-    assert(out == Seq(AsofRow(100L, 1L, T0 + h, T0 + h, 11L, 900L, 1L)),
+    val out = spark.table(name).as[AsofRow[Long, Long]].collect().toSeq
+    assert(out == Seq(row(100L, 1L, T0 + h, T0 + h, 11L, 900L, 1L)),
       s"the at-instant quote must win once the watermark proves finality: $out")
   }
 
@@ -133,7 +152,7 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
       Seq(ev(2, lateTrade, "t", 200L)),
       Seq(ev(-1L, lateTrade + h, "__sentinel__", -1L))
     ))
-    assert(out == Seq(AsofRow(200L, 2L, lateTrade, T0, 10L, 700L, 1L)),
+    assert(out == Seq(row(200L, 2L, lateTrade, T0, 10L, 700L, 1L)),
       s"the anchor must survive arbitrary watermark advance: $out")
   }
 
@@ -143,7 +162,7 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
       Seq(ev(3, T0, "t", 300L)),
       Seq(ev(-1L, T0 + h, "__sentinel__", -1L))
     ))
-    assert(out == Seq(AsofRow(300L, 3L, T0, 0L, 0L, 0L, 0L)), s"got $out")
+    assert(out == Seq(row(300L, 3L, T0, 0L, 0L, 0L, 0L)), s"got $out")
   }
 
   test("tolerance: in-window results identical to unbounded; out-of-window trades get matched=0") {
@@ -164,7 +183,7 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
     val h   = 3600L * 1000000L
     val tol = 5L * h
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[SideEvent]
+    val input = MemoryStream[SideEvent[Long, Long]]
     val tmp   = Files.createTempDirectory("graft-asof-spec")
     graft.sources.SessionMemo.deleteOnExit(tmp)
     val name = s"asof_spec_${System.nanoTime()}"
@@ -181,11 +200,40 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
       input.addData(ev(-1L, T0 + 40L * h, "__sentinel__", -1L))
       q.processAllAvailable()
     } finally q.stop()
-    val out = spark.table(name).as[AsofRow].collect().toSeq.sortBy(_.event_id)
+    val out = spark.table(name).as[AsofRow[Long, Long]].collect().toSeq.sortBy(_.event_id)
     assert(out == Seq(
-      AsofRow(100L, 1L, T0 + h, T0, 10L, 500L, 1L),
-      AsofRow(101L, 1L, T0 + 30L * h, 0L, 0L, 0L, 0L)),
+      row(100L, 1L, T0 + h, T0, 10L, 500L, 1L),
+      row(101L, 1L, T0 + 30L * h, 0L, 0L, 0L, 0L)),
       s"got $out")
+  }
+
+  test("tolerance stream: a quote-only key's anchor expires via its OWN timer — zero state with no further traffic") {
+    val h   = 3600L * 1000000L
+    val tol = 5L * h
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SideEvent[Long, Long]]
+    val tmp   = Files.createTempDirectory("graft-asof-spec")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val name = s"asof_spec_${System.nanoTime()}"
+    val q = AsofStreamJoin.joined(input.toDS(), tol)
+      .writeStream.queryName(name).outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt").format("memory").start()
+    def stateRows: Long = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+    try {
+      input.addData(ev(1, T0, "q", 10L, 500L)) // a quote, then SILENCE on key 1
+      q.processAllAvailable()
+      input.addData(ev(-1L, T0 + h, "__sentinel__", -1L)) // wm past the quote → it compacts to the anchor
+      q.processAllAvailable()
+      assert(stateRows == 1L, s"the anchor must still be held inside its window: $stateRows rows")
+      input.addData(ev(-1L, T0 + tol + 2L * h, "__sentinel__", -1L)) // wm past anchor + tol
+      q.processAllAvailable()
+      // the expiry must ride the key's own timer: NO event for key 1 ever
+      // arrives again, so retention-on-next-visit would hold the anchor
+      // forever — the bound the tolerance flavor's scaladoc promises
+      assert(stateRows == 0L,
+        s"a stale anchor must expire via its own armed timer, not wait for traffic: $stateRows rows")
+    } finally q.stop()
   }
 
   test("forward kernel: inclusive [t, t+tol] window, EARLIEST wins, ties to the LOWEST event_id") {
@@ -194,7 +242,7 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
     val st = JoinState(None, List(Quote(T0, 2L, 200L), Quote(T0, 1L, 100L), Quote(T0 + h, 3L, 300L)), Nil)
     // trade AT the first quotes' instant: at-or-after inclusive, tie → eid 1
     assert(AsofStreamJoin.resolveForward(9L, Trade(T0, 50L), st, tol) ==
-      AsofRow(50L, 9L, T0, T0, 1L, 100L, 1L))
+      row(50L, 9L, T0, T0, 1L, 100L, 1L))
     // between the ties and the later quote: only the later one is ahead
     assert(AsofStreamJoin.resolveForward(9L, Trade(T0 + 1L, 51L), st, tol).q_eid == 3L)
     // exactly at the window end qualifies; one µs past it does not
@@ -209,7 +257,7 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
     val h   = 3600L * 1000000L
     val tol = 5L * h
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[SideEvent]
+    val input = MemoryStream[SideEvent[Long, Long]]
     val tmp   = Files.createTempDirectory("graft-asof-spec")
     graft.sources.SessionMemo.deleteOnExit(tmp)
     val name = s"asof_spec_${System.nanoTime()}"
@@ -230,8 +278,8 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
       input.addData(ev(-1L, T0 + tol + h, "__sentinel__", -1L)) // window closed
       q.processAllAvailable()
     } finally q.stop()
-    val out = spark.table(name).as[AsofRow].collect().toSeq
-    assert(out == Seq(AsofRow(100L, 1L, T0, T0 + 3L * h, 10L, 800L, 1L)), s"got $out")
+    val out = spark.table(name).as[AsofRow[Long, Long]].collect().toSeq
+    assert(out == Seq(row(100L, 1L, T0, T0 + 3L * h, 10L, 800L, 1L)), s"got $out")
   }
 
   test("forward stream: quote-only keys retire to zero state; out-of-window trades emit matched=0") {
@@ -243,7 +291,7 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
       Seq(ev(2, T0 + 3L * tol, "t", 200L)),                 // far-later trade: nothing ahead of it
       Seq(ev(-1L, T0 + 5L * tol, "__sentinel__", -1L))
     ), ds => AsofStreamJoin.joinedForward(ds, tol))
-    assert(out == Seq(AsofRow(200L, 2L, T0 + 3L * tol, 0L, 0L, 0L, 0L)), s"got $out")
+    assert(out == Seq(row(200L, 2L, T0 + 3L * tol, 0L, 0L, 0L, 0L)), s"got $out")
   }
 
   test("nearest kernel: least |distance|, ties backward-first then the batch node's key rules") {
@@ -277,7 +325,7 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
     val h   = 3600L * 1000000L
     val tol = 5L * h
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[SideEvent]
+    val input = MemoryStream[SideEvent[Long, Long]]
     val tmp   = Files.createTempDirectory("graft-asof-spec")
     graft.sources.SessionMemo.deleteOnExit(tmp)
     val name = s"asof_spec_${System.nanoTime()}"
@@ -296,8 +344,8 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
       input.addData(ev(-1L, T0 + tol + h, "__sentinel__", -1L))
       q.processAllAvailable()
     } finally q.stop()
-    val out = spark.table(name).as[AsofRow].collect().toSeq
-    assert(out == Seq(AsofRow(100L, 1L, T0, T0 + h, 11L, 200L, 1L)),
+    val out = spark.table(name).as[AsofRow[Long, Long]].collect().toSeq
+    assert(out == Seq(row(100L, 1L, T0, T0 + h, 11L, 200L, 1L)),
       s"the closer forward quote must win: $out")
   }
 
@@ -315,16 +363,49 @@ class AsofStreamJoinSpec extends AnyFunSuite with SparkSpec {
       trades.map { case (u, us, e) => ev(u, us, "t", e) }
     val out = runStream(Seq(evs, Seq(ev(-1L, T0 + 100L * h, "__sentinel__", -1L))))
     // batch truth, computed by the oracle rule (argmax by ts then event_id)
-    def expect(uid: Long, tus: Long, teid: Long): AsofRow = {
+    def expect(uid: Long, tus: Long, teid: Long): AsofRow[Long, Long] = {
       val c = quotes.filter(q => q._1 == uid && q._2 <= tus)
-      if (c.isEmpty) AsofRow(teid, uid, tus, 0L, 0L, 0L, 0L)
+      if (c.isEmpty) row(teid, uid, tus, 0L, 0L, 0L, 0L)
       else {
         val b = c.maxBy(q => (q._2, q._3))
-        AsofRow(teid, uid, tus, b._2, b._3, b._4, 1L)
+        row(teid, uid, tus, b._2, b._3, b._4, 1L)
       }
     }
     val expected = trades.map { case (u, us, e) => expect(u, us, e) }
       .sortBy(r => (r.event_id, r.t_us))
     assert(out == expected, s"\n got $out\n exp $expected")
+  }
+
+  test("genericity: a String-keyed, multi-column-payload instantiation runs the same kernel") {
+    val h = 3600L * 1000000L
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SideEvent[String, PxPayload]]
+    val tmp   = Files.createTempDirectory("graft-asof-spec")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val name = s"asof_spec_${System.nanoTime()}"
+    val none = PxPayload(0L, 0L, "") // quotes carry real payloads; trades/sentinels a placeholder
+    def gev(key: String, us: Long, side: String, eid: Long, p: PxPayload = none): SideEvent[String, PxPayload] =
+      SideEvent(mkTs(us), us, key, side, eid, p)
+    val q = AsofStreamJoin.joined(input.toDS())
+      .writeStream.queryName(name).outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt").format("memory").start()
+    try {
+      input.addData(
+        gev("EURUSD", T0, "q", 1L, PxPayload(10850L, 10852L, "LSE")),
+        gev("EURUSD", T0 + h, "q", 2L, PxPayload(10860L, 10862L, "NYX")),
+        gev("GBPUSD", T0, "q", 3L, PxPayload(12700L, 12704L, "LSE")),
+        gev("EURUSD", T0 + 2L * h, "t", 100L),
+        gev("GBPUSD", T0 - h, "t", 101L)) // before every GBPUSD quote → unmatched
+      q.processAllAvailable()
+      input.addData(gev("__wm__", T0 + 10L * h, "__sentinel__", -1L))
+      q.processAllAvailable()
+      input.addData(gev("__wm__", T0 + 20L * h, "__sentinel__", -1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[AsofRow[String, PxPayload]].collect().toSeq.sortBy(_.event_id)
+    assert(out == Seq(
+      AsofRow(100L, "EURUSD", T0 + 2L * h, T0 + h, 2L, Some(PxPayload(10860L, 10862L, "NYX")), 1L),
+      AsofRow(101L, "GBPUSD", T0 - h, 0L, 0L, None, 0L)),
+      s"got $out")
   }
 }

@@ -161,6 +161,26 @@ class ScdStoreSpec extends AnyFunSuite with SparkSpec {
     assert(prunedUsers.subsetOf((1L to 32L).toSet))
   }
 
+  test("a legacy flat-layout store fails fast instead of silently dropping every open version") {
+    // A store directory written by the pre-bucketed (flat) layout reads
+    // `bucket` as NULL through the partitioned schema, so the seed scan's
+    // partition filter would silently drop every open version and a merge
+    // would renumber users from version 1 — the store must REFUSE the
+    // layout instead.
+    val tmp = Files.createTempDirectory("graft-scd-flat")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    // fabricate the legacy layout: data files at the store ROOT
+    Seq((1L, 1L, 100L, ts("2024-01-01 00:00:00"), ts(OpenEnd), 1L, 0L))
+      .toDF("user_id", "version", "cents", "valid_from", "valid_to", "is_current", "batch_id")
+      .write.parquet(s"$tmp/store")
+    val store = new ScdStore(spark, s"$tmp/store", OpenEnd)
+    val e = intercept[IllegalStateException](store.snapshotDf)
+    assert(e.getMessage.contains("outside bucket=N/"), e.getMessage)
+    val e2 = intercept[IllegalStateException](
+      store.merge(batchDf(Seq((10L, "2024-01-02 00:00:00", 1L, 2.00))), 1L))
+    assert(e2.getMessage.contains("flat-layout"), e2.getMessage)
+  }
+
   test("compact with a replay cutoff: a batch at/above the cutoff can still redeliver correctly") {
     // The crash window: batch 1's write landed, its checkpoint commit did
     // not, and compaction ran in between. With the cutoff at the last
