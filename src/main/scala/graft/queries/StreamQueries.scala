@@ -1410,7 +1410,21 @@ object StreamQueries {
     // the watermark clears its FORWARD half-window; the quote buffer is
     // bounded to the ±tolerance span around the floor, no anchor.
     "q202_asof_nearest_stream" -> ((s, dir) =>
-      asofStreamRun(s, dir, "asofnear", AsofToleranceHours * 3600L * 1000000L, mode = "nearest"))
+      asofStreamRun(s, dir, "asofnear", AsofToleranceHours * 3600L * 1000000L, mode = "nearest")),
+
+    // THE STATE-API-V2 STREAM-STREAM AS-OF — q198's backward-unbounded
+    // join re-run on `transformWithState` + RocksDB provider + per-key
+    // timers (streaming/AsofStreamV2), byte-gated against q198's EXACT
+    // oracle over the same two-epoch checkpoint split: the q178/q179
+    // (and q174/q181) cross-proof pattern applied to the engine's newest
+    // custom-state family. The kernel (argmax, anchor compaction, floor
+    // pruning) is shared code; what this row proves is the v2 MACHINERY —
+    // granular ListState buffers (O(1) hot-key appends instead of v1's
+    // whole-blob rewrite), explicit registerTimer/handleExpiredTimer
+    // resolution, and the anchor surviving a RocksDB checkpoint restore —
+    // lands the identical bytes.
+    "q203_asof_stream_v2" -> ((s, dir) =>
+      asofStreamRun(s, dir, "asofv2", Long.MaxValue, api = "v2"))
   )
 
   /** 48 h — wide enough that most trades match (the shipped corpora sit
@@ -1427,7 +1441,7 @@ object StreamQueries {
     */
   private def asofStreamRun(
       s: SparkSession, dir: String, tag: String, toleranceUs: Long,
-      mode: String = "backward"): DataFrame = {
+      mode: String = "backward", api: String = "v1"): DataFrame = {
     import s.implicits._
     val root  = asofInput(s, dir)
     val tmp   = freshTmp(tag)
@@ -1442,10 +1456,11 @@ object StreamQueries {
           col("ts"), unix_micros(col("ts")).as("us"), col("user_id").as("key"),
           col("side"), col("event_id"), col("cents").as("payload"))
         .as[graft.streaming.AsofStreamJoin.SideEvent[Long, Long]]
-      val joined = mode match {
-        case "forward" => graft.streaming.AsofStreamJoin.joinedForward(evs, toleranceUs)
-        case "nearest" => graft.streaming.AsofStreamJoin.joinedNearest(evs, toleranceUs)
-        case _         => graft.streaming.AsofStreamJoin.joined(evs, toleranceUs)
+      val joined = (api, mode) match {
+        case ("v2", _)        => graft.streaming.AsofStreamV2.joined(evs, toleranceUs)
+        case (_, "forward")   => graft.streaming.AsofStreamJoin.joinedForward(evs, toleranceUs)
+        case (_, "nearest")   => graft.streaming.AsofStreamJoin.joinedNearest(evs, toleranceUs)
+        case _                => graft.streaming.AsofStreamJoin.joined(evs, toleranceUs)
       }
       val q = joined
         .toDF()
@@ -1461,13 +1476,21 @@ object StreamQueries {
       try q.awaitTermination()
       finally q.stop()
     }
-    withStatePartitions(s) {
+    // the v2 state API requires the RocksDB provider (q181's conf scope)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    if (api == "v2") s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStatePartitions(s) {
       linkDataFiles(s"$root/in", watch, "run1")
       drain() // run 1: early epoch — boundary trades stay PENDING state
       linkDataFiles(s"$root/in2", watch, "run2")
       // forward/nearest must clear max + tolerance (the far sentinel)
       linkDataFiles(if (mode == "backward") s"$root/sent" else s"$root/sentf", watch, "sent")
       drain() // run 2: late epoch + sentinel — everything resolves
+    } finally if (api == "v2") prevProvider match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
     }
     s.read.parquet(s"$outP/batch=*").select(
       col("event_id"),
@@ -1825,6 +1848,10 @@ object StreamQueries {
       // stream's anchor compaction, pending-trade buffering and
       // watermark-proof emission must land these exact rows.
       "q198_asof_stream" -> asofOracle(window = ""),
+
+      // q198's oracle text verbatim: the transformWithState (v2) run must
+      // land the IDENTICAL bytes — the v1/v2 cross-proof on one oracle.
+      "q203_asof_stream_v2" -> asofOracle(window = ""),
 
       // Same formulation with the 48 h lookback window — the matched=0
       // class (a trade whose nearest quote is too old, or none at all)

@@ -1,0 +1,173 @@
+package graft.streaming
+
+import graft.streaming.AsofStreamJoin.{AsofRow, JoinState, Quote, SideEvent, Trade}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{
+  ExpiredTimerInfo,
+  ListState,
+  OutputMode,
+  StatefulProcessor,
+  TTLConfig,
+  TimeMode,
+  TimerValues,
+  ValueState
+}
+
+/** The BACKWARD stream-stream as-of join on Spark 4's `transformWithState`
+  * (state API v2, RocksDB provider) — the same contract as
+  * [[AsofStreamJoin.joined]] (latest at-or-before quote per trade, ties to
+  * the highest event_id, emission on watermark proof, exactly once), the
+  * q178/q179 cross-proof discipline applied to the engine's newest
+  * operator family: the q203 board row byte-gates this implementation
+  * against q198's EXACT oracle at 3 SFs across the same two-epoch
+  * checkpoint split, so the v1/v2 machineries are proven interchangeable
+  * on real bytes (the spec additionally proves anchor compaction survives
+  * a checkpoint restore on a crafted fixture).
+  *
+  * The kernel (fold / resolve / prune and their argmax proofs) is SHARED
+  * with the v1 operator — only the state machinery differs. What v2
+  * changes, and why it is the long-term API for this operator:
+  *
+  *   - GRANULAR TYPED STATE instead of one re-serialized blob:
+  *     `ListState` buffers for quotes and trades, a `ValueState` anchor.
+  *     v1 rewrites the WHOLE `JoinState` product on every fold; here an
+  *     arriving event is ONE `ListState.appendValue` (a RocksDB merge
+  *     write, never a read-modify-write of the key's whole buffer) — the
+  *     hot-key append cost is O(event), not O(buffered state).
+  *   - RESOLUTION ONLY ON TIMERS: `handleInputRows` does pure appends and
+  *     keeps at most ONE armed timer per key (re-armed earlier when a new
+  *     event's deadline precedes it; Spark fires input before expired
+  *     timers within a micro-batch, so a same-batch quote is always
+  *     folded before the timer's watermark proof — v1's exact ordering
+  *     rule). `handleExpiredTimer` runs the shared resolve/prune pass,
+  *     emits ripe trades, compacts the buffers (the one place the lists
+  *     ARE rewritten — bounded by the in-flight window, not by arrival
+  *     count), and re-arms at the earliest remaining deadline: a pending
+  *     trade, the newest quote (whose passage compacts the buffer), or —
+  *     under a finite tolerance — the anchor's own expiry.
+  *
+  * State bound: identical to v1 (one anchor + the in-flight window per
+  * key; zero under a finite tolerance once every reachable window has
+  * passed), because the pruning kernel is identical.
+  */
+object AsofStreamV2 {
+
+  /** At-most-one-armed-timer sentinel ([[StateV2Balances]]' NoTimer rule). */
+  private val NoTimer = Long.MinValue
+
+  final class BackwardAsofProcessor[K, P](
+      toleranceUs: Long,
+      quoteEnc: Encoder[Quote[P]],
+      outEnc: Encoder[AsofRow[K, P]] // carried for the caller; keeps the ctor total
+  ) extends StatefulProcessor[K, SideEvent[K, P], AsofRow[K, P]] {
+
+    @transient private var quotes: ListState[Quote[P]] = _
+    @transient private var trades: ListState[Trade]    = _
+    @transient private var anchor: ValueState[Quote[P]] = _
+    @transient private var armed: ValueState[Long]      = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      quotes = getHandle.getListState[Quote[P]]("quotes", quoteEnc, TTLConfig.NONE)
+      trades = getHandle.getListState[Trade]("trades", Encoders.product[Trade], TTLConfig.NONE)
+      anchor = getHandle.getValueState[Quote[P]]("anchor", quoteEnc, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Keep exactly one armed timer per key, moving it EARLIER only: a
+      * new deadline after the armed one can wait (the firing pass re-arms
+      * from the full remaining-deadline set), but a new deadline before
+      * it must not miss its proof instant.
+      */
+    private def arm(deadlineUs: Long, wmMs: Long): Unit = {
+      val at  = math.max(deadlineUs / 1000L + 1L, wmMs + 1L)
+      val cur = if (armed.exists()) armed.get() else NoTimer
+      if (cur == NoTimer || at < cur) {
+        if (cur != NoTimer) getHandle.deleteTimer(cur)
+        getHandle.registerTimer(at)
+        armed.update(at)
+      }
+    }
+
+    /** Pure appends — O(1) per event against RocksDB list state; no
+      * resolution here (v1's rule: never on within-batch evidence).
+      */
+    override def handleInputRows(
+        key: K,
+        rows: Iterator[SideEvent[K, P]],
+        timers: TimerValues
+    ): Iterator[AsofRow[K, P]] = {
+      var dMin = Long.MaxValue
+      rows.foreach { e =>
+        e.side match {
+          case "q" =>
+            quotes.appendValue(Quote(e.us, e.event_id, e.payload))
+            dMin = math.min(dMin, e.us) // its passage lets the buffer compact
+          case "t" =>
+            trades.appendValue(Trade(e.us, e.event_id))
+            dMin = math.min(dMin, e.us) // its finality instant
+          case _ => () // sentinel: advances the watermark, never forms state
+        }
+      }
+      if (dMin != Long.MaxValue) arm(dMin, timers.getCurrentWatermarkInMs)
+      Iterator.empty
+    }
+
+    /** The shared v1 kernel pass: resolve every watermark-proven trade,
+      * compact the quote buffer to the anchor, expire a stale anchor
+      * under a finite tolerance, re-arm for the earliest remaining
+      * deadline. Idempotent — an early or duplicate firing just re-runs
+      * the pass against the same watermark and changes nothing.
+      */
+    override def handleExpiredTimer(
+        key: K,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo
+    ): Iterator[AsofRow[K, P]] = {
+      armed.clear() // the fired timer is gone; anything below re-arms fresh
+      val wmUs = timers.getCurrentWatermarkInMs * 1000L
+      val st0 = JoinState[P](
+        if (anchor.exists()) Some(anchor.get()) else None,
+        quotes.get().toList,
+        trades.get().toList)
+      val (ripe, pending) = st0.trades.partition(_.us < wmUs)
+      val rows =
+        ripe.sortBy(t => (t.us, t.event_id)).map(t => AsofStreamJoin.resolve(key, t, st0, toleranceUs))
+      val floor = (wmUs :: pending.map(_.us)).min
+      val st    = AsofStreamJoin.prune(st0.copy(trades = pending), floor, toleranceUs)
+      if (st.isEmpty) { quotes.clear(); trades.clear(); anchor.clear(); armed.clear() }
+      else {
+        st.anchor match {
+          case Some(a) => anchor.update(a)
+          case None    => anchor.clear()
+        }
+        quotes.clear()
+        st.quotes.foreach(quotes.appendValue)
+        trades.clear()
+        st.trades.foreach(trades.appendValue)
+        val anchorExpiry =
+          if (toleranceUs < Long.MaxValue)
+            st.anchor.map(a => AsofStreamJoin.satAdd(a.us, toleranceUs)).toList
+          else Nil
+        val deadlines = pending.map(_.us) ++ st.quotes.map(_.us).maxOption.toList ++ anchorExpiry
+        deadlines.minOption.foreach(d => arm(d, timers.getCurrentWatermarkInMs))
+      }
+      rows.iterator
+    }
+  }
+
+  /** [[AsofStreamJoin.joined]] on the v2 state API. Run with
+    * `outputMode(Append)` and the RocksDB state-store provider (v2's
+    * required provider).
+    */
+  def joined[K, P](events: Dataset[SideEvent[K, P]], toleranceUs: Long = Long.MaxValue)(
+      implicit kEnc: Encoder[K],
+      qEnc: Encoder[Quote[P]],
+      outEnc: Encoder[AsofRow[K, P]]): Dataset[AsofRow[K, P]] =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.key)
+      .transformWithState(
+        new BackwardAsofProcessor[K, P](toleranceUs, qEnc, outEnc),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+}
