@@ -14,6 +14,12 @@ import java.nio.charset.StandardCharsets
   *     `controller/BalanceController.java:22-35` (store `get`, null→404).
   *   - `GET /v1/kafka-streams/topology` — the current plan text, twin of
   *     `controller/TopologyController.java:20-23` (`Topology#describe`).
+  *   - `GET /v1/kafka-streams/dim/{user}?at=T` — the BalanceController
+  *     contract extended to the SCD-2 dimension tier: the user's version
+  *     AT instant `T` (epoch-µs or `yyyy-MM-dd HH:mm:ss`), served from
+  *     [[ScdStore.lookup]]'s bucket-pruned, pushed-down parquet point
+  *     lookup; absent (unknown user, or `T` before their first version)
+  *     ⇒ 404, malformed user/instant ⇒ 400.
   *
   * Built on the JDK's `com.sun.net.httpserver` so the library adds no HTTP
   * dependency; a production deployment would front the same two functions
@@ -26,7 +32,8 @@ import java.nio.charset.StandardCharsets
 final class RestService(
     getBalance: String => Option[Long],
     describeTopology: () => String,
-    port: Int = 0 // 0 = ephemeral (tests); fixed port in deployment
+    port: Int = 0, // 0 = ephemeral (tests); fixed port in deployment
+    getDimAt: (Long, java.sql.Timestamp) => Option[String] = (_, _) => None
 ) {
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
@@ -57,6 +64,42 @@ final class RestService(
     "/v1/kafka-streams/topology",
     (ex: HttpExchange) => respondWith(ex)((200, describeTopology()))
   )
+
+  private val DimPath = "/v1/kafka-streams/dim/"
+
+  server.createContext(
+    DimPath,
+    (ex: HttpExchange) => respondWith(ex) {
+      val uid = ex.getRequestURI.getPath.stripPrefix(DimPath).toLongOption
+      val at = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split("&")
+        .collectFirst { case kv if kv.startsWith("at=") =>
+          java.net.URLDecoder.decode(kv.drop(3), StandardCharsets.UTF_8)
+        }
+        .flatMap(parseInstant)
+      (uid, at) match {
+        case (Some(u), Some(t)) =>
+          getDimAt(u, t) match {
+            case Some(body) => (200, body) // JSON: the version valid AT t
+            case None       => (404, "")   // unknown user / before first version
+          }
+        case _ =>
+          (400, "expected /dim/{user_id}?at=<epoch-micros | yyyy-MM-dd HH:mm:ss>")
+      }
+    }
+  )
+
+  /** `at` accepts exact epoch-µs (the engine's internal clock) or the
+    * store's own `yyyy-MM-dd HH:mm:ss[.f]` timestamp form.
+    */
+  private def parseInstant(s: String): Option[java.sql.Timestamp] =
+    s.toLongOption match {
+      case Some(us) =>
+        val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        Some(t)
+      case None => scala.util.Try(java.sql.Timestamp.valueOf(s)).toOption
+    }
 
   /** Handler exceptions map to a GENERIC 500 — the exception is logged, not
     * serialized into the body (internal detail leakage), and fatal JVM errors
@@ -91,4 +134,10 @@ object RestService {
   /** Wire the service straight onto a running topology. */
   def forTopology(running: PaymentPipeline.RunningTopology, planText: String, port: Int = 0): RestService =
     new RestService(running.store.get, () => planText, port)
+
+  /** The dim route's lookup function over a maintained [[ScdStore]] —
+    * `store.lookup` serialized to the route's JSON body.
+    */
+  def dimLookup(store: ScdStore): (Long, java.sql.Timestamp) => Option[String] =
+    (uid, at) => store.lookup(uid, at).map(_.toJson(uid))
 }

@@ -99,10 +99,13 @@ final class ScdStore(
     * filter — pruned at the file listing); None reads everything. By-name
     * so a no-changelog store never computes the bucket list at all.
     */
-  private def latestRows(beforeBatch: Long, onlyBuckets: => Option[Seq[Int]]): Option[DataFrame] =
+  private def latestRows(
+      beforeBatch: Long,
+      onlyBuckets: => Option[Seq[Int]],
+      pre: DataFrame => DataFrame = identity): Option[DataFrame] =
     changelog.map { log =>
-      onlyBuckets
-        .fold(log)(bs => log.filter(col("bucket").isin(bs.map(Integer.valueOf): _*)))
+      pre(onlyBuckets
+        .fold(log)(bs => log.filter(col("bucket").isin(bs.map(Integer.valueOf): _*))))
         .filter(col("batch_id") < beforeBatch)
         .groupBy(col("user_id"), col("version"))
         .agg(max_by(
@@ -154,6 +157,41 @@ final class ScdStore(
   private[graft] def bucketsOf(keys: DataFrame): Seq[Int] =
     keys.select(bucketOf(col("user_id")).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq
+
+  /** INTERACTIVE AS-OF POINT LOOKUP — `GET /dim/{user}?at=T`
+    * (BalanceController's store-get/404 contract, extended to the
+    * versioned dimension): the user's version whose validity interval
+    * contains `at` (`valid_from ≤ at < valid_to` — versions partition
+    * time, so at most one row qualifies), None ⇒ HTTP 404 (user unknown,
+    * or `at` before their first version).
+    *
+    * The scan is a real point lookup, not a table pass: the bucket
+    * predicate is `bucketOf(lit(userId))` — FOLDABLE, so Catalyst
+    * constant-folds it to the literal bucket id and the file listing
+    * prunes to ONE `bucket=N/` directory (the same single [[bucketOf]]
+    * definition the writes use — the map cannot drift) — and the
+    * `user_id` equality pushes into the parquet scan (row-group pruning).
+    * Cost per request = the one bucket's share of the changelog, which
+    * [[compact]] bounds; the plan is gated in ScdStoreSpec.
+    */
+  def lookup(userId: Long, at: java.sql.Timestamp): Option[ScdStore.VersionAt] =
+    lookupDf(userId, at).flatMap { df =>
+      df.collect().headOption.map(r =>
+        ScdStore.VersionAt(r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3)))
+    }
+
+  /** [[lookup]]'s frame (exposed for the plan gate: one-directory
+    * PartitionFilters + pushed user_id). None before the first commit.
+    */
+  private[graft] def lookupDf(userId: Long, at: java.sql.Timestamp): Option[DataFrame] =
+    latestRows(
+      Long.MaxValue,
+      None,
+      log => log
+        .filter(col("bucket") === bucketOf(lit(userId)))
+        .filter(col("user_id") === userId))
+      .map(_.filter(col("valid_from") <= lit(at) && lit(at) < col("valid_to"))
+        .select(col("version"), col("cents"), col("valid_from"), col("valid_to")))
 
   /** Apply one change batch (`user_id, ts, event_id, cents`): q192's exact
     * change-point chain — equal-ts last-write-wins collapse, then the
@@ -283,4 +321,20 @@ final class ScdStore(
 
   private def dataFiles: Seq[java.nio.file.Path] =
     graft.sources.DataFiles.listPartitioned(dir)
+}
+
+object ScdStore {
+
+  /** One user's version at an instant — [[ScdStore.lookup]]'s result. */
+  final case class VersionAt(
+      version: Long, cents: Long, validFrom: java.sql.Timestamp, validTo: java.sql.Timestamp) {
+
+    /** The REST body (the reference's hand-rolled serializer discipline,
+      * `serdes/JsonSerializer.java:20-29` — no reflection, stable field
+      * order; timestamps in the store's own `yyyy-MM-dd HH:mm:ss` form).
+      */
+    def toJson(userId: Long): String =
+      s"""{"user_id":$userId,"version":$version,"cents":$cents,""" +
+        s""""valid_from":"$validFrom","valid_to":"$validTo"}"""
+  }
 }

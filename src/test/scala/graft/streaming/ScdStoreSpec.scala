@@ -161,6 +161,48 @@ class ScdStoreSpec extends AnyFunSuite with SparkSpec {
     assert(prunedUsers.subsetOf((1L to 32L).toSet))
   }
 
+  test("as-of point lookup: interval boundaries, absent user, pre-history instant, open version") {
+    val store = freshStore()
+    store.merge(batchDf(Batch1), 0L)
+    store.merge(batchDf(Batch2), 1L)
+    // user 1's history: v1 [01-01, 01-02) 100c, v2 [01-02, 01-04) 200c, v3 [01-04, open) 300c
+    def at(s: String) = store.lookup(1L, ts(s)).map(v => (v.version, v.cents))
+    assert(at("2024-01-01 00:00:00") == Some((1L, 100L)), "valid_from is INCLUSIVE")
+    assert(at("2024-01-01 23:59:59") == Some((1L, 100L)))
+    assert(at("2024-01-02 00:00:00") == Some((2L, 200L)), "valid_to is EXCLUSIVE — the next version owns it")
+    assert(at("2024-01-03 12:00:00") == Some((2L, 200L)),
+      "the cross-boundary no-op must not split v2's interval")
+    assert(at("2024-01-04 00:00:00") == Some((3L, 300L)))
+    assert(at("2199-12-31 00:00:00") == Some((3L, 300L)), "the open version serves any future instant")
+    assert(at("2023-12-31 23:59:59") == None, "an instant before the first version is a 404")
+    assert(store.lookup(999L, ts("2024-01-02 00:00:00")) == None, "an unknown user is a 404")
+    // the REST body carries the version's full interval
+    val j = store.lookup(1L, ts("2024-01-02 12:00:00")).get.toJson(1L)
+    assert(j.contains("\"version\":2") && j.contains("\"cents\":200")
+      && j.contains("2024-01-02 00:00:00") && j.contains("2024-01-04 00:00:00"), j)
+  }
+
+  test("as-of lookup is a POINT read: one-bucket partition prune + pushed user_id (plan gate)") {
+    val tmp = Files.createTempDirectory("graft-scd-lookup")
+    graft.sources.SessionMemo.deleteOnExit(tmp)
+    val store = new ScdStore(spark, s"$tmp/store", OpenEnd, buckets = 4)
+    val wide  = (1L to 32L).map(u => (100L + u, "2024-01-01 00:00:00", u, u.toDouble))
+    store.merge(batchDf(wide), 0L)
+    val df = store.lookupDf(7L, ts("2024-06-01 00:00:00")).get
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    // the foldable bucketOf(lit(7)) must have constant-folded into a
+    // single-literal partition filter — ONE bucket directory listed
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(scans).map(_.group(1)).filter(_.contains("bucket")).toSeq
+    assert(pf.nonEmpty, "lookup scan must carry a bucket partition filter:\n" + scans.take(1200))
+    assert(pf.exists("bucket#\\d+ = \\d+".r.findFirstIn(_).isDefined),
+      s"the bucket predicate must fold to a literal equality, got $pf")
+    // and the key equality reaches the parquet reader
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(user_id,7\\)".r.findFirstIn(scans).isDefined,
+      "user_id = 7 must push into the scan:\n" + scans.take(1200))
+    assert(store.lookup(7L, ts("2024-06-01 00:00:00")).map(_.cents) == Some(700L))
+  }
+
   test("a legacy flat-layout store fails fast instead of silently dropping every open version") {
     // A store directory written by the pre-bucketed (flat) layout reads
     // `bucket` as NULL through the partitioned schema, so the seed scan's
