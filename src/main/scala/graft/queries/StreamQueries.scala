@@ -1419,10 +1419,11 @@ object StreamQueries {
     // (and q174/q181) cross-proof pattern applied to the engine's newest
     // custom-state family. The kernel (argmax, anchor compaction, floor
     // pruning) is shared code; what this row proves is the v2 MACHINERY —
-    // granular ListState buffers (O(1) hot-key appends instead of v1's
-    // whole-blob rewrite), explicit registerTimer/handleExpiredTimer
-    // resolution, and the anchor surviving a RocksDB checkpoint restore —
-    // lands the identical bytes.
+    // granular ListState buffers (per-arrival merge appends instead of
+    // v1's whole-blob rewrite; burst caveat measured in HotKeyStressSpec),
+    // explicit registerTimer/handleExpiredTimer resolution, and the
+    // anchor surviving a RocksDB checkpoint restore — lands the identical
+    // bytes.
     "q203_asof_stream_v2" -> ((s, dir) =>
       asofStreamRun(s, dir, "asofv2", Long.MaxValue, api = "v2"))
   )

@@ -32,8 +32,14 @@ import org.apache.spark.sql.streaming.{
   *     `ListState` buffers for quotes and trades, a `ValueState` anchor.
   *     v1 rewrites the WHOLE `JoinState` product on every fold; here an
   *     arriving event is ONE `ListState.appendValue` (a RocksDB merge
-  *     write, never a read-modify-write of the key's whole buffer) — the
-  *     hot-key append cost is O(event), not O(buffered state).
+  *     write, never a read-modify-write of the key's whole buffer).
+  *     MEASURED caveat (HotKeyStressSpec, SCALE.md §hot-key): Spark
+  *     4.1.2's merge path slows as a key's operand list grows within one
+  *     lifecycle, so an EXTREME single-batch single-key burst (tens of
+  *     thousands of events) runs minutes here vs seconds on v1's
+  *     in-memory fold — at production key distributions (q203's corpora)
+  *     the two are equivalent, and the hot-key mitigation for both APIs
+  *     is the tolerance bound, not the state layout.
   *   - RESOLUTION ONLY ON TIMERS: `handleInputRows` does pure appends and
   *     keeps at most ONE armed timer per key (re-armed earlier when a new
   *     event's deadline precedes it; Spark fires input before expired
