@@ -29,17 +29,16 @@ import org.apache.spark.sql.streaming.{
   * changes, and why it is the long-term API for this operator:
   *
   *   - GRANULAR TYPED STATE instead of one re-serialized blob:
-  *     `ListState` buffers for quotes and trades, a `ValueState` anchor.
-  *     v1 rewrites the WHOLE `JoinState` product on every fold; here an
-  *     arriving event is ONE `ListState.appendValue` (a RocksDB merge
-  *     write, never a read-modify-write of the key's whole buffer).
-  *     MEASURED caveat (HotKeyStressSpec, SCALE.md §hot-key): Spark
-  *     4.1.2's merge path slows as a key's operand list grows within one
-  *     lifecycle, so an EXTREME single-batch single-key burst (tens of
-  *     thousands of events) runs minutes here vs seconds on v1's
-  *     in-memory fold — at production key distributions (q203's corpora)
-  *     the two are equivalent, and the hot-key mitigation for both APIs
-  *     is the tolerance bound, not the state layout.
+  *     `ListState` buffers for quotes and trades, a `ValueState` anchor —
+  *     appends merge into the store without rewriting the key's whole
+  *     buffer (v1 re-serializes the full `JoinState` product on every
+  *     fold). MEASURED discipline (HotKeyStressSpec, SCALE.md §hot-key):
+  *     per-ARRIVAL `appendValue` is superlinear in Spark 4.1.2's RocksDB
+  *     merge path (a 16k single-key single-batch burst took 736 s), so
+  *     `handleInputRows` buffers each invocation's arrivals and writes
+  *     ONE `appendList` per side per trigger — the same burst lands in
+  *     ~4 s, matching v1's fold envelope, while steady traffic keeps the
+  *     no-blob-rewrite advantage.
   *   - RESOLUTION ONLY ON TIMERS: `handleInputRows` does pure appends and
   *     keeps at most ONE armed timer per key (re-armed earlier when a new
   *     event's deadline precedes it; Spark fires input before expired
@@ -66,6 +65,12 @@ object AsofStreamV2 {
       quoteEnc: Encoder[Quote[P]],
       outEnc: Encoder[AsofRow[K, P]] // carried for the caller; keeps the ctor total
   ) extends StatefulProcessor[K, SideEvent[K, P], AsofRow[K, P]] {
+
+    /** Runtime array tag for Quote[P] — erasure makes every instantiation
+      * a plain Quote[], which is exactly what the store's appendList needs.
+      */
+    private val quoteTag: scala.reflect.ClassTag[Quote[P]] =
+      scala.reflect.ClassTag[Quote[P]](classOf[Quote[_]])
 
     @transient private var quotes: ListState[Quote[P]] = _
     @transient private var trades: ListState[Trade]    = _
@@ -94,7 +99,10 @@ object AsofStreamV2 {
       }
     }
 
-    /** Pure appends — O(1) per event against RocksDB list state; no
+    /** Pure appends — buffered per invocation and written as ONE
+      * `appendList` merge per side (a key's whole micro-batch burst costs
+      * one RocksDB merge write, not one per arrival — the batching that
+      * keeps the per-event store overhead off the hot path). No
       * resolution here (v1's rule: never on within-batch evidence).
       */
     override def handleInputRows(
@@ -102,18 +110,22 @@ object AsofStreamV2 {
         rows: Iterator[SideEvent[K, P]],
         timers: TimerValues
     ): Iterator[AsofRow[K, P]] = {
+      val qs   = scala.collection.mutable.ArrayBuffer.empty[Quote[P]]
+      val ts   = scala.collection.mutable.ArrayBuffer.empty[Trade]
       var dMin = Long.MaxValue
       rows.foreach { e =>
         e.side match {
           case "q" =>
-            quotes.appendValue(Quote(e.us, e.event_id, e.payload))
+            qs += Quote(e.us, e.event_id, e.payload)
             dMin = math.min(dMin, e.us) // its passage lets the buffer compact
           case "t" =>
-            trades.appendValue(Trade(e.us, e.event_id))
+            ts += Trade(e.us, e.event_id)
             dMin = math.min(dMin, e.us) // its finality instant
           case _ => () // sentinel: advances the watermark, never forms state
         }
       }
+      if (qs.nonEmpty) quotes.appendList(qs.toArray(quoteTag))
+      if (ts.nonEmpty) trades.appendList(ts.toArray)
       if (dMin != Long.MaxValue) arm(dMin, timers.getCurrentWatermarkInMs)
       Iterator.empty
     }
@@ -147,9 +159,9 @@ object AsofStreamV2 {
           case None    => anchor.clear()
         }
         quotes.clear()
-        st.quotes.foreach(quotes.appendValue)
+        if (st.quotes.nonEmpty) quotes.appendList(st.quotes.toArray(quoteTag))
         trades.clear()
-        st.trades.foreach(trades.appendValue)
+        if (st.trades.nonEmpty) trades.appendList(st.trades.toArray)
         val anchorExpiry =
           if (toleranceUs < Long.MaxValue)
             st.anchor.map(a => AsofStreamJoin.satAdd(a.us, toleranceUs)).toList

@@ -248,17 +248,17 @@ class HotKeyStressSpec extends AnyFunSuite with SparkSpec {
     assert(v1 == Seq(expected) && v2 == v1, s"\n v1 $v1\n v2 $v2")
   }
 
-  test("MEASURED: the v2 RocksDB list-append path degrades superlinearly on extreme single-batch single-key bursts") {
-    // The honest v2 hot-key envelope (SCALE.md §hot-key carries the full
-    // curve): ListState.appendValue is a RocksDB merge per arrival — no
-    // whole-buffer rewrite like v1's blob update, BUT Spark 4.1.2's merge
-    // path slows with the key's accumulated operand list, so a single
-    // micro-batch burst of tens of thousands of events on ONE key is
-    // where v1's in-memory fold wins (a 20k burst measured MINUTES on v2
-    // vs seconds on v1 on this box). Sizes here are kept small for suite
-    // time; the assertion pins the per-append cost GROWING with burst
-    // size — the superlinearity itself, so a regression (or a Spark fix)
-    // surfaces. Override via GRAFT_HOTKEY_V2N="a,b" for the full curve.
+  test("MEASURED: one appendList merge per key per trigger keeps hot-key bursts absorbable (v2)") {
+    // The measured history behind the processor's batching (SCALE.md
+    // §hot-key carries both curves): per-ARRIVAL ListState.appendValue is
+    // superlinear in Spark 4.1.2's RocksDB merge path — a 16k single-key
+    // single-batch burst took 736 s (4 k → 16 k cost 40× the wall).
+    // handleInputRows therefore buffers the invocation's arrivals and
+    // writes ONE appendList per side — the same 16 k burst now lands in
+    // ~4 s, matching v1's fold envelope. The guard pins the FIXED
+    // behavior: a 16k-scale burst must stay within the one-merge budget
+    // (a regression back to per-arrival cost would blow the bound by two
+    // orders). Override sizes via GRAFT_HOTKEY_V2N="a,b" for full curves.
     val sizes = sys.env.getOrElse("GRAFT_HOTKEY_V2N", "500,2000")
       .split(",").map(_.trim.toInt).toSeq
     val timed = withRocksDb {
@@ -270,11 +270,10 @@ class HotKeyStressSpec extends AnyFunSuite with SparkSpec {
         (n, ms, perAppendUs)
       }
     }
-    // growth check only at sizes where the fixed StreamingQuery lifecycle
-    // cost (~seconds) no longer dominates the per-append signal
-    if (timed.head._1 >= 4000 && timed.last._1 >= 4 * timed.head._1)
-      assert(timed.last._3 > timed.head._3,
-        s"per-append cost no longer grows with burst size — Spark's merge path may have " +
-          s"improved; re-measure and update SCALE.md §hot-key: $timed")
+    timed.filter(_._1 >= 16000).foreach { case (n, ms, _) =>
+      assert(ms < 60000L,
+        s"a $n-event single-key burst took ${ms} ms — two orders over the one-merge " +
+          s"budget; the per-arrival append regression is back, re-measure SCALE.md §hot-key")
+    }
   }
 }
