@@ -1425,7 +1425,18 @@ object StreamQueries {
     // anchor surviving a RocksDB checkpoint restore — lands the identical
     // bytes.
     "q203_asof_stream_v2" -> ((s, dir) =>
-      asofStreamRun(s, dir, "asofv2", Long.MaxValue, api = "v2"))
+      asofStreamRun(s, dir, "asofv2", Long.MaxValue, api = "v2")),
+
+    // THE TOLERANCE FLAVOR ON STATE API v2 — q200's 48 h bounded-lookback
+    // join on transformWithState: same shared kernel, but the v2 timer
+    // machinery now has to carry the ANCHOR-EXPIRY deadline too (a
+    // quote-only key's anchor retires via its own registered timer once
+    // every reachable window has passed — the zero-steady-state bound,
+    // RocksDB edition). Byte-gated against q200's exact oracle; with
+    // q203 this cross-proves BOTH ends of the backward family's state
+    // spectrum (irreducible one-anchor vs fully-expiring) on both APIs.
+    "q204_asof_tolerance_v2" -> ((s, dir) =>
+      asofStreamRun(s, dir, "asoftolv2", AsofToleranceHours * 3600L * 1000000L, api = "v2"))
   )
 
   /** 48 h — wide enough that most trades match (the shipped corpora sit
@@ -1858,6 +1869,11 @@ object StreamQueries {
       // class (a trade whose nearest quote is too old, or none at all)
       // hashes its NULLs like any other row.
       "q200_asof_tolerance_stream" ->
+        asofOracle(window = s" AND q.ts >= t.ts - INTERVAL $AsofToleranceHours HOUR"),
+
+      // q200's oracle text verbatim: the v2 run of the tolerance flavor
+      // must land the identical bytes (the q203 cross-proof, bounded end).
+      "q204_asof_tolerance_v2" ->
         asofOracle(window = s" AND q.ts >= t.ts - INTERVAL $AsofToleranceHours HOUR"),
 
       // The FORWARD direction: window flipped to [t, t + tol], argmin by
