@@ -114,6 +114,25 @@ object Plans {
       val split   = timestamp_micros(lit(splitUs))
       store.merge(feed.filter(col("ts") < split), 0L)
       store.mergeRows(feed.filter(col("ts") >= split), 1L)
+    }),
+    // The interactive REST point read (GET /dim/{user}?at=T): the dump
+    // must show the bucket predicate CONSTANT-FOLDED into a one-directory
+    // partition filter and the user_id equality in PushedFilters — a true
+    // point lookup over the bucket-partitioned changelog, never a store
+    // pass.
+    "scd_asof_lookup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft-scd-lookup-plan")
+      graft.sources.SessionMemo.deleteOnExit(tmpDir)
+      val store = new graft.streaming.ScdStore(
+        s, s"$tmpDir/store", graft.queries.EventQueries.ScdOpenEnd)
+      val feed = graft.sources.Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      store.merge(feed, 0L)
+      val uid = feed.select(expr("min(user_id)")).head().getLong(0)
+      store.lookupDf(uid, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))
+        .getOrElse(sys.error("scd_asof_lookup: store is empty — no lookup plan to dump"))
     })
   )
 
