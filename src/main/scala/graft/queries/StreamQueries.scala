@@ -90,8 +90,11 @@ object StreamQueries {
     * the batch shuffle width. Scoped per run via [[withStatePartitions]] —
     * the fresh checkpoint pins the count at query start, and the session
     * conf is restored before the registered query returns.
+    * `GRAFT_STATE_PARTITIONS` overrides the count — the second measured
+    * knob of SCALE.md §v2-premium.
     */
-  private val StreamStatePartitions = 8
+  private val StreamStatePartitions =
+    sys.env.get("GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(8)
 
   private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
@@ -99,6 +102,30 @@ object StreamQueries {
       s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
       body
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  /** Pin the RocksDB state-store provider (required by the state API v2
+    * rows) for the scope of `body`, restoring the session conf after.
+    * `GRAFT_ROCKSDB_CHANGELOG=1` additionally enables RocksDB CHANGELOG
+    * checkpointing for the scope (per-batch delta upload instead of a
+    * full snapshot per store per batch) — the measured v2-premium knob
+    * of SCALE.md §v2-premium; the committed default stays whichever form
+    * that table shows winning.
+    */
+  private def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val clogKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevP = s.conf.getOption(providerKey)
+    val prevC = s.conf.getOption(clogKey)
+    def restore(k: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => s.conf.set(k, v)
+      case None    => s.conf.unset(k)
+    }
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    sys.env.get("GRAFT_ROCKSDB_CHANGELOG").foreach(v => s.conf.set(clogKey, v == "1"))
+    try body
+    finally { restore(providerKey, prevP); restore(clogKey, prevC) }
   }
 
   // ---- Named session-memoized input builders — one per streaming family.
@@ -894,13 +921,9 @@ object StreamQueries {
     // this row proves the v2 runtime's BYTES.
     "q181_state_v2_stream" -> ((s, dir) => {
       import s.implicits._
-      val in          = s"${sessInput(s, dir)}/in"
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev        = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val in = s"${sessInput(s, dir)}/in"
       val log =
-        try withStatePartitions(s)(runSinked(s, "twsbal") { (ckpt, sink) =>
+        withRocksDb(s)(withStatePartitions(s)(runSinked(s, "twsbal") { (ckpt, sink) =>
           val timed = streamFrom(s, in)
             .filter(col("user_id") >= 0) // the watermark sentinel is not a payer
             .select(
@@ -924,11 +947,7 @@ object StreamQueries {
               ()
             }
             .start()
-        })
-        finally prev match {
-          case Some(v) => s.conf.set(providerKey, v)
-          case None    => s.conf.unset(providerKey)
-        }
+        }))
       val latest = org.apache.spark.sql.expressions.Window
         .partitionBy(col("fromAccount"))
         .orderBy(col("batch_id").desc)
@@ -1247,56 +1266,7 @@ object StreamQueries {
     // funnel). Non-funnel event types are filtered BEFORE the key
     // shuffle; the sentinel survives the filter (user −1) to advance the
     // watermark, and never forms state.
-    "q194_funnel_stream" -> ((s, dir) => {
-      import s.implicits._
-      val root  = funnelInput(s, dir)
-      val tmp   = freshTmp("funnel")
-      val watch = s"$tmp/watch"
-      val outP  = s"$tmp/out"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
-      def drain(): Unit = {
-        val evs = s.readStream
-          .schema(s.read.parquet(s"$root/sent").schema) // sent always has a file
-          .parquet(watch)
-          .filter(
-            col("event_type").isin("view", "click", "purchase") || col("user_id") === -1L)
-          .select(
-            col("ts"), unix_micros(col("ts")).as("us"), col("user_id"), col("event_type"))
-          .as[graft.streaming.FunnelTracker.FunnelEvent]
-        val q = graft.streaming.FunnelTracker
-          .funnels(evs, EventQueries.FunnelStepUs, EventQueries.FunnelHorizonUs)
-          .toDF()
-          .writeStream
-          .outputMode("append")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            // idempotent per-batch-partition overwrite (the q196/q182
-            // recipe): a batch replayed after a crash-between-write-and-
-            // commit rewrites its own partition, never double-appends
-            batch.write.mode("overwrite").parquet(s"$outP/batch=$id")
-            ()
-          }
-          .start()
-        try q.awaitTermination() // AvailableNow stops the query itself
-        finally q.stop()
-      }
-      withStatePartitions(s) {
-        linkDataFiles(s"$root/in", watch, "run1")
-        drain() // run 1: early epoch → early entrants close and emit
-        linkDataFiles(s"$root/in2", watch, "run2")
-        linkDataFiles(s"$root/sent", watch, "sent")
-        drain() // run 2: late epoch + sentinel → straddlers + the rest emit
-      }
-      s.read.parquet(s"$outP/batch=*").select(
-        col("user_id"),
-        timestamp_micros(col("t1_us")).as("t1"),
-        timestamp_micros(col("t2_us")).as("t2"), // 0 µs = the q191 epoch sentinel
-        timestamp_micros(col("t3_us")).as("t3"),
-        col("stage"),
-        col("completed"))
-        .orderBy(col("user_id"))
-    }),
+    "q194_funnel_stream" -> ((s, dir) => funnelStreamRun(s, dir, "funnel")),
 
     // THE STREAMING FUNNEL UNDER A FINITE ENTRANT TTL — q194's exact
     // pipeline with FunnelTracker's tombstone TTL armed at the CORPUS
@@ -1309,58 +1279,28 @@ object StreamQueries {
     // on synthetic deliveries. At 100 TB this is the variant a deployment
     // actually runs: per-entrant state goes to ZERO once the watermark
     // passes close + TTL, instead of one tombstone per entrant forever.
-    "q199_funnel_ttl_stream" -> ((s, dir) => {
-      import s.implicits._
-      val spanUs = Tables.events(s, dir)
-        .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span"))
-        .head().getLong(0)
-      val root  = funnelInput(s, dir)
-      val tmp   = freshTmp("funnelttl")
-      val watch = s"$tmp/watch"
-      val outP  = s"$tmp/out"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
-      def drain(): Unit = {
-        val evs = s.readStream
-          .schema(s.read.parquet(s"$root/sent").schema)
-          .parquet(watch)
-          .filter(
-            col("event_type").isin("view", "click", "purchase") || col("user_id") === -1L)
-          .select(
-            col("ts"), unix_micros(col("ts")).as("us"), col("user_id"), col("event_type"))
-          .as[graft.streaming.FunnelTracker.FunnelEvent]
-        val q = graft.streaming.FunnelTracker
-          .funnels(
-            evs, EventQueries.FunnelStepUs, EventQueries.FunnelHorizonUs,
-            tombstoneTtlUs = spanUs)
-          .toDF()
-          .writeStream
-          .outputMode("append")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            batch.write.mode("overwrite").parquet(s"$outP/batch=$id")
-            ()
-          }
-          .start()
-        try q.awaitTermination()
-        finally q.stop()
-      }
-      withStatePartitions(s) {
-        linkDataFiles(s"$root/in", watch, "run1")
-        drain()
-        linkDataFiles(s"$root/in2", watch, "run2")
-        linkDataFiles(s"$root/sent", watch, "sent")
-        drain()
-      }
-      s.read.parquet(s"$outP/batch=*").select(
-        col("user_id"),
-        timestamp_micros(col("t1_us")).as("t1"),
-        timestamp_micros(col("t2_us")).as("t2"),
-        timestamp_micros(col("t3_us")).as("t3"),
-        col("stage"),
-        col("completed"))
-        .orderBy(col("user_id"))
-    }),
+    "q199_funnel_ttl_stream" -> ((s, dir) =>
+      funnelStreamRun(s, dir, "funnelttl", spanTtl = true)),
+
+    // THE STREAMING FUNNEL ON STATE API v2 — q194's exact pipeline with
+    // the ordered-pattern state on `transformWithState` + RocksDB +
+    // explicit timers (streaming/FunnelTrackerV2, shared v1 kernel:
+    // granular ListState candidate buffers with the one-appendList-per-
+    // trigger batching rule, ValueState t1/tombstone, resolution only on
+    // handleExpiredTimer). Byte-gated against q191's EXACT oracle across
+    // the two-epoch checkpoint split — with q203–q206 this proves EVERY
+    // custom-state family the engine owns on both state APIs.
+    "q207_funnel_v2" -> ((s, dir) => funnelStreamRun(s, dir, "funnelv2", api = "v2")),
+
+    // THE ENTRANT-TTL FLAVOR ON STATE API v2 — q199's corpus-span
+    // tombstone TTL on transformWithState: the v2 timer machinery
+    // carries the tombstone's own event-time expiry (state → ZERO past
+    // close + TTL, RocksDB edition; FunnelTrackerV2Spec proves the
+    // expiry/re-entry path on crafted deliveries). Byte-gated against
+    // q191's oracle — the TTL contract ("in-TTL results unchanged") on
+    // the v2 store.
+    "q208_funnel_ttl_v2" -> ((s, dir) =>
+      funnelStreamRun(s, dir, "funnelttlv2", spanTtl = true, api = "v2")),
 
     // STREAM-STREAM AS-OF JOIN — the missing as-of flavor: the batch
     // family (q80–q114) covers 3 directions × inner/outer × tolerance and
@@ -1436,7 +1376,32 @@ object StreamQueries {
     // q203 this cross-proves BOTH ends of the backward family's state
     // spectrum (irreducible one-anchor vs fully-expiring) on both APIs.
     "q204_asof_tolerance_v2" -> ((s, dir) =>
-      asofStreamRun(s, dir, "asoftolv2", AsofToleranceHours * 3600L * 1000000L, api = "v2"))
+      asofStreamRun(s, dir, "asoftolv2", AsofToleranceHours * 3600L * 1000000L, api = "v2")),
+
+    // THE FORWARD FLAVOR ON STATE API v2 — q201's earliest-at-or-after
+    // join on transformWithState (the mode-parameterized AsofProcessor,
+    // same shared v1 kernel as q203/q204): the v2 machinery now carries
+    // the forward discipline's two distinctives — NO anchor ever forms
+    // (pruneForward's proof: a quote behind the floor precedes every
+    // reachable trade), and a trade's finality timer sits at its
+    // look-AHEAD window END (t + tol), not its own instant. Byte-gated
+    // against q201's EXACT oracle across the two-epoch checkpoint split
+    // (the far sentinel `/sentf` closes the windows in run 2).
+    "q205_asof_forward_v2" -> ((s, dir) =>
+      asofStreamRun(s, dir, "asoffwdv2",
+        AsofToleranceHours * 3600L * 1000000L, mode = "forward", api = "v2")),
+
+    // THE NEAREST FLAVOR ON STATE API v2 — q202's least-|Δ| join on
+    // transformWithState: the ±tolerance two-sided buffer (quotes retire
+    // at q.us + tol — only then is no reachable trade's window able to
+    // cover them) and the batch merge node's exact tie chain, on RocksDB
+    // granular state + explicit timers. Byte-gated against q202's EXACT
+    // oracle; with q203–q205 this completes the 3-direction × 2-API
+    // matrix — every streaming as-of flavor is now cross-proven on both
+    // state APIs against one independent SQL formulation per direction.
+    "q206_asof_nearest_v2" -> ((s, dir) =>
+      asofStreamRun(s, dir, "asofnearv2",
+        AsofToleranceHours * 3600L * 1000000L, mode = "nearest", api = "v2"))
   )
 
   /** 48 h — wide enough that most trades match (the shipped corpora sit
@@ -1451,6 +1416,81 @@ object StreamQueries {
     * shape), idempotent per-batch-partition sink, matched=0 sentinel
     * fields surfaced as SQL NULLs.
     */
+  /** The q194/q199/q207/q208 shared execution: the filtered funnel events
+    * feed through [[graft.streaming.FunnelTracker]] (v1) or
+    * [[graft.streaming.FunnelTrackerV2]] (state API v2 + RocksDB) as TWO
+    * Trigger.AvailableNow runs over ONE checkpoint (the q188 ingest
+    * shape), idempotent per-batch-partition sink; `spanTtl` arms the
+    * tombstone TTL at the corpus span (data-derived, one cheap events agg
+    * — never a wall-clock literal).
+    */
+  private def funnelStreamRun(
+      s: SparkSession, dir: String, tag: String,
+      spanTtl: Boolean = false, api: String = "v1"): DataFrame = {
+    import s.implicits._
+    val ttlUs =
+      if (spanTtl)
+        Tables.events(s, dir)
+          .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span"))
+          .head().getLong(0)
+      else Long.MaxValue
+    val root  = funnelInput(s, dir)
+    val tmp   = freshTmp(tag)
+    val watch = s"$tmp/watch"
+    val outP  = s"$tmp/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+    def drain(): Unit = {
+      val evs = s.readStream
+        .schema(s.read.parquet(s"$root/sent").schema) // sent always has a file
+        .parquet(watch)
+        .filter(
+          col("event_type").isin("view", "click", "purchase") || col("user_id") === -1L)
+        .select(
+          col("ts"), unix_micros(col("ts")).as("us"), col("user_id"), col("event_type"))
+        .as[graft.streaming.FunnelTracker.FunnelEvent]
+      val tracked =
+        if (api == "v2")
+          graft.streaming.FunnelTrackerV2.funnels(
+            evs, EventQueries.FunnelStepUs, EventQueries.FunnelHorizonUs, ttlUs)
+        else
+          graft.streaming.FunnelTracker.funnels(
+            evs, EventQueries.FunnelStepUs, EventQueries.FunnelHorizonUs, ttlUs)
+      val q = tracked
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // idempotent per-batch-partition overwrite (the q196/q182
+          // recipe): a batch replayed after a crash-between-write-and-
+          // commit rewrites its own partition, never double-appends
+          batch.write.mode("overwrite").parquet(s"$outP/batch=$id")
+          ()
+        }
+        .start()
+      try q.awaitTermination() // AvailableNow stops the query itself
+      finally q.stop()
+    }
+    def runAll(): Unit = withStatePartitions(s) {
+      linkDataFiles(s"$root/in", watch, "run1")
+      drain() // run 1: early epoch → early entrants close and emit
+      linkDataFiles(s"$root/in2", watch, "run2")
+      linkDataFiles(s"$root/sent", watch, "sent")
+      drain() // run 2: late epoch + sentinel → straddlers + the rest emit
+    }
+    // the v2 state API requires the RocksDB provider (q181's conf scope)
+    if (api == "v2") withRocksDb(s)(runAll()) else runAll()
+    s.read.parquet(s"$outP/batch=*").select(
+      col("user_id"),
+      timestamp_micros(col("t1_us")).as("t1"),
+      timestamp_micros(col("t2_us")).as("t2"), // 0 µs = the q191 epoch sentinel
+      timestamp_micros(col("t3_us")).as("t3"),
+      col("stage"),
+      col("completed"))
+      .orderBy(col("user_id"))
+  }
+
   private def asofStreamRun(
       s: SparkSession, dir: String, tag: String, toleranceUs: Long,
       mode: String = "backward", api: String = "v1"): DataFrame = {
@@ -1469,6 +1509,8 @@ object StreamQueries {
           col("side"), col("event_id"), col("cents").as("payload"))
         .as[graft.streaming.AsofStreamJoin.SideEvent[Long, Long]]
       val joined = (api, mode) match {
+        case ("v2", "forward") => graft.streaming.AsofStreamV2.joinedForward(evs, toleranceUs)
+        case ("v2", "nearest") => graft.streaming.AsofStreamV2.joinedNearest(evs, toleranceUs)
         case ("v2", _)        => graft.streaming.AsofStreamV2.joined(evs, toleranceUs)
         case (_, "forward")   => graft.streaming.AsofStreamJoin.joinedForward(evs, toleranceUs)
         case (_, "nearest")   => graft.streaming.AsofStreamJoin.joinedNearest(evs, toleranceUs)
@@ -1488,22 +1530,16 @@ object StreamQueries {
       try q.awaitTermination()
       finally q.stop()
     }
-    // the v2 state API requires the RocksDB provider (q181's conf scope)
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
-    if (api == "v2") s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStatePartitions(s) {
+    def runAll(): Unit = withStatePartitions(s) {
       linkDataFiles(s"$root/in", watch, "run1")
       drain() // run 1: early epoch — boundary trades stay PENDING state
       linkDataFiles(s"$root/in2", watch, "run2")
       // forward/nearest must clear max + tolerance (the far sentinel)
       linkDataFiles(if (mode == "backward") s"$root/sent" else s"$root/sentf", watch, "sent")
       drain() // run 2: late epoch + sentinel — everything resolves
-    } finally if (api == "v2") prevProvider match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None    => s.conf.unset(providerKey)
     }
+    // the v2 state API requires the RocksDB provider (q181's conf scope)
+    if (api == "v2") withRocksDb(s)(runAll()) else runAll()
     s.read.parquet(s"$outP/batch=*").select(
       col("event_id"),
       col("key").as("user_id"),
@@ -1854,6 +1890,12 @@ object StreamQueries {
       // funnel — the TTL contract itself, hashed on the real corpus.
       "q199_funnel_ttl_stream" -> EventQueries.oracles("q191_funnel"),
 
+      // q191's oracle text verbatim: the transformWithState (v2) funnel
+      // and its TTL flavor must land the IDENTICAL bytes — the v1/v2
+      // cross-proof on the engine's last v1-only custom-state family.
+      "q207_funnel_v2" -> EventQueries.oracles("q191_funnel"),
+      "q208_funnel_ttl_v2" -> EventQueries.oracles("q191_funnel"),
+
       // The INDEPENDENT formulation of the stream-stream as-of: an
       // explicit pair join + per-trade argmax by (quote ts, event_id),
       // LEFT-preserved so quote-less trades hash their NULLs too. The
@@ -1886,26 +1928,44 @@ object StreamQueries {
       // The NEAREST direction: q106/q114's exact rank chain — least µs
       // distance, backward-first, greatest-backward-key /
       // least-forward-key — inside the ±tolerance pair join.
-      "q202_asof_nearest_stream" -> {
-        val tolUs = AsofToleranceHours * 3600L * 1000000L
-        s"""WITH t AS (
-           |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-           | q AS (
-           |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
-           |  FROM events WHERE event_type = 'view'),
-           | j AS (
-           |  SELECT t.event_id, q.ts AS qts, q.cents,
-           |    row_number() OVER (PARTITION BY t.event_id
-           |      ORDER BY abs(epoch_us(q.ts) - epoch_us(t.ts)) ASC,
-           |               (q.ts <= t.ts) DESC,
-           |               CASE WHEN q.ts <= t.ts THEN -q.event_id ELSE q.event_id END ASC) AS rn
-           |  FROM t JOIN q ON t.user_id = q.user_id
-           |    AND abs(epoch_us(q.ts) - epoch_us(t.ts)) <= $tolUs)
-           |SELECT t.event_id, t.user_id, t.ts, j.qts AS quote_ts, j.cents AS quote_cents
-           |FROM t LEFT JOIN j ON j.event_id = t.event_id AND j.rn = 1
-           |ORDER BY t.event_id""".stripMargin
-      }
+      "q202_asof_nearest_stream" -> nearestOracle,
+
+      // q201's oracle text verbatim: the v2 (transformWithState) forward
+      // run must land the IDENTICAL bytes — the cross-proof, forward
+      // direction.
+      "q205_asof_forward_v2" ->
+        asofOracle(
+          window = s" AND q.ts <= t.ts + INTERVAL $AsofToleranceHours HOUR",
+          forward = true),
+
+      // q202's oracle text verbatim: the v2 nearest run closes the
+      // 3-direction × 2-API matrix on one oracle per direction.
+      "q206_asof_nearest_v2" -> nearestOracle
     )
+  }
+
+  /** The q202/q206 shared oracle: q106/q114's exact rank chain — least µs
+    * distance, backward-first, greatest-backward-key / least-forward-key
+    * — inside the ±tolerance pair join, LEFT-preserved.
+    */
+  private def nearestOracle: String = {
+    val tolUs = AsofToleranceHours * 3600L * 1000000L
+    s"""WITH t AS (
+       |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       | q AS (
+       |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'view'),
+       | j AS (
+       |  SELECT t.event_id, q.ts AS qts, q.cents,
+       |    row_number() OVER (PARTITION BY t.event_id
+       |      ORDER BY abs(epoch_us(q.ts) - epoch_us(t.ts)) ASC,
+       |               (q.ts <= t.ts) DESC,
+       |               CASE WHEN q.ts <= t.ts THEN -q.event_id ELSE q.event_id END ASC) AS rn
+       |  FROM t JOIN q ON t.user_id = q.user_id
+       |    AND abs(epoch_us(q.ts) - epoch_us(t.ts)) <= $tolUs)
+       |SELECT t.event_id, t.user_id, t.ts, j.qts AS quote_ts, j.cents AS quote_cents
+       |FROM t LEFT JOIN j ON j.event_id = t.event_id AND j.rn = 1
+       |ORDER BY t.event_id""".stripMargin
   }
 
   /** The q198/q200/q201 shared oracle: explicit pair join + per-trade

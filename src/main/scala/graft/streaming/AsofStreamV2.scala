@@ -13,31 +13,37 @@ import org.apache.spark.sql.streaming.{
   ValueState
 }
 
-/** The BACKWARD stream-stream as-of join on Spark 4's `transformWithState`
-  * (state API v2, RocksDB provider) — the same contract as
-  * [[AsofStreamJoin.joined]] (latest at-or-before quote per trade, ties to
-  * the highest event_id, emission on watermark proof, exactly once), the
-  * q178/q179 cross-proof discipline applied to the engine's newest
-  * operator family: the q203 board row byte-gates this implementation
-  * against q198's EXACT oracle at 3 SFs across the same two-epoch
-  * checkpoint split, so the v1/v2 machineries are proven interchangeable
-  * on real bytes (the spec additionally proves anchor compaction survives
-  * a checkpoint restore on a crafted fixture).
+/** The stream-stream as-of join family on Spark 4's `transformWithState`
+  * (state API v2, RocksDB provider) — ALL THREE directions of the same
+  * contract as the v1 operators ([[AsofStreamJoin.joined]] /
+  * [[AsofStreamJoin.joinedForward]] / [[AsofStreamJoin.joinedNearest]]),
+  * the q178/q179 cross-proof discipline applied to the engine's newest
+  * operator family: the q203/q204 board rows byte-gate the BACKWARD
+  * (unbounded and 48 h-tolerance) runs against q198's/q200's EXACT
+  * oracles, and q205/q206 gate the FORWARD and NEAREST runs against
+  * q201's/q202's — all at 3 SFs across the same two-epoch checkpoint
+  * split, so the v1/v2 machineries are proven interchangeable on real
+  * bytes across the full 3-direction × 2-API matrix (the spec additionally
+  * proves anchor compaction, the forward no-anchor discipline, and the
+  * nearest ±window buffer each survive a checkpoint restore on crafted
+  * fixtures).
   *
-  * The kernel (fold / resolve / prune and their argmax proofs) is SHARED
-  * with the v1 operator — only the state machinery differs. What v2
-  * changes, and why it is the long-term API for this operator:
+  * The kernel (fold / resolve / prune and their argmax/argmin proofs) is
+  * SHARED with the v1 operators — only the state machinery differs. What
+  * v2 changes, and why it is the long-term API for this operator:
   *
   *   - GRANULAR TYPED STATE instead of one re-serialized blob:
-  *     `ListState` buffers for quotes and trades, a `ValueState` anchor —
-  *     appends merge into the store without rewriting the key's whole
-  *     buffer (v1 re-serializes the full `JoinState` product on every
-  *     fold). MEASURED discipline (HotKeyStressSpec, SCALE.md §hot-key):
-  *     per-ARRIVAL `appendValue` is superlinear in Spark 4.1.2's RocksDB
-  *     merge path (a 16k single-key single-batch burst took 736 s), so
-  *     `handleInputRows` buffers each invocation's arrivals and writes
-  *     ONE `appendList` per side per trigger — the same burst lands in
-  *     ~4 s, matching v1's fold envelope, while steady traffic keeps the
+  *     `ListState` buffers for quotes and trades, a `ValueState` anchor
+  *     (backward mode only — forward/nearest provably need none, see the
+  *     v1 `pruneForward`/`pruneNearest` proofs) — appends merge into the
+  *     store without rewriting the key's whole buffer (v1 re-serializes
+  *     the full `JoinState` product on every fold). MEASURED discipline
+  *     (HotKeyStressSpec, SCALE.md §hot-key): per-ARRIVAL `appendValue`
+  *     is superlinear in Spark 4.1.2's RocksDB merge path (a 16k
+  *     single-key single-batch burst took 736 s), so `handleInputRows`
+  *     buffers each invocation's arrivals and writes ONE `appendList`
+  *     per side per trigger — the same burst lands in ~4 s, matching
+  *     v1's fold envelope, while steady traffic keeps the
   *     no-blob-rewrite advantage.
   *   - RESOLUTION ONLY ON TIMERS: `handleInputRows` does pure appends and
   *     keeps at most ONE armed timer per key (re-armed earlier when a new
@@ -47,20 +53,34 @@ import org.apache.spark.sql.streaming.{
   *     rule). `handleExpiredTimer` runs the shared resolve/prune pass,
   *     emits ripe trades, compacts the buffers (the one place the lists
   *     ARE rewritten — bounded by the in-flight window, not by arrival
-  *     count), and re-arms at the earliest remaining deadline: a pending
-  *     trade, the newest quote (whose passage compacts the buffer), or —
-  *     under a finite tolerance — the anchor's own expiry.
+  *     count), and re-arms at the earliest remaining deadline. The
+  *     per-mode deadline algebra mirrors v1's exactly: backward = a
+  *     pending trade's own instant / the newest quote / the anchor's
+  *     tolerance expiry; forward = a pending trade's window END
+  *     (t + tol — only then is "no in-window quote can still arrive"
+  *     provable) / the newest quote's own instant (whose passage lets
+  *     the floor retire a trade-less buffer); nearest = a pending
+  *     trade's forward half-window end / the newest quote's window end
+  *     (q.us + tol, after which no reachable trade's ±window can cover
+  *     it).
   *
-  * State bound: identical to v1 (one anchor + the in-flight window per
-  * key; zero under a finite tolerance once every reachable window has
-  * passed), because the pruning kernel is identical.
+  * State bound: identical to v1 per mode (backward: one anchor + the
+  * in-flight window per key, zero under a finite tolerance once every
+  * reachable window has passed; forward/nearest: the tolerance window's
+  * span of quotes + pending trades, zero for retired keys), because the
+  * pruning kernel is identical.
   */
 object AsofStreamV2 {
 
   /** At-most-one-armed-timer sentinel ([[StateV2Balances]]' NoTimer rule). */
   private val NoTimer = Long.MinValue
 
-  final class BackwardAsofProcessor[K, P](
+  private[streaming] final val Backward = "backward"
+  private[streaming] final val Forward  = "forward"
+  private[streaming] final val Nearest  = "nearest"
+
+  final class AsofProcessor[K, P](
+      mode: String,
       toleranceUs: Long,
       quoteEnc: Encoder[Quote[P]],
       outEnc: Encoder[AsofRow[K, P]] // carried for the caller; keeps the ctor total
@@ -99,6 +119,19 @@ object AsofStreamV2 {
       }
     }
 
+    /** The instant at which an arrival can first make work final (or let
+      * the buffer compact) — the v1 deadline algebra, applied per event at
+      * admission so the single armed timer can only ever be EARLY (the
+      * firing pass is idempotent and re-arms from the full remaining set).
+      */
+    private def deadlineOf(side: String, us: Long): Long = (mode, side) match {
+      case (Backward, _)   => us // trade final / quote compactable at its own instant
+      case (Forward, "q")  => us // its passage lets the floor retire the buffer
+      case (Forward, _)    => AsofStreamJoin.satAdd(us, toleranceUs) // look-AHEAD window end
+      case (Nearest, _)    => AsofStreamJoin.satAdd(us, toleranceUs) // ± half-window end
+      case _               => us
+    }
+
     /** Pure appends — buffered per invocation and written as ONE
       * `appendList` merge per side (a key's whole micro-batch burst costs
       * one RocksDB merge write, not one per arrival — the batching that
@@ -117,10 +150,10 @@ object AsofStreamV2 {
         e.side match {
           case "q" =>
             qs += Quote(e.us, e.event_id, e.payload)
-            dMin = math.min(dMin, e.us) // its passage lets the buffer compact
+            dMin = math.min(dMin, deadlineOf("q", e.us))
           case "t" =>
             ts += Trade(e.us, e.event_id)
-            dMin = math.min(dMin, e.us) // its finality instant
+            dMin = math.min(dMin, deadlineOf("t", e.us))
           case _ => () // sentinel: advances the watermark, never forms state
         }
       }
@@ -131,10 +164,11 @@ object AsofStreamV2 {
     }
 
     /** The shared v1 kernel pass: resolve every watermark-proven trade,
-      * compact the quote buffer to the anchor, expire a stale anchor
-      * under a finite tolerance, re-arm for the earliest remaining
-      * deadline. Idempotent — an early or duplicate firing just re-runs
-      * the pass against the same watermark and changes nothing.
+      * compact/retire the quote buffer per the mode's prune proof, expire
+      * a stale backward anchor under a finite tolerance, re-arm for the
+      * earliest remaining deadline. Idempotent — an early or duplicate
+      * firing just re-runs the pass against the same watermark and
+      * changes nothing.
       */
     override def handleExpiredTimer(
         key: K,
@@ -147,11 +181,25 @@ object AsofStreamV2 {
         if (anchor.exists()) Some(anchor.get()) else None,
         quotes.get().toList,
         trades.get().toList)
-      val (ripe, pending) = st0.trades.partition(_.us < wmUs)
-      val rows =
-        ripe.sortBy(t => (t.us, t.event_id)).map(t => AsofStreamJoin.resolve(key, t, st0, toleranceUs))
+      // finality per mode: backward proves at the trade's own instant;
+      // forward/nearest only once the look-ahead window has closed
+      val (ripe, pending) = mode match {
+        case Backward => st0.trades.partition(_.us < wmUs)
+        case _        => st0.trades.partition(t => AsofStreamJoin.satAdd(t.us, toleranceUs) < wmUs)
+      }
+      val rows = ripe.sortBy(t => (t.us, t.event_id)).map { t =>
+        mode match {
+          case Backward => AsofStreamJoin.resolve(key, t, st0, toleranceUs)
+          case Forward  => AsofStreamJoin.resolveForward(key, t, st0, toleranceUs)
+          case _        => AsofStreamJoin.resolveNearest(key, t, st0, toleranceUs)
+        }
+      }
       val floor = (wmUs :: pending.map(_.us)).min
-      val st    = AsofStreamJoin.prune(st0.copy(trades = pending), floor, toleranceUs)
+      val st = mode match {
+        case Backward => AsofStreamJoin.prune(st0.copy(trades = pending), floor, toleranceUs)
+        case Forward  => AsofStreamJoin.pruneForward(st0.copy(trades = pending), floor)
+        case _        => AsofStreamJoin.pruneNearest(st0.copy(trades = pending), floor, toleranceUs)
+      }
       if (st.isEmpty) { quotes.clear(); trades.clear(); anchor.clear(); armed.clear() }
       else {
         st.anchor match {
@@ -162,22 +210,28 @@ object AsofStreamV2 {
         if (st.quotes.nonEmpty) quotes.appendList(st.quotes.toArray(quoteTag))
         trades.clear()
         if (st.trades.nonEmpty) trades.appendList(st.trades.toArray)
-        val anchorExpiry =
-          if (toleranceUs < Long.MaxValue)
-            st.anchor.map(a => AsofStreamJoin.satAdd(a.us, toleranceUs)).toList
-          else Nil
-        val deadlines = pending.map(_.us) ++ st.quotes.map(_.us).maxOption.toList ++ anchorExpiry
+        // earliest remaining deadline — v1's per-mode algebra verbatim
+        val deadlines = mode match {
+          case Backward =>
+            val anchorExpiry =
+              if (toleranceUs < Long.MaxValue)
+                st.anchor.map(a => AsofStreamJoin.satAdd(a.us, toleranceUs)).toList
+              else Nil
+            pending.map(_.us) ++ st.quotes.map(_.us).maxOption.toList ++ anchorExpiry
+          case Forward =>
+            pending.map(t => AsofStreamJoin.satAdd(t.us, toleranceUs)) ++
+              st.quotes.map(_.us).maxOption.toList
+          case _ =>
+            pending.map(t => AsofStreamJoin.satAdd(t.us, toleranceUs)) ++
+              st.quotes.map(_.us).maxOption.map(AsofStreamJoin.satAdd(_, toleranceUs)).toList
+        }
         deadlines.minOption.foreach(d => arm(d, timers.getCurrentWatermarkInMs))
       }
       rows.iterator
     }
   }
 
-  /** [[AsofStreamJoin.joined]] on the v2 state API. Run with
-    * `outputMode(Append)` and the RocksDB state-store provider (v2's
-    * required provider).
-    */
-  def joined[K, P](events: Dataset[SideEvent[K, P]], toleranceUs: Long = Long.MaxValue)(
+  private def run[K, P](events: Dataset[SideEvent[K, P]], mode: String, toleranceUs: Long)(
       implicit kEnc: Encoder[K],
       qEnc: Encoder[Quote[P]],
       outEnc: Encoder[AsofRow[K, P]]): Dataset[AsofRow[K, P]] =
@@ -185,7 +239,43 @@ object AsofStreamV2 {
       .withWatermark("ts", "0 seconds")
       .groupByKey(_.key)
       .transformWithState(
-        new BackwardAsofProcessor[K, P](toleranceUs, qEnc, outEnc),
+        new AsofProcessor[K, P](mode, toleranceUs, qEnc, outEnc),
         TimeMode.EventTime(),
         OutputMode.Append())
+
+  /** [[AsofStreamJoin.joined]] (BACKWARD: latest at-or-before) on the v2
+    * state API. Run with `outputMode(Append)` and the RocksDB state-store
+    * provider (v2's required provider).
+    */
+  def joined[K, P](events: Dataset[SideEvent[K, P]], toleranceUs: Long = Long.MaxValue)(
+      implicit kEnc: Encoder[K],
+      qEnc: Encoder[Quote[P]],
+      outEnc: Encoder[AsofRow[K, P]]): Dataset[AsofRow[K, P]] =
+    run(events, Backward, toleranceUs)
+
+  /** [[AsofStreamJoin.joinedForward]] (earliest at-or-after within the
+    * window) on the v2 state API — no anchor ever forms (the v1
+    * `pruneForward` proof), and a trade is final only when the watermark
+    * clears its look-AHEAD window end.
+    */
+  def joinedForward[K, P](events: Dataset[SideEvent[K, P]], toleranceUs: Long)(
+      implicit kEnc: Encoder[K],
+      qEnc: Encoder[Quote[P]],
+      outEnc: Encoder[AsofRow[K, P]]): Dataset[AsofRow[K, P]] = {
+    require(toleranceUs < Long.MaxValue, "forward as-of needs a finite tolerance to ever finalize")
+    run(events, Forward, toleranceUs)
+  }
+
+  /** [[AsofStreamJoin.joinedNearest]] (least |Δ| within ±tolerance, the
+    * batch merge node's tie chain) on the v2 state API — the quote buffer
+    * is bounded to the ±window around the floor, retired keys hold zero
+    * bytes.
+    */
+  def joinedNearest[K, P](events: Dataset[SideEvent[K, P]], toleranceUs: Long)(
+      implicit kEnc: Encoder[K],
+      qEnc: Encoder[Quote[P]],
+      outEnc: Encoder[AsofRow[K, P]]): Dataset[AsofRow[K, P]] = {
+    require(toleranceUs < Long.MaxValue, "nearest as-of needs a finite tolerance to ever finalize")
+    run(events, Nearest, toleranceUs)
+  }
 }

@@ -71,11 +71,15 @@ final class RestService(
     DimPath,
     (ex: HttpExchange) => respondWith(ex) {
       val uid = ex.getRequestURI.getPath.stripPrefix(DimPath).toLongOption
-      val at = Option(ex.getRequestURI.getQuery).getOrElse("")
+      // decode exactly ONCE, from the RAW query (URI.getQuery already
+      // percent-decodes, so decoding its output corrupts legitimate
+      // '+'/'%' content); a malformed escape maps to the 400 branch via
+      // the Option, never to respondWith's generic 500
+      val at = Option(ex.getRequestURI.getRawQuery).getOrElse("")
         .split("&")
-        .collectFirst { case kv if kv.startsWith("at=") =>
-          java.net.URLDecoder.decode(kv.drop(3), StandardCharsets.UTF_8)
-        }
+        .collectFirst { case kv if kv.startsWith("at=") => kv.drop(3) }
+        .flatMap(raw =>
+          scala.util.Try(java.net.URLDecoder.decode(raw, StandardCharsets.UTF_8)).toOption)
         .flatMap(parseInstant)
       (uid, at) match {
         case (Some(u), Some(t)) =>

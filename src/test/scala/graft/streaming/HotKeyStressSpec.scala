@@ -259,7 +259,11 @@ class HotKeyStressSpec extends AnyFunSuite with SparkSpec {
     // behavior: a 16k-scale burst must stay within the one-merge budget
     // (a regression back to per-arrival cost would blow the bound by two
     // orders). Override sizes via GRAFT_HOTKEY_V2N="a,b" for full curves.
-    val sizes = sys.env.getOrElse("GRAFT_HOTKEY_V2N", "500,2000")
+    // 16000 stays IN the defaults so the regression guard below is armed
+    // in a normal test run (batched, the 16k burst costs ~4 s; a revert
+    // to per-arrival appends would trip the assert at ~736 s, not pass
+    // silently).
+    val sizes = sys.env.getOrElse("GRAFT_HOTKEY_V2N", "500,2000,16000")
       .split(",").map(_.trim.toInt).toSeq
     val timed = withRocksDb {
       sizes.map { n =>

@@ -21,6 +21,22 @@ class RestServiceSpec extends AnyFunSuite with SparkSpec {
       HttpResponse.BodyHandlers.ofString()
     )
 
+  /** Raw-socket GET for request lines java.net.URI itself refuses to
+    * build (malformed percent escapes) — the server must still answer
+    * them with a clean status. Returns the status code.
+    */
+  private def rawGet(port: Int, path: String): Int = {
+    val sock = new java.net.Socket("localhost", port)
+    try {
+      val out = sock.getOutputStream
+      out.write(s"GET $path HTTP/1.1\r\nHost: localhost\r\nConnection: close\r\n\r\n".getBytes("US-ASCII"))
+      out.flush()
+      val line = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "US-ASCII")).readLine()
+      line.split(" ")(1).toInt
+    } finally sock.close()
+  }
+
   test("balance endpoint: 200 + Long body for present accounts, 404 for absent (BalanceController contract)") {
     val balances = Map("ABC" -> 210L, "XYZ" -> 800L)
     val svc = new RestService(balances.get, () => "plan").start()
@@ -94,6 +110,16 @@ class RestServiceSpec extends AnyFunSuite with SparkSpec {
       assert(get(svc.boundPort, s"/v1/kafka-streams/dim/zap?at=$usAt").statusCode() == 400)
       assert(get(svc.boundPort, "/v1/kafka-streams/dim/1").statusCode() == 400)
       assert(get(svc.boundPort, "/v1/kafka-streams/dim/1?at=whenever").statusCode() == 400)
+      // a MALFORMED percent escape is the route's documented 400, not a
+      // 500 from a decode throw (the raw query is decoded exactly once,
+      // inside a Try); sent over a raw socket — java.net.URI refuses to
+      // even build these
+      assert(rawGet(svc.boundPort, "/v1/kafka-streams/dim/1?at=2024%") == 400)
+      assert(rawGet(svc.boundPort, "/v1/kafka-streams/dim/1?at=%zz") == 400)
+      // '+'-encoded space (the other standard form-encoding of the
+      // timestamp literal) decodes once to the same instant as %20
+      val r3 = get(svc.boundPort, "/v1/kafka-streams/dim/1?at=2024-01-03+12:00:00")
+      assert(r3.statusCode() == 200 && r3.body().contains("\"version\":2"), r3.body())
     } finally svc.stop()
   }
 
