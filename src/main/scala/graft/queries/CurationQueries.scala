@@ -769,6 +769,66 @@ object CurationQueries {
           .select(lit(r.toLong).as("round"), col("n_miss"), col("w_abs_sum"))
       }
       stats.reduce(_ unionByName _).orderBy(col("round"))
+    }),
+
+    // EXACT DISTRIBUTED QUANTILES — per-language p50/p90/p99 of document
+    // length with NO global sort of the corpus: quantile thresholds are
+    // the backbone of curation gates (length cutoffs, token budgets), and
+    // at 100 TB a sort-based exact percentile is a non-starter. The
+    // classic value-frequency rewrite: one hash aggregate collapses the
+    // corpus to its (lang, value) frequency table — bounded by the VALUE
+    // DOMAIN (≤ max document length), not the row count — then a per-lang
+    // running sum over those distinct values reads each quantile off the
+    // CDF. quantile_disc semantics: the smallest v whose cumulative count
+    // c reaches ceil(q·n/100), tested in pure integers as 100·c ≥ q·n (no
+    // ceil, no floats — the result can't flip on ulps on any engine). The
+    // only sort anywhere runs per-lang over ≤|domain| frequency rows — at
+    // 1000 executors the corpus scan parallelizes fully and the window
+    // input is a few thousand rows per language.
+    "q209_exact_quantiles" -> ((s, dir) => {
+      val freq = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("f"))
+      val byLang = Window.partitionBy(col("lang"))
+      val cum = freq
+        .withColumn("c", sum(col("f")).over(byLang.orderBy(col("v"))))
+        .withColumn("n", sum(col("f")).over(byLang))
+      def q(p: Int) = min(when(col("c") * 100 >= col("n") * p, col("v"))).as(s"p$p")
+      cum.groupBy(col("lang")).agg(q(50), q(90), q(99)).orderBy(col("lang"))
+    }),
+
+    // DISTRIBUTION DRIFT — two-sample Kolmogorov–Smirnov distance between
+    // every pair of sources over the document-length distribution: the
+    // "did this crawl's shape move" monitor a recurring ingestion pipeline
+    // runs before mixing a new snapshot in. Exact ECDFs come from the same
+    // value-frequency rewrite as q209 (one aggregate over the corpus, then
+    // a per-source running sum over the distinct-value grid so every
+    // source's CDF is defined at every observed value); the KS statistic
+    // is the max absolute ECDF gap. Fractions are quantized to a 2^20
+    // integer grid by floor division (⌊c·2^20/n⌋ — identical integers on
+    // any engine, error ≤ 2·2^-20, and c·2^20 holds to ~8.8e12 rows per
+    // source before BIGINT overflow: trillion-row sources fit). Join
+    // volume is |values|·|sources|² — domain-bounded, never corpus-bounded.
+    "q210_ks_drift" -> ((s, dir) => graft.plans.CacheScope.scoped(s) { keep =>
+      val freq = Tables.documents(s, dir)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("f"))
+      val grid = freq.select(col("v")).distinct()
+        .crossJoin(freq.select(col("source")).distinct())
+      val bySrc = Window.partitionBy(col("source"))
+      // ecdf feeds BOTH sides of the pair join — build once
+      val ecdf = keep(grid
+        .join(freq, Seq("source", "v"), "left")
+        .withColumn("fz", coalesce(col("f"), lit(0L)))
+        .withColumn("c", sum(col("fz")).over(bySrc.orderBy(col("v"))))
+        .withColumn("n", sum(col("fz")).over(bySrc))
+        .select(col("source"), col("v"), expr("c * 1048576 div n").as("q")))
+      ecdf.select(col("v"), col("source").as("source_a"), col("q").as("fa"))
+        .join(ecdf.select(col("v"), col("source").as("source_b"), col("q").as("fb")), Seq("v"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(max(abs(col("fa") - col("fb"))).as("ks_q20"))
+        .orderBy(col("source_a"), col("source_b"))
     })
   )
 
@@ -1092,7 +1152,40 @@ object CurationQueries {
            |""".stripMargin
         + (1 to PerceptronRounds).map(perceptronRoundSql).mkString(",\n") + "\n"
         + (1 to PerceptronRounds).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
-        + " ORDER BY round")
+        + " ORDER BY round"),
+
+    // Identical value-frequency rewrite: per-lang CDF over distinct
+    // lengths, quantile = smallest v with 100·c ≥ p·n (pure-integer
+    // quantile_disc — no ceil, no floats).
+    "q209_exact_quantiles" ->
+      """WITH freq AS (SELECT lang, n_chars AS v, count(*)::BIGINT AS f
+        |              FROM documents GROUP BY 1, 2),
+        | cum AS (SELECT lang, v,
+        |   CAST(sum(f) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS c,
+        |   CAST(sum(f) OVER (PARTITION BY lang) AS BIGINT) AS n FROM freq)
+        |SELECT lang,
+        |  min(CASE WHEN c * 100 >= n * 50 THEN v END) AS p50,
+        |  min(CASE WHEN c * 100 >= n * 90 THEN v END) AS p90,
+        |  min(CASE WHEN c * 100 >= n * 99 THEN v END) AS p99
+        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Identical ECDF grid (every source × every observed value), the same
+    // ⌊c·2^20/n⌋ quantization, max absolute gap per ordered source pair.
+    "q210_ks_drift" ->
+      """WITH freq AS (SELECT source, n_chars AS v, count(*)::BIGINT AS f
+        |              FROM documents GROUP BY 1, 2),
+        | grid AS (SELECT s.source, vv.v
+        |          FROM (SELECT DISTINCT source FROM freq) s
+        |          CROSS JOIN (SELECT DISTINCT v FROM freq) vv),
+        | cum AS (SELECT g.source, g.v,
+        |   CAST(sum(coalesce(f.f, 0)) OVER (PARTITION BY g.source ORDER BY g.v) AS BIGINT) AS c,
+        |   CAST(sum(coalesce(f.f, 0)) OVER (PARTITION BY g.source) AS BIGINT) AS n
+        |   FROM grid g LEFT JOIN freq f ON f.source = g.source AND f.v = g.v),
+        | ecdf AS (SELECT source, v, (c * 1048576) // n AS q FROM cum)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(max(abs(a.q - b.q)) AS BIGINT) AS ks_q20
+        |FROM ecdf a JOIN ecdf b ON a.v = b.v AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** One unrolled batch-perceptron round for q160's oracle: margins under

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q209 exact quantiles / q210 KS drift — the oracles prove cross-engine
+  * value parity; these specs pin the semantics the hash can't articulate:
+  * the quantile really is the discrete quantile of the sorted multiset
+  * (referee: sort the values and index), and the KS distance really is the
+  * max ECDF gap (referee: brute-force ECDFs at every value), including the
+  * quantization error bound.
+  */
+class DistributionSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q209: each p is the smallest value whose cumulative count reaches ceil(p*n/100)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "n_chars").as[(String, Long)].collect()
+    val byLang = docs.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted }
+    val got = SparkEntry.queries("q209_exact_quantiles")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.length == byLang.size)
+    got.foreach { case (lang, p50, p90, p99) =>
+      val xs = byLang(lang)
+      def ref(p: Int): Long = xs((math.ceil(p * xs.length / 100.0).toInt - 1).max(0))
+      assert(p50 == ref(50), s"$lang p50: $p50 != ${ref(50)}")
+      assert(p90 == ref(90), s"$lang p90: $p90 != ${ref(90)}")
+      assert(p99 == ref(99), s"$lang p99: $p99 != ${ref(99)}")
+      assert(p50 <= p90 && p90 <= p99, s"$lang quantiles must be monotone")
+    }
+  }
+
+  test("q210: ks_q20 equals the brute-force max ECDF gap on the 2^20 grid, within quantization of the true KS") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "n_chars").as[(String, Long)].collect()
+    val bySrc  = docs.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    val values = docs.map(_._2).distinct.sorted
+    def cum(xs: Array[Long], v: Long): Long = {
+      // count of elements <= v in a sorted array
+      var lo = 0; var hi = xs.length
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (xs(m) <= v) lo = m + 1 else hi = m }
+      lo.toLong
+    }
+    val got = SparkEntry.queries("q210_ks_drift")(spark, dir)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, d) => (a, b) -> d }.toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    assert(got.size == srcs.size * (srcs.size - 1) / 2, "one row per unordered source pair")
+    for (a <- srcs; b <- srcs if a < b) {
+      val (xa, xb) = (bySrc(a), bySrc(b))
+      val refQ = values.map { v =>
+        math.abs(cum(xa, v) * 1048576L / xa.length - cum(xb, v) * 1048576L / xb.length)
+      }.max
+      assert(got((a, b)) == refQ, s"($a,$b): ${got((a, b))} != $refQ")
+      // quantized distance sits within 2 grid cells of the exact rational KS
+      val refExact = values.map { v =>
+        math.abs(cum(xa, v).toDouble / xa.length - cum(xb, v).toDouble / xb.length)
+      }.max
+      assert(math.abs(got((a, b)).toDouble / 1048576.0 - refExact) <= 2.0 / 1048576.0)
+    }
+  }
+}

@@ -356,6 +356,40 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q209 exact quantiles: corpus collapses to value-frequencies before any sort") {
+    val plan  = executedPlan("q209_exact_quantiles")
+    val lines = plan.split('\n')
+    // map-side combine: the corpus scan feeds a partial count aggregate
+    assert(plan.contains("partial_count"), plan.take(800))
+    // the ONLY sorts sit ABOVE the deepest (partial) aggregate — i.e. they
+    // order frequency rows, never raw document rows (tree strings print
+    // parents first, so "above" = smaller line index)
+    val deepestAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+    val sortIdxs   = lines.zipWithIndex.filter(_._1.contains("Sort ")).map(_._2)
+    assert(deepestAgg >= 0, plan.take(800))
+    sortIdxs.foreach(i =>
+      assert(i < deepestAgg, s"sort below the frequency aggregate (raw-row sort):\n$plan"))
+    // the CDF window is per-lang, never a single global partition
+    lines.filter(_.contains("Window [")).foreach(l =>
+      assert(l.contains("lang"), "window without lang partitioning:\n" + l.take(300)))
+  }
+
+  test("q210 ks drift: pair join is an equi join on the value; ECDF windows keyed by source") {
+    val plan  = executedPlan("q210_ks_drift")
+    val lines = plan.split('\n')
+    assert(plan.contains("partial_count"), plan.take(800))
+    // the source_a × source_b comparison joins on v — an equi join, so the
+    // |values|·|sources|² volume comes from bucketed matches, not a
+    // corpus-scale cartesian (the only non-equi join allowed is the tiny
+    // domain-grid cross of two aggregated sides)
+    assert(
+      lines.exists(l =>
+        (l.contains("HashJoin") || l.contains("SortMergeJoin")) && l.contains("v#")),
+      "no equi join on v:\n" + plan.take(1200))
+    lines.filter(_.contains("Window [")).foreach(l =>
+      assert(l.contains("source"), "window without source partitioning:\n" + l.take(300)))
+  }
+
   test("q129 adaptive SemDeDup prunes via equi joins only (no all-pairs anywhere)") {
     // the registered query (memoized assignment + pair prune): candidate
     // pairs come from an equi self-join on the learned cluster — a
