@@ -153,6 +153,14 @@ object StreamQueries {
   private def driftBaselineBuild(s: SparkSession, dir: String, b: String): Unit =
     CurationStream.vocabBaseline(Tables.documents(s, dir)).write.parquet(s"$b/bl")
 
+  /** q211's static length-ECDF baseline — materialized once per (session,
+    * dir) for the same reason as [[driftBaseline]]: the production monitor
+    * loads a baseline table, it never re-derives the corpus ECDF per run.
+    */
+  private def lenBaseline(s: SparkSession, dir: String): String =
+    graft.sources.SessionMemo.dir(s, "lenks-baseline", dir)(b =>
+      CurationStream.lengthBaseline(Tables.documents(s, dir)).write.parquet(s"$b/bl"))
+
   /** q172's events-as-a-stream copy: ONE corpus scan — max(ts) rides the
     * data write as an observed metric (CollectMetrics, the O2
     * `Dataset.observe` machinery), so the sentinel needs no second pass.
@@ -499,6 +507,7 @@ object StreamQueries {
   def prebuildMemos(s: SparkSession, dir: String): Unit = {
     driftInput(s, dir)
     driftBaseline(s, dir)
+    lenBaseline(s, dir)
     eventwinInput(s, dir)
     paymentsMemo(s, dir)
     curateInput(s, dir)
@@ -577,6 +586,30 @@ object StreamQueries {
       val in       = s"${driftInput(s, dir)}/in"
       withStatePartitions(s)(runSinked(s, "drift") { (ckpt, sink) =>
         CurationStream.vocabDrift(
+          streamFrom(s, in),
+          baseline,
+          windowLength = s"$WindowSec seconds",
+          watermark = "0 seconds",
+          checkpointDir = ckpt
+        )(sink)
+      }).orderBy(col("window_start"), col("source"))
+    }),
+
+    // q210's INGEST-TIME twin, executed as a real stream (and q171's
+    // sibling — KL watches the vocabulary, this watches the SHAPE): per
+    // finalized (event-time window, source), the two-sample KS distance of
+    // the window's document-length distribution against the static
+    // whole-corpus ECDF baseline, on the same 2^20 integer grid. Streaming
+    // state per (window, source) is the distinct-length histogram —
+    // domain-bounded — and the per-batch KS reduction runs on closed
+    // windows only (bounded batch work, the q173 rule). The oracle
+    // recomputes every closed window's KS from the documents table with
+    // the identical integer quantization.
+    "q211_ks_drift_stream" -> ((s, dir) => {
+      val baseline = s.read.parquet(s"${lenBaseline(s, dir)}/bl")
+      val in       = s"${driftInput(s, dir)}/in"
+      withStatePartitions(s)(runSinked(s, "drift") { (ckpt, sink) =>
+        CurationStream.lengthDrift(
           streamFrom(s, in),
           baseline,
           windowLength = s"$WindowSec seconds",
@@ -1679,6 +1712,31 @@ object StreamQueries {
              |  min(tsum)::BIGINT AS n_tokens,
              |  round(CAST(sum(cs * lr) AS DOUBLE) / 1048576.0 / min(tsum), 6) AS kl
              |FROM dim GROUP BY ws, source ORDER BY window_start, source""".stripMargin,
+
+      // Same window assignment as q171; baseline ECDF over the corpus's
+      // distinct lengths, window ECDF evaluated at every baseline grid
+      // value (window values are corpus values, so the grid attains the
+      // sup), both on the ⌊c·2^20/n⌋ integer grid — q210's quantization.
+      "q211_ks_drift_stream" ->
+        raw"""WITH base AS (
+             |  SELECT ((doc_id % $SpanSec) // $WindowSec) * $WindowSec AS ws, source,
+             |    length(text) AS v FROM documents),
+             | blfreq AS (SELECT length(text) AS v, count(*)::BIGINT AS f
+             |            FROM documents GROUP BY 1),
+             | bl AS (SELECT v,
+             |   CAST((CAST(sum(f) OVER (ORDER BY v) AS BIGINT) * 1048576)
+             |     // (SELECT sum(f) FROM blfreq) AS BIGINT) AS qb FROM blfreq),
+             | wc AS (SELECT ws, source, v, count(*)::BIGINT AS cs FROM base GROUP BY 1, 2, 3),
+             | pairs AS (SELECT DISTINCT ws, source FROM base),
+             | grid AS (SELECT p.ws, p.source, b.v, b.qb FROM pairs p CROSS JOIN bl b),
+             | cum AS (SELECT g.ws, g.source, g.qb,
+             |   CAST(sum(coalesce(w.cs, 0)) OVER (PARTITION BY g.ws, g.source ORDER BY g.v) AS BIGINT) AS c,
+             |   CAST(sum(coalesce(w.cs, 0)) OVER (PARTITION BY g.ws, g.source) AS BIGINT) AS nw
+             |   FROM grid g LEFT JOIN wc w ON w.ws = g.ws AND w.source = g.source AND w.v = g.v)
+             |SELECT make_timestamp(ws * 1000000) AS window_start, source,
+             |  min(nw)::BIGINT AS n_docs,
+             |  CAST(max(abs((c * 1048576) // nw - qb)) AS BIGINT) AS ks_q20
+             |FROM cum GROUP BY ws, source ORDER BY window_start, source""".stripMargin,
 
       // The q27 window assignment (hourly time_bucket) with the exact
       // integer-cents sum the stream maintains; one display division.

@@ -194,6 +194,89 @@ object CurationStream {
   def vocabBucket(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % VocabBuckets
 
+  /** STATIC baseline for the KS drift monitor: the reference corpus's
+    * quantized ECDF of document LENGTH over its own distinct values —
+    * (v, qb = ⌊c·2^20/n⌋), the q210 grid computed corpus-global. The
+    * window runs over the value-FREQUENCY table (bounded by the length
+    * domain, never corpus rows), so the single-partition ordering is a
+    * few-thousand-row sort however large the corpus.
+    */
+  def lengthBaseline(docs: DataFrame): DataFrame = {
+    val freq = docs
+      .groupBy(char_length(col("text")).as("v"))
+      .agg(count(lit(1)).as("f"))
+    freq
+      .withColumn(
+        "c",
+        sum(col("f")).over(org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+      .crossJoin(broadcast(freq.agg(sum(col("f")).as("n"))))
+      .select(col("v"), expr("c * 1048576 div n").as("qb"))
+  }
+
+  /** Batch KS reduction over closed window summaries: `counts` is
+    * (window_start, source, v, cs); returns per (window_start, source) the
+    * doc total and the two-sample Kolmogorov–Smirnov distance of the
+    * window's length distribution vs [[lengthBaseline]], on the 2^20
+    * integer grid (q210's quantization — deterministic on any engine).
+    * Window values are corpus values, and both ECDFs are right-continuous
+    * steps over corpus values only, so evaluating at every BASELINE grid
+    * value attains the supremum exactly.
+    */
+  def ksOf(counts: DataFrame, baseline: DataFrame): DataFrame = {
+    val pairs = counts.select(col("window_start"), col("source")).distinct()
+    val nW = counts
+      .groupBy(col("window_start"), col("source"))
+      .agg(sum(col("cs")).as("nw"))
+    val byPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"), col("source"))
+    pairs
+      .crossJoin(broadcast(baseline))
+      .join(counts, Seq("window_start", "source", "v"), "left")
+      .na.fill(0L, Seq("cs"))
+      .withColumn("c", sum(col("cs")).over(byPair.orderBy(col("v"))))
+      .join(broadcast(nW), Seq("window_start", "source"))
+      .withColumn("qw", expr("c * 1048576 div nw"))
+      .groupBy(col("window_start"), col("source"))
+      .agg(min(col("nw")).as("n_docs"), max(abs(col("qw") - col("qb"))).as("ks_q20"))
+  }
+
+  /** The live DISTRIBUTION-SHAPE monitor (q171's sibling — KL watches the
+    * vocabulary, this watches the length distribution): watermarked
+    * windowed (length, count) summaries → per-closed-window two-sample KS
+    * vs the static baseline ECDF, delivered to `sink` per micro-batch.
+    * Streaming state per (window, source) is the window's distinct-length
+    * histogram — domain-bounded, never doc-bounded.
+    *
+    * @param docs streaming frame with (ts TIMESTAMP, source STRING,
+    *             text STRING) columns
+    */
+  def lengthDrift(
+      docs: DataFrame,
+      baseline: DataFrame,
+      windowLength: String,
+      watermark: String,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs
+      .withWatermark("ts", watermark)
+      .select(
+        window(col("ts"), windowLength).as("w"),
+        col("source"),
+        char_length(col("text")).as("v"))
+      .groupBy(col("w"), col("source"), col("v"))
+      .agg(count(lit(1)).as("cs"))
+      .writeStream
+      .outputMode("append") // a (window, source, length) row emits once, on window close
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(
+          ksOf(
+            batch.select(col("w.start").as("window_start"), col("source"), col("v"), col("cs")),
+            baseline))
+        ()
+      }
+      .start()
+
   /** STATIC baseline: bucket counts of the reference corpus (b, ct). */
   def vocabBaseline(docs: DataFrame): DataFrame =
     docs

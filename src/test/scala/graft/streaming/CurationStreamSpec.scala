@@ -253,4 +253,50 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
     assert((twin._3, twin._4) == winA("srcOk"), s"stream vs batch twin: $twin vs ${winA("srcOk")}")
     query.stop()
   }
+
+  test("length drift: in-distribution window scores KS 0, drifted window the exact quantized gap") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    // baseline corpus: one doc of length 2, one of length 4 → F_b(2) = 1/2,
+    // F_b(4) = 1 → qb = {2 -> 524288, 4 -> 1048576}
+    val baseline = CurationStream.lengthBaseline(Seq("ab", "abcd").toDF("text"))
+    val got      = baseline.as[(Int, Long)].collect().toMap
+    assert(got == Map(2 -> 524288L, 4 -> 1048576L), s"baseline ECDF: $got")
+
+    val input = MemoryStream[(Timestamp, String, String)]
+    val tmp   = Files.createTempDirectory("graft-lendrift").toString
+    val out   = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String, Long, Long)]
+    val query = CurationStream.lengthDrift(
+      input.toDF().toDF("ts", "source", "text"),
+      baseline,
+      windowLength = "60 seconds",
+      watermark = "0 seconds",
+      checkpointDir = s"$tmp/ckpt"
+    ) { batch =>
+      val rows = batch.select("window_start", "source", "n_docs", "ks_q20")
+        .as[(Timestamp, String, Long, Long)].collect()
+      out.synchronized { out ++= rows }; ()
+    }
+    // window A [0, 60): one len-2 + one len-4 doc — the window's empirical
+    // distribution EQUALS the baseline → KS must be exactly 0.
+    // window B [60, 120): two len-4 docs — F_w(2) = 0 vs F_b(2) = 1/2 →
+    // gap = 524288; at v=4 both reach 2^20 → KS = 524288 exactly.
+    input.addData((t(10), "s1", "xy"), (t(20), "s1", "wxyz"),
+      (t(70), "s1", "wxyz"), (t(80), "s1", "qrst"))
+    query.processAllAvailable()
+    input.addData((t(1000), "s1", "x")) // sentinel: closes both windows
+    query.processAllAvailable()
+    query.stop()
+    val byWin = out.synchronized(out.map(r => r._1 -> ((r._2, r._3, r._4))).toMap)
+    assert(byWin.keySet == Set(t(0), t(60)), s"closed windows: ${byWin.keySet}")
+    assert(byWin(t(0)) == (("s1", 2L, 0L)), s"in-distribution window: ${byWin(t(0))}")
+    assert(byWin(t(60)) == (("s1", 2L, 524288L)), s"drifted window: ${byWin(t(60))}")
+    // batch-twin parity: the same window-B rows through ksOf directly
+    val counts = Seq((t(60), "s1", 4, 2L))
+      .toDF("window_start", "source", "v", "cs")
+    val twin = CurationStream.ksOf(counts, baseline)
+      .as[(Timestamp, String, Long, Long)].collect().head
+    assert((twin._3, twin._4) == ((2L, 524288L)), s"batch twin: $twin")
+  }
 }
