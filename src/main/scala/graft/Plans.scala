@@ -67,7 +67,10 @@ object Plans {
     "q190_temperature_mix",   // dim-sized Hamilton allocation broadcast onto partial-top-k ranks
     "q191_funnel",            // dependent-aggregation cascade: per-stage equi joins + partial mins
     "q192_scd2_history",      // one key exchange + one sort shared by lag/lead/row_number windows
-    "q195_pit_enrich"         // as-of merge node over the SCD build; dim rides the build's exchange
+    "q195_pit_enrich",        // as-of merge node over the SCD build; dim rides the build's exchange
+    "q122_fuzzy_names",       // FastSS blocking: interval-filtered signature self-join, bare-int distinct
+    "q209_exact_quantiles",   // value-frequency collapse: every sort above the aggregate, per-lang CDF
+    "q210_ks_drift"           // domain-grid ECDFs: equi pair join on the value, source-keyed windows
   )
 
   /** Plans dumped from builders outside the driver registry: the dedup

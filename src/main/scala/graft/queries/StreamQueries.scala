@@ -1276,7 +1276,7 @@ object StreamQueries {
         linkDataFiles(s"$root/in2", watch, "run2")
         drain()
       }
-      s.read.parquet(s"$outP/batch=*")
+      readBatches(s, outP)
         .select(col("event_id"), col("user_id"), col("version"), col("cents_asof"))
         .orderBy(col("event_id"))
     }),
@@ -1514,7 +1514,7 @@ object StreamQueries {
     }
     // the v2 state API requires the RocksDB provider (q181's conf scope)
     if (api == "v2") withRocksDb(s)(runAll()) else runAll()
-    s.read.parquet(s"$outP/batch=*").select(
+    readBatches(s, outP).select(
       col("user_id"),
       timestamp_micros(col("t1_us")).as("t1"),
       timestamp_micros(col("t2_us")).as("t2"), // 0 µs = the q191 epoch sentinel
@@ -1573,7 +1573,7 @@ object StreamQueries {
     }
     // the v2 state API requires the RocksDB provider (q181's conf scope)
     if (api == "v2") withRocksDb(s)(runAll()) else runAll()
-    s.read.parquet(s"$outP/batch=*").select(
+    readBatches(s, outP).select(
       col("event_id"),
       col("key").as("user_id"),
       timestamp_micros(col("t_us")).as("ts"),
@@ -1677,6 +1677,21 @@ object StreamQueries {
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
     graft.sources.SessionMemo.deleteOnExit(tmp)
     tmp.toString
+  }
+
+  /** Read a per-batch foreachBatch sink back. A healthy two-drain run
+    * ALWAYS commits at least one batch (the sentinel file alone forces
+    * one), so an empty sink means the file source saw no new files —
+    * missing input links or a reused checkpoint. Fail with that diagnosis
+    * instead of the bare glob FileNotFoundException, which names neither
+    * the stream nor the cause.
+    */
+  private def readBatches(s: SparkSession, outP: String): DataFrame = {
+    val d = new java.io.File(outP)
+    require(d.isDirectory && d.list().exists(_.startsWith("batch=")),
+      s"stream sink at $outP committed no batches — the file source saw no new " +
+        "files (missing input links or a reused checkpoint)")
+    s.read.parquet(outP + "/batch=*")
   }
 
   val oracles: Map[String, String] = {
