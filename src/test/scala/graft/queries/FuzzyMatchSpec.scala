@@ -37,10 +37,11 @@ class FuzzyMatchSpec extends AnyFunSuite with SparkSpec {
     } yield ia).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
 
   private def runQ122(rows: Seq[(Long, String)]): Map[Long, Long] = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-spec").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-spec")
+    graft.sources.SessionMemo.deleteOnExit(dir)
     rows.toDF("c_custkey", "c_name").write.mode("overwrite")
       .parquet(s"$dir/customer.parquet")
-    SparkEntry.queries("q122_fuzzy_names")(spark, dir)
+    SparkEntry.queries("q122_fuzzy_names")(spark, dir.toString)
       .as[(Long, Long)].collect().toMap
   }
 
