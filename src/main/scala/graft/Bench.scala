@@ -153,11 +153,18 @@ object Bench {
       .find(_.length <= lineBudget)
       .getOrElse(line(Seq.empty, results.size))
     val headFull = s""""metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")),
-      s"""{$headFull,"queries":$qsFull,"sf":"$sfDir"}\n""".getBytes("UTF-8")
-    )
-    catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] detail write failed: $e") }
+    // Default dump path is UNTRACKED (target/): driver re-runs must not
+    // dirty the committed canonical bench_full.json — promoting a cohesive
+    // run to the repo root is a deliberate copy, never a side effect.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/target/bench_full.json"))
+    try {
+      Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(outPath,
+        s"""{$headFull,"queries":$qsFull,"sf":"$sfDir"}\n""".getBytes("UTF-8")
+      )
+      ()
+    } catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] detail write failed: $e") }
     println(printed)
     spark.stop()
   }

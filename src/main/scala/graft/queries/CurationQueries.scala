@@ -810,9 +810,12 @@ object CurationQueries {
     // source before BIGINT overflow: trillion-row sources fit). Join
     // volume is |values|·|sources|² — domain-bounded, never corpus-bounded.
     "q210_ks_drift" -> ((s, dir) => graft.plans.CacheScope.scoped(s) { keep =>
-      val freq = Tables.documents(s, dir)
+      // freq feeds the two grid distincts AND the left join — persist the
+      // domain-bounded table so the corpus aggregates exactly once (the
+      // sigs/grams "build once" convention, not exchange-reuse luck)
+      val freq = keep(Tables.documents(s, dir)
         .groupBy(col("source"), col("n_chars").as("v"))
-        .agg(count(lit(1)).as("f"))
+        .agg(count(lit(1)).as("f")))
       val grid = freq.select(col("v")).distinct()
         .crossJoin(freq.select(col("source")).distinct())
       val bySrc = Window.partitionBy(col("source"))
@@ -829,6 +832,57 @@ object CurationQueries {
         .groupBy(col("source_a"), col("source_b"))
         .agg(max(abs(col("fa") - col("fb"))).as("ks_q20"))
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // CATEGORICAL DRIFT — Population Stability Index per source against
+    // the pooled corpus over the `lang` category distribution: the third
+    // axis of the distribution-monitor family (q210 watches numeric SHAPE
+    // via KS, q158/q171 the vocabulary via KL — this watches the
+    // categorical mix an ingestion pipeline alarms on before blending a
+    // snapshot). PSI = Σ_cat (p_src − p_corpus)·ln(p_src/p_corpus) with
+    // add-one smoothing over the corpus category domain, every category of
+    // the (source × lang) grid contributing — including zero-count cells,
+    // whose smoothed mass is exactly where departure shows. Portability
+    // AND overflow discipline: both proportions are quantized FIRST onto
+    // the 2^20 integer grid (⌊(c+1)·2^20/(n+K)⌋, clamped to ≥1 so a
+    // vanishing cell stays on the grid), the log-ratio is floored ONCE at
+    // 2^20 (the q158 treatment — but over exact small-integer ratios, so
+    // libm sees the identical double on any engine), and the sum is a pure
+    // integer Σ(psq−pcq)·lr with BOTH factors grid-bounded (|Δp| ≤ 2^20,
+    // |lr| ≤ ln(2^20)·2^20 < 2^24): per-cell products stay under 2^44
+    // REGARDLESS of corpus row count — safe at any scale, a strictly
+    // better bound than q158's count-weighted summands. One display
+    // division by 2^40. 100 TB shape: ONE map-side-combined hash aggregate
+    // collapses the corpus to the (source, lang) frequency table; all else
+    // is category-domain-bounded with no window anywhere.
+    "q212_psi_drift" -> ((s, dir) => graft.plans.CacheScope.scoped(s) { keep =>
+      // freq feeds the source totals, the category totals, and the grid
+      // join — persist the domain-bounded table (the q210 convention)
+      val freq = keep(Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c")))
+      val ct = freq.groupBy(col("lang")).agg(sum(col("c")).as("ct"))
+      val ts = freq.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+      val tk = ct.agg(sum(col("ct")).as("t"), count(lit(1)).as("k")) // 1 row
+      ts.select(col("source"), col("ts"))
+        .crossJoin(broadcast(ct.select(col("lang"), col("ct"))))
+        .join(broadcast(freq), Seq("source", "lang"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(tk))
+        .select(
+          col("source"),
+          col("ts"),
+          expr("greatest((c + 1) * 1048576 div (ts + k), 1)").as("psq"),
+          expr("greatest((ct + 1) * 1048576 div (t + k), 1)").as("pcq"))
+        .withColumn(
+          "term",
+          (col("psq") - col("pcq")) *
+            floor(log(col("psq").cast("double") / col("pcq")) * lit(1048576.0)).cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          min(col("ts")).as("n_docs"),
+          round(sum(col("term")).cast("double") / lit(1099511627776.0), 6).as("psi"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1185,7 +1239,29 @@ object CurationQueries {
         |SELECT a.source AS source_a, b.source AS source_b,
         |  CAST(max(abs(a.q - b.q)) AS BIGINT) AS ks_q20
         |FROM ecdf a JOIN ecdf b ON a.v = b.v AND a.source < b.source
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The identical quantize-first PSI: proportions floored onto the 2^20
+    // grid (clamped ≥ 1), per-cell log-ratio floored once at 2^20, pure
+    // integer sum, one display division by 2^40.
+    "q212_psi_drift" ->
+      """WITH freq AS (SELECT source, lang, count(*)::BIGINT AS c
+        |              FROM documents GROUP BY 1, 2),
+        | ct AS (SELECT lang, sum(c)::BIGINT AS ct FROM freq GROUP BY 1),
+        | ts AS (SELECT source, sum(c)::BIGINT AS ts FROM freq GROUP BY 1),
+        | tk AS (SELECT sum(ct)::BIGINT AS t, count(*)::BIGINT AS k FROM ct),
+        | cells AS (SELECT s.source, s.ts,
+        |     greatest(((coalesce(f.c, 0) + 1) * 1048576) // (s.ts + tk.k), 1) AS psq,
+        |     greatest(((l.ct + 1) * 1048576) // (tk.t + tk.k), 1) AS pcq
+        |   FROM ts s CROSS JOIN ct l
+        |   LEFT JOIN freq f ON f.source = s.source AND f.lang = l.lang
+        |   CROSS JOIN tk),
+        | dim AS (SELECT source, ts,
+        |     (psq - pcq) * CAST(floor(ln(psq * 1.0 / pcq) * 1048576.0) AS BIGINT) AS term
+        |   FROM cells)
+        |SELECT source, min(ts)::BIGINT AS n_docs,
+        |  round(sum(term)::DOUBLE / 1099511627776.0, 6) AS psi
+        |FROM dim GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** One unrolled batch-perceptron round for q160's oracle: margins under

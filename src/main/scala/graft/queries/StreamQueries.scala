@@ -161,6 +161,13 @@ object StreamQueries {
     graft.sources.SessionMemo.dir(s, "lenks-baseline", dir)(b =>
       CurationStream.lengthBaseline(Tables.documents(s, dir)).write.parquet(s"$b/bl"))
 
+  /** q213's static per-category (lang) baseline — materialized once per
+    * (session, dir), same rationale as [[lenBaseline]].
+    */
+  private def psiBaseline(s: SparkSession, dir: String): String =
+    graft.sources.SessionMemo.dir(s, "psi-baseline", dir)(b =>
+      CurationStream.langBaseline(Tables.documents(s, dir)).write.parquet(s"$b/bl"))
+
   /** q172's events-as-a-stream copy: ONE corpus scan — max(ts) rides the
     * data write as an observed metric (CollectMetrics, the O2
     * `Dataset.observe` machinery), so the sentinel needs no second pass.
@@ -508,6 +515,7 @@ object StreamQueries {
     driftInput(s, dir)
     driftBaseline(s, dir)
     lenBaseline(s, dir)
+    psiBaseline(s, dir)
     eventwinInput(s, dir)
     paymentsMemo(s, dir)
     curateInput(s, dir)
@@ -567,10 +575,12 @@ object StreamQueries {
       .select(
         timestamp_seconds(pmod(col("doc_id"), lit(SpanSec))).as("ts"),
         col("source"),
+        col("lang"), // q213's category column; the sentinel's window never closes
         col("text"))
       .unionByName(s.range(1).select(
         timestamp_seconds(lit(100000L)).as("ts"),
         lit("__sentinel__").as("source"),
+        lit("xx").as("lang"),
         lit("x").as("text")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -610,6 +620,30 @@ object StreamQueries {
       val in       = s"${driftInput(s, dir)}/in"
       withStatePartitions(s)(runSinked(s, "drift") { (ckpt, sink) =>
         CurationStream.lengthDrift(
+          streamFrom(s, in),
+          baseline,
+          windowLength = s"$WindowSec seconds",
+          watermark = "0 seconds",
+          checkpointDir = ckpt
+        )(sink)
+      }).orderBy(col("window_start"), col("source"))
+    }),
+
+    // The CATEGORICAL axis of the live distribution-monitor family (q171
+    // vocabulary KL, q211 numeric-shape KS — this one the category MIX):
+    // per finalized (event-time window, source), the Population Stability
+    // Index of the window's lang distribution against the static corpus
+    // baseline, q212's quantize-first integer treatment delivered per
+    // micro-batch by CurationStream.langDrift's foreachBatch sink.
+    // Streaming state per (window, source) is the per-category histogram —
+    // bounded by the lang domain, never by doc count. The oracle
+    // recomputes every closed window's PSI from the documents table with
+    // the identical grid arithmetic.
+    "q213_psi_drift_stream" -> ((s, dir) => {
+      val baseline = s.read.parquet(s"${psiBaseline(s, dir)}/bl")
+      val in       = s"${driftInput(s, dir)}/in"
+      withStatePartitions(s)(runSinked(s, "psidrift") { (ckpt, sink) =>
+        CurationStream.langDrift(
           streamFrom(s, in),
           baseline,
           windowLength = s"$WindowSec seconds",
@@ -1752,6 +1786,30 @@ object StreamQueries {
              |  min(nw)::BIGINT AS n_docs,
              |  CAST(max(abs((c * 1048576) // nw - qb)) AS BIGINT) AS ks_q20
              |FROM cum GROUP BY ws, source ORDER BY window_start, source""".stripMargin,
+
+      // Same window assignment as q211; q212's quantize-first PSI per
+      // closed (window, source) vs the whole-corpus lang baseline —
+      // proportions floored onto the 2^20 grid (clamped ≥ 1), log-ratio
+      // floored once at 2^20, pure integer sum, one display division.
+      "q213_psi_drift_stream" ->
+        raw"""WITH base AS (
+             |  SELECT ((doc_id % $SpanSec) // $WindowSec) * $WindowSec AS ws, source, lang
+             |  FROM documents),
+             | bl AS (SELECT lang, count(*)::BIGINT AS ct FROM documents GROUP BY 1),
+             | tk AS (SELECT sum(ct)::BIGINT AS t, count(*)::BIGINT AS k FROM bl),
+             | wc AS (SELECT ws, source, lang, count(*)::BIGINT AS cs FROM base GROUP BY 1, 2, 3),
+             | nw AS (SELECT ws, source, count(*)::BIGINT AS nw FROM base GROUP BY 1, 2),
+             | cells AS (SELECT n.ws, n.source, n.nw,
+             |     greatest(((coalesce(w.cs, 0) + 1) * 1048576) // (n.nw + tk.k), 1) AS psq,
+             |     greatest(((b.ct + 1) * 1048576) // (tk.t + tk.k), 1) AS pcq
+             |   FROM nw n CROSS JOIN bl b
+             |   LEFT JOIN wc w ON w.ws = n.ws AND w.source = n.source AND w.lang = b.lang
+             |   CROSS JOIN tk)
+             |SELECT make_timestamp(ws * 1000000) AS window_start, source,
+             |  min(nw)::BIGINT AS n_docs,
+             |  round(sum((psq - pcq) * CAST(floor(ln(psq * 1.0 / pcq) * 1048576.0) AS BIGINT))::DOUBLE
+             |    / 1099511627776.0, 6) AS psi
+             |FROM cells GROUP BY ws, source ORDER BY window_start, source""".stripMargin,
 
       // The q27 window assignment (hourly time_bucket) with the exact
       // integer-cents sum the stream maintains; one display division.

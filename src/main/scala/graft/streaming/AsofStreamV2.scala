@@ -202,14 +202,39 @@ object AsofStreamV2 {
       }
       if (st.isEmpty) { quotes.clear(); trades.clear(); anchor.clear(); armed.clear() }
       else {
-        st.anchor match {
+        if (st.anchor != st0.anchor) st.anchor match {
           case Some(a) => anchor.update(a)
           case None    => anchor.clear()
         }
-        quotes.clear()
-        if (st.quotes.nonEmpty) quotes.appendList(st.quotes.toArray(quoteTag))
-        trades.clear()
-        if (st.trades.nonEmpty) trades.appendList(st.trades.toArray)
+        // AMORTIZED COMPACTION (the r14 variance fix): the pruned view is a
+        // pure SUBSET of the stored buffer, and every resolve provably
+        // ignores a below-floor quote (backward: dominated by the anchor
+        // `better` fold or outside the tolerance once the anchor expires;
+        // forward: the `q.us >= t.us` window filter; nearest: out of every
+        // reachable trade's ±window) — so retaining pruned quotes in the
+        // store is semantically inert and the rewrite is pure maintenance.
+        // Rewriting BOTH lists on EVERY firing was the board's widest
+        // variance source (q206's 1.85x swing on identical 100x chains):
+        // each firing re-serialized the whole two-sided ±window buffer into
+        // RocksDB, and that write amplification drove unpredictable
+        // background compaction. Rewrite only when the prune sheds more
+        // than 1/4 of the stored list: each entry is then rewritten O(1)
+        // amortized times, and the stored buffer never exceeds 4/3 of the
+        // live window (stale fraction is bounded by the threshold). The
+        // next firing re-reads the stale-inclusive list and re-prunes —
+        // the kernel is idempotent, so compaction is only ever deferred.
+        val shed = st0.quotes.size - st.quotes.size
+        if (shed * 4 > st0.quotes.size) {
+          quotes.clear()
+          if (st.quotes.nonEmpty) quotes.appendList(st.quotes.toArray(quoteTag))
+        }
+        // resolved trades MUST leave the store (a retained ripe trade would
+        // re-resolve and re-emit on the next firing); when nothing ripened,
+        // pending == the stored list and the rewrite is skipped entirely.
+        if (ripe.nonEmpty) {
+          trades.clear()
+          if (st.trades.nonEmpty) trades.appendList(st.trades.toArray)
+        }
         // earliest remaining deadline — v1's per-mode algebra verbatim
         val deadlines = mode match {
           case Backward =>

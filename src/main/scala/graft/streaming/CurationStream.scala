@@ -218,9 +218,14 @@ object CurationStream {
     * doc total and the two-sample Kolmogorov–Smirnov distance of the
     * window's length distribution vs [[lengthBaseline]], on the 2^20
     * integer grid (q210's quantization — deterministic on any engine).
-    * Window values are corpus values, and both ECDFs are right-continuous
-    * steps over corpus values only, so evaluating at every BASELINE grid
-    * value attains the supremum exactly.
+    * Both ECDFs are right-continuous steps, so evaluating at every value
+    * of the UNION grid (baseline values ∪ the batch's values) attains the
+    * supremum exactly: a window value absent from the baseline is still a
+    * step of the window ECDF, so it joins the grid carrying the baseline
+    * step function's value there — the last baseline quantile at or below
+    * it (0 before the first). The grid stays domain-bounded (both value
+    * sets are distinct lengths), and when the batch's values are a subset
+    * of the baseline's the union adds nothing.
     */
   def ksOf(counts: DataFrame, baseline: DataFrame): DataFrame = {
     val pairs = counts.select(col("window_start"), col("source")).distinct()
@@ -229,8 +234,22 @@ object CurationStream {
       .agg(sum(col("cs")).as("nw"))
     val byPair = org.apache.spark.sql.expressions.Window
       .partitionBy(col("window_start"), col("source"))
+    val grid = baseline
+      .select(col("v"), col("qb"))
+      .unionByName(
+        counts.select(col("v")).distinct()
+          .join(baseline.select(col("v")), Seq("v"), "left_anti")
+          .select(col("v"), lit(null).cast("long").as("qb")))
+      .withColumn(
+        "qb",
+        coalesce(
+          last(col("qb"), ignoreNulls = true).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("v"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)),
+          lit(0L)))
     pairs
-      .crossJoin(broadcast(baseline))
+      .crossJoin(broadcast(grid))
       .join(counts, Seq("window_start", "source", "v"), "left")
       .na.fill(0L, Seq("cs"))
       .withColumn("c", sum(col("cs")).over(byPair.orderBy(col("v"))))
@@ -272,6 +291,99 @@ object CurationStream {
         sink(
           ksOf(
             batch.select(col("w.start").as("window_start"), col("source"), col("v"), col("cs")),
+            baseline))
+        ()
+      }
+      .start()
+
+  /** STATIC baseline for the PSI categorical drift monitor (q212's corpus
+    * side): per-category counts of the reference corpus over `lang`, each
+    * row carrying the corpus total and the category-domain size —
+    * (lang, ct, t, k). The smoothing constant k is PINNED at baseline
+    * definition time (production PSI practice: the category domain is
+    * fixed when the baseline ships; a category the baseline never saw
+    * enters the evaluation grid with ct = 0 and the smoothed corpus mass
+    * 1/(t+k), it does not retroactively change the denominators).
+    */
+  def langBaseline(docs: DataFrame): DataFrame = {
+    val ct = docs.groupBy(col("lang")).agg(count(lit(1)).as("ct"))
+    ct.crossJoin(broadcast(ct.agg(sum(col("ct")).as("t"), count(lit(1)).as("k"))))
+  }
+
+  /** Batch PSI reduction over closed window summaries: `counts` is
+    * (window_start, source, lang, cs); returns per (window_start, source)
+    * the doc total and the Population Stability Index of the window's
+    * category distribution vs [[langBaseline]] — q212's exact integer
+    * treatment (proportions quantized FIRST onto the 2^20 grid and
+    * clamped ≥ 1, per-cell log-ratio floored once at 2^20, pure integer
+    * Σ(psq−pcq)·lr with both factors grid-bounded, one display division
+    * by 2^40). The evaluation grid is the baseline domain ∪ the batch's
+    * categories (ksOf's union rule): an out-of-baseline category still
+    * carries window mass, so it joins with ct = 0.
+    */
+  def psiOf(counts: DataFrame, baseline: DataFrame): DataFrame = {
+    val nW = counts
+      .groupBy(col("window_start"), col("source"))
+      .agg(sum(col("cs")).as("nw"))
+    val grid = baseline
+      .select(col("lang"), col("ct"))
+      .unionByName(
+        counts.select(col("lang")).distinct()
+          .join(baseline.select(col("lang")), Seq("lang"), "left_anti")
+          .select(col("lang"), lit(0L).as("ct")))
+    val tk = baseline.select(col("t"), col("k")).limit(1)
+    counts.select(col("window_start"), col("source")).distinct()
+      .crossJoin(broadcast(grid))
+      .join(counts, Seq("window_start", "source", "lang"), "left")
+      .na.fill(0L, Seq("cs"))
+      .join(broadcast(nW), Seq("window_start", "source"))
+      .crossJoin(broadcast(tk))
+      .select(
+        col("window_start"),
+        col("source"),
+        col("nw"),
+        expr("greatest((cs + 1) * 1048576 div (nw + k), 1)").as("psq"),
+        expr("greatest((ct + 1) * 1048576 div (t + k), 1)").as("pcq"))
+      .withColumn(
+        "term",
+        (col("psq") - col("pcq")) *
+          floor(log(col("psq").cast("double") / col("pcq")) * lit(1048576.0)).cast("long"))
+      .groupBy(col("window_start"), col("source"))
+      .agg(
+        min(col("nw")).as("n_docs"),
+        round(sum(col("term")).cast("double") / lit(1099511627776.0), 6).as("psi"))
+  }
+
+  /** The live CATEGORICAL drift monitor (the family's third axis: q171
+    * watches the vocabulary via KL, [[lengthDrift]] the numeric shape via
+    * KS — this watches the category MIX): watermarked windowed
+    * (lang, count) summaries → per-closed-window PSI vs the static corpus
+    * baseline, delivered to `sink` per micro-batch. Streaming state per
+    * (window, source) is the window's per-category histogram — bounded by
+    * the category domain, never by doc count.
+    *
+    * @param docs streaming frame with (ts TIMESTAMP, source STRING,
+    *             lang STRING) columns
+    */
+  def langDrift(
+      docs: DataFrame,
+      baseline: DataFrame,
+      windowLength: String,
+      watermark: String,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), windowLength).as("w"), col("source"), col("lang"))
+      .groupBy(col("w"), col("source"), col("lang"))
+      .agg(count(lit(1)).as("cs"))
+      .writeStream
+      .outputMode("append") // a (window, source, lang) row emits once, on window close
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(
+          psiOf(
+            batch.select(col("w.start").as("window_start"), col("source"), col("lang"), col("cs")),
             baseline))
         ()
       }

@@ -62,4 +62,41 @@ class DistributionSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(got((a, b)).toDouble / 1048576.0 - refExact) <= 2.0 / 1048576.0)
     }
   }
+
+  test("q212: psi equals the brute-force quantize-first PSI; every summand is non-negative") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "lang").as[(String, String)].collect()
+    val langs = docs.map(_._2).distinct.sorted
+    val srcs  = docs.map(_._1).distinct.sorted
+    val k     = langs.length.toLong
+    val t     = docs.length.toLong
+    val ct    = docs.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val got = SparkEntry.queries("q212_psi_drift")(spark, dir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == srcs.toSet, s"one row per source: ${got.keySet}")
+    srcs.foreach { src =>
+      val byLang = docs.filter(_._1 == src).groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+      val ts     = byLang.values.sum
+      // the independent referee: the same quantize-first contract computed
+      // cell by cell in plain Scala longs — exact integer equality expected
+      val psiq = langs.map { l =>
+        val psq  = math.max((byLang.getOrElse(l, 0L) + 1L) * 1048576L / (ts + k), 1L)
+        val pcq  = math.max((ct(l) + 1L) * 1048576L / (t + k), 1L)
+        val term = (psq - pcq) * math.floor(math.log(psq.toDouble / pcq) * 1048576.0).toLong
+        assert(term >= 0L, s"$src/$l: PSI summand must be non-negative, got $term")
+        term
+      }.sum
+      val refPsi = BigDecimal.valueOf(psiq.toDouble / 1099511627776.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(src) == ((ts, refPsi)), s"$src: ${got(src)} != ($ts, $refPsi)")
+      // sanity vs the unquantized statistic: within a few grid cells × k
+      val refExact = langs.map { l =>
+        val ps = (byLang.getOrElse(l, 0L) + 1.0) / (ts + k)
+        val pc = (ct(l) + 1.0) / (t + k)
+        (ps - pc) * math.log(ps / pc)
+      }.sum
+      assert(math.abs(got(src)._2 - refExact) <= (k + 2.0) * 2.0 / 1048576.0,
+        s"$src: quantized PSI ${got(src)._2} too far from exact $refExact")
+    }
+  }
 }

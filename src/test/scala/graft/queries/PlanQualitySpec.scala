@@ -390,6 +390,22 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       assert(l.contains("source"), "window without source partitioning:\n" + l.take(300)))
   }
 
+  test("q212 psi drift: corpus collapses to the (source, lang) frequency table; NO window anywhere") {
+    val plan  = executedPlan("q212_psi_drift")
+    val lines = plan.split('\n')
+    // map-side combine: the corpus scan feeds a partial count aggregate
+    assert(plan.contains("partial_count"), plan.take(800))
+    // PSI needs no cumulative at all — any Window operator would mean a
+    // sort crept into what is a pure grid-bounded aggregate chain
+    assert(!plan.contains("Window ["), "PSI must not need a window:\n" + plan.take(1200))
+    // the only sort is the display ORDER BY over ≤|sources| rows — above
+    // the deepest (partial) aggregate, never over raw document rows
+    val deepestAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(deepestAgg >= 0, plan.take(800))
+    lines.zipWithIndex.filter(_._1.contains("Sort ")).map(_._2).foreach(i =>
+      assert(i < deepestAgg, s"sort below the frequency aggregate (raw-row sort):\n$plan"))
+  }
+
   test("q129 adaptive SemDeDup prunes via equi joins only (no all-pairs anywhere)") {
     // the registered query (memoized assignment + pair prune): candidate
     // pairs come from an equi self-join on the learned cluster — a

@@ -299,4 +299,74 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
       .as[(Timestamp, String, Long, Long)].collect().head
     assert((twin._3, twin._4) == ((2L, 524288L)), s"batch twin: $twin")
   }
+
+  test("length drift: window values OUTSIDE the baseline support join the union grid (exact sup)") {
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    // baseline lengths {2 -> 524288, 4 -> 1048576}; the window holds one
+    // doc each of length 1, 3, 9 — NONE of them baseline values. Union
+    // grid {1,2,3,4,9}: F_w = 1/3,1/3,2/3,2/3,1 vs F_b = 0,1/2,1/2,1,1 →
+    // quantized gaps 349525, 174763, 174762, 349526, 0 — sup = 349526 at
+    // v=4. (The old baseline-only grid silently dropped every window
+    // count: the window CDF never left 0 and the statistic read a
+    // spurious 1048576.)
+    val baseline = CurationStream.lengthBaseline(Seq("ab", "abcd").toDF("text"))
+    val counts = Seq((t(0), "s1", 1, 1L), (t(0), "s1", 3, 1L), (t(0), "s1", 9, 1L))
+      .toDF("window_start", "source", "v", "cs")
+    val got = CurationStream.ksOf(counts, baseline)
+      .as[(Timestamp, String, Long, Long)].collect().head
+    assert((got._3, got._4) == ((3L, 349526L)), s"union-grid KS: $got")
+  }
+
+  test("lang drift: per-window PSI matches the plain-Scala quantize-first referee; out-of-baseline category joins the grid") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    // baseline corpus categories: en 2, fr 1, de 1 → t = 4, k = 3
+    val blCt = Map("en" -> 2L, "fr" -> 1L, "de" -> 1L)
+    val baseline = CurationStream.langBaseline(Seq("en", "en", "fr", "de").toDF("lang"))
+    // the independent referee: q212's exact integer contract in plain
+    // Scala longs over the union domain (baseline k stays pinned at 3)
+    def psiRef(counts: Map[String, Long]): (Long, Double) = {
+      val nw = counts.values.sum
+      val psiq = (blCt.keySet ++ counts.keySet).toSeq.sorted.map { l =>
+        val psq = math.max((counts.getOrElse(l, 0L) + 1L) * 1048576L / (nw + 3L), 1L)
+        val pcq = math.max((blCt.getOrElse(l, 0L) + 1L) * 1048576L / (4L + 3L), 1L)
+        (psq - pcq) * math.floor(math.log(psq.toDouble / pcq) * 1048576.0).toLong
+      }.sum
+      (nw, BigDecimal.valueOf(psiq.toDouble / 1099511627776.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val input = MemoryStream[(Timestamp, String, String)]
+    val tmp   = Files.createTempDirectory("graft-psidrift").toString
+    val out   = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String, Long, Double)]
+    val query = CurationStream.langDrift(
+      input.toDF().toDF("ts", "source", "lang"),
+      baseline,
+      windowLength = "60 seconds",
+      watermark = "0 seconds",
+      checkpointDir = s"$tmp/ckpt"
+    ) { batch =>
+      val rows = batch.select("window_start", "source", "n_docs", "psi")
+        .as[(Timestamp, String, Long, Double)].collect()
+      out.synchronized { out ++= rows }; ()
+    }
+    // window A [0, 60): en + fr — all in the baseline domain. window B
+    // [60, 120): en + two docs of "zz", a category the baseline NEVER saw —
+    // it must enter the evaluation grid with ct = 0 (smoothed corpus mass
+    // 1/(t+k)), not silently vanish.
+    input.addData((t(10), "s1", "en"), (t(20), "s1", "fr"),
+      (t(70), "s1", "en"), (t(80), "s1", "zz"), (t(90), "s1", "zz"))
+    query.processAllAvailable()
+    input.addData((t(1000), "s1", "en")) // sentinel: closes both windows
+    query.processAllAvailable()
+    query.stop()
+    val byWin = out.synchronized(out.map(r => r._1 -> ((r._2, r._3, r._4))).toMap)
+    assert(byWin.keySet == Set(t(0), t(60)), s"closed windows: ${byWin.keySet}")
+    val refA = psiRef(Map("en" -> 1L, "fr" -> 1L))
+    val refB = psiRef(Map("en" -> 1L, "zz" -> 2L))
+    assert(byWin(t(0)) == (("s1", refA._1, refA._2)), s"window A: ${byWin(t(0))} vs $refA")
+    assert(byWin(t(60)) == (("s1", refB._1, refB._2)), s"window B: ${byWin(t(60))} vs $refB")
+    // the window holding an unseen category must alarm louder than the
+    // in-distribution-ish one
+    assert(refB._2 > refA._2, s"unseen-category window must score higher PSI: $refB vs $refA")
+  }
 }
