@@ -810,12 +810,15 @@ object CurationQueries {
     // source before BIGINT overflow: trillion-row sources fit). Join
     // volume is |values|·|sources|² — domain-bounded, never corpus-bounded.
     "q210_ks_drift" -> ((s, dir) => graft.plans.CacheScope.scoped(s) { keep =>
-      // freq feeds the two grid distincts AND the left join — persist the
-      // domain-bounded table so the corpus aggregates exactly once (the
-      // sigs/grams "build once" convention, not exchange-reuse luck)
-      val freq = keep(Tables.documents(s, dir)
+      // freq feeds the two grid distincts AND the left join. Measured r15:
+      // persisting it COSTS more than it saves (0.46 → 1.04 s at sf0.1 —
+      // the cache materialization is pure overhead when Spark's exchange
+      // reuse already dedupes the corpus aggregate), so the build-once
+      // guarantee is enforced by the PlanQualitySpec ReusedExchange gate
+      // instead of a keep().
+      val freq = Tables.documents(s, dir)
         .groupBy(col("source"), col("n_chars").as("v"))
-        .agg(count(lit(1)).as("f")))
+        .agg(count(lit(1)).as("f"))
       val grid = freq.select(col("v")).distinct()
         .crossJoin(freq.select(col("source")).distinct())
       val bySrc = Window.partitionBy(col("source"))

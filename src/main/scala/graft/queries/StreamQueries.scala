@@ -1596,6 +1596,7 @@ object StreamQueries {
         .start()
       try q.awaitTermination()
       finally q.stop()
+      dumpProgress(q, tag)
     }
     def runAll(): Unit = withStatePartitions(s) {
       linkDataFiles(s"$root/in", watch, "run1")
@@ -1707,6 +1708,17 @@ object StreamQueries {
   /** Fresh per-invocation checkpoint/sink root (the used-checkpoint rule:
     * only the INPUT is memoizable — see [[runBounded]]).
     */
+  /** Diagnostic tap (off by default): `GRAFT_STREAM_PROGRESS=1` dumps each
+    * finished micro-batch's StreamingQueryProgress JSON — durations, state
+    * operator rows, and the RocksDB custom metrics — to stderr, tagged for
+    * offline grep. The profiling lever the r14 verdict's q206 directive
+    * calls for ("is the cost the compaction rewrite or RocksDB
+    * scheduling?"): zero cost unless the env var is set.
+    */
+  private def dumpProgress(q: StreamingQuery, tag: String): Unit =
+    if (sys.env.get("GRAFT_STREAM_PROGRESS").contains("1"))
+      q.recentProgress.foreach(p => System.err.println(s"[progress:$tag] ${p.json}"))
+
   private def freshTmp(tag: String): String = {
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
     graft.sources.SessionMemo.deleteOnExit(tmp)

@@ -388,6 +388,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       "no equi join on v:\n" + plan.take(1200))
     lines.filter(_.contains("Window [")).foreach(l =>
       assert(l.contains("source"), "window without source partitioning:\n" + l.take(300)))
+    // freq feeds multiple consumers with NO keep() (a persist measured
+    // 2.3x SLOWER at sf0.1 — cache materialization costs more than it
+    // saves on a domain-bounded aggregate). The build-once guarantee is
+    // AQE stage reuse, which the final plan prints as ONE ShuffleQueryStage
+    // id referenced from several points of the tree (never as a
+    // ReusedExchange node): execute, then assert some shuffle stage really
+    // is consumed more than once.
+    val df = SparkEntry.queries("q210_ks_drift")(spark, dir)
+    df.collect() // count() would plan a SEPARATE QueryExecution; collect finalizes THIS one
+    val finalPlan = df.queryExecution.executedPlan.toString
+    val stageUse = "ShuffleQueryStage [0-9]+".r.findAllIn(finalPlan).toList
+      .groupBy(identity).map(_._2.size)
+    assert(stageUse.nonEmpty && stageUse.max >= 2,
+      s"corpus frequency shuffle must be stage-reused across its consumers (got $stageUse):\n" +
+        finalPlan.take(2000))
   }
 
   test("q212 psi drift: corpus collapses to the (source, lang) frequency table; NO window anywhere") {
