@@ -71,7 +71,8 @@ object Plans {
     "q122_fuzzy_names",       // FastSS blocking: interval-filtered signature self-join, bare-int distinct
     "q209_exact_quantiles",   // value-frequency collapse: every sort above the aggregate, per-lang CDF
     "q210_ks_drift",          // domain-grid ECDFs: equi pair join on the value, source-keyed windows
-    "q212_psi_drift"          // grid-quantized PSI: one corpus aggregate, no window anywhere
+    "q212_psi_drift",         // grid-quantized PSI: one corpus aggregate, no window anywhere
+    "q215_mi_association"     // melted contingency memo (keep) + broadcast marginals, window-free
   )
 
   /** Plans dumped from builders outside the driver registry: the dedup

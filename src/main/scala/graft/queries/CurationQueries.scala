@@ -886,6 +886,69 @@ object CurationQueries {
           min(col("ts")).as("n_docs"),
           round(sum(col("term")).cast("double") / lit(1099511627776.0), 6).as("psi"))
         .orderBy(col("source"))
+    }),
+
+    // ASSOCIATION / COLLECTION-BIAS REPORT — plug-in mutual information
+    // between categorical axis pairs of the corpus: MI(lang, source)
+    // answers "is language correlated with where we crawled?", and the
+    // two MI(·, length-magnitude) rows answer "does document size depend
+    // on source/language?" — the dependence audit a mixture designer runs
+    // before treating axes as independent knobs. Categorical axes are the
+    // lang/source columns plus an EXACT integer size bucket (the decimal
+    // digit count of n_chars — order-of-magnitude, no float log at a
+    // bucket boundary on either engine). One corpus scan melts the three
+    // (pair, x, y) views via explode; one map-side-combined aggregate
+    // collapses to the per-pair contingency table (domain-bounded); the
+    // marginals and the MI reduction run on those cells only. Quantized
+    // with the q212 discipline, quantize-FIRST so every product is
+    // grid-bounded: a = ⌊c·2^20/n⌋ (joint), b = ⌊cx·2^20/n⌋·⌊cy·2^20/n⌋
+    // (product of marginals, ≤ 2^40 — exact as a double), each clamped
+    // ≥ 1, per-cell log-ratio ln(a·2^20/b) floored once at 2^20, pure
+    // integer Σ a·lr over OBSERVED cells (the 0·ln0 = 0 convention),
+    // one display division by 2^40. |a| ≤ 2^20 and |lr| < 2^25, so the
+    // sum is BIGINT-safe at ANY corpus size. The contingency table feeds
+    // four consumers needing DIFFERENT partitionings ((pair,x), (pair,y),
+    // (pair), the cell join), so AQE stage reuse CANNOT dedupe the corpus
+    // scan here (measured: nine single-use stages) — unlike q210 this is
+    // the case keep() exists for: the cached table is a few hundred rows
+    // while each avoided consumer re-runs a full corpus scan + 3× explode.
+    // At the shipped corpora the two forms are within window noise of each
+    // other (sf0.1: 0.64 no-keep vs ~1.1 keep window-adjusted; 100×: 2.00
+    // vs ~1.1 window-adjusted — the pruned scan is simply cheap at these
+    // sizes); the keep is kept for the 100 TB shape, where 4 corpus scans
+    // lose to a KB-sized cache by construction. Plan-gated.
+    "q215_mi_association" -> ((s, dir) => graft.plans.CacheScope.scoped(s) { keep =>
+      val lenMag = length(col("n_chars").cast("string")).cast("string")
+      val cells = keep(Tables.documents(s, dir)
+        .select(explode(array(
+          struct(lit("lang_lenmag").as("pair"), col("lang").as("x"), lenMag.as("y")),
+          struct(lit("lang_source").as("pair"), col("lang").as("x"), col("source").as("y")),
+          struct(lit("source_lenmag").as("pair"), col("source").as("x"), lenMag.as("y"))
+        )).as("t"))
+        .select(col("t.pair").as("pair"), col("t.x").as("x"), col("t.y").as("y"))
+        .groupBy(col("pair"), col("x"), col("y"))
+        .agg(count(lit(1)).as("c")))
+      val cx = cells.groupBy(col("pair"), col("x")).agg(sum(col("c")).as("cx"))
+      val cy = cells.groupBy(col("pair"), col("y")).agg(sum(col("c")).as("cy"))
+      val nn = cells.groupBy(col("pair")).agg(sum(col("c")).as("n"))
+      cells
+        .join(broadcast(cx), Seq("pair", "x"))
+        .join(broadcast(cy), Seq("pair", "y"))
+        .join(broadcast(nn), Seq("pair"))
+        .select(
+          col("pair"),
+          expr("greatest(c * 1048576 div n, 1)").as("a"),
+          (expr("greatest(cx * 1048576 div n, 1)") *
+            expr("greatest(cy * 1048576 div n, 1)")).as("b"))
+        .withColumn(
+          "term",
+          col("a") *
+            floor(log(col("a") * lit(1048576.0) / col("b")) * lit(1048576.0)).cast("long"))
+        .groupBy(col("pair"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          round(sum(col("term")).cast("double") / lit(1099511627776.0), 6).as("mi"))
+        .orderBy(col("pair"))
     })
   )
 
@@ -1264,7 +1327,32 @@ object CurationQueries {
         |   FROM cells)
         |SELECT source, min(ts)::BIGINT AS n_docs,
         |  round(sum(term)::DOUBLE / 1099511627776.0, 6) AS psi
-        |FROM dim GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM dim GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The identical quantize-first plug-in MI over observed cells: joint
+    // and marginal proportions floored onto the 2^20 grid (clamped ≥ 1),
+    // per-cell log-ratio floored once at 2^20, integer sum, one display
+    // division by 2^40. The size axis is the exact decimal digit count.
+    "q215_mi_association" ->
+      """WITH m AS (
+        |  SELECT 'lang_lenmag' AS pair, lang AS x,
+        |    CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR) AS y FROM documents
+        |  UNION ALL SELECT 'lang_source', lang, source FROM documents
+        |  UNION ALL SELECT 'source_lenmag', source,
+        |    CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR) FROM documents),
+        | f AS (SELECT pair, x, y, count(*)::BIGINT AS c FROM m GROUP BY 1, 2, 3),
+        | cx AS (SELECT pair, x, sum(c)::BIGINT AS cx FROM f GROUP BY 1, 2),
+        | cy AS (SELECT pair, y, sum(c)::BIGINT AS cy FROM f GROUP BY 1, 2),
+        | nn AS (SELECT pair, sum(c)::BIGINT AS n FROM f GROUP BY 1),
+        | cells AS (SELECT f.pair,
+        |     greatest((f.c * 1048576) // nn.n, 1) AS a,
+        |     greatest((cx.cx * 1048576) // nn.n, 1)
+        |       * greatest((cy.cy * 1048576) // nn.n, 1) AS b
+        |   FROM f JOIN cx USING (pair, x) JOIN cy USING (pair, y) JOIN nn USING (pair))
+        |SELECT pair, count(*)::BIGINT AS n_cells,
+        |  round(sum(a * CAST(floor(ln(a * 1048576.0 / b) * 1048576.0) AS BIGINT))::DOUBLE
+        |    / 1099511627776.0, 6) AS mi
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** One unrolled batch-perceptron round for q160's oracle: margins under

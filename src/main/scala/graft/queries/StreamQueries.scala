@@ -653,6 +653,26 @@ object StreamQueries {
       }).orderBy(col("window_start"), col("source"))
     }),
 
+    // q209's STREAMING twin (the q210↔q211 pairing applied to the
+    // quantile family): per finalized (event-time window, source), the
+    // EXACT p50/p90/p99 of the window's document-length distribution —
+    // q209's integer quantile rule over the same per-window
+    // distinct-length histogram state q211 maintains, so a production
+    // monitor gets percentiles alongside KS for zero extra state. The
+    // oracle recomputes every closed window's quantiles from the
+    // documents table with the identical 100·c ≥ p·n integer test.
+    "q214_quantiles_stream" -> ((s, dir) => {
+      val in = s"${driftInput(s, dir)}/in"
+      withStatePartitions(s)(runSinked(s, "lenquant") { (ckpt, sink) =>
+        CurationStream.lengthQuantiles(
+          streamFrom(s, in),
+          windowLength = s"$WindowSec seconds",
+          watermark = "0 seconds",
+          checkpointDir = ckpt
+        )(sink)
+      }).orderBy(col("window_start"), col("source"))
+    }),
+
     // q27's windowed event aggregate executed as a real stream over the
     // REAL events.ts: hourly tumbling windows per event_type, counts plus
     // an EXACT integer-cents value sum (the q141 rounding pattern — one
@@ -1822,6 +1842,24 @@ object StreamQueries {
              |  round(sum((psq - pcq) * CAST(floor(ln(psq * 1.0 / pcq) * 1048576.0) AS BIGINT))::DOUBLE
              |    / 1099511627776.0, 6) AS psi
              |FROM cells GROUP BY ws, source ORDER BY window_start, source""".stripMargin,
+
+      // Same window assignment as q211; q209's exact integer quantile rule
+      // (smallest v with 100·c ≥ p·n) per closed (window, source).
+      "q214_quantiles_stream" ->
+        raw"""WITH base AS (
+             |  SELECT ((doc_id % $SpanSec) // $WindowSec) * $WindowSec AS ws, source,
+             |    length(text) AS v FROM documents),
+             | wc AS (SELECT ws, source, v, count(*)::BIGINT AS cs FROM base GROUP BY 1, 2, 3),
+             | cum AS (SELECT ws, source, v,
+             |   CAST(sum(cs) OVER (PARTITION BY ws, source ORDER BY v) AS BIGINT) AS c,
+             |   CAST(sum(cs) OVER (PARTITION BY ws, source) AS BIGINT) AS n
+             |   FROM wc)
+             |SELECT make_timestamp(ws * 1000000) AS window_start, source,
+             |  min(n)::BIGINT AS n_docs,
+             |  min(CASE WHEN c * 100 >= n * 50 THEN v END)::BIGINT AS p50,
+             |  min(CASE WHEN c * 100 >= n * 90 THEN v END)::BIGINT AS p90,
+             |  min(CASE WHEN c * 100 >= n * 99 THEN v END)::BIGINT AS p99
+             |FROM cum GROUP BY ws, source ORDER BY window_start, source""".stripMargin,
 
       // The q27 window assignment (hourly time_bucket) with the exact
       // integer-cents sum the stream maintains; one display division.

@@ -296,6 +296,63 @@ object CurationStream {
       }
       .start()
 
+  /** Batch quantile reduction over closed window summaries: `counts` is
+    * (window_start, source, v, cs); returns per (window_start, source) the
+    * doc total and the EXACT p50/p90/p99 of the window's length
+    * distribution — q209's integer quantile rule (smallest v whose
+    * cumulative count c satisfies 100·c ≥ p·n, no ceil, no floats) applied
+    * to the per-window value-frequency state the stream already maintains.
+    * The cumulative window runs over distinct values per (window, source)
+    * — domain-bounded, never doc-bounded.
+    */
+  def quantilesOf(counts: DataFrame): DataFrame = {
+    val byPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"), col("source"))
+    val cum = counts
+      .withColumn("c", sum(col("cs")).over(byPair.orderBy(col("v"))))
+      .withColumn("n", sum(col("cs")).over(byPair))
+    def q(p: Int) = min(when(col("c") * 100 >= col("n") * p, col("v"))).as(s"p$p")
+    cum
+      .groupBy(col("window_start"), col("source"))
+      .agg(min(col("n")).as("n_docs"), q(50), q(90), q(99))
+  }
+
+  /** The live PERCENTILE monitor (q209's streaming twin, the q210↔q211
+    * pairing applied to the quantile family): watermarked windowed
+    * (length, count) summaries → per-closed-window exact p50/p90/p99,
+    * delivered to `sink` per micro-batch. State per (window, source) is
+    * the distinct-length histogram — identical to [[lengthDrift]]'s, so
+    * the marginal cost of monitoring percentiles alongside KS is zero
+    * state and one more domain-bounded reduction.
+    *
+    * @param docs streaming frame with (ts TIMESTAMP, source STRING,
+    *             text STRING) columns
+    */
+  def lengthQuantiles(
+      docs: DataFrame,
+      windowLength: String,
+      watermark: String,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs
+      .withWatermark("ts", watermark)
+      .select(
+        window(col("ts"), windowLength).as("w"),
+        col("source"),
+        char_length(col("text")).cast("long").as("v")) // long: the oracle's BIGINT quantiles
+      .groupBy(col("w"), col("source"), col("v"))
+      .agg(count(lit(1)).as("cs"))
+      .writeStream
+      .outputMode("append") // a (window, source, length) row emits once, on window close
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(
+          quantilesOf(
+            batch.select(col("w.start").as("window_start"), col("source"), col("v"), col("cs"))))
+        ()
+      }
+      .start()
+
   /** STATIC baseline for the PSI categorical drift monitor (q212's corpus
     * side): per-category counts of the reference corpus over `lang`, each
     * row carrying the corpus total and the category-domain size —

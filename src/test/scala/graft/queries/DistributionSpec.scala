@@ -99,4 +99,41 @@ class DistributionSpec extends AnyFunSuite with SparkSpec {
         s"$src: quantized PSI ${got(src)._2} too far from exact $refExact")
     }
   }
+
+  test("q215: each pair's mi equals the brute-force quantize-first plug-in MI over observed cells") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "source", "n_chars").as[(String, String, Long)].collect()
+    def views(d: (String, String, Long)): Seq[(String, String, String)] = Seq(
+      ("lang_lenmag", d._1, d._3.toString.length.toString),
+      ("lang_source", d._1, d._2),
+      ("source_lenmag", d._2, d._3.toString.length.toString))
+    val got = SparkEntry.queries("q215_mi_association")(spark, dir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set("lang_lenmag", "lang_source", "source_lenmag"))
+    got.keySet.foreach { pair =>
+      val xs = docs.flatMap(views).filter(_._1 == pair)
+      val n  = xs.length.toLong
+      val c  = xs.groupBy(v => (v._2, v._3)).map { case (k2, vs) => k2 -> vs.length.toLong }
+      val cx = xs.groupBy(_._2).map { case (k2, vs) => k2 -> vs.length.toLong }
+      val cy = xs.groupBy(_._3).map { case (k2, vs) => k2 -> vs.length.toLong }
+      // the independent referee: identical integer contract in plain Scala
+      val miq = c.map { case ((x, y), cc) =>
+        val a = math.max(cc * 1048576L / n, 1L)
+        val b = math.max(cx(x) * 1048576L / n, 1L) * math.max(cy(y) * 1048576L / n, 1L)
+        a * math.floor(math.log(a * 1048576.0 / b) * 1048576.0).toLong
+      }.sum
+      val refMi = BigDecimal.valueOf(miq.toDouble / 1099511627776.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(pair) == ((c.size.toLong, refMi)), s"$pair: ${got(pair)} != (${c.size}, $refMi)")
+      // sanity vs the exact plug-in MI (which is >= 0 by Jensen): the
+      // quantized statistic sits within a few grid cells x cell count
+      val refExact = c.map { case ((x, y), cc) =>
+        val pxy = cc.toDouble / n
+        pxy * math.log(pxy / ((cx(x).toDouble / n) * (cy(y).toDouble / n)))
+      }.sum
+      assert(refExact >= -1e-12, s"$pair: exact plug-in MI must be non-negative")
+      assert(math.abs(got(pair)._2 - refExact) <= (c.size + 4.0) * 4.0 / 1048576.0,
+        s"$pair: quantized MI ${got(pair)._2} too far from exact $refExact")
+    }
+  }
 }

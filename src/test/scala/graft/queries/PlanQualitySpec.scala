@@ -421,6 +421,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       assert(i < deepestAgg, s"sort below the frequency aggregate (raw-row sort):\n$plan"))
   }
 
+  test("q215 mi association: melted corpus aggregate built ONCE (keep), consumers read the memo; no window") {
+    val plan = executedPlan("q215_mi_association")
+    assert(plan.contains("partial_count"), plan.take(800))
+    assert(!plan.contains("Window ["), "MI must not need a window:\n" + plan.take(1200))
+    // the contingency table's four consumers need DIFFERENT partitionings,
+    // so AQE stage reuse cannot dedupe the corpus scan (measured: nine
+    // single-use stages without keep) — the persist is load-bearing here,
+    // unlike q210: every consumer must read the InMemoryRelation, never
+    // re-scan parquet outside the one cached build
+    assert(plan.contains("InMemoryTableScan"),
+      "contingency consumers must read the cached build:\n" + plan.take(1500))
+  }
+
   test("q129 adaptive SemDeDup prunes via equi joins only (no all-pairs anywhere)") {
     // the registered query (memoized assignment + pair prune): candidate
     // pairs come from an equi self-join on the learned cluster — a

@@ -369,4 +369,38 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
     // in-distribution-ish one
     assert(refB._2 > refA._2, s"unseen-category window must score higher PSI: $refB vs $refA")
   }
+
+  test("length quantiles: per-window p50/p90/p99 are the exact discrete quantiles (q209's integer rule)") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val input = MemoryStream[(Timestamp, String, String)]
+    val tmp   = Files.createTempDirectory("graft-lenquant").toString
+    val out   = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String, Long, Long, Long, Long)]
+    val query = CurationStream.lengthQuantiles(
+      input.toDF().toDF("ts", "source", "text"),
+      windowLength = "60 seconds",
+      watermark = "0 seconds",
+      checkpointDir = s"$tmp/ckpt"
+    ) { batch =>
+      val rows = batch.select("window_start", "source", "n_docs", "p50", "p90", "p99")
+        .as[(Timestamp, String, Long, Long, Long, Long)].collect()
+      out.synchronized { out ++= rows }; ()
+    }
+    // window A: lengths {1,2,3,4,5,6,7,8,9,10} — p50 = 5, p90 = 9, p99 = 10
+    // (smallest v whose cumulative count reaches ceil(p*n/100)); window B:
+    // lengths {4,4,4,7} — p50 = 4 (c=3 >= 2), p90 = 7 (needs c >= 3.6 -> 4),
+    // p99 = 7.
+    val winA = (1 to 10).map(i => (t(i.toLong), "s1", "x" * i))
+    val winB = Seq((t(70), "s1", "wxyz"), (t(75), "s1", "abcd"), (t(80), "s1", "qrst"),
+      (t(85), "s1", "abcdefg"))
+    input.addData(winA ++ winB: _*)
+    query.processAllAvailable()
+    input.addData((t(1000), "s1", "x")) // sentinel: closes both windows
+    query.processAllAvailable()
+    query.stop()
+    val byWin = out.synchronized(out.map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap)
+    assert(byWin.keySet == Set(t(0), t(60)), s"closed windows: ${byWin.keySet}")
+    assert(byWin(t(0)) == (("s1", 10L, 5L, 9L, 10L)), s"window A quantiles: ${byWin(t(0))}")
+    assert(byWin(t(60)) == (("s1", 4L, 4L, 7L, 7L)), s"window B quantiles: ${byWin(t(60))}")
+  }
 }
