@@ -1582,6 +1582,7 @@ object StreamQueries {
       s: SparkSession, dir: String, tag: String, toleranceUs: Long,
       mode: String = "backward", api: String = "v1"): DataFrame = {
     import s.implicits._
+    armProgressTap(s)
     val root  = asofInput(s, dir)
     val tmp   = freshTmp(tag)
     val watch = s"$tmp/watch"
@@ -1728,22 +1729,30 @@ object StreamQueries {
   /** Fresh per-invocation checkpoint/sink root (the used-checkpoint rule:
     * only the INPUT is memoizable — see [[runBounded]]).
     */
-  /** Diagnostic tap (off by default): `GRAFT_STREAM_PROGRESS=1` dumps each
-    * finished micro-batch's StreamingQueryProgress JSON — durations, state
-    * operator rows, and the RocksDB custom metrics — to stderr, tagged for
-    * offline grep. The profiling lever the r14 verdict's q206 directive
-    * calls for ("is the cost the compaction rewrite or RocksDB
-    * scheduling?"): zero cost unless the env var is set.
-    */
-  private def dumpProgress(q: StreamingQuery, tag: String): Unit =
-    if (sys.env.get("GRAFT_STREAM_PROGRESS").contains("1"))
-      q.recentProgress.foreach(p => System.err.println(s"[progress:$tag] ${p.json}"))
-
   private def freshTmp(tag: String): String = {
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
     graft.sources.SessionMemo.deleteOnExit(tmp)
     tmp.toString
   }
+
+  /** Diagnostic tap (off by default): `GRAFT_STREAM_PROGRESS=1` dumps each
+    * finished micro-batch's StreamingQueryProgress JSON — durations, state
+    * operator rows, and the RocksDB custom metrics — to stderr, tagged for
+    * offline grep. The profiling lever the r14 verdict's q206 directive
+    * calls for ("is the cost the compaction rewrite or RocksDB
+    * scheduling?"): zero cost unless the env var is set. [[armProgressTap]]
+    * must run BEFORE the query starts: `recentProgress` is a ring buffer
+    * capped by `spark.sql.streaming.numRecentProgressUpdates` (default
+    * 100), so long 100x chains would silently drop their earliest
+    * micro-batches at the default.
+    */
+  private def dumpProgress(q: StreamingQuery, tag: String): Unit =
+    if (sys.env.get("GRAFT_STREAM_PROGRESS").contains("1"))
+      q.recentProgress.foreach(p => System.err.println(s"[progress:$tag] ${p.json}"))
+
+  private def armProgressTap(s: SparkSession): Unit =
+    if (sys.env.get("GRAFT_STREAM_PROGRESS").contains("1"))
+      s.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
 
   /** Read a per-batch foreachBatch sink back. A healthy two-drain run
     * ALWAYS commits at least one batch (the sentinel file alone forces

@@ -213,6 +213,11 @@ object AsofStreamV2 {
         // forward: the `q.us >= t.us` window filter; nearest: out of every
         // reachable trade's ±window) — so retaining pruned quotes in the
         // store is semantically inert and the rewrite is pure maintenance.
+        // That inertness assumes every reachable trade arrives at-or-after
+        // the floor — the no-late-rows contract that transformWithState's
+        // event-time late-row filtering enforces at our 0s watermark. An
+        // (impossible in-contract) late trade below the prior floor could
+        // otherwise resolve against a retained pruned quote v1 discarded.
         // Rewriting BOTH lists on EVERY firing was the board's widest
         // variance source (q206's 1.85x swing on identical 100x chains):
         // each firing re-serialized the whole two-sided ±window buffer into

@@ -10,9 +10,13 @@
 # and q198 at the 100x corpus (streaming/RocksDB lifecycle axis, 1x2).
 # The 100x corpus is the ScaleProbe output at /tmp/graft-scale100 —
 # regenerate it first if the box was wiped.
-set -u
+set -euo pipefail
 cd /root/repo
-TAG=$1
+TAG=${1:-}
+case "$TAG" in
+  start|end) ;;
+  *) echo "usage: $0 start|end" >&2; exit 1 ;;
+esac
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_QUERIES=q41,q117,q130 SPARK_GRAFT_BENCH_PREBUILD=dedup \
   SPARK_GRAFT_BENCH_OUT=/tmp/sentinel_${TAG}_sf01.json \
