@@ -673,6 +673,58 @@ object StreamQueries {
       }).orderBy(col("window_start"), col("source"))
     }),
 
+    // THE UNIFIED MULTI-METRIC MONITOR — q211 (KS) + q214 (quantiles) +
+    // q213 (PSI) as ONE stateful query (the production deployment shape:
+    // three singles would scan the feed three times and keep the length
+    // histogram twice): each doc contributes a (len, length) and a
+    // (cat, lang) row to a single watermarked windowed aggregate — one
+    // stateful operator, state per (window, source) = length histogram ∪
+    // category histogram — and on window close the three domain-bounded
+    // reductions run off the SAME closed summaries into one wide alarm
+    // row. The oracle is the three singles' oracle chains joined per
+    // (window, source); CurationStreamSpec gates the single-pass claim on
+    // the runtime stateOperators count and exact state-row totals.
+    "q216_multi_drift_stream" -> ((s, dir) => {
+      val lenBl = s.read.parquet(s"${lenBaseline(s, dir)}/bl")
+      val catBl = s.read.parquet(s"${psiBaseline(s, dir)}/bl")
+      val in    = s"${driftInput(s, dir)}/in"
+      withStatePartitions(s)(runSinked(s, "multidrift") { (ckpt, sink) =>
+        CurationStream.multiDrift(
+          streamFrom(s, in),
+          lenBl,
+          catBl,
+          windowLength = s"$WindowSec seconds",
+          watermark = "0 seconds",
+          checkpointDir = ckpt
+        )(sink)
+      }).orderBy(col("window_start"), col("source"))
+    }),
+
+    // THE COMPLETE DRIFT MONITOR — q216 with the VOCABULARY axis joined
+    // in: all four drift axes (q171 KL, q211 KS, q214 quantiles, q213
+    // PSI) from ONE stateful pass. The voc axis fans out per token inside
+    // the same explode (before the one key shuffle, exactly like q171's
+    // own explode), so state per (window, source) = distinct lengths ∪
+    // langs ∪ ≤256 vocab cells — every axis domain-bounded. The oracle is
+    // the four singles' chains joined per (window, source).
+    "q217_full_drift_stream" -> ((s, dir) => {
+      val vocBl = s.read.parquet(s"${driftBaseline(s, dir)}/bl")
+      val lenBl = s.read.parquet(s"${lenBaseline(s, dir)}/bl")
+      val catBl = s.read.parquet(s"${psiBaseline(s, dir)}/bl")
+      val in    = s"${driftInput(s, dir)}/in"
+      withStatePartitions(s)(runSinked(s, "fulldrift") { (ckpt, sink) =>
+        CurationStream.fullDrift(
+          streamFrom(s, in),
+          vocBl,
+          lenBl,
+          catBl,
+          windowLength = s"$WindowSec seconds",
+          watermark = "0 seconds",
+          checkpointDir = ckpt
+        )(sink)
+      }).orderBy(col("window_start"), col("source"))
+    }),
+
     // q27's windowed event aggregate executed as a real stream over the
     // REAL events.ts: hourly tumbling windows per event_type, counts plus
     // an EXACT integer-cents value sum (the q141 rounding pattern — one
@@ -1869,6 +1921,131 @@ object StreamQueries {
              |  min(CASE WHEN c * 100 >= n * 90 THEN v END)::BIGINT AS p90,
              |  min(CASE WHEN c * 100 >= n * 99 THEN v END)::BIGINT AS p99
              |FROM cum GROUP BY ws, source ORDER BY window_start, source""".stripMargin,
+
+      // The union of q211/q213/q214's oracle chains, joined per closed
+      // (window, source) — the KS leg's union grid, the quantile leg's
+      // integer rule, and the PSI leg's quantize-first cells are each
+      // byte-identical to their single's formulation, so a hash match
+      // here proves the one-pass monitor emits exactly what the three
+      // singles emit.
+      "q216_multi_drift_stream" ->
+        raw"""WITH base AS (
+             |  SELECT ((doc_id % $SpanSec) // $WindowSec) * $WindowSec AS ws, source, lang,
+             |    length(text) AS v FROM documents),
+             | blfreq AS (SELECT length(text) AS v, count(*)::BIGINT AS f
+             |            FROM documents GROUP BY 1),
+             | klbl AS (SELECT v,
+             |   CAST((CAST(sum(f) OVER (ORDER BY v) AS BIGINT) * 1048576)
+             |     // (SELECT sum(f) FROM blfreq) AS BIGINT) AS qb FROM blfreq),
+             | wc AS (SELECT ws, source, v, count(*)::BIGINT AS cs FROM base GROUP BY 1, 2, 3),
+             | pairs AS (SELECT DISTINCT ws, source FROM base),
+             | grid AS (SELECT p.ws, p.source, b.v, b.qb FROM pairs p CROSS JOIN klbl b),
+             | cum AS (SELECT g.ws, g.source, g.qb,
+             |   CAST(sum(coalesce(w.cs, 0)) OVER (PARTITION BY g.ws, g.source ORDER BY g.v) AS BIGINT) AS c,
+             |   CAST(sum(coalesce(w.cs, 0)) OVER (PARTITION BY g.ws, g.source) AS BIGINT) AS nw
+             |   FROM grid g LEFT JOIN wc w ON w.ws = g.ws AND w.source = g.source AND w.v = g.v),
+             | ks AS (SELECT ws, source, min(nw)::BIGINT AS n_docs,
+             |   CAST(max(abs((c * 1048576) // nw - qb)) AS BIGINT) AS ks_q20
+             |   FROM cum GROUP BY ws, source),
+             | qcum AS (SELECT ws, source, v,
+             |   CAST(sum(cs) OVER (PARTITION BY ws, source ORDER BY v) AS BIGINT) AS c,
+             |   CAST(sum(cs) OVER (PARTITION BY ws, source) AS BIGINT) AS n
+             |   FROM wc),
+             | qs AS (SELECT ws, source,
+             |   min(CASE WHEN c * 100 >= n * 50 THEN v END)::BIGINT AS p50,
+             |   min(CASE WHEN c * 100 >= n * 90 THEN v END)::BIGINT AS p90,
+             |   min(CASE WHEN c * 100 >= n * 99 THEN v END)::BIGINT AS p99
+             |   FROM qcum GROUP BY ws, source),
+             | psibl AS (SELECT lang, count(*)::BIGINT AS ct FROM documents GROUP BY 1),
+             | tk AS (SELECT sum(ct)::BIGINT AS t, count(*)::BIGINT AS k FROM psibl),
+             | lc AS (SELECT ws, source, lang, count(*)::BIGINT AS cs FROM base GROUP BY 1, 2, 3),
+             | nws AS (SELECT ws, source, count(*)::BIGINT AS nw FROM base GROUP BY 1, 2),
+             | cells AS (SELECT n.ws, n.source, n.nw,
+             |     greatest(((coalesce(w.cs, 0) + 1) * 1048576) // (n.nw + tk.k), 1) AS psq,
+             |     greatest(((b.ct + 1) * 1048576) // (tk.t + tk.k), 1) AS pcq
+             |   FROM nws n CROSS JOIN psibl b
+             |   LEFT JOIN lc w ON w.ws = n.ws AND w.source = n.source AND w.lang = b.lang
+             |   CROSS JOIN tk),
+             | psi AS (SELECT ws, source,
+             |   round(sum((psq - pcq) * CAST(floor(ln(psq * 1.0 / pcq) * 1048576.0) AS BIGINT))::DOUBLE
+             |     / 1099511627776.0, 6) AS psi
+             |   FROM cells GROUP BY ws, source)
+             |SELECT make_timestamp(ks.ws * 1000000) AS window_start, ks.source,
+             |  n_docs, ks_q20, p50, p90, p99, psi
+             |FROM ks JOIN qs ON ks.ws = qs.ws AND ks.source = qs.source
+             |JOIN psi ON ks.ws = psi.ws AND ks.source = psi.source
+             |ORDER BY window_start, ks.source""".stripMargin,
+
+      // q216's three chains + q171's KL chain, joined per closed
+      // (window, source) — the four-axis monitor must emit exactly what
+      // the four singles emit.
+      "q217_full_drift_stream" ->
+        raw"""WITH base AS (
+             |  SELECT ((doc_id % $SpanSec) // $WindowSec) * $WindowSec AS ws, source, lang,
+             |    length(text) AS v, text FROM documents),
+             | blfreq AS (SELECT length(text) AS v, count(*)::BIGINT AS f
+             |            FROM documents GROUP BY 1),
+             | klbl AS (SELECT v,
+             |   CAST((CAST(sum(f) OVER (ORDER BY v) AS BIGINT) * 1048576)
+             |     // (SELECT sum(f) FROM blfreq) AS BIGINT) AS qb FROM blfreq),
+             | wc AS (SELECT ws, source, v, count(*)::BIGINT AS cs FROM base GROUP BY 1, 2, 3),
+             | pairs AS (SELECT DISTINCT ws, source FROM base),
+             | grid AS (SELECT p.ws, p.source, b.v, b.qb FROM pairs p CROSS JOIN klbl b),
+             | cum AS (SELECT g.ws, g.source, g.qb,
+             |   CAST(sum(coalesce(w.cs, 0)) OVER (PARTITION BY g.ws, g.source ORDER BY g.v) AS BIGINT) AS c,
+             |   CAST(sum(coalesce(w.cs, 0)) OVER (PARTITION BY g.ws, g.source) AS BIGINT) AS nw
+             |   FROM grid g LEFT JOIN wc w ON w.ws = g.ws AND w.source = g.source AND w.v = g.v),
+             | ks AS (SELECT ws, source, min(nw)::BIGINT AS n_docs,
+             |   CAST(max(abs((c * 1048576) // nw - qb)) AS BIGINT) AS ks_q20
+             |   FROM cum GROUP BY ws, source),
+             | qcum AS (SELECT ws, source, v,
+             |   CAST(sum(cs) OVER (PARTITION BY ws, source ORDER BY v) AS BIGINT) AS c,
+             |   CAST(sum(cs) OVER (PARTITION BY ws, source) AS BIGINT) AS n
+             |   FROM wc),
+             | qs AS (SELECT ws, source,
+             |   min(CASE WHEN c * 100 >= n * 50 THEN v END)::BIGINT AS p50,
+             |   min(CASE WHEN c * 100 >= n * 90 THEN v END)::BIGINT AS p90,
+             |   min(CASE WHEN c * 100 >= n * 99 THEN v END)::BIGINT AS p99
+             |   FROM qcum GROUP BY ws, source),
+             | psibl AS (SELECT lang, count(*)::BIGINT AS ct FROM documents GROUP BY 1),
+             | tk AS (SELECT sum(ct)::BIGINT AS t, count(*)::BIGINT AS k FROM psibl),
+             | lc AS (SELECT ws, source, lang, count(*)::BIGINT AS cs FROM base GROUP BY 1, 2, 3),
+             | nws AS (SELECT ws, source, count(*)::BIGINT AS nw FROM base GROUP BY 1, 2),
+             | cells AS (SELECT n.ws, n.source, n.nw,
+             |     greatest(((coalesce(w.cs, 0) + 1) * 1048576) // (n.nw + tk.k), 1) AS psq,
+             |     greatest(((b.ct + 1) * 1048576) // (tk.t + tk.k), 1) AS pcq
+             |   FROM nws n CROSS JOIN psibl b
+             |   LEFT JOIN lc w ON w.ws = n.ws AND w.source = n.source AND w.lang = b.lang
+             |   CROSS JOIN tk),
+             | psi AS (SELECT ws, source,
+             |   round(sum((psq - pcq) * CAST(floor(ln(psq * 1.0 / pcq) * 1048576.0) AS BIGINT))::DOUBLE
+             |     / 1099511627776.0, 6) AS psi
+             |   FROM cells GROUP BY ws, source),
+             | toks AS (
+             |  SELECT ws, source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM base),
+             | tok2 AS (SELECT ws, source, tok FROM toks WHERE tok <> ''),
+             | bk AS (SELECT ws, source, $h60 % $B AS b FROM tok2),
+             | cbk AS (
+             |  SELECT $h60 % $B AS b FROM (
+             |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents)
+             |  WHERE tok <> ''),
+             | vcs AS (SELECT ws, source, b, count(*) AS cs FROM bk GROUP BY 1, 2, 3),
+             | vct AS (SELECT b, count(*) AS ct FROM cbk GROUP BY 1),
+             | vt AS (SELECT count(*) AS t FROM cbk),
+             | vtsum AS (SELECT ws, source, count(*) AS tsum FROM bk GROUP BY 1, 2),
+             | vdim AS (
+             |  SELECT vcs.ws, vcs.source, vcs.cs, vtsum.tsum,
+             |    CAST(floor(ln(((vcs.cs + 1.0) / (vtsum.tsum + $B.0)) / ((coalesce(vct.ct, 0) + 1.0) / (vt.t + $B.0))) * 1048576.0) AS BIGINT) AS lr
+             |  FROM vcs LEFT JOIN vct USING (b) CROSS JOIN vt JOIN vtsum USING (ws, source)),
+             | kl AS (SELECT ws, source, min(tsum)::BIGINT AS n_tokens,
+             |   round(CAST(sum(cs * lr) AS DOUBLE) / 1048576.0 / min(tsum), 6) AS kl
+             |   FROM vdim GROUP BY ws, source)
+             |SELECT make_timestamp(ks.ws * 1000000) AS window_start, ks.source,
+             |  n_docs, n_tokens, kl, ks_q20, p50, p90, p99, psi
+             |FROM ks JOIN qs ON ks.ws = qs.ws AND ks.source = qs.source
+             |JOIN psi ON ks.ws = psi.ws AND ks.source = psi.source
+             |JOIN kl ON ks.ws = kl.ws AND ks.source = kl.source
+             |ORDER BY window_start, ks.source""".stripMargin,
 
       // The q27 window assignment (hourly time_bucket) with the exact
       // integer-cents sum the stream maintains; one display division.

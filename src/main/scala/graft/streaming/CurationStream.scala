@@ -374,23 +374,27 @@ object CurationStream {
     * treatment (proportions quantized FIRST onto the 2^20 grid and
     * clamped ≥ 1, per-cell log-ratio floored once at 2^20, pure integer
     * Σ(psq−pcq)·lr with both factors grid-bounded, one display division
-    * by 2^40). The evaluation grid is the baseline domain ∪ the batch's
-    * categories (ksOf's union rule): an out-of-baseline category still
-    * carries window mass, so it joins with ct = 0.
+    * by 2^40). The evaluation grid is PER (window, source): the baseline
+    * domain ∪ that pair's OWN categories — an out-of-baseline category
+    * with window mass joins with ct = 0. The pair's own categories, not
+    * the batch's union (ksOf's rule is safe globally — extra evaluation
+    * points never move a step-function sup — but PSI's zero-cell
+    * smoothing CREATES mass, so a category from a sibling window closed
+    * in the same micro-batch would shift this window's score; per-pair
+    * grids make the score batch-composition-independent).
     */
   def psiOf(counts: DataFrame, baseline: DataFrame): DataFrame = {
     val nW = counts
       .groupBy(col("window_start"), col("source"))
       .agg(sum(col("cs")).as("nw"))
-    val grid = baseline
-      .select(col("lang"), col("ct"))
+    val grid = counts.select(col("window_start"), col("source")).distinct()
+      .crossJoin(broadcast(baseline.select(col("lang"), col("ct"))))
       .unionByName(
-        counts.select(col("lang")).distinct()
+        counts.select(col("window_start"), col("source"), col("lang"))
           .join(baseline.select(col("lang")), Seq("lang"), "left_anti")
-          .select(col("lang"), lit(0L).as("ct")))
+          .select(col("window_start"), col("source"), col("lang"), lit(0L).as("ct")))
     val tk = baseline.select(col("t"), col("k")).limit(1)
-    counts.select(col("window_start"), col("source")).distinct()
-      .crossJoin(broadcast(grid))
+    grid
       .join(counts, Seq("window_start", "source", "lang"), "left")
       .na.fill(0L, Seq("cs"))
       .join(broadcast(nW), Seq("window_start", "source"))
@@ -442,6 +446,165 @@ object CurationStream {
           psiOf(
             batch.select(col("w.start").as("window_start"), col("source"), col("lang"), col("cs")),
             baseline))
+        ()
+      }
+      .start()
+
+  /** The UNIFIED multi-metric distribution monitor — KS + exact quantiles
+    * + PSI per closed (window, source) from ONE stateful pass (the r15
+    * verdict's directive #3): a production deployment watches all three
+    * axes of a feed, and running [[lengthDrift]], [[lengthQuantiles]] and
+    * [[langDrift]] as three queries would scan the stream three times and
+    * keep the length histogram twice. Here each document contributes two
+    * rows — (axis = len, its length) and (axis = cat, its lang) — to a
+    * SINGLE watermarked windowed aggregate, so the query holds exactly one
+    * stateful operator whose state per (window, source) is the length
+    * histogram ∪ the category histogram: the union of what q211/q213 keep
+    * and strictly less than the three singles combined (q214 re-uses
+    * q211's histogram; nothing is stored twice). On window close the three
+    * reductions ([[ksOf]], [[quantilesOf]], [[psiOf]]) run per micro-batch
+    * off the SAME closed summaries — domain-bounded batch work, no
+    * recomputation from raw rows — and join into one wide alarm row:
+    * (window_start, source, n_docs, ks_q20, p50, p90, p99, psi).
+    *
+    * The axis tag is part of the grouping key, never a filter on state:
+    * adding a fourth axis (e.g. a vocab-bucket axis) is one more struct in
+    * the explode, with state growing only by that axis's domain.
+    *
+    * @param docs        streaming frame with (ts TIMESTAMP, source STRING,
+    *                    lang STRING, text STRING) columns
+    * @param lenBaseline [[lengthBaseline]]'s static (v, qb) ECDF
+    * @param catBaseline [[langBaseline]]'s static (lang, ct, t, k) counts
+    */
+  def multiDrift(
+      docs: DataFrame,
+      lenBaseline: DataFrame,
+      catBaseline: DataFrame,
+      windowLength: String,
+      watermark: String,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs
+      .withWatermark("ts", watermark)
+      .select(
+        window(col("ts"), windowLength).as("w"),
+        col("source"),
+        explode(array(
+          struct(
+            lit("len").as("axis"),
+            char_length(col("text")).cast("long").as("vl"),
+            lit(null).cast("string").as("vs")),
+          struct(
+            lit("cat").as("axis"),
+            lit(null).cast("long").as("vl"),
+            col("lang").as("vs")))).as("m"))
+      .select(col("w"), col("source"), col("m.axis").as("axis"),
+        col("m.vl").as("vl"), col("m.vs").as("vs"))
+      .groupBy(col("w"), col("source"), col("axis"), col("vl"), col("vs"))
+      .agg(count(lit(1)).as("cs"))
+      .writeStream
+      .outputMode("append") // a (window, source, axis, value) row emits once, on close
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the closed summaries feed three reductions — persist so the
+        // state output is read once, not once per axis consumer
+        batch.persist()
+        try {
+          val len = batch.filter(col("axis") === "len")
+            .select(col("w.start").as("window_start"), col("source"),
+              col("vl").as("v"), col("cs"))
+          val cat = batch.filter(col("axis") === "cat")
+            .select(col("w.start").as("window_start"), col("source"),
+              col("vs").as("lang"), col("cs"))
+          sink(
+            ksOf(len, lenBaseline)
+              .join(quantilesOf(len).drop("n_docs"), Seq("window_start", "source"))
+              .join(psiOf(cat, catBaseline).drop("n_docs"), Seq("window_start", "source"))
+              .select(col("window_start"), col("source"), col("n_docs"),
+                col("ks_q20"), col("p50"), col("p90"), col("p99"), col("psi")))
+        } finally { batch.unpersist(); () }
+        ()
+      }
+      .start()
+
+  /** [[multiDrift]] with the VOCABULARY axis joined in — the COMPLETE
+    * drift family (q171 KL + q211 KS + q214 quantiles + q213 PSI) as one
+    * stateful pass: the len/cat axes contribute one row per document, the
+    * voc axis one row per token (`transform` over the token array inside
+    * the same explode — the per-token fan-out happens BEFORE the one key
+    * shuffle, exactly like q171's own explode), and all three land in the
+    * single windowed aggregate. State per (window, source) = distinct
+    * lengths ∪ langs ∪ ≤[[VocabBuckets]] vocabulary cells — every axis
+    * domain-bounded, so the four-axis monitor holds the same
+    * corpus-size-independent state contract as each single.
+    *
+    * Wide alarm row: (window_start, source, n_docs, n_tokens, kl, ks_q20,
+    * p50, p90, p99, psi).
+    *
+    * @param docs        streaming frame with (ts TIMESTAMP, source STRING,
+    *                    lang STRING, text STRING) columns
+    * @param vocBaseline [[vocabBaseline]]'s static (b, ct) bucket counts
+    * @param lenBaseline [[lengthBaseline]]'s static (v, qb) ECDF
+    * @param catBaseline [[langBaseline]]'s static (lang, ct, t, k) counts
+    */
+  def fullDrift(
+      docs: DataFrame,
+      vocBaseline: DataFrame,
+      lenBaseline: DataFrame,
+      catBaseline: DataFrame,
+      windowLength: String,
+      watermark: String,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs
+      .withWatermark("ts", watermark)
+      .select(
+        window(col("ts"), windowLength).as("w"),
+        col("source"),
+        explode(concat(
+          array(
+            struct(
+              lit("len").as("axis"),
+              char_length(col("text")).cast("long").as("vl"),
+              lit(null).cast("string").as("vs")),
+            struct(
+              lit("cat").as("axis"),
+              lit(null).cast("long").as("vl"),
+              col("lang").as("vs"))),
+          transform(
+            filter(tokens(lower(col("text"))), t => t =!= ""),
+            t => struct(
+              lit("voc").as("axis"),
+              vocabBucket(t).as("vl"),
+              lit(null).cast("string").as("vs"))))).as("m"))
+      .select(col("w"), col("source"), col("m.axis").as("axis"),
+        col("m.vl").as("vl"), col("m.vs").as("vs"))
+      .groupBy(col("w"), col("source"), col("axis"), col("vl"), col("vs"))
+      .agg(count(lit(1)).as("cs"))
+      .writeStream
+      .outputMode("append") // a (window, source, axis, value) row emits once, on close
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist() // four axis consumers — one state read
+        try {
+          val len = batch.filter(col("axis") === "len")
+            .select(col("w.start").as("window_start"), col("source"),
+              col("vl").as("v"), col("cs"))
+          val cat = batch.filter(col("axis") === "cat")
+            .select(col("w.start").as("window_start"), col("source"),
+              col("vs").as("lang"), col("cs"))
+          val voc = batch.filter(col("axis") === "voc")
+            .select(col("w.start").as("window_start"), col("source"),
+              col("vl").as("b"), col("cs"))
+          sink(
+            ksOf(len, lenBaseline)
+              .join(quantilesOf(len).drop("n_docs"), Seq("window_start", "source"))
+              .join(psiOf(cat, catBaseline).drop("n_docs"), Seq("window_start", "source"))
+              .join(driftOf(voc, vocBaseline), Seq("window_start", "source"))
+              .select(col("window_start"), col("source"), col("n_docs"),
+                col("n_tokens"), col("kl"), col("ks_q20"),
+                col("p50"), col("p90"), col("p99"), col("psi")))
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()

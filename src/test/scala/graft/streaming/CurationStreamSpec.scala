@@ -403,4 +403,170 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
     assert(byWin(t(0)) == (("s1", 10L, 5L, 9L, 10L)), s"window A quantiles: ${byWin(t(0))}")
     assert(byWin(t(60)) == (("s1", 4L, 4L, 7L, 7L)), s"window B quantiles: ${byWin(t(60))}")
   }
+
+  test("multiDrift: ONE stateful operator holds the union histogram; output == the three singles' reductions") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val lenBl = CurationStream.lengthBaseline(Seq("ab", "abcd").toDF("text"))
+    val catBl = CurationStream.langBaseline(Seq("en", "en", "fr", "de").toDF("lang"))
+    val input = MemoryStream[(Timestamp, String, String, String)] // (ts, source, lang, text)
+    val tmp   = Files.createTempDirectory("graft-multidrift").toString
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Timestamp, String, Long, Long, Long, Long, Long, Double)]
+    val query = CurationStream.multiDrift(
+      input.toDF().toDF("ts", "source", "lang", "text"),
+      lenBl,
+      catBl,
+      windowLength = "60 seconds",
+      watermark = "0 seconds",
+      checkpointDir = s"$tmp/ckpt"
+    ) { batch =>
+      val rows = batch
+        .select("window_start", "source", "n_docs", "ks_q20", "p50", "p90", "p99", "psi")
+        .as[(Timestamp, String, Long, Long, Long, Long, Long, Double)].collect()
+      out.synchronized { out ++= rows }; ()
+    }
+    // batch 1: window A only (the watermark stays below the window end, so
+    // batch 0's committed state snapshot is exactly window A's live
+    // histograms); batch 2: window B (closes A); batch 3: sentinel (closes B)
+    input.addData((t(10), "s1", "en", "xy"), (t(20), "s1", "fr", "wxyz"))
+    query.processAllAvailable()
+    // THE SINGLE-PASS GATE, part 1: exactly one stateful operator in the
+    // whole query — KS, quantiles and PSI share it, nothing is kept twice.
+    // (Operator COUNT from progress is structural; the row-count metric is
+    // deliberately not asserted — foreachBatch sinks re-execute the batch
+    // plan and the numRowsTotal accumulator sums re-executions.)
+    val soCounts = query.recentProgress.toSeq.map(_.stateOperators.length).filter(_ > 0)
+    assert(soCounts.nonEmpty && soCounts.forall(_ == 1),
+      s"expected ONE stateful operator in every batch, got $soCounts")
+    input.addData((t(70), "s1", "en", "wxyz"), (t(80), "s1", "zz", "qrst"),
+      (t(90), "s1", "zz", "qr"))
+    query.processAllAvailable()
+    input.addData((t(1000), "s1", "en", "x"))
+    query.processAllAvailable()
+    query.stop()
+    // THE SINGLE-PASS GATE, part 2, from the CHECKPOINT itself (the
+    // authoritative state, immune to metric double-counting): after batch
+    // 0 the one store holds exactly the union histogram — window A's 2
+    // distinct lengths + 2 distinct langs = 4 rows, not the 6 (2+2+2)
+    // three singles would hold in aggregate.
+    val state0 = spark.read.format("statestore")
+      .option("batchId", 0).load(s"$tmp/ckpt")
+      .select("key.axis", "key.vl", "key.vs")
+      .as[(String, Option[Long], Option[String])].collect().toSet
+    assert(state0 == Set(
+      ("len", Some(2L), None), ("len", Some(4L), None),
+      ("cat", None, Some("en")), ("cat", None, Some("fr"))),
+      s"batch-0 state must be the 4-row union histogram, got $state0")
+    // and closed windows EVICT: the final committed state holds only the
+    // sentinel's never-closing window (1 length + 1 lang)
+    val stateEnd = spark.read.format("statestore").load(s"$tmp/ckpt")
+      .select("key.axis").as[String].collect().toSeq
+    assert(stateEnd.sorted == Seq("cat", "len"),
+      s"final state must be the sentinel window's 2 rows only, got $stateEnd")
+    // semantic union: the one-pass monitor's wide rows == the three
+    // singles' reductions (ksOf / quantilesOf / psiOf — each refereed
+    // against hand values in the tests above) joined per (window, source),
+    // computed off the same per-window histograms the stream kept
+    val lenCounts = Seq(
+      (t(0), "s1", 2L, 1L), (t(0), "s1", 4L, 1L),
+      (t(60), "s1", 4L, 2L), (t(60), "s1", 2L, 1L))
+      .toDF("window_start", "source", "v", "cs")
+    val langCounts = Seq(
+      (t(0), "s1", "en", 1L), (t(0), "s1", "fr", 1L),
+      (t(60), "s1", "en", 1L), (t(60), "s1", "zz", 2L))
+      .toDF("window_start", "source", "lang", "cs")
+    val expected = CurationStream.ksOf(lenCounts, lenBl)
+      .join(CurationStream.quantilesOf(lenCounts).drop("n_docs"), Seq("window_start", "source"))
+      .join(CurationStream.psiOf(langCounts, catBl).drop("n_docs"), Seq("window_start", "source"))
+      .select(col("window_start"), col("source"), col("n_docs"),
+        col("ks_q20"), col("p50"), col("p90"), col("p99"), col("psi"))
+      .as[(Timestamp, String, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq.sortBy(r => (r._1.getTime, r._2))
+    val got = out.synchronized(out.toSeq).sortBy(r => (r._1.getTime, r._2))
+    assert(got == expected, s"one-pass monitor != singles' union:\n got $got\n exp $expected")
+    assert(got.map(_._1).toSet == Set(t(0), t(60)), s"closed windows: ${got.map(_._1)}")
+  }
+
+  test("fullDrift: the vocab axis joins the single pass — still ONE stateful operator, KL == driftOf") {
+    import org.apache.spark.sql.functions.{col, sum}
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val vocBl = CurationStream.vocabBaseline(Seq("ab", "abcd").toDF("text"))
+    val lenBl = CurationStream.lengthBaseline(Seq("ab", "abcd").toDF("text"))
+    val catBl = CurationStream.langBaseline(Seq("en", "en", "fr", "de").toDF("lang"))
+    val input = MemoryStream[(Timestamp, String, String, String)] // (ts, source, lang, text)
+    val tmp   = Files.createTempDirectory("graft-fulldrift").toString
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Timestamp, String, Long, Long, Double, Long, Long, Long, Long, Double)]
+    val query = CurationStream.fullDrift(
+      input.toDF().toDF("ts", "source", "lang", "text"),
+      vocBl,
+      lenBl,
+      catBl,
+      windowLength = "60 seconds",
+      watermark = "0 seconds",
+      checkpointDir = s"$tmp/ckpt"
+    ) { batch =>
+      val rows = batch
+        .select("window_start", "source", "n_docs", "n_tokens", "kl",
+          "ks_q20", "p50", "p90", "p99", "psi")
+        .as[(Timestamp, String, Long, Long, Double, Long, Long, Long, Long, Double)].collect()
+      out.synchronized { out ++= rows }; ()
+    }
+    // multi-token texts so the voc axis really fans out per token
+    input.addData((t(10), "s1", "en", "ab cd"), (t(20), "s1", "fr", "abcd"))
+    query.processAllAvailable()
+    val soCounts = query.recentProgress.toSeq.map(_.stateOperators.length).filter(_ > 0)
+    assert(soCounts.nonEmpty && soCounts.forall(_ == 1),
+      s"expected ONE stateful operator in every batch, got $soCounts")
+    input.addData((t(70), "s1", "en", "wx yz"), (t(80), "s1", "zz", "qrst"))
+    query.processAllAvailable()
+    input.addData((t(1000), "s1", "en", "x"))
+    query.processAllAvailable()
+    query.stop()
+    // checkpoint state at batch 0 = window A's union histogram across ALL
+    // THREE axes: lengths {5, 4}, langs {en, fr}, voc buckets of the
+    // tokens {ab, cd, abcd} (computed through the production fold so a
+    // bucket collision cannot break the assertion)
+    val vocA = Seq("ab", "cd", "abcd").toDF("tok")
+      .select(CurationStream.vocabBucket(col("tok")).as("b"))
+      .as[Long].collect().toSet
+    val state0 = spark.read.format("statestore")
+      .option("batchId", 0).load(s"$tmp/ckpt")
+      .select("key.axis", "key.vl", "key.vs")
+      .as[(String, Option[Long], Option[String])].collect().toSet
+    val expState = Set(
+      ("len", Some(5L), None), ("len", Some(4L), None),
+      ("cat", None, Some("en")), ("cat", None, Some("fr"))) ++
+      vocA.map(b => ("voc", Some(b), None))
+    assert(state0 == expState, s"batch-0 state:\n got $state0\n exp $expState")
+    // the wide row == the four singles' reductions off the same histograms
+    val lenCounts = Seq(
+      (t(0), "s1", 5L, 1L), (t(0), "s1", 4L, 1L),
+      (t(60), "s1", 5L, 1L), (t(60), "s1", 4L, 1L))
+      .toDF("window_start", "source", "v", "cs")
+    val langCounts = Seq(
+      (t(0), "s1", "en", 1L), (t(0), "s1", "fr", 1L),
+      (t(60), "s1", "en", 1L), (t(60), "s1", "zz", 1L))
+      .toDF("window_start", "source", "lang", "cs")
+    val vocCounts = Seq(
+      (t(0), "s1", "ab"), (t(0), "s1", "cd"), (t(0), "s1", "abcd"),
+      (t(60), "s1", "wx"), (t(60), "s1", "yz"), (t(60), "s1", "qrst"))
+      .toDF("window_start", "source", "tok")
+      .select(col("window_start"), col("source"), CurationStream.vocabBucket(col("tok")).as("b"))
+      .groupBy("window_start", "source", "b").agg(sum(org.apache.spark.sql.functions.lit(1L)).as("cs"))
+    val expected = CurationStream.ksOf(lenCounts, lenBl)
+      .join(CurationStream.quantilesOf(lenCounts).drop("n_docs"), Seq("window_start", "source"))
+      .join(CurationStream.psiOf(langCounts, catBl).drop("n_docs"), Seq("window_start", "source"))
+      .join(CurationStream.driftOf(vocCounts, vocBl), Seq("window_start", "source"))
+      .select(col("window_start"), col("source"), col("n_docs"), col("n_tokens"), col("kl"),
+        col("ks_q20"), col("p50"), col("p90"), col("p99"), col("psi"))
+      .as[(Timestamp, String, Long, Long, Double, Long, Long, Long, Long, Double)]
+      .collect().toSeq.sortBy(r => (r._1.getTime, r._2))
+    val got = out.synchronized(out.toSeq).sortBy(r => (r._1.getTime, r._2))
+    assert(got == expected, s"four-axis monitor != singles' union:\n got $got\n exp $expected")
+    assert(got.map(_._1).toSet == Set(t(0), t(60)), s"closed windows: ${got.map(_._1)}")
+  }
 }
