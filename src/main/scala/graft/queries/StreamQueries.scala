@@ -725,6 +725,27 @@ object StreamQueries {
       }).orderBy(col("window_start"), col("source"))
     }),
 
+    // THE LIVE ASSOCIATION MONITOR — q215's streaming sibling (the
+    // q212↔q213 pairing applied to the MI family, closing the last
+    // un-paired distribution row): per finalized event-time window, the
+    // plug-in MI of the window's three categorical axis pairs, q215's
+    // exact quantize-first integer treatment per micro-batch on closed
+    // windows. State per window = the three joint histograms — bounded by
+    // the category domains, never doc count. The oracle recomputes every
+    // closed window's MI from the documents table with the identical grid
+    // arithmetic (size bucket from length(text) on BOTH sides).
+    "q218_mi_stream" -> ((s, dir) => {
+      val in = s"${driftInput(s, dir)}/in"
+      withStatePartitions(s)(runSinked(s, "midrift") { (ckpt, sink) =>
+        CurationStream.miDrift(
+          streamFrom(s, in),
+          windowLength = s"$WindowSec seconds",
+          watermark = "0 seconds",
+          checkpointDir = ckpt
+        )(sink)
+      }).orderBy(col("window_start"), col("pair"))
+    }),
+
     // q27's windowed event aggregate executed as a real stream over the
     // REAL events.ts: hourly tumbling windows per event_type, counts plus
     // an EXACT integer-cents value sum (the q141 rounding pattern — one
@@ -2046,6 +2067,34 @@ object StreamQueries {
              |JOIN psi ON ks.ws = psi.ws AND ks.source = psi.source
              |JOIN kl ON ks.ws = kl.ws AND ks.source = kl.source
              |ORDER BY window_start, ks.source""".stripMargin,
+
+      // Same window assignment as q171; q215's quantize-first MI formula
+      // per closed window and axis pair — joint and marginal proportions
+      // floored onto the 2^20 grid (clamped ≥ 1), log-ratio floored once,
+      // pure integer sum, one display division by 2^40.
+      "q218_mi_stream" ->
+        raw"""WITH base AS (
+             |  SELECT ((doc_id % $SpanSec) // $WindowSec) * $WindowSec AS ws, source, lang,
+             |    CAST(length(CAST(length(text) AS VARCHAR)) AS VARCHAR) AS lenmag FROM documents),
+             | m AS (
+             |  SELECT ws, 'lang_lenmag' AS pair, lang AS x, lenmag AS y FROM base
+             |  UNION ALL SELECT ws, 'lang_source', lang, source FROM base
+             |  UNION ALL SELECT ws, 'source_lenmag', source, lenmag FROM base),
+             | f AS (SELECT ws, pair, x, y, count(*)::BIGINT AS c FROM m GROUP BY 1, 2, 3, 4),
+             | cx AS (SELECT ws, pair, x, sum(c)::BIGINT AS cx FROM f GROUP BY 1, 2, 3),
+             | cy AS (SELECT ws, pair, y, sum(c)::BIGINT AS cy FROM f GROUP BY 1, 2, 3),
+             | nn AS (SELECT ws, pair, sum(c)::BIGINT AS n FROM f GROUP BY 1, 2),
+             | cells AS (SELECT f.ws, f.pair,
+             |     greatest((f.c * 1048576) // nn.n, 1) AS a,
+             |     greatest((cx.cx * 1048576) // nn.n, 1)
+             |       * greatest((cy.cy * 1048576) // nn.n, 1) AS b
+             |   FROM f JOIN cx USING (ws, pair, x) JOIN cy USING (ws, pair, y)
+             |   JOIN nn USING (ws, pair))
+             |SELECT make_timestamp(ws * 1000000) AS window_start, pair,
+             |  count(*)::BIGINT AS n_cells,
+             |  round(sum(a * CAST(floor(ln(a * 1048576.0 / b) * 1048576.0) AS BIGINT))::DOUBLE
+             |    / 1099511627776.0, 6) AS mi
+             |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // The q27 window assignment (hourly time_bucket) with the exact
       // integer-cents sum the stream maintains; one display division.

@@ -527,6 +527,89 @@ object CurationStream {
       }
       .start()
 
+  /** Batch MI reduction over closed window summaries: `cells` is
+    * (window_start, pair, x, y, c); returns per (window_start, pair) the
+    * cell count and the plug-in mutual information — q215's exact integer
+    * treatment (joint and both marginal proportions floored onto the 2^20
+    * grid and clamped ≥ 1 BEFORE any product, per-cell log-ratio floored
+    * once at 2^20, pure integer Σ a·lr, one display division by 2^40) —
+    * computed within each window: the marginals group by (window, pair),
+    * so a sibling window closed in the same micro-batch can never leak
+    * into this window's score (the [[psiOf]] per-pair-grid rule, which MI
+    * gets for free because its grid IS the window's own observed cells).
+    */
+  def miOf(cells: DataFrame): DataFrame = {
+    val cx = cells.groupBy(col("window_start"), col("pair"), col("x")).agg(sum(col("c")).as("cx"))
+    val cy = cells.groupBy(col("window_start"), col("pair"), col("y")).agg(sum(col("c")).as("cy"))
+    val nn = cells.groupBy(col("window_start"), col("pair")).agg(sum(col("c")).as("n"))
+    cells
+      .join(broadcast(cx), Seq("window_start", "pair", "x"))
+      .join(broadcast(cy), Seq("window_start", "pair", "y"))
+      .join(broadcast(nn), Seq("window_start", "pair"))
+      .select(
+        col("window_start"),
+        col("pair"),
+        expr("greatest(c * 1048576 div n, 1)").as("a"),
+        (expr("greatest(cx * 1048576 div n, 1)") *
+          expr("greatest(cy * 1048576 div n, 1)")).as("b"))
+      .withColumn(
+        "term",
+        col("a") *
+          floor(log(col("a") * lit(1048576.0) / col("b")) * lit(1048576.0)).cast("long"))
+      .groupBy(col("window_start"), col("pair"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        round(sum(col("term")).cast("double") / lit(1099511627776.0), 6).as("mi"))
+  }
+
+  /** The live ASSOCIATION monitor — q215's streaming sibling (the
+    * q212↔q213 pairing applied to the MI family): per finalized event-time
+    * window, the plug-in mutual information of the window's three
+    * categorical axis pairs (lang×size-magnitude, lang×source,
+    * source×size-magnitude; size bucket = the value's decimal digit
+    * count), delivered to `sink` per micro-batch. A feed whose language
+    * mix starts depending on the source — a scraper gone regional, a
+    * router misconfigured — shows up as an MI spike at ingest, not at the
+    * next nightly bias audit. Streaming state per window is the
+    * three pairs' joint histograms — bounded by the category domains
+    * (langs × digit-counts, langs × sources, sources × digit-counts),
+    * never by doc count; the per-batch reduction runs on closed windows
+    * only, and the marginals are computed inside [[miOf]] off the same
+    * closed cells (no second state, no recomputation from raw rows).
+    *
+    * @param docs streaming frame with (ts TIMESTAMP, source STRING,
+    *             lang STRING, text STRING) columns
+    */
+  def miDrift(
+      docs: DataFrame,
+      windowLength: String,
+      watermark: String,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val lenMag = length(char_length(col("text")).cast("string"))
+    docs
+      .withWatermark("ts", watermark)
+      .select(
+        window(col("ts"), windowLength).as("w"),
+        explode(array(
+          struct(lit("lang_lenmag").as("pair"), col("lang").as("x"), lenMag.cast("string").as("y")),
+          struct(lit("lang_source").as("pair"), col("lang").as("x"), col("source").as("y")),
+          struct(lit("source_lenmag").as("pair"), col("source").as("x"), lenMag.cast("string").as("y")))).as("t"))
+      .select(col("w"), col("t.pair").as("pair"), col("t.x").as("x"), col("t.y").as("y"))
+      .groupBy(col("w"), col("pair"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .writeStream
+      .outputMode("append") // a (window, pair, x, y) cell emits once, on close
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(
+          miOf(batch.select(
+            col("w.start").as("window_start"), col("pair"), col("x"), col("y"), col("c"))))
+        ()
+      }
+      .start()
+  }
+
   /** [[multiDrift]] with the VOCABULARY axis joined in — the COMPLETE
     * drift family (q171 KL + q211 KS + q214 quantiles + q213 PSI) as one
     * stateful pass: the len/cat axes contribute one row per document, the
