@@ -138,6 +138,51 @@ object Plans {
       val uid = feed.select(expr("min(user_id)")).head().getLong(0)
       store.lookupDf(uid, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))
         .getOrElse(sys.error("scd_asof_lookup: store is empty — no lookup plan to dump"))
+    }),
+    // The drift-monitor foreachBatch reduction plans (q216–q219): the
+    // per-micro-batch plans the sinks run on CLOSED summaries — dumped off
+    // summary frames shaped exactly as the stream's state output (event
+    // time synthesized from doc_id, the oracle's window assignment), so
+    // the per-(window, source) PSI grid build, the broadcast MI marginals,
+    // and the five-axis joined alarm frame are reviewable without running
+    // a stream.
+    "drift_psi_reduction" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = graft.sources.Tables.documents(s, d)
+      val counts = docs.groupBy(
+        timestamp_seconds(expr("doc_id % 600 div 60 * 60")).as("window_start"),
+        col("source"), col("lang")).agg(count(lit(1)).as("cs"))
+      graft.streaming.CurationStream.psiOf(
+        counts, graft.streaming.CurationStream.langBaseline(docs))
+    }),
+    "drift_mi_reduction" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs   = graft.sources.Tables.documents(s, d)
+      val lenMag = length(char_length(col("text")).cast("string")).cast("string")
+      val cells = docs.select(
+        timestamp_seconds(expr("doc_id % 600 div 60 * 60")).as("window_start"),
+        explode(array(
+          struct(lit("lang_lenmag").as("pair"), col("lang").as("x"), lenMag.as("y")),
+          struct(lit("lang_source").as("pair"), col("lang").as("x"), col("source").as("y")),
+          struct(lit("source_lenmag").as("pair"), col("source").as("x"), lenMag.as("y")))).as("t"))
+        .select(col("window_start"), col("t.pair").as("pair"),
+          col("t.x").as("x"), col("t.y").as("y"))
+        .groupBy("window_start", "pair", "x", "y").agg(count(lit(1)).as("c"))
+      graft.streaming.CurationStream.miOf(cells)
+    }),
+    // q219's full machinery: the union-keyed five-axis aggregate feeding
+    // the joined alarm frame — the same allDriftSummaries/allDriftReduce
+    // pair the registered streaming query runs, here over the batch twin.
+    "drift_alarm_frame" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val cs   = graft.streaming.CurationStream
+      val full = graft.sources.Tables.documents(s, d)
+      val docs = full.select(
+        timestamp_seconds(pmod(col("doc_id"), lit(600L))).as("ts"),
+        col("source"), col("lang"), col("text"))
+      cs.allDriftReduce(
+        cs.allDriftSummaries(docs, "60 seconds"),
+        cs.vocabBaseline(full), cs.lengthBaseline(full), cs.langBaseline(full))
     })
   )
 

@@ -746,6 +746,34 @@ object StreamQueries {
       }).orderBy(col("window_start"), col("pair"))
     }),
 
+    // THE GRAND MONITOR — all FIVE drift axes (q171 KL, q211 KS, q214
+    // quantiles, q213 PSI, q218 MI) as ONE stateful query (r16 verdict
+    // directive #4). The per-source axes keep q217's key (window, source,
+    // axis, value); the MI pairs ride the SAME windowed aggregate keyed
+    // (window, NULL, "mi:<pair>", x, y) — src NULL so sibling sources
+    // share one joint histogram, exactly the state q218 keeps. One
+    // long-format alarm frame: kind='source' rows carry q217's wide
+    // columns, kind='pair' rows carry q218's (n_cells, mi); the oracle is
+    // the q217 chain ∪ the q218 chain, so a hash match proves the
+    // one-pass monitor emits exactly what the two cousins emit.
+    "q219_all_drift_stream" -> ((s, dir) => {
+      val vocBl = s.read.parquet(s"${driftBaseline(s, dir)}/bl")
+      val lenBl = s.read.parquet(s"${lenBaseline(s, dir)}/bl")
+      val catBl = s.read.parquet(s"${psiBaseline(s, dir)}/bl")
+      val in    = s"${driftInput(s, dir)}/in"
+      withStatePartitions(s)(runSinked(s, "alldrift") { (ckpt, sink) =>
+        CurationStream.allDrift(
+          streamFrom(s, in),
+          vocBl,
+          lenBl,
+          catBl,
+          windowLength = s"$WindowSec seconds",
+          watermark = "0 seconds",
+          checkpointDir = ckpt
+        )(sink)
+      }).orderBy(col("window_start"), col("kind"), col("series"))
+    }),
+
     // q27's windowed event aggregate executed as a real stream over the
     // REAL events.ts: hourly tumbling windows per event_type, counts plus
     // an EXACT integer-cents value sum (the q141 rounding pattern — one
@@ -1655,7 +1683,6 @@ object StreamQueries {
       s: SparkSession, dir: String, tag: String, toleranceUs: Long,
       mode: String = "backward", api: String = "v1"): DataFrame = {
     import s.implicits._
-    armProgressTap(s)
     val root  = asofInput(s, dir)
     val tmp   = freshTmp(tag)
     val watch = s"$tmp/watch"
@@ -1700,8 +1727,12 @@ object StreamQueries {
       linkDataFiles(if (mode == "backward") s"$root/sent" else s"$root/sentf", watch, "sent")
       drain() // run 2: late epoch + sentinel — everything resolves
     }
-    // the v2 state API requires the RocksDB provider (q181's conf scope)
-    if (api == "v2") withRocksDb(s)(runAll()) else runAll()
+    // the v2 state API requires the RocksDB provider (q181's conf scope);
+    // the progress-tap scope spans both drains so dumpProgress sees the
+    // full ring buffer, and the conf is restored after the run
+    withProgressTap(s) {
+      if (api == "v2") withRocksDb(s)(runAll()) else runAll()
+    }
     readBatches(s, outP).select(
       col("event_id"),
       col("key").as("user_id"),
@@ -1813,19 +1844,27 @@ object StreamQueries {
     * operator rows, and the RocksDB custom metrics — to stderr, tagged for
     * offline grep. The profiling lever the r14 verdict's q206 directive
     * calls for ("is the cost the compaction rewrite or RocksDB
-    * scheduling?"): zero cost unless the env var is set. [[armProgressTap]]
-    * must run BEFORE the query starts: `recentProgress` is a ring buffer
+    * scheduling?"): zero cost unless the env var is set. [[withProgressTap]]
+    * must open BEFORE the query starts: `recentProgress` is a ring buffer
     * capped by `spark.sql.streaming.numRecentProgressUpdates` (default
     * 100), so long 100x chains would silently drop their earliest
-    * micro-batches at the default.
+    * micro-batches at the default. Scoped save/restore (the
+    * [[withStatePartitions]] pattern) so the raised cap never leaks into
+    * the shared session past the run.
     */
   private def dumpProgress(q: StreamingQuery, tag: String): Unit =
     if (sys.env.get("GRAFT_STREAM_PROGRESS").contains("1"))
       q.recentProgress.foreach(p => System.err.println(s"[progress:$tag] ${p.json}"))
 
-  private def armProgressTap(s: SparkSession): Unit =
-    if (sys.env.get("GRAFT_STREAM_PROGRESS").contains("1"))
-      s.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
+  private def withProgressTap[T](s: SparkSession)(body: => T): T =
+    if (!sys.env.get("GRAFT_STREAM_PROGRESS").contains("1")) body
+    else {
+      val key  = "spark.sql.streaming.numRecentProgressUpdates"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "100000")
+      try body
+      finally prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+    }
 
   /** Read a per-batch foreachBatch sink back. A healthy two-drain run
     * ALWAYS commits at least one batch (the sentinel file alone forces
@@ -1948,7 +1987,15 @@ object StreamQueries {
       // integer rule, and the PSI leg's quantize-first cells are each
       // byte-identical to their single's formulation, so a hash match
       // here proves the one-pass monitor emits exactly what the three
-      // singles emit.
+      // singles emit. NOTE (oracle-side assumption, here and in q217/q219):
+      // the KS/PSI legs evaluate on the BASELINE domain only. That is
+      // exact solely because driftInput streams the same documents table
+      // the baselines are built from — window values/langs ⊆ baseline, so
+      // the engine-side union grid is vacuous. ksOf/psiOf themselves
+      // handle out-of-baseline values (adversary-proven); if the stream
+      // input generator ever diverges from the baseline corpus, these
+      // oracles need the union/anti-join legs added or THEY become the
+      // wrong side of the gate.
       "q216_multi_drift_stream" ->
         raw"""WITH base AS (
              |  SELECT ((doc_id % $SpanSec) // $WindowSec) * $WindowSec AS ws, source, lang,
@@ -2095,6 +2142,110 @@ object StreamQueries {
              |  round(sum(a * CAST(floor(ln(a * 1048576.0 / b) * 1048576.0) AS BIGINT))::DOUBLE
              |    / 1099511627776.0, 6) AS mi
              |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // q217's four chains ∪ q218's MI chain, long format: kind='source'
+      // rows are q217's wide row per (window, source) with NULL MI
+      // columns; kind='pair' rows are q218's (n_cells, mi) per
+      // (window, pair) with NULL source-family columns. Every leg is
+      // byte-identical to its cousin's formulation (the q216 NOTE on the
+      // input ⊆ baseline assumption applies to the KS/PSI legs here too),
+      // so a hash match proves the one-pass five-axis monitor emits
+      // exactly what q217 + q218 emit.
+      "q219_all_drift_stream" ->
+        raw"""WITH base AS (
+             |  SELECT ((doc_id % $SpanSec) // $WindowSec) * $WindowSec AS ws, source, lang,
+             |    length(text) AS v, text FROM documents),
+             | blfreq AS (SELECT length(text) AS v, count(*)::BIGINT AS f
+             |            FROM documents GROUP BY 1),
+             | klbl AS (SELECT v,
+             |   CAST((CAST(sum(f) OVER (ORDER BY v) AS BIGINT) * 1048576)
+             |     // (SELECT sum(f) FROM blfreq) AS BIGINT) AS qb FROM blfreq),
+             | wc AS (SELECT ws, source, v, count(*)::BIGINT AS cs FROM base GROUP BY 1, 2, 3),
+             | pairs AS (SELECT DISTINCT ws, source FROM base),
+             | grid AS (SELECT p.ws, p.source, b.v, b.qb FROM pairs p CROSS JOIN klbl b),
+             | cum AS (SELECT g.ws, g.source, g.qb,
+             |   CAST(sum(coalesce(w.cs, 0)) OVER (PARTITION BY g.ws, g.source ORDER BY g.v) AS BIGINT) AS c,
+             |   CAST(sum(coalesce(w.cs, 0)) OVER (PARTITION BY g.ws, g.source) AS BIGINT) AS nw
+             |   FROM grid g LEFT JOIN wc w ON w.ws = g.ws AND w.source = g.source AND w.v = g.v),
+             | ks AS (SELECT ws, source, min(nw)::BIGINT AS n_docs,
+             |   CAST(max(abs((c * 1048576) // nw - qb)) AS BIGINT) AS ks_q20
+             |   FROM cum GROUP BY ws, source),
+             | qcum AS (SELECT ws, source, v,
+             |   CAST(sum(cs) OVER (PARTITION BY ws, source ORDER BY v) AS BIGINT) AS c,
+             |   CAST(sum(cs) OVER (PARTITION BY ws, source) AS BIGINT) AS n
+             |   FROM wc),
+             | qs AS (SELECT ws, source,
+             |   min(CASE WHEN c * 100 >= n * 50 THEN v END)::BIGINT AS p50,
+             |   min(CASE WHEN c * 100 >= n * 90 THEN v END)::BIGINT AS p90,
+             |   min(CASE WHEN c * 100 >= n * 99 THEN v END)::BIGINT AS p99
+             |   FROM qcum GROUP BY ws, source),
+             | psibl AS (SELECT lang, count(*)::BIGINT AS ct FROM documents GROUP BY 1),
+             | tk AS (SELECT sum(ct)::BIGINT AS t, count(*)::BIGINT AS k FROM psibl),
+             | lc AS (SELECT ws, source, lang, count(*)::BIGINT AS cs FROM base GROUP BY 1, 2, 3),
+             | nws AS (SELECT ws, source, count(*)::BIGINT AS nw FROM base GROUP BY 1, 2),
+             | cells AS (SELECT n.ws, n.source, n.nw,
+             |     greatest(((coalesce(w.cs, 0) + 1) * 1048576) // (n.nw + tk.k), 1) AS psq,
+             |     greatest(((b.ct + 1) * 1048576) // (tk.t + tk.k), 1) AS pcq
+             |   FROM nws n CROSS JOIN psibl b
+             |   LEFT JOIN lc w ON w.ws = n.ws AND w.source = n.source AND w.lang = b.lang
+             |   CROSS JOIN tk),
+             | psi AS (SELECT ws, source,
+             |   round(sum((psq - pcq) * CAST(floor(ln(psq * 1.0 / pcq) * 1048576.0) AS BIGINT))::DOUBLE
+             |     / 1099511627776.0, 6) AS psi
+             |   FROM cells GROUP BY ws, source),
+             | toks AS (
+             |  SELECT ws, source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM base),
+             | tok2 AS (SELECT ws, source, tok FROM toks WHERE tok <> ''),
+             | bk AS (SELECT ws, source, $h60 % $B AS b FROM tok2),
+             | cbk AS (
+             |  SELECT $h60 % $B AS b FROM (
+             |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents)
+             |  WHERE tok <> ''),
+             | vcs AS (SELECT ws, source, b, count(*) AS cs FROM bk GROUP BY 1, 2, 3),
+             | vct AS (SELECT b, count(*) AS ct FROM cbk GROUP BY 1),
+             | vt AS (SELECT count(*) AS t FROM cbk),
+             | vtsum AS (SELECT ws, source, count(*) AS tsum FROM bk GROUP BY 1, 2),
+             | vdim AS (
+             |  SELECT vcs.ws, vcs.source, vcs.cs, vtsum.tsum,
+             |    CAST(floor(ln(((vcs.cs + 1.0) / (vtsum.tsum + $B.0)) / ((coalesce(vct.ct, 0) + 1.0) / (vt.t + $B.0))) * 1048576.0) AS BIGINT) AS lr
+             |  FROM vcs LEFT JOIN vct USING (b) CROSS JOIN vt JOIN vtsum USING (ws, source)),
+             | kl AS (SELECT ws, source, min(tsum)::BIGINT AS n_tokens,
+             |   round(CAST(sum(cs * lr) AS DOUBLE) / 1048576.0 / min(tsum), 6) AS kl
+             |   FROM vdim GROUP BY ws, source),
+             | mim AS (
+             |  SELECT ws, 'lang_lenmag' AS pair, lang AS x,
+             |    CAST(length(CAST(v AS VARCHAR)) AS VARCHAR) AS y FROM base
+             |  UNION ALL SELECT ws, 'lang_source', lang, source FROM base
+             |  UNION ALL SELECT ws, 'source_lenmag', source,
+             |    CAST(length(CAST(v AS VARCHAR)) AS VARCHAR) FROM base),
+             | mif AS (SELECT ws, pair, x, y, count(*)::BIGINT AS c FROM mim GROUP BY 1, 2, 3, 4),
+             | micx AS (SELECT ws, pair, x, sum(c)::BIGINT AS cx FROM mif GROUP BY 1, 2, 3),
+             | micy AS (SELECT ws, pair, y, sum(c)::BIGINT AS cy FROM mif GROUP BY 1, 2, 3),
+             | minn AS (SELECT ws, pair, sum(c)::BIGINT AS n FROM mif GROUP BY 1, 2),
+             | micell AS (SELECT f.ws, f.pair,
+             |     greatest((f.c * 1048576) // nn.n, 1) AS a,
+             |     greatest((cx.cx * 1048576) // nn.n, 1)
+             |       * greatest((cy.cy * 1048576) // nn.n, 1) AS b
+             |   FROM mif f JOIN micx cx USING (ws, pair, x) JOIN micy cy USING (ws, pair, y)
+             |   JOIN minn nn USING (ws, pair)),
+             | mires AS (SELECT ws, pair, count(*)::BIGINT AS n_cells,
+             |   round(sum(a * CAST(floor(ln(a * 1048576.0 / b) * 1048576.0) AS BIGINT))::DOUBLE
+             |     / 1099511627776.0, 6) AS mi
+             |   FROM micell GROUP BY 1, 2)
+             |SELECT make_timestamp(ks.ws * 1000000) AS window_start, 'source' AS kind,
+             |  ks.source AS series, n_docs, n_tokens, kl, ks_q20, p50, p90, p99, psi,
+             |  CAST(NULL AS BIGINT) AS n_cells, CAST(NULL AS DOUBLE) AS mi
+             |FROM ks JOIN qs ON ks.ws = qs.ws AND ks.source = qs.source
+             |JOIN psi ON ks.ws = psi.ws AND ks.source = psi.source
+             |JOIN kl ON ks.ws = kl.ws AND ks.source = kl.source
+             |UNION ALL
+             |SELECT make_timestamp(ws * 1000000), 'pair', pair,
+             |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+             |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+             |  n_cells, mi
+             |FROM mires
+             |ORDER BY window_start, kind, series""".stripMargin,
 
       // The q27 window assignment (hourly time_bucket) with the exact
       // integer-cents sum the stream maintains; one display division.

@@ -655,7 +655,12 @@ object CurationStream {
               lit(null).cast("long").as("vl"),
               col("lang").as("vs"))),
           transform(
-            filter(tokens(lower(col("text"))), t => t =!= ""),
+            // coalesce: a NULL text yields a NULL token array, and
+            // concat(array, NULL) is NULL — the explode would drop the
+            // doc's len/cat structs too, silently disagreeing with
+            // multiDrift's n_docs on a null-text corpus. Empty-string
+            // fallback → the filter empties it → concat keeps the pair.
+            filter(coalesce(tokens(lower(col("text"))), array(lit(""))), t => t =!= ""),
             t => struct(
               lit("voc").as("axis"),
               vocabBucket(t).as("vl"),
@@ -764,4 +769,144 @@ object CurationStream {
         ()
       }
       .start()
+
+  /** The GRAND monitor — ALL FIVE drift axes (q171 vocabulary KL + q211
+    * KS + q214 quantiles + q213 PSI + q218 MI) from ONE stateful pass
+    * (the r16 verdict's directive #4). [[fullDrift]] proved the
+    * per-source axes compose under the key (window, source, axis, value);
+    * the obstruction to adding MI was its key shape — q218's joint
+    * histograms live per (window, pair, x, y) WITHOUT source, so sibling
+    * sources must land in ONE cell. The union key here is
+    * (window, src, axis, vl, vs, vs2):
+    *
+    *  - len / cat / voc structs carry src = the document's source and use
+    *    (vl | vs) exactly as [[fullDrift]] (vs2 stays NULL);
+    *  - each MI pair contributes one struct with src = NULL (all sources
+    *    share the window's joint histogram, q218's state), the pair name
+    *    folded into the axis tag ("mi:lang_lenmag" …), and the cell
+    *    coordinates in (vs, vs2).
+    *
+    * All 5 + per-token structs land in the SINGLE watermarked windowed
+    * aggregate — one stateful operator whose per-window state is the
+    * union of every axis's domain-bounded histogram (the per-source
+    * histograms ∪ the three pair histograms; nothing stored twice, and
+    * each MI cell is one row however many sources feed it). On window
+    * close the five reductions ([[ksOf]], [[quantilesOf]], [[psiOf]],
+    * [[driftOf]], [[miOf]]) run per micro-batch off the same closed
+    * summaries and emit ONE long-format alarm frame:
+    * kind='source' rows carry [[fullDrift]]'s wide columns per
+    * (window, source); kind='pair' rows carry [[miDrift]]'s (n_cells, mi)
+    * per (window, pair); `series` holds the source or the pair name.
+    *
+    * State cost vs running q217 + q218 side by side: strictly smaller
+    * (one watermark, one store lifecycle, the per-token fan-out and the
+    * input scan paid once instead of twice); the per-batch reduction work
+    * is identical. The axis tag remains part of the grouping key, never a
+    * filter on state — a sixth axis is one more struct in the explode.
+    *
+    * @param docs        streaming frame with (ts TIMESTAMP, source STRING,
+    *                    lang STRING, text STRING) columns
+    * @param vocBaseline [[vocabBaseline]]'s static (b, ct) bucket counts
+    * @param lenBaseline [[lengthBaseline]]'s static (v, qb) ECDF
+    * @param catBaseline [[langBaseline]]'s static (lang, ct, t, k) counts
+    */
+  def allDrift(
+      docs: DataFrame,
+      vocBaseline: DataFrame,
+      lenBaseline: DataFrame,
+      catBaseline: DataFrame,
+      windowLength: String,
+      watermark: String,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    allDriftSummaries(docs.withWatermark("ts", watermark), windowLength)
+      .writeStream
+      .outputMode("append") // a (window, src, axis, value) row emits once, on close
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist() // five axis consumers — one state read
+        try sink(allDriftReduce(batch, vocBaseline, lenBaseline, catBaseline))
+        finally { batch.unpersist(); () }
+        ()
+      }
+      .start()
+
+  /** [[allDrift]]'s single explode → ONE windowed aggregate producing the
+    * union summaries (w, src, axis, vl, vs, vs2, cs). Batch/stream
+    * agnostic (the watermark, if any, is the caller's), so Plans can dump
+    * the aggregation + reduction plan the registered query actually runs.
+    */
+  private[graft] def allDriftSummaries(docs: DataFrame, windowLength: String): DataFrame = {
+    val lenMag = length(char_length(col("text")).cast("string")).cast("string")
+    val nullL  = lit(null).cast("long")
+    val nullS  = lit(null).cast("string")
+    docs
+      .select(
+        window(col("ts"), windowLength).as("w"),
+        explode(concat(
+          array(
+            struct(col("source").as("src"), lit("len").as("axis"),
+              char_length(col("text")).cast("long").as("vl"),
+              nullS.as("vs"), nullS.as("vs2")),
+            struct(col("source").as("src"), lit("cat").as("axis"),
+              nullL.as("vl"), col("lang").as("vs"), nullS.as("vs2")),
+            struct(nullS.as("src"), lit("mi:lang_lenmag").as("axis"),
+              nullL.as("vl"), col("lang").as("vs"), lenMag.as("vs2")),
+            struct(nullS.as("src"), lit("mi:lang_source").as("axis"),
+              nullL.as("vl"), col("lang").as("vs"), col("source").as("vs2")),
+            struct(nullS.as("src"), lit("mi:source_lenmag").as("axis"),
+              nullL.as("vl"), col("source").as("vs"), lenMag.as("vs2"))),
+          transform(
+            // the fullDrift null-text rule: coalesce so a NULL token array
+            // cannot null the concat and drop the document's other axes
+            filter(coalesce(tokens(lower(col("text"))), array(lit(""))), t => t =!= ""),
+            t => struct(col("source").as("src"), lit("voc").as("axis"),
+              vocabBucket(t).as("vl"), nullS.as("vs"), nullS.as("vs2"))))).as("m"))
+      .select(col("w"), col("m.src").as("src"), col("m.axis").as("axis"),
+        col("m.vl").as("vl"), col("m.vs").as("vs"), col("m.vs2").as("vs2"))
+      .groupBy(col("w"), col("src"), col("axis"), col("vl"), col("vs"), col("vs2"))
+      .agg(count(lit(1)).as("cs"))
+  }
+
+  /** The five-axis per-batch reduction [[allDrift]] runs on CLOSED
+    * summaries: route each axis family to its reduction ([[ksOf]],
+    * [[quantilesOf]], [[psiOf]], [[driftOf]], [[miOf]]) and union into
+    * the long-format alarm frame.
+    */
+  private[graft] def allDriftReduce(
+      batch: DataFrame,
+      vocBaseline: DataFrame,
+      lenBaseline: DataFrame,
+      catBaseline: DataFrame): DataFrame = {
+    val len = batch.filter(col("axis") === "len")
+      .select(col("w.start").as("window_start"), col("src").as("source"),
+        col("vl").as("v"), col("cs"))
+    val cat = batch.filter(col("axis") === "cat")
+      .select(col("w.start").as("window_start"), col("src").as("source"),
+        col("vs").as("lang"), col("cs"))
+    val voc = batch.filter(col("axis") === "voc")
+      .select(col("w.start").as("window_start"), col("src").as("source"),
+        col("vl").as("b"), col("cs"))
+    val mi = batch.filter(col("axis").startsWith("mi:"))
+      .select(col("w.start").as("window_start"),
+        expr("substring(axis, 4)").as("pair"),
+        col("vs").as("x"), col("vs2").as("y"), col("cs").as("c"))
+    val wide = ksOf(len, lenBaseline)
+      .join(quantilesOf(len).drop("n_docs"), Seq("window_start", "source"))
+      .join(psiOf(cat, catBaseline).drop("n_docs"), Seq("window_start", "source"))
+      .join(driftOf(voc, vocBaseline), Seq("window_start", "source"))
+      .select(col("window_start"), lit("source").as("kind"),
+        col("source").as("series"), col("n_docs"), col("n_tokens"),
+        col("kl"), col("ks_q20"), col("p50"), col("p90"), col("p99"),
+        col("psi"),
+        lit(null).cast("long").as("n_cells"), lit(null).cast("double").as("mi"))
+    val pairRows = miOf(mi)
+      .select(col("window_start"), lit("pair").as("kind"),
+        col("pair").as("series"), lit(null).cast("long").as("n_docs"),
+        lit(null).cast("long").as("n_tokens"), lit(null).cast("double").as("kl"),
+        lit(null).cast("long").as("ks_q20"), lit(null).cast("long").as("p50"),
+        lit(null).cast("long").as("p90"), lit(null).cast("long").as("p99"),
+        lit(null).cast("double").as("psi"), col("n_cells"), col("mi"))
+    wide.unionByName(pairRows)
+  }
 }

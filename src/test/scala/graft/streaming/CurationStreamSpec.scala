@@ -10,6 +10,16 @@ import java.sql.Timestamp
 class CurationStreamSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  /** Checkpoint/sink scratch registered for JVM-exit cleanup — repeated
+    * test runs must not leak RocksDB checkpoint trees into /tmp (the
+    * CdcScdAdversarySpec pattern).
+    */
+  private def tmpDir(tag: String): String = {
+    val p = Files.createTempDirectory(tag)
+    graft.sources.SessionMemo.deleteOnExit(p)
+    p.toString
+  }
+
   // ~50 tokens with a healthy stopword ratio → quality ≈ 1.0
   private val goodText =
     Seq.fill(10)("the quick brown fox jumps").mkString(" ")
@@ -22,7 +32,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
   test("streaming curation: quality gate + cross-batch fingerprint dedup within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
-    val tmp   = Files.createTempDirectory("graft-curation").toString
+    val tmp   = tmpDir("graft-curation")
     val query = CurationStream
       .curate(input.toDF().toDF("doc_id", "ts", "text"), java.time.Duration.ofMinutes(10))
       .writeStream
@@ -50,7 +60,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
 
   test("incremental curation: stream dedups against the static historical corpus AND itself") {
     implicit val sqlCtx = spark.sqlContext
-    val tmp = Files.createTempDirectory("graft-incr").toString
+    val tmp = tmpDir("graft-incr")
     // yesterday's corpus: the fingerprint table of already-kept content
     import org.apache.spark.sql.functions.{col, lower, md5, trim}
     val historic = goodText
@@ -90,7 +100,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
     val other2 = Seq.fill(10)("the tiny red crab swims").mkString(" ")
 
     val input = MemoryStream[(Long, Timestamp, String)]
-    val tmp   = Files.createTempDirectory("graft-neardup").toString
+    val tmp   = tmpDir("graft-neardup")
     val query = CurationStream
       .curateNearDup(
         input.toDF().toDF("doc_id", "ts", "text"),
@@ -133,7 +143,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
   test("near-dup curation: quality gate runs before LSH state; short docs pass through") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
-    val tmp   = Files.createTempDirectory("graft-neardup-gate").toString
+    val tmp   = tmpDir("graft-neardup-gate")
     val query = CurationStream
       .curateNearDup(
         input.toDF().toDF("doc_id", "ts", "text"),
@@ -159,7 +169,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
 
     // shingle-less pass-through with the gate lowered
     val input2 = MemoryStream[(Long, Timestamp, String)]
-    val tmp2   = Files.createTempDirectory("graft-neardup-short").toString
+    val tmp2   = tmpDir("graft-neardup-short")
     val query2 = CurationStream
       .curateNearDup(
         input2.toDF().toDF("doc_id", "ts", "text"),
@@ -186,7 +196,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
   test("normalization: case/whitespace variants collapse to one fingerprint (batch q40 parity)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
-    val tmp   = Files.createTempDirectory("graft-curation-norm").toString
+    val tmp   = tmpDir("graft-curation-norm")
     val query = CurationStream
       .curate(input.toDF().toDF("doc_id", "ts", "text"), java.time.Duration.ofMinutes(10))
       .writeStream
@@ -209,7 +219,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
     val baselineDocs = Seq.fill(20)("the quick brown fox jumps over the lazy dog").toDF("text")
     val baseline     = CurationStream.vocabBaseline(baselineDocs).cache()
     val input        = MemoryStream[(Timestamp, String, String)]
-    val tmp          = Files.createTempDirectory("graft-drift").toString
+    val tmp          = tmpDir("graft-drift")
     val out          = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String, Long, Double)]
     val query = CurationStream.vocabDrift(
       input.toDF().toDF("ts", "source", "text"),
@@ -265,7 +275,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(2 -> 524288L, 4 -> 1048576L), s"baseline ECDF: $got")
 
     val input = MemoryStream[(Timestamp, String, String)]
-    val tmp   = Files.createTempDirectory("graft-lendrift").toString
+    val tmp   = tmpDir("graft-lendrift")
     val out   = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String, Long, Long)]
     val query = CurationStream.lengthDrift(
       input.toDF().toDF("ts", "source", "text"),
@@ -336,7 +346,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     val input = MemoryStream[(Timestamp, String, String)]
-    val tmp   = Files.createTempDirectory("graft-psidrift").toString
+    val tmp   = tmpDir("graft-psidrift")
     val out   = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String, Long, Double)]
     val query = CurationStream.langDrift(
       input.toDF().toDF("ts", "source", "lang"),
@@ -374,7 +384,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     def t(sec: Long) = new Timestamp(sec * 1000L)
     val input = MemoryStream[(Timestamp, String, String)]
-    val tmp   = Files.createTempDirectory("graft-lenquant").toString
+    val tmp   = tmpDir("graft-lenquant")
     val out   = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String, Long, Long, Long, Long)]
     val query = CurationStream.lengthQuantiles(
       input.toDF().toDF("ts", "source", "text"),
@@ -411,7 +421,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
     val lenBl = CurationStream.lengthBaseline(Seq("ab", "abcd").toDF("text"))
     val catBl = CurationStream.langBaseline(Seq("en", "en", "fr", "de").toDF("lang"))
     val input = MemoryStream[(Timestamp, String, String, String)] // (ts, source, lang, text)
-    val tmp   = Files.createTempDirectory("graft-multidrift").toString
+    val tmp   = tmpDir("graft-multidrift")
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Timestamp, String, Long, Long, Long, Long, Long, Double)]
     val query = CurationStream.multiDrift(
@@ -497,7 +507,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
     val lenBl = CurationStream.lengthBaseline(Seq("ab", "abcd").toDF("text"))
     val catBl = CurationStream.langBaseline(Seq("en", "en", "fr", "de").toDF("lang"))
     val input = MemoryStream[(Timestamp, String, String, String)] // (ts, source, lang, text)
-    val tmp   = Files.createTempDirectory("graft-fulldrift").toString
+    val tmp   = tmpDir("graft-fulldrift")
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Timestamp, String, Long, Long, Double, Long, Long, Long, Long, Double)]
     val query = CurationStream.fullDrift(
@@ -568,5 +578,114 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
     val got = out.synchronized(out.toSeq).sortBy(r => (r._1.getTime, r._2))
     assert(got == expected, s"four-axis monitor != singles' union:\n got $got\n exp $expected")
     assert(got.map(_._1).toSet == Set(t(0), t(60)), s"closed windows: ${got.map(_._1)}")
+  }
+
+  test("allDrift: all FIVE axes (incl. MI pairs with src = NULL) in ONE stateful operator") {
+    import org.apache.spark.sql.functions.{col, sum}
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val vocBl = CurationStream.vocabBaseline(Seq("ab", "abcd").toDF("text"))
+    val lenBl = CurationStream.lengthBaseline(Seq("ab", "abcd").toDF("text"))
+    val catBl = CurationStream.langBaseline(Seq("en", "en", "fr", "de").toDF("lang"))
+    val input = MemoryStream[(Timestamp, String, String, String)] // (ts, source, lang, text)
+    val tmp   = tmpDir("graft-alldrift")
+    val outW = scala.collection.mutable.ArrayBuffer
+      .empty[(Timestamp, String, Long, Long, Double, Long, Long, Long, Long, Double)]
+    val outP = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String, Long, Double)]
+    val query = CurationStream.allDrift(
+      input.toDF().toDF("ts", "source", "lang", "text"),
+      vocBl,
+      lenBl,
+      catBl,
+      windowLength = "60 seconds",
+      watermark = "0 seconds",
+      checkpointDir = s"$tmp/ckpt"
+    ) { batch =>
+      val w = batch.filter(col("kind") === "source")
+        .select("window_start", "series", "n_docs", "n_tokens", "kl",
+          "ks_q20", "p50", "p90", "p99", "psi")
+        .as[(Timestamp, String, Long, Long, Double, Long, Long, Long, Long, Double)].collect()
+      val p = batch.filter(col("kind") === "pair")
+        .select("window_start", "series", "n_cells", "mi")
+        .as[(Timestamp, String, Long, Double)].collect()
+      outW.synchronized { outW ++= w }; outP.synchronized { outP ++= p }; ()
+    }
+    // TWO sources in window A — the MI cells must merge them (src = NULL
+    // key) while the per-source axes keep them apart
+    input.addData((t(10), "s1", "en", "ab cd"), (t(20), "s2", "fr", "abcd"))
+    query.processAllAvailable()
+    val soCounts = query.recentProgress.toSeq.map(_.stateOperators.length).filter(_ > 0)
+    assert(soCounts.nonEmpty && soCounts.forall(_ == 1),
+      s"expected ONE stateful operator in every batch, got $soCounts")
+    input.addData((t(70), "s1", "en", "wx yz"), (t(80), "s1", "zz", "qrst"))
+    query.processAllAvailable()
+    input.addData((t(1000), "s1", "en", "x"))
+    query.processAllAvailable()
+    query.stop()
+    // checkpoint state at batch 0 = window A's union histogram across ALL
+    // FIVE axis families: per-source lengths/langs/voc buckets PLUS the
+    // three src-NULL MI pair cells ("ab cd" → len 5, lenmag "1"; "abcd" →
+    // len 4, lenmag "1")
+    def buckets(toks: Seq[String]): Set[Long] = toks.toDF("tok")
+      .select(CurationStream.vocabBucket(col("tok")).as("b")).as[Long].collect().toSet
+    val state0 = spark.read.format("statestore")
+      .option("batchId", 0).load(s"$tmp/ckpt")
+      .select("key.src", "key.axis", "key.vl", "key.vs", "key.vs2")
+      .as[(Option[String], String, Option[Long], Option[String], Option[String])]
+      .collect().toSet
+    val expState: Set[(Option[String], String, Option[Long], Option[String], Option[String])] =
+      Set[(Option[String], String, Option[Long], Option[String], Option[String])](
+        (Some("s1"), "len", Some(5L), None, None), (Some("s2"), "len", Some(4L), None, None),
+        (Some("s1"), "cat", None, Some("en"), None), (Some("s2"), "cat", None, Some("fr"), None),
+        (None, "mi:lang_lenmag", None, Some("en"), Some("1")),
+        (None, "mi:lang_lenmag", None, Some("fr"), Some("1")),
+        (None, "mi:lang_source", None, Some("en"), Some("s1")),
+        (None, "mi:lang_source", None, Some("fr"), Some("s2")),
+        (None, "mi:source_lenmag", None, Some("s1"), Some("1")),
+        (None, "mi:source_lenmag", None, Some("s2"), Some("1"))) ++
+        buckets(Seq("ab", "cd")).map(b => (Some("s1"), "voc", Some(b), None, None)) ++
+        buckets(Seq("abcd")).map(b => (Some("s2"), "voc", Some(b), None, None))
+    assert(state0 == expState, s"batch-0 state:\n got $state0\n exp $expState")
+    // wide rows == the four singles' reductions per (window, source)
+    val lenCounts = Seq(
+      (t(0), "s1", 5L, 1L), (t(0), "s2", 4L, 1L),
+      (t(60), "s1", 5L, 1L), (t(60), "s1", 4L, 1L))
+      .toDF("window_start", "source", "v", "cs")
+    val langCounts = Seq(
+      (t(0), "s1", "en", 1L), (t(0), "s2", "fr", 1L),
+      (t(60), "s1", "en", 1L), (t(60), "s1", "zz", 1L))
+      .toDF("window_start", "source", "lang", "cs")
+    val vocCounts = Seq(
+      (t(0), "s1", "ab"), (t(0), "s1", "cd"), (t(0), "s2", "abcd"),
+      (t(60), "s1", "wx"), (t(60), "s1", "yz"), (t(60), "s1", "qrst"))
+      .toDF("window_start", "source", "tok")
+      .select(col("window_start"), col("source"), CurationStream.vocabBucket(col("tok")).as("b"))
+      .groupBy("window_start", "source", "b").agg(sum(org.apache.spark.sql.functions.lit(1L)).as("cs"))
+    val expWide = CurationStream.ksOf(lenCounts, lenBl)
+      .join(CurationStream.quantilesOf(lenCounts).drop("n_docs"), Seq("window_start", "source"))
+      .join(CurationStream.psiOf(langCounts, catBl).drop("n_docs"), Seq("window_start", "source"))
+      .join(CurationStream.driftOf(vocCounts, vocBl), Seq("window_start", "source"))
+      .select(col("window_start"), col("source"), col("n_docs"), col("n_tokens"), col("kl"),
+        col("ks_q20"), col("p50"), col("p90"), col("p99"), col("psi"))
+      .as[(Timestamp, String, Long, Long, Double, Long, Long, Long, Long, Double)]
+      .collect().toSeq.sortBy(r => (r._1.getTime, r._2))
+    val gotWide = outW.synchronized(outW.toSeq).sortBy(r => (r._1.getTime, r._2))
+    assert(gotWide == expWide, s"five-axis wide rows != singles' union:\n got $gotWide\n exp $expWide")
+    // pair rows == miOf over the window-global (source-merged) cells
+    val miCells = Seq(
+      (t(0), "lang_lenmag", "en", "1", 1L), (t(0), "lang_lenmag", "fr", "1", 1L),
+      (t(0), "lang_source", "en", "s1", 1L), (t(0), "lang_source", "fr", "s2", 1L),
+      (t(0), "source_lenmag", "s1", "1", 1L), (t(0), "source_lenmag", "s2", "1", 1L),
+      (t(60), "lang_lenmag", "en", "1", 1L), (t(60), "lang_lenmag", "zz", "1", 1L),
+      (t(60), "lang_source", "en", "s1", 1L), (t(60), "lang_source", "zz", "s1", 1L),
+      (t(60), "source_lenmag", "s1", "1", 2L))
+      .toDF("window_start", "pair", "x", "y", "c")
+    val expPairs = CurationStream.miOf(miCells)
+      .select(col("window_start"), col("pair"), col("n_cells"), col("mi"))
+      .as[(Timestamp, String, Long, Double)]
+      .collect().toSeq.sortBy(r => (r._1.getTime, r._2))
+    val gotPairs = outP.synchronized(outP.toSeq).sortBy(r => (r._1.getTime, r._2))
+    assert(gotPairs == expPairs, s"five-axis pair rows != miOf:\n got $gotPairs\n exp $expPairs")
+    assert(gotWide.map(_._1).toSet == Set(t(0), t(60)))
   }
 }

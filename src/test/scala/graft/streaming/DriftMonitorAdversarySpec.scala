@@ -18,9 +18,11 @@ import java.sql.Timestamp
   * feed (random sources, langs INCLUDING an out-of-baseline one, random
   * token texts), chops it into random micro-batches (cut only between
   * distinct instants so nothing is late at the 0-second watermark), runs
-  * the THREE unified monitors — [[CurationStream.multiDrift]] (KS +
-  * quantiles + PSI), [[CurationStream.fullDrift]] (+ vocabulary KL) and
-  * [[CurationStream.miDrift]] (3-pair plug-in MI) — over the SAME feed,
+  * the FOUR unified monitors — [[CurationStream.multiDrift]] (KS +
+  * quantiles + PSI), [[CurationStream.fullDrift]] (+ vocabulary KL),
+  * [[CurationStream.miDrift]] (3-pair plug-in MI) and
+  * [[CurationStream.allDrift]] (all five axes in one pass) — over the
+  * SAME feed,
   * and asserts every emitted row equals a PLAIN-SCALA integer referee
   * computed from the full per-window multiset: the quantized KS / discrete
   * quantile / PSI / smoothed-KL / plug-in-MI formulas over Longs, no
@@ -40,6 +42,16 @@ class DriftMonitorAdversarySpec extends AnyFunSuite with SparkSpec {
   private val Q20     = 1048576L
 
   private def t(sec: Long) = new Timestamp(sec * 1000L)
+
+  /** Checkpoint scratch registered for JVM-exit cleanup — repeated runs
+    * must not leak RocksDB checkpoint trees into /tmp (the
+    * CdcScdAdversarySpec pattern).
+    */
+  private def ckpt(tag: String): String = {
+    val p = Files.createTempDirectory(tag)
+    graft.sources.SessionMemo.deleteOnExit(p)
+    p.toString
+  }
 
   // ---- generated feed ----------------------------------------------------
 
@@ -208,7 +220,7 @@ class DriftMonitorAdversarySpec extends AnyFunSuite with SparkSpec {
     out.toSeq
   }
 
-  test("drift-monitor adversary: multiDrift / fullDrift / miDrift == plain-Scala referees on a random multi-window feed") {
+  test("drift-monitor adversary: multiDrift / fullDrift / miDrift / allDrift == plain-Scala referees on a random multi-window feed") {
     // fixture honesty: the out-of-baseline lang must actually occur
     assert(docs.exists(_.lang == "zz"), "no out-of-baseline lang generated")
     val rng     = new scala.util.Random(0xD81F716L)
@@ -234,7 +246,7 @@ class DriftMonitorAdversarySpec extends AnyFunSuite with SparkSpec {
     // ---- multiDrift ----
     val multiGroups = runMonitor[(Timestamp, String, Long, Long, Long, Long, Long, Double)](
       df => sink => CurationStream.multiDrift(df, lenBl, catBl, "60 seconds", "0 seconds",
-        Files.createTempDirectory("graft-adv-md-ck").toString)(sink),
+        ckpt("graft-adv-md-ck"))(sink),
       b => b.select("window_start", "source", "n_docs", "ks_q20", "p50", "p90", "p99", "psi")
         .as[(Timestamp, String, Long, Long, Long, Long, Long, Double)].collect().toSeq,
       batches)
@@ -254,7 +266,7 @@ class DriftMonitorAdversarySpec extends AnyFunSuite with SparkSpec {
     // ---- fullDrift (adds the KL axis) ----
     val full = runMonitor[(Timestamp, String, Long, Long, Double, Long, Long, Long, Long, Double)](
       df => sink => CurationStream.fullDrift(df, vocBl, lenBl, catBl, "60 seconds", "0 seconds",
-        Files.createTempDirectory("graft-adv-fd-ck").toString)(sink),
+        ckpt("graft-adv-fd-ck"))(sink),
       b => b.select("window_start", "source", "n_docs", "n_tokens", "kl",
         "ks_q20", "p50", "p90", "p99", "psi")
         .as[(Timestamp, String, Long, Long, Double, Long, Long, Long, Long, Double)].collect().toSeq,
@@ -273,7 +285,7 @@ class DriftMonitorAdversarySpec extends AnyFunSuite with SparkSpec {
     // ---- miDrift (per-window, three axis pairs) ----
     val mi = runMonitor[(Timestamp, String, Long, Double)](
       df => sink => CurationStream.miDrift(df, "60 seconds", "0 seconds",
-        Files.createTempDirectory("graft-adv-mi-ck").toString)(sink),
+        ckpt("graft-adv-mi-ck"))(sink),
       b => b.select("window_start", "pair", "n_cells", "mi")
         .as[(Timestamp, String, Long, Double)].collect().toSeq,
       batches).flatten
@@ -289,6 +301,50 @@ class DriftMonitorAdversarySpec extends AnyFunSuite with SparkSpec {
       }
       val (refCells, refMi) = miRef(cells)
       assert(nCells == refCells && got == refMi, s"[$ws $pair] mi: ($nCells, $got) vs ($refCells, $refMi)")
+    }
+
+    // ---- allDrift (the GRAND monitor: q217's four axes + q218's pairs
+    // in ONE stateful pass — every emission re-refereed independently) ----
+    val all = runMonitor[(String, Timestamp, String, Option[Long], Option[Long], Option[Double],
+        Option[Long], Option[Long], Option[Long], Option[Long], Option[Double],
+        Option[Long], Option[Double])](
+      df => sink => CurationStream.allDrift(df, vocBl, lenBl, catBl, "60 seconds", "0 seconds",
+        ckpt("graft-adv-ad-ck"))(sink),
+      b => b.select("kind", "window_start", "series", "n_docs", "n_tokens", "kl",
+        "ks_q20", "p50", "p90", "p99", "psi", "n_cells", "mi")
+        .as[(String, Timestamp, String, Option[Long], Option[Long], Option[Double],
+          Option[Long], Option[Long], Option[Long], Option[Long], Option[Double],
+          Option[Long], Option[Double])].collect().toSeq,
+      batches).flatten
+    val allSrc  = all.filter(_._1 == "source")
+    val allPair = all.filter(_._1 == "pair")
+    assert(allSrc.map(r => (r._2, r._3)).distinct.size == byWinSrc.size,
+      s"allDrift must emit every (window, source) once: ${allSrc.size} vs ${byWinSrc.size}")
+    assert(allPair.map(_._2).distinct.size == byWin.size,
+      s"allDrift must emit every window's pairs: ${allPair.map(_._2).distinct.size} vs ${byWin.size}")
+    allSrc.foreach { case (_, ws, src, nDocs, nTok, kl, ks, p50, p90, p99, psi, nc, mi) =>
+      val ds   = byWinSrc((ws.getTime / 1000L, src))
+      val lens = ds.map(_.text.length.toLong)
+      val (refTok, refKl) = klRef(ds.flatMap(d => tokensOf(d.text)))
+      assert(nc.isEmpty && mi.isEmpty, s"[$ws $src] source row must carry NULL MI columns")
+      assert(nDocs.contains(ds.size.toLong) && nTok.contains(refTok), s"[$ws $src] totals")
+      assert(kl.contains(refKl) && ks.contains(ksRef(lens)) &&
+        psi.contains(psiRef(ds.map(_.lang))), s"[$ws $src] kl/ks/psi")
+      assert((p50.get, p90.get, p99.get) ==
+        ((quantRef(lens, 50), quantRef(lens, 90), quantRef(lens, 99))), s"[$ws $src] quantiles")
+    }
+    allPair.foreach { case (_, ws, pair, nDocs, _, _, _, _, _, _, _, nCells, got) =>
+      val ds = byWin(ws.getTime / 1000L)
+      def lm(d: Doc) = d.text.length.toString.length.toString
+      val cells = pair match {
+        case "lang_lenmag"   => ds.map(d => (d.lang, lm(d)))
+        case "lang_source"   => ds.map(d => (d.lang, d.source))
+        case "source_lenmag" => ds.map(d => (d.source, lm(d)))
+      }
+      val (refCells, refMi) = miRef(cells)
+      assert(nDocs.isEmpty, s"[$ws $pair] pair row must carry NULL source-family columns")
+      assert(nCells.contains(refCells) && got.contains(refMi),
+        s"[$ws $pair] mi: ($nCells, $got) vs ($refCells, $refMi)")
     }
 
     // composition pressure really happened: at least one sink delivery
