@@ -450,8 +450,16 @@ object DedupQueries {
       import org.apache.spark.sql.GraftInterop
       import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-      val sh    = shared(s, dir).sh
-      val evalS = sh.filter(col("doc_id") % 10 === 0).select(col("shingle")).distinct()
+      val sh   = shared(s, dir).sh
+      // NO distinct() on the eval side (r17): bloom insertion is
+      // idempotent (duplicate keys set the same bits) and a left-semi
+      // probe is duplicate-insensitive, so the distinct bought nothing the
+      // result needs — while costing a full shuffle in the count pass, the
+      // bloom-build pass AND the verify build side. The non-distinct row
+      // count over-sizes the bloom (expectedNumItems must only be ≥ the
+      // true distinct count): more bits, fewer FPs, same exact answer —
+      // FPs are killed by the verify either way.
+      val evalS = sh.filter(col("doc_id") % 10 === 0).select(col("shingle"))
       val corp  = sh.filter(col("doc_id") % 10 =!= 0)
       val nEval = math.max(evalS.count(), 1L)
       val bloomCol = GraftInterop.column(

@@ -97,11 +97,31 @@ object StreamQueries {
     sys.env.get("GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(8)
 
   private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    val saved    = s.conf.get("spark.sql.shuffle.partitions")
+    val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
     try {
       s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+      // AQE OFF for the scope by default (r17, measured; GRAFT_STREAM_AQE=1
+      // restores it): the stream itself already runs AQE-disabled
+      // (stateful workloads), so the conf only affects the foreachBatch
+      // reduction frames — which are domain-bounded by design
+      // (closed-window summaries, dimension-sized at ANY corpus size, so
+      // the reasoning is scale-independent). On that many-tiny-stages
+      // shape AQE's per-stage materialize-replan-submit cycle dominates
+      // wall clock: two interleaved A/B rounds on the q171/q216/q217/q219
+      // rows read 56.1 vs 26.7 s and 30.3 vs 16.8 s (on vs off) — ~2x.
+      // The isolated four-axis reduction alone reproduces it (3.4 s
+      // AQE-off vs 4.6-7.5 s AQE-on, identical inputs).
+      s.conf.set("spark.sql.adaptive.enabled",
+        (sys.env.get("GRAFT_STREAM_AQE") match {
+          case Some(v) => v == "1"
+          case None    => false
+        }).toString)
       body
-    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
   }
 
   /** Pin the RocksDB state-store provider (required by the state API v2

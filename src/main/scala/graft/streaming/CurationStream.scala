@@ -213,6 +213,31 @@ object CurationStream {
       .select(col("v"), expr("c * 1048576 div n").as("qb"))
   }
 
+  /** Pin and FULLY materialize a micro-batch before a reduction fans out
+    * over it, returning whether the batch has any rows.
+    *
+    * Why (r17, measured on q217's job timeline): a foreachBatch reduction
+    * whose plan contains broadcast joins launches every broadcast subtree
+    * as a concurrent job. With the batch only lazily persist()-ed, those
+    * jobs race the cache before any of them has materialized it, and EACH
+    * re-executes the batch's full incremental plan — stateful aggregate,
+    * state-store read and commit included (6-7 duplicate 3-4 s jobs per
+    * micro-batch in the profile; ~17 s per q217 rep). One count() here
+    * materializes the cache exactly once; every fan-out job then reads
+    * memory. The returned row count doubles as the empty-batch
+    * short-circuit: batch 0 of every monitor run closes no windows (the
+    * watermark has not advanced yet), so its reduction would be pure
+    * plan-execution overhead (~1.3 s measured) — the caller sinks
+    * `reduce.limit(0)` instead, which the optimizer folds to an empty
+    * relation (schema preserved, so the sink's path/schema contract — an
+    * empty append keeps the output readable even if nothing ever emits —
+    * is unchanged at ~zero cost).
+    */
+  private def pinBatch(batch: DataFrame): Boolean = {
+    batch.persist()
+    batch.count() > 0L
+  }
+
   /** Batch KS reduction over closed window summaries: `counts` is
     * (window_start, source, v, cs); returns per (window_start, source) the
     * doc total and the two-sample Kolmogorov–Smirnov distance of the
@@ -288,10 +313,12 @@ object CurationStream {
       .outputMode("append") // a (window, source, length) row emits once, on window close
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(
-          ksOf(
-            batch.select(col("w.start").as("window_start"), col("source"), col("v"), col("cs")),
-            baseline))
+        val reduce = ksOf(
+          batch.select(col("w.start").as("window_start"), col("source"), col("v"), col("cs")),
+          baseline)
+        val any = pinBatch(batch)
+        try sink(if (any) reduce else reduce.limit(0))
+        finally { batch.unpersist(); () }
         ()
       }
       .start()
@@ -346,9 +373,11 @@ object CurationStream {
       .outputMode("append") // a (window, source, length) row emits once, on window close
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(
-          quantilesOf(
-            batch.select(col("w.start").as("window_start"), col("source"), col("v"), col("cs"))))
+        val reduce = quantilesOf(
+          batch.select(col("w.start").as("window_start"), col("source"), col("v"), col("cs")))
+        val any = pinBatch(batch)
+        try sink(if (any) reduce else reduce.limit(0))
+        finally { batch.unpersist(); () }
         ()
       }
       .start()
@@ -442,10 +471,12 @@ object CurationStream {
       .outputMode("append") // a (window, source, lang) row emits once, on window close
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(
-          psiOf(
-            batch.select(col("w.start").as("window_start"), col("source"), col("lang"), col("cs")),
-            baseline))
+        val reduce = psiOf(
+          batch.select(col("w.start").as("window_start"), col("source"), col("lang"), col("cs")),
+          baseline)
+        val any = pinBatch(batch)
+        try sink(if (any) reduce else reduce.limit(0))
+        finally { batch.unpersist(); () }
         ()
       }
       .start()
@@ -506,9 +537,9 @@ object CurationStream {
       .outputMode("append") // a (window, source, axis, value) row emits once, on close
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // the closed summaries feed three reductions — persist so the
-        // state output is read once, not once per axis consumer
-        batch.persist()
+        // the closed summaries feed three reductions — pin so the state
+        // output is computed once, not once per axis consumer / broadcast
+        val any = pinBatch(batch)
         try {
           val len = batch.filter(col("axis") === "len")
             .select(col("w.start").as("window_start"), col("source"),
@@ -516,12 +547,12 @@ object CurationStream {
           val cat = batch.filter(col("axis") === "cat")
             .select(col("w.start").as("window_start"), col("source"),
               col("vs").as("lang"), col("cs"))
-          sink(
-            ksOf(len, lenBaseline)
-              .join(quantilesOf(len).drop("n_docs"), Seq("window_start", "source"))
-              .join(psiOf(cat, catBaseline).drop("n_docs"), Seq("window_start", "source"))
-              .select(col("window_start"), col("source"), col("n_docs"),
-                col("ks_q20"), col("p50"), col("p90"), col("p99"), col("psi")))
+          val reduce = ksOf(len, lenBaseline)
+            .join(quantilesOf(len).drop("n_docs"), Seq("window_start", "source"))
+            .join(psiOf(cat, catBaseline).drop("n_docs"), Seq("window_start", "source"))
+            .select(col("window_start"), col("source"), col("n_docs"),
+              col("ks_q20"), col("p50"), col("p90"), col("p99"), col("psi"))
+          sink(if (any) reduce else reduce.limit(0))
         } finally { batch.unpersist(); () }
         ()
       }
@@ -602,9 +633,11 @@ object CurationStream {
       .outputMode("append") // a (window, pair, x, y) cell emits once, on close
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(
-          miOf(batch.select(
-            col("w.start").as("window_start"), col("pair"), col("x"), col("y"), col("c"))))
+        val reduce = miOf(batch.select(
+          col("w.start").as("window_start"), col("pair"), col("x"), col("y"), col("c")))
+        val any = pinBatch(batch)
+        try sink(if (any) reduce else reduce.limit(0))
+        finally { batch.unpersist(); () }
         ()
       }
       .start()
@@ -673,7 +706,7 @@ object CurationStream {
       .outputMode("append") // a (window, source, axis, value) row emits once, on close
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist() // four axis consumers — one state read
+        val any = pinBatch(batch) // four axis consumers — one state read
         try {
           val len = batch.filter(col("axis") === "len")
             .select(col("w.start").as("window_start"), col("source"),
@@ -684,14 +717,14 @@ object CurationStream {
           val voc = batch.filter(col("axis") === "voc")
             .select(col("w.start").as("window_start"), col("source"),
               col("vl").as("b"), col("cs"))
-          sink(
-            ksOf(len, lenBaseline)
-              .join(quantilesOf(len).drop("n_docs"), Seq("window_start", "source"))
-              .join(psiOf(cat, catBaseline).drop("n_docs"), Seq("window_start", "source"))
-              .join(driftOf(voc, vocBaseline), Seq("window_start", "source"))
-              .select(col("window_start"), col("source"), col("n_docs"),
-                col("n_tokens"), col("kl"), col("ks_q20"),
-                col("p50"), col("p90"), col("p99"), col("psi")))
+          val reduce = ksOf(len, lenBaseline)
+            .join(quantilesOf(len).drop("n_docs"), Seq("window_start", "source"))
+            .join(psiOf(cat, catBaseline).drop("n_docs"), Seq("window_start", "source"))
+            .join(driftOf(voc, vocBaseline), Seq("window_start", "source"))
+            .select(col("window_start"), col("source"), col("n_docs"),
+              col("n_tokens"), col("kl"), col("ks_q20"),
+              col("p50"), col("p90"), col("p99"), col("psi"))
+          sink(if (any) reduce else reduce.limit(0))
         } finally { batch.unpersist(); () }
         ()
       }
@@ -762,10 +795,12 @@ object CurationStream {
       .outputMode("append") // a (window, source, bucket) row emits once, on window close
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(
-          driftOf(
-            batch.select(col("w.start").as("window_start"), col("source"), col("b"), col("cs")),
-            baseline))
+        val reduce = driftOf(
+          batch.select(col("w.start").as("window_start"), col("source"), col("b"), col("cs")),
+          baseline)
+        val any = pinBatch(batch)
+        try sink(if (any) reduce else reduce.limit(0))
+        finally { batch.unpersist(); () }
         ()
       }
       .start()
@@ -824,9 +859,11 @@ object CurationStream {
       .outputMode("append") // a (window, src, axis, value) row emits once, on close
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist() // five axis consumers — one state read
-        try sink(allDriftReduce(batch, vocBaseline, lenBaseline, catBaseline))
-        finally { batch.unpersist(); () }
+        val any = pinBatch(batch) // five axis consumers — one state read
+        try {
+          val reduce = allDriftReduce(batch, vocBaseline, lenBaseline, catBaseline)
+          sink(if (any) reduce else reduce.limit(0))
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()
