@@ -751,20 +751,30 @@ object CurationQueries {
               (acc, f) => acc + f.getField("x") * element_at(col("wm"), f.getField("b"))))
           .filter(col("y") * col("m") <= 0)
           .select(col("doc_id"), col("y"), col("fs"))
-        val delta = miss
+        // ONE margin pass per round (r17): delta carries a per-bucket row
+        // count alongside the update sum, and n_miss is read off the BIAS
+        // bucket's count — every doc's fs holds exactly one bias entry
+        // (b = PerceptronBuckets, outside the 0..B-1 hash range), so its
+        // row count in the explode IS the misclassified-doc count. The
+        // unpinned form ran the margin filter twice per round (once for
+        // the update aggregate, once for the stats count) — 2R passes over
+        // the corpus-sized cached features instead of R.
+        val delta = keep(miss
           .select(col("y"), explode(col("fs")).as("f"))
           .groupBy(col("f.b").as("b"))
-          .agg(sum(col("y") * col("f.x")).as("dw"))
+          .agg(sum(col("y") * col("f.x")).as("dw"), count(lit(1)).as("nb"))
+        ) // ≤ B+2 rows — feeds the w update AND the stats row
         // w feeds the next round's map, the update join, and the stats
         // mass — persist the ≤ B+1 rows so round r's margin pass computes
         // once, not once per downstream consumer (the unpinned DAG
         // re-derived every earlier round per stats row — O(R²) passes)
         w = keep(w
-          .join(delta, Seq("b"), "left")
+          .join(delta.select(col("b"), col("dw")), Seq("b"), "left")
           .select(col("b"), (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
         )
-        miss
-          .agg(count(lit(1)).as("n_miss"))
+        delta
+          .filter(col("b") === lit(PerceptronBuckets.toLong))
+          .agg(coalesce(sum(col("nb")), lit(0L)).as("n_miss")) // 0 misses → empty delta → still one row
           .crossJoin(w.agg(sum(abs(col("w"))).as("w_abs_sum")))
           .select(lit(r.toLong).as("round"), col("n_miss"), col("w_abs_sum"))
       }

@@ -257,9 +257,16 @@ object DedupQueries {
 
   /** Exact Jaccard for a pair frame (ia, ib): intersection via the shingle
     * inverted index, union by inclusion–exclusion.
+    *
+    * `sizesPre` optionally supplies the per-doc shingle-count table (e.g. a
+    * CacheScope-pinned one) so the two size joins share ONE aggregate pass
+    * over the index instead of building it once per side (r17; the memo
+    * build and plan audits pass nothing and keep the self-contained form).
     */
-  private def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  private def jaccardOf(
+      pairs: DataFrame, sh: DataFrame,
+      sizesPre: Option[DataFrame] = None): DataFrame = {
+    val sizes = sizesPre.getOrElse(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
     val inter = pairs
       .join(sh.select(col("doc_id").as("ia"), col("shingle")), Seq("ia"))
       .join(sh.select(col("doc_id").as("ib"), col("shingle")), Seq("ib", "shingle"))
@@ -328,7 +335,7 @@ object DedupQueries {
     // No global rank is materialized: the (df, shingle) pair IS the
     // order, ranked per-doc by a keyed window — nothing single-partition
     // anywhere.
-    "q140_prefix_filter_join" -> ((s, dir) => {
+    "q140_prefix_filter_join" -> ((s, dir) => graft.plans.CacheScope.scoped(s) { keep =>
       val w   = org.apache.spark.sql.expressions.Window
       val shd = shared(s, dir).sh
       val dfx = shd.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -338,9 +345,15 @@ object DedupQueries {
           row_number().over(w.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
         .withColumn("n", count(lit(1)).over(w.partitionBy(col("doc_id"))))
       // prefix length for J >= 1/2: n - ceil(n/2) + 1 = n - (n+1) div 2 + 1
-      val prefix = ranked
+      // pin the prefix table: it feeds BOTH sides of the candidate
+      // self-join, and without the pin each side re-runs the whole
+      // df-join + two-window ranking subtree (r17 measured: the before
+      // plan builds the scan→join→Window chain twice — no ReusedExchange
+      // fires because the subtree's output partitioning is doc_id while
+      // the self-join keys on shingle)
+      val prefix = keep(ranked
         .filter(col("rn") <= col("n") - expr("(n + 1) div 2") + 1)
-        .select(col("doc_id"), col("shingle"), col("rn"), col("n"))
+        .select(col("doc_id"), col("shingle"), col("rn"), col("n")))
       val cand = prefix
         .select(col("doc_id").as("ia"), col("shingle"), col("rn").as("ra"), col("n").as("na"))
         .join(
@@ -356,12 +369,15 @@ object DedupQueries {
             expr("(na + nb + 2) div 3")) // integer ⌈(na+nb)/3⌉
         .select(col("ia"), col("ib"))
         .distinct()
-      jaccardOf(cand, shd)
+      // the pinned size table feeds both size joins — one aggregate pass
+      // over the index instead of one per side
+      jaccardOf(cand, shd,
+          sizesPre = Some(keep(shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))))
         .filter(col("jac") >= JaccardThreshold)
         .orderBy(col("ia"), col("ib"))
     }),
 
-    "q43_ngram_jaccard" -> ((s, dir) => {
+    "q43_ngram_jaccard" -> ((s, dir) => graft.plans.CacheScope.scoped(s) { keep =>
       val sh = shared(s, dir).sh
       val inter = sh
         .select(col("doc_id").as("ia"), col("shingle"))
@@ -369,7 +385,8 @@ object DedupQueries {
         .filter(col("ia") < col("ib"))
         .groupBy(col("ia"), col("ib"))
         .agg(count(lit(1)).as("c"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // pinned: feeds the na AND nb joins — one aggregate pass, not two
+      val sizes = keep(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
       inter
         .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
         .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), Seq("ib"))
@@ -407,11 +424,12 @@ object DedupQueries {
     // and would be broadcast at scale), exact Jaccard, then the best
     // (jac, eval_id) per contaminated doc via struct-max (deterministic
     // ties). Output: the contamination report a pipeline acts on.
-    "q68_decontaminate" -> ((s, dir) => {
+    "q68_decontaminate" -> ((s, dir) => graft.plans.CacheScope.scoped(s) { keep =>
       val sh    = shared(s, dir).sh
       val evalS = sh.filter(col("doc_id") % 10 === 0)
       val corp  = sh.filter(col("doc_id") % 10 =!= 0)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // pinned: feeds the n AND ne joins — one aggregate pass, not two
+      val sizes = keep(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
       val inter = corp
         .select(col("doc_id"), col("shingle"))
         .join(evalS.select(col("doc_id").as("eval_id"), col("shingle")), Seq("shingle"))

@@ -178,15 +178,19 @@ object TextQueries {
     // union estimate. en × each other lang, with EXACT union/intersection
     // alongside (the estimate-vs-exact audit shape). Everything is
     // md5-order-invariant ⇒ fully hash-checked.
-    "q139_kmv_setops" -> ((s, dir) => {
+    "q139_kmv_setops" -> ((s, dir) => CacheScope.scoped(s) { keep =>
       val K = 64 // rho granularity 1/K: K=64 resolves the ~0.92 trigram Jaccard
       val w = org.apache.spark.sql.expressions.Window
       // TRIGRAM sets (not unigrams): the synthetic corpus shares one
       // unigram vocabulary across langs — unigram (and even bigram) sets
       // are near-identical and rho degenerates to 1; trigram sets differ
       // per slice (Jaccard ≈ 0.92 at sf0.1), so the rho estimator is
-      // genuinely exercised
-      val kv = Tables
+      // genuinely exercised.
+      // PINNED (r17): kv feeds the sketch build, the exact set sizes, and
+      // BOTH sides of the exact-intersection join — unpinned, the
+      // tokenize → trigram-explode → distinct-shuffle subtree rebuilt once
+      // per consumer (4×, and each sketch consumer rebuilt it transitively)
+      val kv = keep(Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("lang"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
@@ -194,12 +198,13 @@ object TextQueries {
           explode(expr(
             "transform(sequence(1, size(t)-2), i -> concat(element_at(t, i), ' ', element_at(t, i+1), ' ', element_at(t, i+2)))"))
             .as("tok"))
-        .distinct()
+        .distinct())
       val hashed = kv.select(col("lang"), col("tok"),
         expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
-      val sk = hashed
+      // pinned: ≤ K rows per lang — a/b below are read by merged AND rho
+      val sk = keep(hashed
         .withColumn("rn", row_number().over(w.partitionBy(col("lang")).orderBy(col("h"))))
-        .filter(col("rn") <= K)
+        .filter(col("rn") <= K))
       val a = sk.filter(col("lang") === "en").select(col("h").as("ha"))
       val b = sk.filter(col("lang") =!= "en").select(col("lang").as("lang_b"), col("h").as("hb"))
       // merged bottom-K per pair (distinct: a shared token hashes equally)
@@ -255,10 +260,14 @@ object TextQueries {
     // end to end, so at 100 TB the estimate column costs sketch-merge
     // work while the exact column (the expensive audit) can run on a
     // sample cadence.
-    "q162_source_overlap" -> ((s, dir) => {
+    "q162_source_overlap" -> ((s, dir) => CacheScope.scoped(s) { keep =>
       val K = 64
       val w = org.apache.spark.sql.expressions.Window
-      val kv = Tables
+      // PINNED (r17): kv feeds the size table, BOTH sides of the exact
+      // intersection self-join, and the sketch build — unpinned, the
+      // tokenize → trigram-explode → distinct-shuffle subtree rebuilt once
+      // per consumer
+      val kv = keep(Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("source"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
@@ -266,7 +275,7 @@ object TextQueries {
           explode(expr(
             "transform(sequence(1, size(t)-2), i -> concat(element_at(t, i), ' ', element_at(t, i+1), ' ', element_at(t, i+2)))"))
             .as("tok"))
-        .distinct()
+        .distinct())
       val sizes = kv.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val pairs = sizes
         .select(col("source").as("src_a"), col("n").as("n_a"))
@@ -277,11 +286,13 @@ object TextQueries {
         .filter(col("src_a") < col("src_b"))
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_inter"))
-      val sk = kv
+      // pinned: ≤ K rows per source — skA/skB are each read by merged AND
+      // the n_both join
+      val sk = keep(kv
         .withColumn("h", expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
         .withColumn("rn", row_number().over(w.partitionBy(col("source")).orderBy(col("h"))))
         .filter(col("rn") <= K)
-        .select(col("source"), col("h"))
+        .select(col("source"), col("h")))
       val skA     = sk.select(col("source").as("src_a"), col("h"))
       val skB     = sk.select(col("source").as("src_b"), col("h"))
       val pairDom = pairs.select(col("src_a"), col("src_b"))
@@ -831,18 +842,20 @@ object TextQueries {
         )
         .withColumn("b", expr(s"CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) % $DsirBuckets"))
       ) // feeds the raw counts, the target counts, AND the scoring pass
-      val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val tgt = grams.filter(col("lang") === DsirTargetLang).groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      // every bucket a document references appears in `raw` by construction,
-      // so the raw table IS the bucket domain; target counts left-join in
+      // ONE histogram pass (r17): raw and target bucket counts come from a
+      // single aggregate over the bigram stream (target = conditional sum
+      // on the lang column) instead of two separate corpus passes over the
+      // cached grams; `raw` remains the full bucket domain, with ct = 0
+      // exactly where the old left-join + fill produced 0.
+      val raw = keep(grams.groupBy(col("b")).agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct")))
       val dim = raw
-        .join(tgt, Seq("b"), "left")
-        .na.fill(0L, Seq("ct"))
-        .crossJoin(broadcast(raw.agg(sum(col("cr")).as("tr"))))
-        // coalesce: a corpus slice with NO target-language docs must yield
-        // finite smoothed weights (sum over empty is NULL; the oracle's
-        // COUNT path returns 0) — not all-NULL scores
-        .crossJoin(broadcast(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))))
+        // the totals derive from the 256-row histogram — never the corpus;
+        // coalesce: a corpus slice with NO bigrams at all must yield an
+        // empty-but-well-typed dim (sum over empty is NULL)
+        .crossJoin(broadcast(raw.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))))
+        .crossJoin(broadcast(raw.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))))
         .select(
           col("b"),
           floor(
@@ -902,13 +915,19 @@ object TextQueries {
     // Buckets absent from a source contribute zero (cs = 0), so the
     // inner bucket join is the full support.
     "q158_vocab_drift" -> ((s, dir) => CacheScope.scoped(s) { keep =>
-      val toks = keep(Tables
+      val toks = Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
         .withColumn("b", expr(s"CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % $DsirBuckets"))
-      ) // feeds the per-source counts AND the corpus counts
-      val cs = toks.groupBy(col("source"), col("b")).agg(count(lit(1)).as("cs"))
-      val ct = toks.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      // ONE corpus pass (r17): the corpus bucket counts are the per-source
+      // counts summed over sources (every token has exactly one source),
+      // so ct derives from the dimension-sized cs table instead of a
+      // second aggregate over the token stream — and with a single
+      // consumer the token cache bought nothing, so the pin moves to cs
+      // (sources × 256 rows), which feeds ct, the per-source totals, and
+      // the KL dim.
+      val cs = keep(toks.groupBy(col("source"), col("b")).agg(count(lit(1)).as("cs")))
+      val ct = cs.groupBy(col("b")).agg(sum(col("cs")).as("ct"))
       val dim = cs
         .join(broadcast(ct), Seq("b"))
         .crossJoin(broadcast(ct.agg(sum(col("ct")).as("t"))))

@@ -68,7 +68,12 @@ class CacheHygieneSpec extends AnyFunSuite with SparkSpec {
       "q122_fuzzy_names",
       "q48_simhash_neardup",
       "q150_adaptive_quality",
-      "q160_perceptron_lid"
+      "q160_perceptron_lid",
+      "q140_prefix_filter_join",
+      "q43_ngram_jaccard",
+      "q68_decontaminate",
+      "q139_kmv_setops",
+      "q162_source_overlap"
     )
     spark.catalog.clearCache()
     scoped.foreach { name =>
