@@ -260,14 +260,15 @@ object TextQueries {
     // end to end, so at 100 TB the estimate column costs sketch-merge
     // work while the exact column (the expensive audit) can run on a
     // sample cadence.
-    "q162_source_overlap" -> ((s, dir) => CacheScope.scoped(s) { keep =>
+    "q162_source_overlap" -> ((s, dir) => {
       val K = 64
       val w = org.apache.spark.sql.expressions.Window
-      // PINNED (r17): kv feeds the size table, BOTH sides of the exact
-      // intersection self-join, and the sketch build — unpinned, the
-      // tokenize → trigram-explode → distinct-shuffle subtree rebuilt once
-      // per consumer
-      val kv = keep(Tables
+      // NOT pinned (r17, measured): a kv pin read ~35% SLOWER in adjacent
+      // A/B pairs (1.70 → 2.31 s and 4.14 → 7.76 s) — AQE stage reuse
+      // already dedupes the distinct's map side across the consumers, and
+      // caching the sources × trigram string table costs more than the
+      // per-consumer reduce-side work it saves (the q210 lesson, again).
+      val kv = Tables
         .spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("source"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
@@ -275,7 +276,7 @@ object TextQueries {
           explode(expr(
             "transform(sequence(1, size(t)-2), i -> concat(element_at(t, i), ' ', element_at(t, i+1), ' ', element_at(t, i+2)))"))
             .as("tok"))
-        .distinct())
+        .distinct()
       val sizes = kv.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val pairs = sizes
         .select(col("source").as("src_a"), col("n").as("n_a"))
@@ -286,13 +287,11 @@ object TextQueries {
         .filter(col("src_a") < col("src_b"))
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_inter"))
-      // pinned: ≤ K rows per source — skA/skB are each read by merged AND
-      // the n_both join
-      val sk = keep(kv
+      val sk = kv
         .withColumn("h", expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
         .withColumn("rn", row_number().over(w.partitionBy(col("source")).orderBy(col("h"))))
         .filter(col("rn") <= K)
-        .select(col("source"), col("h")))
+        .select(col("source"), col("h"))
       val skA     = sk.select(col("source").as("src_a"), col("h"))
       val skB     = sk.select(col("source").as("src_b"), col("h"))
       val pairDom = pairs.select(col("src_a"), col("src_b"))

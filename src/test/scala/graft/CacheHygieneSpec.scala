@@ -72,8 +72,7 @@ class CacheHygieneSpec extends AnyFunSuite with SparkSpec {
       "q140_prefix_filter_join",
       "q43_ngram_jaccard",
       "q68_decontaminate",
-      "q139_kmv_setops",
-      "q162_source_overlap"
+      "q139_kmv_setops"
     )
     spark.catalog.clearCache()
     scoped.foreach { name =>
