@@ -16,6 +16,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts (Tables.events)
       .config("spark.ui.enabled", "false")
+      // file:// without the Hadoop CRC sidecar layer (see
+      // NoCrcLocalFileSystem's scaladoc: halves local file creates and the
+      // fork-per-permission-call tail behind them; data bytes untouched —
+      // parquet carries its own page checksums). GRAFT_LOCAL_FS_CRC=1
+      // restores the stock checksummed local fs.
+      .config("spark.hadoop.fs.file.impl",
+        if (sys.env.get("GRAFT_LOCAL_FS_CRC").contains("1"))
+          classOf[org.apache.hadoop.fs.LocalFileSystem].getName
+        else classOf[graft.sources.NoCrcLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -24,6 +24,12 @@ object Verify {
       // below 2262-04-11 (see EventQueries.ScdOpenEnd).
       .config("spark.sql.parquet.outputTimestampType", "INT96")
       .config("spark.ui.enabled", "false")
+      // same local-fs treatment as Bench (NoCrcLocalFileSystem scaladoc);
+      // checksum sidecars never reach the written bytes the driver hashes
+      .config("spark.hadoop.fs.file.impl",
+        if (sys.env.get("GRAFT_LOCAL_FS_CRC").contains("1"))
+          classOf[org.apache.hadoop.fs.LocalFileSystem].getName
+        else classOf[graft.sources.NoCrcLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -26,16 +26,35 @@ object StreamProfileMain {
     spark.sparkContext.setLogLevel("WARN")
 
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        starts.put(e.jobId, e.time)
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(e.properties).flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("")
+        starts.put(e.jobId, (e.time, desc))
         ()
       }
       override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val t0 = Option(starts.remove(e.jobId)).getOrElse(e.time)
+        val (t0, desc) = Option(starts.remove(e.jobId)).getOrElse((e.time, ""))
         val ms = e.time - t0
-        if (ms >= 100)
-          System.err.println(s"[prof-job] id=${e.jobId} ms=$ms")
+        if (ms >= 30)
+          System.err.println(s"[prof-job] id=${e.jobId} ms=$ms desc=$desc")
+      }
+      private val stageSubmit = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        stageSubmit.put(e.stageInfo.stageId, System.currentTimeMillis())
+        ()
+      }
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si  = e.stageInfo
+        val sub = Option(stageSubmit.remove(si.stageId)).getOrElse(0L)
+        val wall = System.currentTimeMillis() - sub
+        val exec = si.taskMetrics.executorRunTime
+        val cpu  = si.taskMetrics.executorCpuTime / 1000000
+        if (wall >= 30)
+          System.err.println(s"[prof-stage] id=${si.stageId} tasks=${si.numTasks} " +
+            s"wall=${wall}ms execSum=${exec}ms cpuSum=${cpu}ms name=${si.name}")
       }
     })
     spark.streams.addListener(new StreamingQueryListener {
