@@ -25,6 +25,20 @@ object Bench {
         if (sys.env.get("GRAFT_LOCAL_FS_CRC").contains("1"))
           classOf[org.apache.hadoop.fs.LocalFileSystem].getName
         else classOf[graft.sources.NoCrcLocalFileSystem].getName)
+      // Artifact SESSION ISOLATION off (r18, measured; GRAFT_ARTIFACT_ISOLATION=1
+      // restores the 4.x default): every StreamingQuery runs on a session
+      // CLONE, and with isolation on each clone gets its own artifact
+      // classloader — which KEYS the whole-stage-codegen compilation cache
+      // (CodeGenerator.cache is per-classloader since 4.x), so every
+      // streaming query RUN re-Janino-compiles every generated class even
+      // when the code is byte-identical (JFR: 698 KeyLock compile-waits per
+      // q217 pair-run, ~27 s of executor thread-wait; 162 with isolation
+      // off — the timed run then hits the cache). This engine adds no
+      // per-session artifacts (no addArtifact anywhere), so isolation buys
+      // nothing and only defeats compile reuse; a single-tenant production
+      // driver running repeated micro-batch work wants the same setting.
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.get("GRAFT_ARTIFACT_ISOLATION").contains("1").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -30,6 +30,11 @@ object Verify {
         if (sys.env.get("GRAFT_LOCAL_FS_CRC").contains("1"))
           classOf[org.apache.hadoop.fs.LocalFileSystem].getName
         else classOf[graft.sources.NoCrcLocalFileSystem].getName)
+      // same artifact-isolation treatment as Bench (see Bench.scala): the
+      // codegen cache is classloader-keyed and session clones (every
+      // StreamingQuery) otherwise re-compile every generated class per run
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.get("GRAFT_ARTIFACT_ISOLATION").contains("1").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

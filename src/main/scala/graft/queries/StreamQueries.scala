@@ -194,8 +194,21 @@ object StreamQueries {
   private def driftInput(s: SparkSession, dir: String): String =
     graft.sources.SessionMemo.dir(s, "stream-in-drift", dir)(driftInputBuild(s, dir, _))
 
+  /** Width of the drift-family input memo. The r17 blanket-widening
+    * experiment (32 files for EVERY stream memo) measured a loss — the
+    * events-family rows have near-zero per-row CPU and paid 32 footer
+    * opens + task launches for nothing. This is the TARGETED form: only
+    * the drift memo (the input of the 9 token-heavy monitor rows, whose
+    * data batch burns >1 s of tokenize+explode CPU serialized on the
+    * natural 2-file scan — r18 JFR profile) widens, and only to 8 files,
+    * so the micro-batch engages 8 cores for real CPU while the fixed
+    * per-file cost stays bounded. Row content/aggregation is
+    * order-independent, so the hash is unchanged.
+    */
+  private val DriftInFiles = 8
+
   private def driftInputBuild(s: SparkSession, dir: String, b: String): Unit =
-    docsStreamInput(s, dir).write.parquet(s"$b/in")
+    docsStreamInput(s, dir).repartition(DriftInFiles).write.parquet(s"$b/in")
 
   /** q171's 256-row static baseline — built once per (session, dir): an
     * unpinned plan would re-tokenize the whole corpus per micro-batch, and

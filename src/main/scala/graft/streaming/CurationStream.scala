@@ -238,6 +238,35 @@ object CurationStream {
     batch.count() > 0L
   }
 
+  /** Run a monitor's per-batch REDUCTION (and only it) at ONE shuffle
+    * partition, restoring the session conf before the callback returns.
+    *
+    * Why (r18, measured): the reduction input is dimension-bounded BY
+    * DESIGN (closed-window summaries — windows × sources × value domains,
+    * a few hundred rows at ANY corpus size), yet it inherits the stream
+    * scope's state-partition count (8), so every one of the reduction's
+    * ~10-30 exchanges runs 8 one-row-ish tasks: 8× the task launches, and
+    * 7 waiter threads per whole-stage-codegen compile (the KeyLock waits
+    * dominating the r18 JFR profile of q217's finalization batch). One
+    * partition is the GUIDE §2.2 sizing for kilobyte frames — this is
+    * scale-independent for the same reason the AQE-off scope is: the
+    * reduction never grows with the corpus, only with the value domains.
+    * The conf change is scoped INSIDE the foreachBatch callback (the
+    * callback runs synchronously on the micro-batch thread), so the
+    * stream's own stateful plan — pinned at [[graft.queries.StreamQueries]]
+    * withStatePartitions' count via the checkpoint — never sees it: the
+    * batch cache is materialized by [[pinBatch]] BEFORE the scope opens,
+    * and the conf is restored in `finally` before the next batch plans.
+    */
+  private def sinkReduced(batch: DataFrame)(body: => Unit): Unit = {
+    val s     = batch.sparkSession
+    val key   = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key, "1")
+    try body
+    finally s.conf.set(key, saved)
+  }
+
   /** Batch KS reduction over closed window summaries: `counts` is
     * (window_start, source, v, cs); returns per (window_start, source) the
     * doc total and the two-sample Kolmogorov–Smirnov distance of the
@@ -284,6 +313,61 @@ object CurationStream {
       .agg(min(col("nw")).as("n_docs"), max(abs(col("qw") - col("qb"))).as("ks_q20"))
   }
 
+  /** [[ksOf]] and [[quantilesOf]] FUSED over one union-grid pass — the
+    * multi-axis monitors (q216/q217/q219) consume both off the same `len`
+    * summaries, and the two reductions share the identical cumulative
+    * spine (c = running count over v per (window, source), n = the pair
+    * total): running them separately pays the grid build, the counts
+    * join, the cumulative window and the final aggregate TWICE (r18
+    * measured: the finalization batch is stage-count-bound, ~30 tiny
+    * stages at 8 tasks each — see [[sinkReduced]]).
+    *
+    * Quantiles evaluated on the UNION grid (baseline values ∪ the
+    * window's values) are EXACT: c jumps only at the window's own values,
+    * so for any p the minimal grid v with 100·c ≥ p·n is the minimal
+    * WINDOW value with that property — a baseline-only grid point below
+    * it carries c below the threshold, and one above it is not minimal
+    * (q209's integer rule is over a right-continuous step function, the
+    * same argument that makes [[ksOf]]'s union grid attain the sup).
+    * Column-for-column identical output to the unfused join:
+    * (window_start, source, n_docs, ks_q20, p50, p90, p99).
+    */
+  def ksQuantilesOf(counts: DataFrame, baseline: DataFrame): DataFrame = {
+    val pairs = counts.select(col("window_start"), col("source")).distinct()
+    val nW = counts
+      .groupBy(col("window_start"), col("source"))
+      .agg(sum(col("cs")).as("nw"))
+    val byPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"), col("source"))
+    val grid = baseline
+      .select(col("v"), col("qb"))
+      .unionByName(
+        counts.select(col("v")).distinct()
+          .join(baseline.select(col("v")), Seq("v"), "left_anti")
+          .select(col("v"), lit(null).cast("long").as("qb")))
+      .withColumn(
+        "qb",
+        coalesce(
+          last(col("qb"), ignoreNulls = true).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("v"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)),
+          lit(0L)))
+    def q(p: Int) = min(when(col("c") * 100 >= col("nw") * p, col("v"))).as(s"p$p")
+    pairs
+      .crossJoin(broadcast(grid))
+      .join(counts, Seq("window_start", "source", "v"), "left")
+      .na.fill(0L, Seq("cs"))
+      .withColumn("c", sum(col("cs")).over(byPair.orderBy(col("v"))))
+      .join(broadcast(nW), Seq("window_start", "source"))
+      .withColumn("qw", expr("c * 1048576 div nw"))
+      .groupBy(col("window_start"), col("source"))
+      .agg(
+        min(col("nw")).as("n_docs"),
+        max(abs(col("qw") - col("qb"))).as("ks_q20"),
+        q(50), q(90), q(99))
+  }
+
   /** The live DISTRIBUTION-SHAPE monitor (q171's sibling — KL watches the
     * vocabulary, this watches the length distribution): watermarked
     * windowed (length, count) summaries → per-closed-window two-sample KS
@@ -317,7 +401,7 @@ object CurationStream {
           batch.select(col("w.start").as("window_start"), col("source"), col("v"), col("cs")),
           baseline)
         val any = pinBatch(batch)
-        try sink(if (any) reduce else reduce.limit(0))
+        try sinkReduced(batch)(sink(if (any) reduce else reduce.limit(0)))
         finally { batch.unpersist(); () }
         ()
       }
@@ -376,7 +460,7 @@ object CurationStream {
         val reduce = quantilesOf(
           batch.select(col("w.start").as("window_start"), col("source"), col("v"), col("cs")))
         val any = pinBatch(batch)
-        try sink(if (any) reduce else reduce.limit(0))
+        try sinkReduced(batch)(sink(if (any) reduce else reduce.limit(0)))
         finally { batch.unpersist(); () }
         ()
       }
@@ -475,7 +559,7 @@ object CurationStream {
           batch.select(col("w.start").as("window_start"), col("source"), col("lang"), col("cs")),
           baseline)
         val any = pinBatch(batch)
-        try sink(if (any) reduce else reduce.limit(0))
+        try sinkReduced(batch)(sink(if (any) reduce else reduce.limit(0)))
         finally { batch.unpersist(); () }
         ()
       }
@@ -547,12 +631,11 @@ object CurationStream {
           val cat = batch.filter(col("axis") === "cat")
             .select(col("w.start").as("window_start"), col("source"),
               col("vs").as("lang"), col("cs"))
-          val reduce = ksOf(len, lenBaseline)
-            .join(quantilesOf(len).drop("n_docs"), Seq("window_start", "source"))
+          val reduce = ksQuantilesOf(len, lenBaseline)
             .join(psiOf(cat, catBaseline).drop("n_docs"), Seq("window_start", "source"))
             .select(col("window_start"), col("source"), col("n_docs"),
               col("ks_q20"), col("p50"), col("p90"), col("p99"), col("psi"))
-          sink(if (any) reduce else reduce.limit(0))
+          sinkReduced(batch)(sink(if (any) reduce else reduce.limit(0)))
         } finally { batch.unpersist(); () }
         ()
       }
@@ -636,7 +719,7 @@ object CurationStream {
         val reduce = miOf(batch.select(
           col("w.start").as("window_start"), col("pair"), col("x"), col("y"), col("c")))
         val any = pinBatch(batch)
-        try sink(if (any) reduce else reduce.limit(0))
+        try sinkReduced(batch)(sink(if (any) reduce else reduce.limit(0)))
         finally { batch.unpersist(); () }
         ()
       }
@@ -717,14 +800,13 @@ object CurationStream {
           val voc = batch.filter(col("axis") === "voc")
             .select(col("w.start").as("window_start"), col("source"),
               col("vl").as("b"), col("cs"))
-          val reduce = ksOf(len, lenBaseline)
-            .join(quantilesOf(len).drop("n_docs"), Seq("window_start", "source"))
+          val reduce = ksQuantilesOf(len, lenBaseline)
             .join(psiOf(cat, catBaseline).drop("n_docs"), Seq("window_start", "source"))
             .join(driftOf(voc, vocBaseline), Seq("window_start", "source"))
             .select(col("window_start"), col("source"), col("n_docs"),
               col("n_tokens"), col("kl"), col("ks_q20"),
               col("p50"), col("p90"), col("p99"), col("psi"))
-          sink(if (any) reduce else reduce.limit(0))
+          sinkReduced(batch)(sink(if (any) reduce else reduce.limit(0)))
         } finally { batch.unpersist(); () }
         ()
       }
@@ -799,7 +881,7 @@ object CurationStream {
           batch.select(col("w.start").as("window_start"), col("source"), col("b"), col("cs")),
           baseline)
         val any = pinBatch(batch)
-        try sink(if (any) reduce else reduce.limit(0))
+        try sinkReduced(batch)(sink(if (any) reduce else reduce.limit(0)))
         finally { batch.unpersist(); () }
         ()
       }
@@ -862,7 +944,7 @@ object CurationStream {
         val any = pinBatch(batch) // five axis consumers — one state read
         try {
           val reduce = allDriftReduce(batch, vocBaseline, lenBaseline, catBaseline)
-          sink(if (any) reduce else reduce.limit(0))
+          sinkReduced(batch)(sink(if (any) reduce else reduce.limit(0)))
         } finally { batch.unpersist(); () }
         ()
       }
@@ -928,8 +1010,7 @@ object CurationStream {
       .select(col("w.start").as("window_start"),
         expr("substring(axis, 4)").as("pair"),
         col("vs").as("x"), col("vs2").as("y"), col("cs").as("c"))
-    val wide = ksOf(len, lenBaseline)
-      .join(quantilesOf(len).drop("n_docs"), Seq("window_start", "source"))
+    val wide = ksQuantilesOf(len, lenBaseline)
       .join(psiOf(cat, catBaseline).drop("n_docs"), Seq("window_start", "source"))
       .join(driftOf(voc, vocBaseline), Seq("window_start", "source"))
       .select(col("window_start"), lit("source").as("kind"),
