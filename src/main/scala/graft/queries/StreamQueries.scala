@@ -162,11 +162,20 @@ object StreamQueries {
 
   /** Pin the RocksDB state-store provider (required by the state API v2
     * rows) for the scope of `body`, restoring the session conf after.
-    * `GRAFT_ROCKSDB_CHANGELOG=1` additionally enables RocksDB CHANGELOG
-    * checkpointing for the scope (per-batch delta upload instead of a
-    * full snapshot per store per batch) — the measured v2-premium knob
-    * of SCALE.md §v2-premium; the committed default stays whichever form
-    * that table shows winning.
+    * CHANGELOG checkpointing is ON by default for the scope (r18,
+    * measured — `GRAFT_ROCKSDB_CHANGELOG=0` restores the snapshot-per-
+    * commit form): with the r17/r18 fixed costs removed (per-file fork
+    * tails, per-run codegen recompiles) the per-commit full-snapshot
+    * upload became visible — every commit created and `rm -rf`-ed a local
+    * checkpoint dir per store (~360 forked deletes per two-row run traced
+    * via PATH wrappers) — and the changelog form now wins ~8-15% on the
+    * v2 rows in interleaved A/B (4.52/4.68 s vs 4.90/5.53 s on
+    * q181+q203+q204+q207) where the r14 measurement (SCALE.md
+    * §v2-premium) found it wall-neutral under the old fixed costs. The
+    * r14 100× tail already showed changelog neutral-to-better at depth
+    * (72.1 vs 72.6 s), so the flip carries no known deep-scale inversion;
+    * at cloud scale per-batch delta upload instead of full snapshot
+    * shipping is the documented reason the option exists.
     */
   private def withRocksDb[T](s: SparkSession)(body: => T): T = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -179,7 +188,11 @@ object StreamQueries {
     }
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    sys.env.get("GRAFT_ROCKSDB_CHANGELOG").foreach(v => s.conf.set(clogKey, v == "1"))
+    s.conf.set(clogKey,
+      (sys.env.get("GRAFT_ROCKSDB_CHANGELOG") match {
+        case Some(v) => v == "1"
+        case None    => true
+      }).toString)
     try body
     finally { restore(providerKey, prevP); restore(clogKey, prevC) }
   }
